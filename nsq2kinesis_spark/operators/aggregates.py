@@ -1,0 +1,196 @@
+"""Aggregation operators: hash aggregate, distinct, rollup/cube/grouping
+sets, collect-style packing aggregates, pivot.
+
+Reference seeds: the Go engine's running Size()/Count()/Recs() counters
+(reference aggregator.go:183-205) and its record-list packing
+(aggregator.go:172-175); SURVEY.md §2B generalizes to the full agg surface.
+
+Scale notes: Spark's hash aggregate is always partial (map-side) + final
+(post-shuffle), so group-key shuffles carry pre-combined rows. rollup/cube
+expand the grouping sets before the shuffle (Expand node) — at 100 TB prefer
+rollup over cube when the lattice isn't needed (cube is 2^k expansions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table as t
+from .relational import cents, duck_money_sum, money_sum
+
+
+@query(
+    "q10_agg_global",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           SUM(l_quantity) AS sum_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           {duck_money_sum("l_extendedprice")} / COUNT(*) AS avg_price,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def q10_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregate: count/sum/min/max/avg/count-distinct.
+
+    Seed: reference aggregator.go:183-205 running counters. Two-phase
+    distinct: Spark rewrites COUNT(DISTINCT) into an expand + two-stage agg.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        (money_sum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "q11_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {duck_money_sum("c_acctbal")} AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "rollup", "join"),
+)
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over region→nation hierarchy with broadcast dimension joins."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        money_sum(F.col("c_acctbal")).alias("sum_bal"),
+    )
+
+
+@query(
+    "q12_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions (4× Expand before shuffle)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "q13_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {duck_money_sum("o_totalprice")} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same Expand-based plan)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "q14_collect_pack",
+    oracle="""
+    SELECT n_name,
+           STRING_AGG(s_name, '|' ORDER BY s_name) AS suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("agg", "collect"),
+)
+def q14_collect_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list packing (seed: reference aggregator.go:172-175 packs a
+    record list per aggregate). Sorted before join → deterministic string."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_name")), "|").alias("suppliers"),
+            F.count("*").cast("long").alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "q15_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_open,
+           SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def q15_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on a known value set (compiles to conditional aggregation —
+    no extra shuffle vs a plain groupBy)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))).alias("qty_open"),
+        F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))).alias("qty_filled"),
+    )
+
+
+@query(
+    "q16_approx_distinct",
+    oracle=None,  # HLL++ sketch is Spark-specific; DuckDB's approx differs → rows-only check
+    tags=("agg", "approx"),
+)
+def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) vs exact — the scale path for distinct
+    counts over 100 TB (sketch merge instead of a distinct shuffle).
+
+    Seed: uniquing is the reference's core concern (deduper.go:17-21).
+    No oracle: sketch estimates are engine-specific; the companion exact
+    counts are covered by q10's oracle.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.01).cast("long").alias("approx_parts"),
+    )

@@ -1,0 +1,295 @@
+"""Join operators: inner/outer/semi/anti equi-joins, theta joins, as-of.
+
+The reference has no joins at all (SURVEY.md §2B, verified); the nearest
+seed is the dedup complement test (reference deduper.go:33) ≈ anti-join.
+
+Scale notes: dimension sides (nation/region/supplier/part) are broadcast —
+no shuffle of the fact table. Fact-to-fact joins (lineitem⋈orders) shuffle
+both sides on the join key; AQE handles skew splitting. Theta joins are
+kept equi+residual (hash join on the equi part, predicate as residual) so
+they never degrade to a broadcast-nested-loop over the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import table as t
+from .relational import cents, duck_cents
+
+# exact revenue aggregation in integer cents×basis-points (see relational.py)
+_REVENUE_SPARK = None  # defined below once cents() is imported
+
+
+def revenue_sum():
+    """Exact SUM(l_extendedprice * (1 - l_discount)) via BIGINT units."""
+    ext_c = cents(F.col("l_extendedprice"))
+    disc_c = cents(F.col("l_discount"))
+    return F.sum(ext_c * (100 - disc_c)).cast("double") / 10000.0
+
+
+DUCK_REVENUE_SUM = (
+    f"CAST(SUM({duck_cents('l_extendedprice')} * (100 - {duck_cents('l_discount')})) "
+    "AS DOUBLE) / 10000.0"
+)
+
+
+@query(
+    "q20_join_inner_broadcast",
+    oracle=f"""
+    SELECT n_name,
+           {DUCK_REVENUE_SUM} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("join", "broadcast", "agg"),
+)
+def q20_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim) ⋈ broadcast(dim): revenue by supplier nation.
+    The lineitem scan never shuffles for the joins — only for the final agg."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            revenue_sum().alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q21_join_shuffle_3way",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           {DUCK_REVENUE_SUM} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "agg"),
+)
+def q21_join_shuffle_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact shuffle join (lineitem⋈orders on o_orderkey) plus a
+    customer join; TPC-H-Q3-shaped. At 100 TB both fact sides hash-shuffle
+    on the same key; AQE picks SMJ/SHJ and splits skewed partitions."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            revenue_sum().alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q22_join_left_outer",
+    oracle=f"""
+    SELECT c_custkey,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM({duck_cents("o_totalprice")}), 0) AS DOUBLE) / 100.0 AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("join", "outer"),
+)
+def q22_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving order-less customers (count = 0)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+            (F.coalesce(F.sum(cents(F.col("o_totalprice"))), F.lit(0)).cast("double") / 100.0)
+            .alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "q23_join_right_outer",
+    oracle="""
+    SELECT p_partkey, p_name,
+           CAST(COUNT(l_orderkey) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    RIGHT JOIN part ON l_partkey = p_partkey
+    GROUP BY p_partkey, p_name
+    """,
+    tags=("join", "outer"),
+)
+def q23_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join preserving parts never ordered."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "right")
+        .groupBy("p_partkey", "p_name")
+        .agg(F.count("l_orderkey").cast("long").alias("n_lineitems"))
+    )
+
+
+@query(
+    "q24_join_full_outer",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM customer GROUP BY c_nationkey
+    ), supp AS (
+      SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cust.nationkey, supp.nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    """,
+    tags=("join", "outer"),
+)
+def q24_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregated sides."""
+    cust = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").cast("long").alias("n_suppliers"))
+    )
+    joined = cust.join(supp, "nationkey", "full")
+    return joined.select(
+        F.col("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).cast("long").alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).cast("long").alias("n_suppliers"),
+    )
+
+
+@query(
+    "q25_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+    tags=("join", "semi"),
+)
+def q25_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers who made a purchase event.
+    Semi joins never duplicate the left side — no fanout at scale."""
+    c = t(spark, sf_dir, "customer")
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return c.join(ev, c.c_custkey == ev.user_id, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q26_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT user_id FROM events)
+    """,
+    tags=("join", "anti"),
+)
+def q26_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no events.
+    Seed: the dedup complement (reference deduper.go:33)."""
+    c = t(spark, sf_dir, "customer")
+    ev = t(spark, sf_dir, "events")
+    return c.join(ev, c.c_custkey == ev.user_id, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q27_join_theta",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM supplier
+    JOIN customer ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+    JOIN nation   ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+    tags=("join", "theta"),
+)
+def q27_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join = equi-key (nation) + range residual (acctbal <).
+    Keeping the equi component makes this a hash join with a residual
+    filter, NOT a nested-loop cross product — the pattern that survives
+    100×: cardinality is bounded per nation bucket."""
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal < c.c_acctbal))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+@query(
+    "q28_join_asof",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_value,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+    )
+    SELECT event_id, user_id, ts, value, last_view_value, last_view_ts
+    FROM ordered WHERE event_type = 'purchase'
+    """,
+    tags=("join", "asof", "window"),
+)
+def q28_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior
+    'view' event (event-time ordered, tie-broken on event_id).
+
+    Implemented as a union-then-window single pass — one shuffle on user_id,
+    no range join explosion. This is the scalable as-of pattern: state per
+    key is O(1) (last seen view), unlike a time-bucketed range join.
+    Reference seed: processing-time-only pipeline (SURVEY.md §1) generalized
+    to event time.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    view_val = F.when(F.col("event_type") == "view", F.col("value"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    return (
+        ev.withColumn("last_view_value", F.last(view_val, ignorenulls=True).over(w))
+        .withColumn("last_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value", "last_view_value", "last_view_ts")
+    )

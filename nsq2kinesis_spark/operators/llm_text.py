@@ -1,0 +1,187 @@
+"""Text-analysis operators for LLM data pipelines: token/quality stats,
+language ID, document fingerprinting, BPE-ish token counting, multimodal
+binary-column plumbing.
+
+North-star extension (BASELINE.json): the reference treats payloads as
+opaque bytes (proto/aggregation.proto:20); these operators are the "parse
+on demand" analytics a 100 TB training-data pipeline needs. Everything is
+built-in Spark SQL functions (codegen, zero Python): narrow projections that
+scale linearly with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table as t
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "y", "es", "una"),
+    "fr": ("le", "les", "et", "est", "une"),
+}
+
+# BPE-ish pre-tokenizer: letter runs | single digits | non-alnum symbols.
+# Kept to syntax shared by Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+
+def _count_in(words, vocab: tuple[str, ...]):
+    """# tokens of `words` found in `vocab` (JVM-side higher-order filter)."""
+    arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def _duck_count_in(vocab: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in vocab)
+    return f"LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> LIST_CONTAINS([{lst}], w)))"
+
+
+@query(
+    "q70_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars_calc,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+           LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0 / LEN(STRING_SPLIT(text, ' ')) AS type_token_ratio,
+           LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), w -> STRLEN(w))) * 1.0
+             / LEN(STRING_SPLIT(text, ' ')) AS avg_token_len,
+           {_duck_count_in(STOPWORDS["en"])} * 1.0 / LEN(STRING_SPLIT(text, ' ')) AS stopword_ratio
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def q70_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring stats per document: counts, type-token ratio, mean
+    token length, stopword ratio. All exact int arithmetic + one final
+    double division → bit-identical across engines."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    tok_len_sum = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars_calc"),
+        n_tok.cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("int").alias("n_distinct_tokens"),
+        (F.size(F.array_distinct(words)) * F.lit(1.0) / n_tok).alias("type_token_ratio"),
+        (tok_len_sum * F.lit(1.0) / n_tok).alias("avg_token_len"),
+        (_count_in(words, STOPWORDS["en"]) * F.lit(1.0) / n_tok).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "q71_lang_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_duck_count_in(STOPWORDS["en"])} AS c_en,
+             {_duck_count_in(STOPWORDS["de"])} AS c_de,
+             {_duck_count_in(STOPWORDS["es"])} AS c_es,
+             {_duck_count_in(STOPWORDS["fr"])} AS c_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+                WHEN c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+                WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+                WHEN c_fr > 0 THEN 'fr'
+                ELSE 'unknown' END AS predicted_lang
+    FROM scores
+    """,
+    tags=("llm", "text", "langid"),
+)
+def q71_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram-heuristic family). Deterministic
+    first-wins argmax so the SQL twin matches exactly. (The synthetic corpus
+    shares one vocabulary across its lang labels, so predictions mostly say
+    'en'/'unknown' — the operator contract, not corpus accuracy, is under
+    test.)"""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    c = {k: _count_in(words, v) for k, v in STOPWORDS.items()}
+    pred = (
+        F.when((c["en"] >= c["de"]) & (c["en"] >= c["es"]) & (c["en"] >= c["fr"]) & (c["en"] > 0), "en")
+        .when((c["de"] >= c["es"]) & (c["de"] >= c["fr"]) & (c["de"] > 0), "de")
+        .when((c["es"] >= c["fr"]) & (c["es"] > 0), "es")
+        .when(c["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+    return d.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+@query(
+    "q72_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           SUBSTR(MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))), 1, 8) AS fp_prefix
+    FROM documents
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def q72_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (whitespace-collapse → lower → md5) —
+    the canonical-form dedup key (generalizes deduper.go:26-29's body hash
+    to normalized text). DuckDB needs the 'g' flag for global replace;
+    Spark's regexp_replace is global by default."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    fp = F.md5(norm)
+    return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_prefix"))
+
+
+@query(
+    "q73_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+           MD5(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(text, '{BPE_PATTERN}'), '|')) AS tokens_fp
+    FROM documents
+    """,
+    tags=("llm", "text", "tokenize"),
+)
+def q73_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (whitespace-free pre-tokenizer). The
+    md5-of-token-stream column proves both engines extracted identical
+    token sequences, not just equal counts."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_bpe_tokens"),
+        F.md5(F.array_join(toks, "|")).alias("tokens_fp"),
+    )
+
+
+@query(
+    "q74_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(STRLEN(text) AS BIGINT) AS payload_bytes,
+           HEX(ENCODE(SUBSTR(text, 1, 8))) AS head_hex,
+           CASE WHEN STRLEN(text) >= 256 THEN 'large' ELSE 'small' END AS size_class
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def q74_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing: payload as an opaque BINARY column with
+    typed metadata (byte length, magic-header hex, size class) — the schema
+    pattern for image/audio blobs at 100 TB (decode stubs live in
+    functions/multimodal.py; the corpus here is text re-encoded as bytes).
+    Seed: the reference's opaque `bytes data` field (proto/aggregation.proto:20)."""
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("payload_bytes"),
+        F.hex(F.expr("substring(encode(text, 'UTF-8'), 1, 8)")).alias("head_hex"),
+        F.when(F.octet_length("text") >= 256, "large").otherwise("small").alias("size_class"),
+    )

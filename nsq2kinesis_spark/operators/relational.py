@@ -1,0 +1,254 @@
+"""Core relational operators: scan, project, filter, sort/limit, set ops.
+
+Reference seeds: the Go engine's only projection is the partition-key
+computation (reference aggregator.go:124-130) and its only filter is the
+1 MiB oversize predicate (reference kinesis_writer.go:167); SURVEY.md §2B
+declares the full relational surface. All built-in Spark — Catalyst pushes
+these predicates/projections into the parquet scan (verified in
+tests/test_plans.py).
+
+Scale notes: every query here is scan→narrow-transform (no shuffle) or a
+single partial+final aggregation; filters and column pruning reach the
+parquet reader, so at 100 TB the scan reads only referenced columns and
+row-groups passing the pushed predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table as t
+
+# Exact-aggregation idiom: the money columns in the testdata are cents-exact
+# doubles (verified: max |x*100 - round(x*100)| < 1e-8 on every money column)
+# and quantities are integral, so aggregation is done in exact BIGINT cents
+# (or raw double for integral values — integer-valued double addition is
+# order-independent). Summation order then cannot change the result, so Spark
+# and the DuckDB oracle agree bit-for-bit with no rounding roulette. This is
+# also the faster plan: long-sum beats decimal-sum in codegen.
+
+
+def cents(col):
+    """Exact BIGINT cents of a 2-decimal money double."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def money_sum(col):
+    """Exact SUM of a 2-decimal money column, returned as double."""
+    return F.sum(cents(col)).cast("double") / F.lit(100.0)
+
+
+def duck_cents(col: str) -> str:
+    return f"CAST(ROUND({col} * 100) AS BIGINT)"
+
+
+def duck_money_sum(col: str) -> str:
+    return f"CAST(SUM({duck_cents(col)}) AS DOUBLE) / 100.0"
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           {duck_money_sum("l_extendedprice")} AS sum_base_price,
+           CAST(SUM({duck_cents("l_extendedprice")} * (100 - {duck_cents("l_discount")})) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(SUM({duck_cents("l_extendedprice")} * (100 - {duck_cents("l_discount")}) * (100 + {duck_cents("l_tax")})) AS DOUBLE) / 1000000.0 AS sum_charge,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           {duck_money_sum("l_extendedprice")} / COUNT(*) AS avg_price,
+           CAST(SUM({duck_cents("l_discount")}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter", "flagship"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: scan→filter→groupBy→8 aggregates.
+
+    The flagship end-to-end slice (SURVEY.md §7 M0). Shuffles once on the
+    2-value group key after map-side partial aggregation — at 100 TB the
+    shuffle carries only |groups|×|partitions| partial rows.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    ext_c = cents(F.col("l_extendedprice"))
+    disc_c = cents(F.col("l_discount"))
+    tax_c = cents(F.col("l_tax"))
+    cnt = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            (F.sum(ext_c * (100 - disc_c)).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(ext_c * (100 - disc_c) * (100 + tax_c)).cast("double") / 1000000.0).alias(
+                "sum_charge"
+            ),
+            (F.sum("l_quantity") / cnt).alias("avg_qty"),
+            (money_sum(F.col("l_extendedprice")) / cnt).alias("avg_price"),
+            (F.sum(disc_c).cast("double") / 100.0 / cnt).alias("avg_disc"),
+            cnt.cast("long").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_quantity * 2 AS double_qty
+    FROM lineitem
+    """,
+    tags=("project",),
+)
+def q02_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with computed/aliased columns (seed: aggregator.go:124-130).
+
+    Narrow, zero-shuffle; ReadSchema prunes to the 6 referenced columns.
+    Row-level double expressions are deterministic IEEE ops (identical
+    operand order in both engines) — no quantization needed.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price.alias("revenue"),
+        (disc_price * (1 + F.col("l_tax"))).alias("charge"),
+        (F.col("l_quantity") * 2).alias("double_qty"),
+    )
+
+
+@query(
+    "q03_filter_battery",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 1000 AND 150000
+      AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+      AND NOT (o_orderpriority = '2-HIGH' AND o_totalprice < 5000)
+      AND o_custkey IS NOT NULL
+    """,
+    tags=("filter",),
+)
+def q03_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate battery: IN/BETWEEN/LIKE/AND/OR/NOT/IS NULL.
+
+    Seed: the reference's single predicate (kinesis_writer.go:167-170).
+    All predicates are pushdown-eligible (PushedFilters in the scan node).
+    """
+    o = t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000, 150000)
+        & (F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%"))
+        & ~((F.col("o_orderpriority") == "2-HIGH") & (F.col("o_totalprice") < 5000))
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "q04_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+    tags=("sort", "limit"),
+)
+def q04_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark runs this as TakeOrderedAndProject — each task
+    keeps 25 rows, the driver merges; no global sort materializes even at
+    100 TB. Tie-broken on the unique key for cross-engine determinism
+    (o_totalprice is a raw stored double, so comparisons are exact)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+@query(
+    "q05_union_all",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey AS entity_key, c_name AS entity_name, 'customer' AS kind
+      FROM customer WHERE c_acctbal > 9000
+      UNION ALL
+      SELECT s_suppkey AS entity_key, s_name AS entity_name, 'supplier' AS kind
+      FROM supplier WHERE s_acctbal > 9000
+    )
+    """,
+    tags=("setop",),
+)
+def q05_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two filtered projections (schema-aligned)."""
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    left = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.lit("customer").alias("kind"),
+    )
+    right = s.filter(F.col("s_acctbal") > 9000).select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.lit("supplier").alias("kind"),
+    )
+    return left.unionAll(right)
+
+
+@query(
+    "q06_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def q06_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): nations having both customers and suppliers.
+    Plans as a shuffled left-semi aggregate; small key domain → tiny shuffle."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "q07_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def q07_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): nations with customers but no suppliers.
+    (`subtract` = EXCEPT DISTINCT; `exceptAll` would be bag semantics.)"""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "q08_distinct",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    tags=("setop", "dedup"),
+)
+def q08_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection — partial-aggregate dedup before the shuffle, so
+    the shuffle carries |distinct| rows per partition, not the table."""
+    return t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()

@@ -1,0 +1,247 @@
+"""Scalar-function batteries: string / date-time / math / conditional /
+JSON / array (higher-order) / hash.
+
+Reference seeds: body-length checks (kinesis_writer.go:167), FNV hashing
+(deduper.go:26-29), key fallback conditional (aggregator.go:128-130), the
+partition-key dictionary (aggregator.go:161-170 → array ops), opaque JSON-ish
+payload parsed on demand (proto/aggregation.proto:20 → from_json).
+
+All built-in ``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd;
+no Python in any hot path. Each battery is a pure narrow projection: zero
+shuffles, scan-bound at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..tables import table as t
+
+
+@query(
+    "q40_string_battery",
+    oracle="""
+    SELECT p_partkey,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           SUBSTR(p_name, 1, 5) AS name_head,
+           TRIM(CONCAT('  ', p_name, '  ')) AS name_trimmed,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
+           REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+           CAST(p_name LIKE '%red%' AS BOOLEAN) AS is_red,
+           CAST(STRPOS(p_name, ' ') AS INTEGER) AS space_pos
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def q40_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String battery (seed: body-length predicate kinesis_writer.go:167)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.length("p_name").cast("int").alias("name_len"),
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.col("p_name").like("%red%").alias("is_red"),
+        F.instr(F.col("p_name"), " ").cast("int").alias("space_pos"),
+    )
+
+
+@query(
+    "q41_date_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+           CAST(DAY(o_orderdate) AS INTEGER) AS order_day,
+           CAST(DAYOFWEEK(o_orderdate) + 1 AS INTEGER) AS order_dow,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+           CAST(EPOCH(o_orderdate) AS BIGINT) AS order_epoch,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002
+    FROM orders
+    """,
+    tags=("scalar", "datetime"),
+)
+def q41_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time battery (seed: 120 s generation bucketing, main.go:113).
+
+    Session TZ is pinned UTC so extraction matches DuckDB's naive-UTC read
+    of the same parquet timestamps. DuckDB's DAYOFWEEK is 0-based from
+    Sunday; Spark's is 1-based — the oracle compensates.
+    """
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.dayofweek("o_orderdate").cast("int").alias("order_dow"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.unix_timestamp("o_orderdate").cast("long").alias("order_epoch"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("days_to_2002"),
+    )
+
+
+@query(
+    "q42_math_battery",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+           POWER(l_quantity, 2) AS qty_sq,
+           ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+           SQRT(l_quantity) AS qty_sqrt,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+    FROM lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def q42_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery (seed: size arithmetic, aggregator.go:140-177).
+    Single-operation doubles are bit-identical across engines — no rounding
+    needed except the explicit ROUND under test."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.pow("l_quantity", 2).alias("qty_sq"),
+        # ln differs in the last ulp across math libraries → round(6)
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
+    )
+
+
+@query(
+    "q43_conditional_battery",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal >= 7500 THEN 'platinum'
+                WHEN c_acctbal >= 5000 THEN 'gold'
+                WHEN c_acctbal >= 2500 THEN 'silver'
+                ELSE 'bronze' END AS tier,
+           COALESCE(NULLIF(c_mktsegment, 'HOUSEHOLD'), 'OTHER') AS segment_or_other,
+           CAST(c_acctbal > 5000 AS BOOLEAN) AS is_high,
+           IF(c_nationkey % 2 = 0, 'even', 'odd') AS nation_parity
+    FROM customer
+    """,
+    tags=("scalar", "conditional"),
+)
+def q43_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional battery (seed: partition-key fallback aggregator.go:128-130)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") >= 7500, "platinum")
+        .when(F.col("c_acctbal") >= 5000, "gold")
+        .when(F.col("c_acctbal") >= 2500, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("HOUSEHOLD")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        (F.col("c_acctbal") > 5000).alias("is_high"),
+        F.when(F.col("c_nationkey") % 2 == 0, "even").otherwise("odd").alias("nation_parity"),
+    )
+
+
+@query(
+    "q44_json_battery",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS prop_k,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) % 10 AS prop_k_mod,
+           CAST(JSON_EXTRACT_STRING(props, '$.missing') AS VARCHAR) AS prop_missing
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def q44_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON battery over the events.props payload (seed: opaque bytes parsed
+    on demand, proto/aggregation.proto:20). Uses from_json (schema'd parse,
+    codegen) plus get_json_object (path probe)."""
+    ev = t(spark, sf_dir, "events")
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("prop_k"),
+        (parsed.getField("k") % 10).alias("prop_k_mod"),
+        F.get_json_object("props", "$.missing").alias("prop_missing"),
+    )
+
+
+@query(
+    "q45_array_battery",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+           LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS has_spark,
+           CAST(COALESCE(LIST_POSITION(STRING_SPLIT(text, ' '), 'spark'), 0) AS BIGINT) AS spark_pos,
+           STRING_SPLIT(text, ' ')[1] AS first_token,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(SUBSTR(text, 1, 40), ' '))), ',') AS head_vocab
+    FROM documents
+    """,
+    tags=("scalar", "array"),
+)
+def q45_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery (seed: partition-key dictionary, aggregator.go:161-170).
+    size/distinct/contains/position/index/sort — all higher-order built-ins."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("int").alias("n_distinct_tokens"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.array_position(words, "spark").cast("long").alias("spark_pos"),
+        F.element_at(words, 1).alias("first_token"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.split(F.substring("text", 1, 40), " "))), ","
+        ).alias("head_vocab"),
+    )
+
+
+@query(
+    "q46_hash_battery",
+    oracle="""
+    SELECT doc_id,
+           MD5(text) AS text_md5,
+           SHA256(text) AS text_sha256,
+           MD5(CONCAT(source, ':', CAST(doc_id AS VARCHAR))) AS composite_md5
+    FROM documents
+    """,
+    tags=("scalar", "hash"),
+)
+def q46_hash_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash battery (seed: FNV-64a dedup/partition hashing deduper.go:26-29,
+    MD5 trailer aggregator.go:54-56). md5/sha2 are engine-portable; for
+    Spark-internal keys we use xxhash64 (q60 dedup) which is faster but has
+    no DuckDB twin."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5(F.concat_ws(":", "source", F.col("doc_id").cast("string"))).alias("composite_md5"),
+    )

@@ -1,0 +1,161 @@
+"""Vector similarity search over the `embeddings` table
+(`embedding: array<float>`, 64-dim).
+
+North-star extension (BASELINE.json): approximate-nearest-neighbor search
+for embedding-space dedup/retrieval. Three tiers:
+
+- q80: brute-force top-k — the exactness baseline. Query side is tiny and
+  broadcast; the corpus scan is embarrassingly parallel. Cost O(|Q|·N).
+- q81: threshold near-dup pairs with label blocking — the blocked
+  all-pairs pattern (compare only within a block key), the standard trick
+  to keep pair generation sub-quadratic.
+- q82: IVF-style ANN — deterministic coarse quantizer (centroid subset),
+  vectors assigned to nearest centroid, queries probe the 2 nearest
+  centroid cells only. At 100 TB this is the scale path: the probe prunes
+  the corpus to a few cells; cells are co-partitioned by centroid id.
+
+All vector math is JVM higher-order functions (functions/vectors.py) — no
+Python UDF; similarity sort keys are rounded so ulp noise can't flip ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_rounded, duck_cosine_sql
+from ..registry import query
+from ..tables import table as t
+
+DIM = 64
+N_QUERIES = 10  # query set = vec_id < 10
+TOP_K = 5
+COSINE_T = 0.90
+IVF_CENTROID_STEP = 101  # centroids = vec_id % 101 == 0 (deterministic)
+IVF_PROBES = 2
+
+
+@query(
+    "q80_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), pairs AS (
+      SELECT query_id, e.vec_id,
+             {duck_cosine_sql("qe", "e.embedding", DIM)} AS sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> query_id
+    )
+    SELECT query_id, vec_id, sim, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+      FROM pairs
+    ) WHERE rn <= {TOP_K}
+    """,
+    tags=("llm", "similarity", "topk"),
+)
+def q80_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set, scan the corpus
+    once, rank per query. The exact baseline for ANN (q82)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_rounded(F.col("qe"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "sim", "rn")
+    )
+
+
+@query(
+    "q81_cosine_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           {duck_cosine_sql("a.embedding", "b.embedding", DIM)} AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {duck_cosine_sql("a.embedding", "b.embedding", DIM)} >= {COSINE_T}
+    """,
+    tags=("llm", "similarity", "neardup"),
+)
+def q81_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label: the equi-join on
+    the block key keeps this a hash join (never a cross product); within a
+    block the pair predicate a<b halves the work."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = cosine_rounded(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= COSINE_T)
+    )
+
+
+@query("q82_ann_ivf", oracle=None, tags=("llm", "similarity", "ann"))
+def q82_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor:
+
+    1. coarse centroids: the deterministic subset vec_id % 101 == 0 (a real
+       system trains k-means; a fixed subset keeps the operator reproducible
+       with identical plan shape);
+    2. assignment: every vector → nearest centroid (broadcast centroids,
+       one corpus scan);
+    3. probe: each query searches only its IVF_PROBES nearest cells.
+
+    Rows-only check (recall vs q80 is measured in tests, not the oracle):
+    approximate by construction. The plan is the 100 TB shape: corpus
+    co-partitioned by cell id, probe prunes partitions.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+
+    def nearest_cells(side: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
+        sim = cosine_rounded(F.col(vec_col), F.col("ce"))
+        w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), "cent_id")
+        return (
+            side.crossJoin(F.broadcast(cents))
+            .select(id_col, vec_col, "cent_id", sim.alias("csim"))
+            .withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") <= n)
+        )
+
+    assigned = nearest_cells(e.select("vec_id", "embedding"), "vec_id", "embedding", 1).select(
+        "vec_id", "embedding", F.col("cent_id").alias("cell")
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    probes = nearest_cells(queries, "query_id", "qe", IVF_PROBES).select(
+        "query_id", "qe", F.col("cent_id").alias("cell")
+    )
+    sim = cosine_rounded(F.col("qe"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        probes.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+    )

@@ -1,0 +1,202 @@
+"""Batch twins of the reference's streaming semantics.
+
+Each operator here is the oracle-checkable batch form of a streaming op in
+``nsq2kinesis_spark.streaming``; SURVEY.md §2A maps each to its Go seed.
+The streaming forms (withWatermark + dropDuplicatesWithinWatermark, windowed
+aggregation, session_window on an unbounded source) are exercised in
+tests/test_streaming.py — semantics are identical by construction because
+both forms share these column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import table as t
+
+
+@query(
+    "q60_dedup_exact",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "streaming-twin"),
+)
+def q60_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact keyed dedup keeping the earliest record per key — batch twin of
+    the reference's generational dedup cache (deduper.go:25-38; streaming
+    form: dropDuplicatesWithinWatermark in streaming/pipeline.py).
+
+    Deterministic winner (min ts, event_id) rather than dropDuplicates'
+    arbitrary survivor, so the oracle can hash-match. Scales as one shuffle
+    on the dedup key + WindowGroupLimit (no full sort materialization).
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@query(
+    "q61_tumbling_window",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming-twin", "window-agg"),
+)
+def q61_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (seed: the reference's wall-clock
+    batch flush cycle, kinesis_writer.go:142-147, re-expressed on event
+    time). F.window aligns to the epoch so window.start == date_trunc."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100.0).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "q62_sliding_window",
+    oracle="""
+    WITH buckets AS (
+      SELECT e.*,
+             TIME_BUCKET(INTERVAL '5 minutes', e.ts) - (k.k * INTERVAL '5 minutes') AS window_start
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
+      CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+    FROM buckets
+    GROUP BY window_start
+    """,
+    tags=("streaming-twin", "window-agg"),
+)
+def q62_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 10 min wide, 5 min slide — each event lands in 2
+    windows (Spark Expand node; the oracle reproduces it with an explicit
+    2-way unnest)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100.0).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "q63_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - COALESCE(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                                     ts - INTERVAL '9999 hours')
+                       > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    tags=("streaming-twin", "session"),
+)
+def q63_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via session_window — Spark
+    merges adjacent events; end = last event + gap. Oracle rebuilds sessions
+    with the lag/cumsum idiom. Streaming twin: same session_window on an
+    unbounded source with a watermark."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q64_oversize_filter",
+    oracle="""
+    SELECT doc_id, n_chars, CAST(STRLEN(text) AS INTEGER) AS n_bytes
+    FROM documents
+    WHERE STRLEN(text) <= 256
+    """,
+    tags=("filter", "streaming-twin"),
+)
+def q64_oversize_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oversize-record filter — batch twin of the reference's 1 MiB drop
+    (kinesis_writer.go:167-170), scaled to the doc corpus (256 B cap).
+    Byte length (octet_length), not character length, mirroring len(m.Body)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("n_bytes", F.octet_length("text").cast("int"))
+        .filter(F.col("n_bytes") <= 256)
+        .select("doc_id", "n_chars", "n_bytes")
+    )
+
+
+@query(
+    "q65_partition_key",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN key_candidate IS NOT NULL
+                     AND LENGTH(key_candidate) BETWEEN 1 AND 255
+                THEN key_candidate
+                ELSE MD5(text) END AS partition_key
+    FROM (
+      SELECT doc_id, text, NULLIF(source, 'src0') AS key_candidate
+      FROM documents
+    )
+    """,
+    tags=("project", "streaming-twin"),
+)
+def q65_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key projection with hash fallback — twin of
+    aggregator.go:119-130: caller key if valid (non-empty, ≤255 chars) else
+    body hash. 'src0' keys are nulled to exercise the fallback branch.
+    (Reference uses FNV-64a hex; we use md5 for engine portability —
+    xxhash64 is the Spark-internal fast path, see q60.)"""
+    d = t(spark, sf_dir, "documents")
+    cand = F.nullif(F.col("source"), F.lit("src0"))
+    return d.select(
+        "doc_id",
+        F.when(
+            cand.isNotNull() & F.length(cand).between(1, 255), cand
+        )
+        .otherwise(F.md5("text"))
+        .alias("partition_key"),
+    )

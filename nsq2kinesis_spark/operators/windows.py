@@ -1,0 +1,150 @@
+"""Window-function operators: ranking, analytic (lag/lead/first/last),
+framed aggregates (running/moving), top-k per group.
+
+Reference seed: the running size/count accounting of the batcher is a frame
+aggregate (reference kinesis_writer.go:57, aggregator.go:183-205).
+
+Scale notes: every window here partitions by a high-cardinality key
+(supplier/customer/brand), so state per partition stays small and the single
+shuffle distributes evenly. Never use a global (unpartitioned) window at
+scale — all rows would land on one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import table as t
+
+
+@query(
+    "q30_window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+             CAST(RANK() OVER w AS BIGINT) AS rnk,
+             CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+             CAST(NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_partkey) AS BIGINT) AS quartile
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    ) WHERE rn <= 5
+    """,
+    tags=("window", "rank"),
+)
+def q30_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking battery: row_number/rank/dense_rank/ntile, top-5 per brand.
+    p_retailprice is a raw stored double → cross-engine comparisons exact;
+    p_partkey tie-break keeps row_number deterministic."""
+    p = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    wq = Window.partitionBy("p_brand").orderBy("p_partkey")
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            "p_retailprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(wq).cast("long").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "q31_window_analytic",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           o_totalprice - COALESCE(LAG(o_totalprice) OVER w, o_totalprice) AS delta_vs_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "analytic"),
+)
+def q31_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic battery: lag/lead/first_value + delta vs previous order."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        (F.col("o_totalprice") - F.coalesce(prev, F.col("o_totalprice"))).alias("delta_vs_prev"),
+    )
+
+
+@query(
+    "q32_window_frames",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+           SUM(l_quantity) OVER
+                (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+           SUM(l_quantity) OVER
+                (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving3_qty
+    FROM lineitem
+    """,
+    tags=("window", "frame"),
+)
+def q32_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed aggregates: running sum + 3-row moving sum per supplier.
+    Seed: the reference's running batch-size accounting
+    (kinesis_writer.go:57) is exactly a running-sum frame."""
+    li = t(spark, sf_dir, "lineitem")
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    base = Window.partitionBy("l_suppkey").orderBy(*order)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.sum("l_quantity")
+        .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running_qty"),
+        F.sum("l_quantity")
+        .over(base.rowsBetween(-2, Window.currentRow))
+        .alias("moving3_qty"),
+    )
+
+
+@query(
+    "q33_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def q33_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation — the scalable top-k idiom
+    (rank-and-filter; Spark pushes a per-partition limit via WindowGroupLimit)."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

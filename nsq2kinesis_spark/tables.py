@@ -1,0 +1,64 @@
+"""Test-table catalog: load the driver-generated parquet tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+At 100 TB these would be partitioned/bucketed datasets; the loaders here are
+plain ``spark.read.parquet`` so Catalyst gets native pushdown/pruning. Query
+builders must never cache or collect — plans stay lazy end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import pin_session_conf
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at any realistic scale factor
+# (region/nation are fixed-size; part/supplier/customer grow with SF but stay
+# dimension-sized relative to lineitem/orders facts).
+BROADCAST_SAFE = frozenset({"region", "nation", "supplier", "part"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Pins session TZ to UTC (oracle parity)."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    pin_session_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as int64 nanos (see session.pin_session_conf):
+        # integer-truncate to microseconds (floor div — ns values overflow
+        # double, so never divide in floating point).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for spark.sql-based builders)."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
