@@ -1,0 +1,72 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full materialization on
+executors, nothing collected to the driver) — the same shape a cluster run
+would have. Timings are per-query wall clock after a shared session warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nsq2kinesis_spark.registry import all_queries
+from nsq2kinesis_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",  # scan→filter→agg→(8 aggregates)
+    "q04_sort_limit",  # global top-N
+    "q12_cube",  # grouping-set expansion
+    "q20_join_inner_broadcast",  # fact ⋈ broadcast dims
+    "q21_join_shuffle_3way",  # fact-to-fact shuffle join
+    "q28_join_asof",  # as-of via single-pass window
+    "q32_window_frames",  # running/moving frames
+    "q60_dedup_exact",  # keyed dedup
+    "q63_session_window",  # sessionization
+    "q73_token_count_bpe",  # regex tokenization over documents
+    "q75_neardup_jaccard",  # exact shingle Jaccard (inverted index join)
+    "q76_neardup_minhash_lsh",  # MinHash LSH candidates + verify
+    "q78_simhash_pairs",  # banded SimHash pairs
+    "q80_cosine_topk",  # brute-force vector top-k
+    "q82_ann_ivf",  # IVF ANN probe
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="nsq2kinesis_spark_bench")
+    queries = all_queries()
+
+    # warmup: JVM + parquet footer caches, tiny query
+    queries["q08_distinct"].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        queries[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

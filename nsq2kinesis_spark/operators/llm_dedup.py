@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..tables import table as t
@@ -41,9 +42,9 @@ SIM_BAND_BITS = 15
 HAMMING_T = 12
 
 _SPARK_SHINGLES = """
-  CASE WHEN size(split(text, ' ')) >= 3 THEN
-    array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
-      i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])))
+  CASE WHEN size(words) >= 3 THEN
+    array_distinct(transform(sequence(0, size(words) - 3),
+      i -> concat_ws(' ', words[i], words[i+1], words[i+2])))
   ELSE CAST(array() AS ARRAY<STRING>) END
 """
 
@@ -84,23 +85,45 @@ _DUCK_EXACT_PAIRS = f"""
 
 
 def _shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) postings: distinct word trigrams, df-capped."""
+    """(doc_id, shingle) postings: distinct word trigrams, df-capped.
+
+    Persisted: downstream operators reference the postings 3+ times (both
+    self-join sides + set sizes) — without materialization Spark recomputes
+    the tokenize/shingle subtree per reference. On a cluster this would be a
+    checkpoint to fast storage; MEMORY_AND_DISK is the local analog.
+    """
     d = t(spark, sf_dir, "documents")
-    sh_all = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
-    kept = sh_all.groupBy("shingle").count().filter(F.col("count") <= MAX_DF).select("shingle")
-    # df-cap join: the kept-shingle side is small → broadcast semi join
-    return sh_all.join(F.broadcast(kept), "shingle", "left_semi")
+    sh_all = d.select("doc_id", F.split("text", " ").alias("words")).select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle")
+    )
+    # df via a window over the shingle shuffle — one pass computes postings
+    # AND their document frequency (no second scan for the cap).
+    df_w = F.count("*").over(Window.partitionBy("shingle"))
+    return sh_all.withColumn("df", df_w).filter(F.col("df") <= MAX_DF).persist()
+
+
+_PAIR_EXPR = """
+  flatten(transform(ds, (a, i) ->
+    transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))
+"""
 
 
 def _exact_pairs(sh: DataFrame) -> DataFrame:
-    """All-pairs Jaccard over a (doc_id, shingle) posting list via the
-    inverted-index self-join (shuffle on shingle; df cap bounds fanout)."""
+    """All-pairs Jaccard over a (doc_id, shingle) posting list.
+
+    Inverted-index pattern without a self-join: group postings by shingle,
+    emit each group's doc-pair combinations from the collected (sorted) doc
+    list, then count pairs. One shuffle on shingle + one on the pair key —
+    vs 3 shuffles and a join for the naive self-join formulation. The df cap
+    bounds each group's fanout to MAX_DF²/2 at any corpus size.
+    """
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        sh.filter(F.col("df") >= 2)
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").cast("long").alias("n_common"))
     )
     na = sizes.alias("na")
@@ -178,16 +201,12 @@ def q76_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_val")
-    a = bands.alias("a")
-    b = bands.alias("b")
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
     # verify candidates with exact Jaccard on collected shingle sets

@@ -9,8 +9,42 @@ spark-submit so the same code runs unchanged on a 1000-executor cluster.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable in Spark's Python worker processes.
+
+    Workers unpickle shipped closures (Python DataSource readers, the
+    mapInPandas sink packer) by importing their defining module — which
+    fails if the session's JVM started before the package was on
+    PYTHONPATH (e.g. a driver harness that builds its own session from an
+    arbitrary cwd). ``addPyFile`` distributes a zip of the package at
+    runtime, cwd-independent; on a cluster this doubles as the --py-files
+    shipping path.
+    """
+    if id(spark) in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), f"nsq2kinesis_spark_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    arc = os.path.join(
+                        "nsq2kinesis_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, arc)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(id(spark))
 
 
 def get_spark(
@@ -59,6 +93,7 @@ def pin_session_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    ship_package(spark)
     # events.parquet stores TIMESTAMP(NANOS): Spark has no nanosecond
     # timestamp type, so read as raw int64 nanos and truncate to micros in
     # the loader (tables.table). The DuckDB oracles mirror the truncation

@@ -1,0 +1,100 @@
+"""The reference pipeline, re-expressed on Structured Streaming.
+
+Reference dataflow (SURVEY.md §3): NSQ source → dedup (generational hash
+cache) → oversize drop → partition-key projection → KPL packing → Kinesis
+PutRecords, with at-least-once delivery.
+
+Spark form: the entire hot path is one declarative chain; acks/requeues
+dissolve into checkpoint + replay; the 2×120 s dedup generations become a
+watermark (dropDuplicatesWithinWatermark); packing/sending live in the
+sink's foreachBatch (kinesis_sink.py).
+
+Scale notes: dedup state shards across executors by body_hash (the
+reference serialized every message through one mutex-guarded map,
+deduper.go:18); at 100 TB use the RocksDB state store provider + watermark
+eviction. xxhash64 here (JVM, codegen) vs the reference's FNV-64a — same
+role, no wire compatibility needed for the dedup key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEDUP_WATERMARK = "4 minutes"  # ≙ 2 × 120 s generations (reference main.go:113)
+MAX_BODY_BYTES = 1 << 20  # reference kinesis_writer.go:167
+MAX_KEY_LEN = 255  # reference aggregator.go:128
+
+MESSAGE_SCHEMA = (
+    "message_id string, body binary, ts timestamp, attempts int, key string"
+)
+
+
+def dedup_transform(df: DataFrame, streaming: bool, watermark: str = DEDUP_WATERMARK) -> DataFrame:
+    """Duplicate filter on the body hash (reference handler.go:18-26 +
+    deduper.go:25-47). Streaming: watermark-scoped state (the generational
+    cache's Spark analog). Batch: plain dropDuplicates on the hash."""
+    hashed = df.withColumn("body_hash", F.xxhash64("body"))
+    if streaming:
+        return hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["body_hash"])
+    return hashed.dropDuplicates(["body_hash"])
+
+
+def oversize_filter(df: DataFrame, max_bytes: int = MAX_BODY_BYTES) -> DataFrame:
+    """Drop oversized bodies (reference kinesis_writer.go:167-170). The
+    sink also guards (defense in depth) and counts drops."""
+    return df.filter(F.octet_length("body") <= max_bytes)
+
+
+def partition_key_transform(df: DataFrame, key_col: str = "key") -> DataFrame:
+    """Kinesis partition key: caller key if valid (non-empty, ≤255 chars)
+    else hex body hash (reference aggregator.go:19-31, 124-130)."""
+    cand = F.col(key_col) if key_col in df.columns else F.lit(None).cast("string")
+    fallback = F.lower(F.hex(F.xxhash64("body")))
+    return df.withColumn(
+        "partition_key",
+        F.when(cand.isNotNull() & (F.length(cand).between(1, MAX_KEY_LEN)), cand).otherwise(
+            fallback
+        ),
+    )
+
+
+def forwarding_transform(df: DataFrame, streaming: bool = True) -> DataFrame:
+    """The full hot path (dedup → oversize → partition key), shared by the
+    streaming pipeline and its oracle-checkable batch twins (q60/q64/q65)."""
+    return partition_key_transform(oversize_filter(dedup_transform(df, streaming)))
+
+
+@dataclass
+class PipelineConfig:
+    checkpoint_dir: str
+    trigger_processing_time: str = "1 second"  # reference MaxDelay (kinesis_writer.go:42-44)
+    dedup_watermark: str = DEDUP_WATERMARK
+    max_body_bytes: int = MAX_BODY_BYTES
+
+
+def build_pipeline(source_df: DataFrame, sink, config: PipelineConfig):
+    """Wire source → transforms → foreachBatch(sink) → start.
+
+    ``source_df`` is an unbounded DataFrame with MESSAGE_SCHEMA columns
+    (from the NSQ DataSource, sources/nsq.py, or any test source);
+    ``sink`` is a foreachBatch callable (e.g. KinesisSink).
+    Returns the started StreamingQuery.
+    """
+    from ..session import ship_package
+
+    ship_package(source_df.sparkSession)
+    transformed = partition_key_transform(
+        oversize_filter(
+            dedup_transform(source_df, streaming=True, watermark=config.dedup_watermark),
+            config.max_body_bytes,
+        )
+    )
+    return (
+        transformed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", config.checkpoint_dir)
+        .trigger(processingTime=config.trigger_processing_time)
+        .start()
+    )

@@ -1,0 +1,202 @@
+"""Streaming-path tests: NSQ source → dedup/filter/key transforms → KPL
+packing → Kinesis-shaped sink, end-to-end through Structured Streaming,
+plus unit tests of the sink's chunking/retry and the batch/streaming twin
+equivalence (SURVEY.md §5 adopted strategy)."""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pytest
+
+from nsq2kinesis_spark.streaming.kinesis_sink import (
+    FakeKinesisClient,
+    KinesisSink,
+    SpoolingKinesisClient,
+    read_spool,
+    send_entries,
+)
+from nsq2kinesis_spark.streaming.kpl import (
+    KplAggregator,
+    PackedEntry,
+    deaggregate,
+    default_partition_key,
+    is_aggregated,
+)
+from nsq2kinesis_spark.streaming.pipeline import (
+    PipelineConfig,
+    build_pipeline,
+    forwarding_transform,
+)
+
+from .fake_nsqd import FakeNsqd
+
+
+# --- sink unit tests (driver-side, no Spark) --------------------------------
+
+
+def _entries(n: int, size: int = 10) -> list[PackedEntry]:
+    return [
+        PackedEntry(data=bytes([i % 256]) * size, partition_key=f"k{i}", slots=[i])
+        for i in range(n)
+    ]
+
+
+def test_chunking_500_record_limit():
+    client = FakeKinesisClient()
+    n_calls, _ = send_entries(client, "s", _entries(1201))
+    assert n_calls == 3
+    assert [len(c) for c in client.calls] == [500, 500, 201]
+
+
+def test_chunking_byte_limit():
+    client = FakeKinesisClient()
+    big = [PackedEntry(data=b"x" * 2_000_000, partition_key="k", slots=[i]) for i in range(5)]
+    n_calls, _ = send_entries(client, "s", big)
+    # 2 MB each, 4.9 MB cap → 2 per call
+    assert [len(c) for c in client.calls] == [2, 2, 1]
+    assert n_calls == 3
+
+
+def test_selective_retry_resends_only_failed_slots():
+    """Reference kinesis_writer.go:114-126: only failed records resend."""
+    client = FakeKinesisClient(fail_plan={0: {1, 3}})
+    n_calls, n_retried = send_entries(client, "s", _entries(5), sleep=lambda _: None)
+    assert n_calls == 2
+    assert n_retried == 2
+    assert [len(c) for c in client.calls] == [5, 2]
+    assert len(client.received) == 5
+
+
+def test_retry_exhaustion_raises():
+    client = FakeKinesisClient(fail_plan={i: {0} for i in range(10)})
+    with pytest.raises(RuntimeError, match="still failing"):
+        send_entries(client, "s", _entries(2), max_retries=2, sleep=lambda _: None)
+
+
+# --- batch twin of the forwarding transform ---------------------------------
+
+
+def test_forwarding_transform_batch(spark):
+    rows = [
+        ("m1", b"payload-a", "2024-01-01 00:00:00", 1, "good-key"),
+        ("m2", b"payload-a", "2024-01-01 00:00:01", 1, "good-key"),  # dup body
+        ("m3", b"payload-b", "2024-01-01 00:00:02", 1, ""),  # invalid key → hash
+        ("m4", b"x" * (1 << 20 + 1), "2024-01-01 00:00:03", 1, None),  # oversize
+        ("m5", b"payload-c", "2024-01-01 00:00:04", 1, "k" * 256),  # key too long
+    ]
+    df = spark.createDataFrame(
+        [(a, b, c, d, e) for a, b, c, d, e in rows],
+        "message_id string, body binary, ts string, attempts int, key string",
+    ).selectExpr("message_id", "body", "CAST(ts AS TIMESTAMP) ts", "attempts", "key")
+    out = forwarding_transform(df, streaming=False).orderBy("message_id").collect()
+    ids = [r.message_id for r in out]
+    assert "m4" not in ids  # oversize dropped
+    assert len([i for i in ids if i in ("m1", "m2")]) == 1  # body dedup
+    by_id = {r.message_id: r for r in out}
+    assert by_id["m3"].partition_key != ""  # hash fallback
+    assert by_id["m5"].partition_key != "k" * 256
+
+
+# --- end-to-end: fake nsqd → Structured Streaming → spooled Kinesis ---------
+
+
+@pytest.mark.timeout(180)
+def test_nsq_to_kinesis_end_to_end(spark, tmp_path):
+    """The reference's whole job as one streaming query: messages (with a
+    scripted redelivery and an oversize body) consumed from a live TCP
+    fake-nsqd, deduped, packed (KPL), delivered to a spooling PutRecords
+    endpoint; spool deaggregates byte-exact; consumed messages get FINed."""
+    from nsq2kinesis_spark.sources.nsq import NsqDataSource
+
+    bodies = {f"{i:016d}": f"body-{i}".encode() for i in range(20)}
+    oversize_id = "9999999999999991"
+    messages = list(bodies.items()) + [(oversize_id, b"z" * ((1 << 20) + 1))]
+    nsqd = FakeNsqd(messages, deliver_twice={"0000000000000003", "0000000000000007"})
+    nsqd.start()
+
+    spark.dataSource.register(NsqDataSource)
+    src = (
+        spark.readStream.format("nsq")
+        .option("topic", "events")
+        .option("channel", "spark")
+        .option("nsqd_tcp_address", nsqd.addr)
+        .option("poll_wait_s", "0.3")
+        .load()
+    )
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    sink = KinesisSink(stream="test", client_factory=lambda: SpoolingKinesisClient(str(spool)))
+    config = PipelineConfig(
+        checkpoint_dir=str(tmp_path / "ckpt"), trigger_processing_time="1 second"
+    )
+    query = build_pipeline(src, sink, config)
+    try:
+        deadline = time.time() + 120
+        received: list[tuple[str, bytes]] = []
+        while time.time() < deadline:
+            received = []
+            for pk, data in read_spool(str(spool)):
+                if is_aggregated(data):
+                    received.extend(deaggregate(data))
+                else:
+                    received.append((pk, data))
+            if len(received) >= len(bodies) and nsqd.finished:
+                break
+            time.sleep(1)
+    finally:
+        query.stop()
+        nsqd.stop()
+
+    got_bodies = sorted(d for _, d in received)
+    assert got_bodies == sorted(bodies.values())  # dedup absorbed redelivery, oversize dropped
+    for pk, data in received:
+        assert pk  # partition key always present
+    assert nsqd.subscribed == ("events", "spark")
+    assert set(nsqd.finished) <= set(bodies) | {oversize_id}
+    assert len(nsqd.finished) >= 1  # commit() FINed consumed batches
+
+
+# --- streaming windowed agg vs batch twin -----------------------------------
+
+
+@pytest.mark.timeout(120)
+def test_streaming_window_agg_matches_batch_twin(spark, tmp_path):
+    """Tumbling-window agg over a file stream (availableNow) equals the
+    batch q61 on the same data — the watermark/window machinery works on an
+    unbounded source."""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    src_dir = tmp_path / "events_stream"
+    ev.write.parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(str(src_dir))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    got = {
+        (r["w"]["start"], r["event_type"]): r["n"] for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        (r["w"]["start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
