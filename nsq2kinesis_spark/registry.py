@@ -62,6 +62,7 @@ def load_all_modules() -> None:
         scalars,
         similarity,
         streaming_twins,
+        udfs,
         windows,
     )
 

@@ -1,0 +1,130 @@
+"""Plan-shape regression tests: the properties that decide 100 TB behavior.
+
+These assert on the *physical plan*, not results — a query can stay correct
+while silently regressing from broadcast to shuffle join or from a pruned
+scan to a full-width scan; these tests catch that (SURVEY.md §4.1: all
+optimization is delegated to Catalyst, so we verify Catalyst actually gets
+the opportunities we designed for)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nsq2kinesis_spark.plans.explain import (
+    has_broadcast_join,
+    has_whole_stage_codegen,
+    n_shuffles,
+    physical_plan,
+    pushed_filters,
+    scan_columns,
+)
+from nsq2kinesis_spark.registry import all_queries
+
+from .conftest import SF_CORRECTNESS
+
+QUERIES = all_queries()
+
+
+def build(name):
+    return QUERIES[name].builder
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    df = build("q01_pricing_summary")(spark, SF_CORRECTNESS)
+    assert any("l_shipdate" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_q01_column_pruning(spark):
+    df = build("q01_pricing_summary")(spark, SF_CORRECTNESS)
+    cols = scan_columns(df)
+    # only the 7 referenced columns reach the reader — not all 11
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+    assert {"l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"} <= cols
+
+
+def test_q01_single_shuffle(spark):
+    # partial agg → one exchange on the group key → final agg
+    df = build("q01_pricing_summary")(spark, SF_CORRECTNESS)
+    assert n_shuffles(df) == 1, physical_plan(df)
+
+
+def test_q02_projection_no_shuffle(spark):
+    df = build("q02_project_compute")(spark, SF_CORRECTNESS)
+    assert n_shuffles(df) == 0
+
+
+def test_q03_predicates_pushed(spark):
+    df = build("q03_filter_battery")(spark, SF_CORRECTNESS)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_totalprice" in pushed and "o_orderstatus" in pushed, pushed
+
+
+def test_q04_topn_no_global_sort(spark):
+    # ORDER BY + LIMIT must plan as TakeOrderedAndProject, not a range
+    # exchange + full sort
+    df = build("q04_sort_limit")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q20_dimension_joins_broadcast(spark):
+    df = build("q20_join_inner_broadcast")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    # the fact table never shuffles for the joins — only the final agg
+    assert n_shuffles(df) <= 1, plan
+
+
+def test_q25_semi_join_planned_as_semi(spark):
+    df = build("q25_join_semi")(spark, SF_CORRECTNESS)
+    assert "LeftSemi" in physical_plan(df)
+
+
+def test_q26_anti_join_planned_as_anti(spark):
+    df = build("q26_join_anti")(spark, SF_CORRECTNESS)
+    assert "LeftAnti" in physical_plan(df)
+
+
+def test_q27_theta_join_is_hash_not_nested_loop(spark):
+    # equi component must carry the join; range residual stays a filter
+    df = build("q27_join_theta")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoop", "") or "HashJoin" in plan, plan
+    assert "Join" in plan
+
+
+def test_q33_window_group_limit_pushdown(spark):
+    # rank<=k filter should activate WindowGroupLimit (Spark 3.5+) so each
+    # partition keeps only top-k rows before the window sort. (q30 mixes in
+    # ntile over a different ordering, which legitimately blocks the rule —
+    # q33 is the pure top-k idiom.)
+    df = build("q33_topk_per_group")(spark, SF_CORRECTNESS)
+    assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_q60_dedup_single_shuffle(spark):
+    df = build("q60_dedup_exact")(spark, SF_CORRECTNESS)
+    assert n_shuffles(df) == 1, physical_plan(df)
+
+
+def test_q80_query_side_broadcast(spark):
+    df = build("q80_cosine_topk")(spark, SF_CORRECTNESS)
+    assert has_broadcast_join(df)
+
+
+def test_codegen_everywhere(spark):
+    # scalar batteries must stay inside whole-stage codegen (no Python)
+    for name in ("q40_string_battery", "q42_math_battery", "q45_array_battery"):
+        df = build(name)(spark, SF_CORRECTNESS)
+        assert has_whole_stage_codegen(df), name
+        assert "BatchEvalPython" not in physical_plan(df), name
+        assert "ArrowEvalPython" not in physical_plan(df), name
+
+
+def test_no_query_uses_row_python_udf(spark):
+    """No registered query may fall back to row-at-a-time Python UDFs —
+    the engine-wide 'stay JVM-side' invariant."""
+    for name, q in QUERIES.items():
+        plan = physical_plan(q.builder(spark, SF_CORRECTNESS))
+        assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"

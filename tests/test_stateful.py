@@ -1,0 +1,128 @@
+"""Custom stateful-operator tests, keeping the reference's op-string DSL
+spirit (deduper_test.go:9-47: letters are message bodies, '#' is a
+generation rotation ≙ +120 s of event time)."""
+
+from __future__ import annotations
+
+import time
+import uuid
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from nsq2kinesis_spark.streaming.stateful import (
+    count_size_trigger,
+    generational_dedup,
+)
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+ROTATION_S = 120
+
+
+def opstring_to_rows(ops: str, case_idx: int = 0):
+    """'a#a##b' → [(hash, id, ts)]: each letter emits at the current clock
+    (+1s per message for ordering); '#' advances the clock one rotation.
+    case_idx namespaces the key space so independent cases can share one
+    streaming query (keyed state never collides across cases)."""
+    rows = []
+    clock = T0
+    for i, op in enumerate(ops):
+        if op == "#":
+            clock += timedelta(seconds=ROTATION_S)
+        else:
+            clock += timedelta(seconds=1)
+            rows.append((case_idx * 10_000 + ord(op), f"c{case_idx}_m{i}", clock))
+    return rows
+
+
+# expectations per the reference's generational semantics
+# (deduper_test.go:10-27): dup iff last sighting < 2 rotations ago; every
+# sighting refreshes.
+DSL_CASES = [
+    ("a", ["m0"]),
+    ("aa", ["m0"]),
+    ("ab", ["m0", "m1"]),
+    ("a#a", ["m0"]),  # 1 rotation → still cached
+    ("a##a", ["m0", "m3"]),  # 2 rotations → evicted, fresh again
+    ("bab", ["m0", "m1"]),
+    ("a#a##a", ["m0", "m5"]),  # dupe sighting refreshed the mark at rot 1
+    ("a##b#a", ["m0", "m3", "m5"]),
+]
+
+
+def run_streaming_dedup(spark, rows, tmp_path, n_files: int = 1):
+    """Feed rows through generational_dedup as a real streaming query
+    (file source, one micro-batch per file, memory sink)."""
+    src = tmp_path / f"src_{uuid.uuid4().hex[:8]}"
+    src.mkdir()
+    chunks = [rows[i::n_files] for i in range(n_files)] if n_files > 1 else [rows]
+    schema = "body_hash long, message_id string, ts timestamp"
+    for i, chunk in enumerate(c for c in chunks if c):
+        spark.createDataFrame(sorted(chunk, key=lambda r: r[2]), schema).coalesce(1).write.parquet(
+            str(src / f"f{i}"), mode="overwrite"
+        )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        str(src / "*")
+    )
+    out = generational_dedup(stream)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    return sorted(r.message_id for r in spark.sql(f"SELECT * FROM {name}").collect())
+
+
+def test_dedup_opstrings(spark, tmp_path):
+    """All DSL cases share ONE streaming query — keys are namespaced per
+    case, so keyed state is independent (and the single query exercises
+    multi-key state sharding, like the real shuffle-partitioned deployment)."""
+    rows, expected = [], []
+    for idx, (ops, exp) in enumerate(DSL_CASES):
+        rows.extend(opstring_to_rows(ops, case_idx=idx))
+        expected.extend(f"c{idx}_{m}" for m in exp)
+    assert run_streaming_dedup(spark, rows, tmp_path) == sorted(expected)
+
+
+def test_dedup_state_survives_across_microbatches(spark, tmp_path):
+    # same key in two different micro-batches within TTL → second dropped
+    rows = opstring_to_rows("a#a")
+    got = run_streaming_dedup(spark, rows, tmp_path, n_files=2)
+    assert got == ["c0_m0"]
+
+
+def test_count_size_trigger_seals_batches(spark, tmp_path):
+    """Reference kinesis_writer.go:52-76: batch seals at 500 records or
+    4.9 MB — scaled down to 5 records / 100 bytes for the test."""
+    from nsq2kinesis_spark.streaming.stateful import make_count_size_trigger  # noqa: F401
+
+    rows = [("k1", 10)] * 12 + [("k2", 60)] * 3  # k1: seals at 5 recs; k2: at 100 B
+    schema = "key string, n_bytes long"
+    src = tmp_path / "trigger_src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = count_size_trigger(stream, max_count=5, max_bytes=100)
+    name = f"trig_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    sealed = {
+        (r.key, r.batch_no): (r.n_records, r.n_bytes)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # k1: 12 records of 10 B → seal after 5 (50 B), twice; 2 left open
+    assert sealed[("k1", 0)] == (5, 50)
+    assert sealed[("k1", 1)] == (5, 50)
+    # k2: 60 B each → adding the 2nd record stays (120 > 100 → seal at 1)
+    assert sealed[("k2", 0)] == (1, 60)
+    assert sealed[("k2", 1)] == (1, 60)
