@@ -14,17 +14,17 @@ North-star extension generalizing the reference's exact byte-hash dedup
 - SimHash packs a document into one 60-bit signature; banded matching makes
   Hamming-neighbor search a hash join, not a cross join.
 
-Portability: signatures hash via md5 (deterministic in both engines; hex →
-BIGINT via conv/CAST) rather than Spark's faster xxhash64, so every step is
-oracle-checkable. A production deployment would swap md5 → xxhash64
-one-line; the plan shape is identical.
+Portability: oracle-checked signatures (q77/q78 SimHash) hash via md5 —
+deterministic in both engines (hex → BIGINT via conv/CAST) so every step is
+value-checkable in DuckDB. The rows-only-checked MinHash path (q76) uses
+Spark's codegen'd xxhash64 instead — the production-speed choice; its
+accuracy is graded by recall against q75's exact pairs, not value equality.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..registry import query
 from ..tables import table as t
@@ -85,52 +85,91 @@ _DUCK_EXACT_PAIRS = f"""
 
 
 def _shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) postings: distinct word trigrams, df-capped.
+    """(doc_id, shingle) postings: distinct word trigrams, df-capped,
+    persisted.
 
-    Persisted: downstream operators reference the postings 3+ times (both
-    self-join sides + set sizes) — without materialization Spark recomputes
-    the tokenize/shingle subtree per reference. On a cluster this would be a
-    checkpoint to fast storage; MEMORY_AND_DISK is the local analog.
+    Skew-proof df-cap: document frequency is computed with a map-side
+    partial-aggregated ``groupBy(shingle).count()`` first, then the (small)
+    hot-shingle set — ``df > MAX_DF`` heavy hitters — is broadcast
+    anti-joined away BEFORE any shingle-keyed shuffle. A hot shingle
+    therefore never ships its postings anywhere: downstream shingle groups
+    are bounded at MAX_DF elements by construction, at any corpus size.
+    (A window-count over the shingle partition would shuffle every posting
+    of every hot shingle to one task first — exactly the skew this operator
+    exists to avoid.)
+
+    Parallelism: shingling is CPU-bound; when the scan yields fewer
+    partitions than cores (single small file locally), the doc rows are
+    repartitioned first. At 100 TB the scan itself provides the
+    parallelism (`maxPartitionBytes` splits) and this branch never fires.
+
+    Persisted twice by design: the raw postings feed both the df pass and
+    the anti-join; the capped postings feed pair generation, set sizes,
+    MinHash signatures, and verification docsets. On a cluster these are
+    the two natural checkpoints of a dedup pipeline.
     """
-    d = t(spark, sf_dir, "documents")
-    sh_all = d.select("doc_id", F.split("text", " ").alias("words")).select(
-        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle")
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    sh_all = (
+        d.select("doc_id", F.split("text", " ").alias("words"))
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+        .persist()
     )
-    # df via a window over the shingle shuffle — one pass computes postings
-    # AND their document frequency (no second scan for the cap).
-    df_w = F.count("*").over(Window.partitionBy("shingle"))
-    return sh_all.withColumn("df", df_w).filter(F.col("df") <= MAX_DF).persist()
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_DF)
+        .select("shingle")
+    )
+    return sh_all.join(F.broadcast(hot), "shingle", "left_anti").persist()
 
 
-_PAIR_EXPR = """
+# Pair emission packs (doc_a, doc_b) into ONE BIGINT (doc ids fit 32 bits
+# per corpus shard): the pair-count shuffle moves an 8-byte key instead of a
+# 16-byte struct, and hashes/compares a primitive long.
+_PAIR_PACKED = """
   flatten(transform(ds, (a, i) ->
-    transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))
+    transform(slice(ds, i + 2, size(ds)), b -> shiftleft(a, 32) + b)))
 """
 
 
-def _exact_pairs(sh: DataFrame) -> DataFrame:
-    """All-pairs Jaccard over a (doc_id, shingle) posting list.
+def _unpack_pairs(pairs: DataFrame) -> DataFrame:
+    return pairs.select(
+        F.shiftright("pk", 32).alias("doc_a"),
+        F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("doc_b"),
+        *[c for c in pairs.columns if c != "pk"],
+    )
+
+
+def _exact_pairs(spark: SparkSession, sh: DataFrame) -> DataFrame:
+    """All-pairs Jaccard over the df-capped postings.
 
     Inverted-index pattern without a self-join: group postings by shingle,
     emit each group's doc-pair combinations from the collected (sorted) doc
-    list, then count pairs. One shuffle on shingle + one on the pair key —
-    vs 3 shuffles and a join for the naive self-join formulation. The df cap
-    bounds each group's fanout to MAX_DF²/2 at any corpus size.
+    list, count per pair, then join per-doc set sizes. Two shuffles total
+    (shingle groups, pair counts) — vs 3 shuffles and a join for the naive
+    self-join formulation. The df cap bounds each group's fanout to
+    MAX_DF²/2 at any corpus size. ``repartition`` before the explode
+    spreads the quadratic fanout across all cores (AQE coalesces the small
+    grouped shuffle to few partitions otherwise); sizes are
+    dimension-small per shard → broadcast both join sides.
     """
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     pairs = (
-        sh.filter(F.col("df") >= 2)
-        .groupBy("shingle")
+        sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .filter(F.size("ds") >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.expr(_PAIR_PACKED)).alias("pk"))
+        .groupBy("pk")
         .agg(F.count("*").cast("long").alias("n_common"))
     )
-    na = sizes.alias("na")
-    nb = sizes.alias("nb")
+    na = _unpack_pairs(pairs).alias("pa")
     return (
-        pairs.join(na, F.col("doc_a") == F.col("na.doc_id"))
-        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        na.join(F.broadcast(sizes.alias("na")), F.col("doc_a") == F.col("na.doc_id"))
+        .join(F.broadcast(sizes.alias("nb")), F.col("doc_b") == F.col("nb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
@@ -148,18 +187,18 @@ def q75_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (trigram shingles, df-capped
     inverted-index self-join). The exact baseline the approximate variants
     (q76/q78) are graded against."""
-    return _exact_pairs(_shingle_postings(spark, sf_dir))
+    return _exact_pairs(spark, _shingle_postings(spark, sf_dir))
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of
-    H_i(shingle), with H_i = first 15 hex chars of md5(i ':' shingle) as a
-    60-bit int. One aggregation, num_hashes mins — no per-doc Python."""
+    H_i(shingle), with H_i = xxhash64(i, shingle) — the JVM-codegen'd
+    64-bit hash family (one seed column per slot). One aggregation,
+    num_hashes mins — no per-doc Python, no cryptographic-hash cost (q76
+    is rows-only checked, so cross-engine hash portability isn't needed;
+    the md5 idiom survives in q77/q78 where the oracle recomputes it)."""
     hashes = [
-        F.min(
-            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))), 1, 15), 16, 10)
-            .cast("long")
-        ).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*hashes)
@@ -179,6 +218,8 @@ def q76_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_postings(spark, sf_dir)
     sigs = minhash_signatures(sh)
     rows_per_band = NUM_HASHES // LSH_BANDS
+    # band value = xxhash64 of the band's signature slots (primitive longs,
+    # no string concat/md5 on this hot path).
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -186,14 +227,8 @@ def q76_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(bi).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"h{bi * rows_per_band + r}").cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                        F.xxhash64(
+                            *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
                         ).alias("band_val"),
                     )
                     for bi in range(LSH_BANDS)
@@ -201,12 +236,11 @@ def q76_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_val")
-    candidates = (
+    candidates = _unpack_pairs(
         bands.groupBy("band_idx", "band_val")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)
-        .select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .select(F.explode(F.expr(_PAIR_PACKED)).alias("pk"))
         .distinct()
     )
     # verify candidates with exact Jaccard on collected shingle sets
@@ -228,12 +262,15 @@ def q76_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash -----------------------------------------------------------------
 
 _DUCK_SIMHASH_CTES = f"""
-    words AS (
-      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS w
-      FROM documents
+    feats AS (
+      SELECT doc_id, UNNEST(CASE WHEN LEN(words) >= 3 THEN
+          LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(words) - 2),
+            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+          ELSE [] END) AS w
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents)
     ), hashed AS (
       SELECT doc_id, CAST(CONCAT('0x', SUBSTR(MD5(w), 1, 15)) AS BIGINT) AS h
-      FROM words
+      FROM feats
     ), bitsum AS (
       SELECT doc_id, b.b AS b,
              SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -248,23 +285,41 @@ _DUCK_SIMHASH_CTES = f"""
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per doc over distinct word features (md5-derived bit
-    votes). Explode-by-bit keeps everything in codegen'd SQL ops — 60 rows
-    per feature, partial-aggregated before the doc_id shuffle."""
+    """60-bit SimHash per doc over distinct trigram-shingle features
+    (md5-derived bit votes, bit-exact vs the DuckDB oracle).
+
+    Features are word trigrams, not single words: on corpora that share one
+    vocabulary (this one; most crawled text within a language), word-set
+    SimHash collapses — every signature lands within a few bits of every
+    other and "near-dup" pairs explode quadratically. Trigram features keep
+    the signature discriminative, matching the Jaccard pipeline's unit.
+
+    The bit votes are 60 conditional-sum AGGREGATE COLUMNS over the feature
+    rows — not a 60× row explode. One groupBy(doc_id) with map-side partial
+    aggregation: the shuffle carries one 60-column row per (partition, doc)
+    instead of 60 rows per feature (a ~60× shuffle-volume reduction at any
+    scale)."""
     d = t(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
-    hashed = words.select(
+    feats = d.select("doc_id", F.split("text", " ").alias("words")).select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("w")
+    )
+    hashed = feats.select(
         "doc_id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h")
     )
-    bits = hashed.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIM_BITS - 1))).alias("b"))
-    bitsum = bits.groupBy("doc_id", "b").agg(
-        F.sum(F.expr("CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END")).alias("s")
-    )
-    return bitsum.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END"))
-        .cast("long")
-        .alias("simhash")
-    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIM_BITS)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(SIM_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 @query(
@@ -304,8 +359,10 @@ def q77_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q78_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash near-dup pairs: 4×15-bit bands → hash-join candidate
     buckets → Hamming-distance verification (bit_count(xor)). Same
-    linear-scan + hash-join shape as MinHash LSH, but for Hamming space."""
-    sigs = simhash_signatures(spark, sf_dir)
+    linear-scan + hash-join shape as MinHash LSH, but for Hamming space.
+    Signatures are persisted: the band self-join consumes the sig subtree
+    on both sides."""
+    sigs = simhash_signatures(spark, sf_dir).persist()
     mask = (1 << SIM_BAND_BITS) - 1
     bands = sigs.select(
         "doc_id",
