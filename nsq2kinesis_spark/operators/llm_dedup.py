@@ -216,6 +216,10 @@ def q76_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     against q75's exact pairs instead).
     """
     sh = _shingle_postings(spark, sf_dir)
+    # Signatures and verification docsets aggregate separately ON PURPOSE:
+    # collect_set forces ObjectHashAggregate (object-based, no codegen);
+    # merging the 16 min-slots into that same agg drags them off the
+    # codegen'd hash-agg path and measures slower than the extra shuffle.
     sigs = minhash_signatures(sh)
     rows_per_band = NUM_HASHES // LSH_BANDS
     # band value = xxhash64 of the band's signature slots (primitive longs,
