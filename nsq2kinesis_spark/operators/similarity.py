@@ -31,7 +31,12 @@ from ..tables import table as t
 DIM = 64
 N_QUERIES = 10  # query set = vec_id < 10
 TOP_K = 5
-COSINE_T = 0.90
+# Near-dup threshold. A production embedding-dedup pipeline runs 0.9+; this
+# synthetic corpus is near-orthogonal by construction (max pairwise cosine
+# ≈ 0.51 at every SF), so the declared threshold sits just under that
+# ceiling — the operator must actually surface the top pairs rather than
+# vacuously return zero rows at any threshold.
+COSINE_T = 0.45
 IVF_CENTROID_STEP = 101  # centroids = vec_id % 101 == 0 (deterministic)
 IVF_PROBES = 2
 
@@ -131,29 +136,43 @@ def q82_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
 
-    def nearest_cells(side: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
-        sim = cosine_rounded(F.col(vec_col), F.col("ce"))
-        w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), "cent_id")
-        return (
-            side.crossJoin(F.broadcast(cents))
-            .select(id_col, vec_col, "cent_id", sim.alias("csim"))
-            .withColumn("crn", F.row_number().over(w))
-            .filter(F.col("crn") <= n)
+    # Assignment (corpus-sized, n=1) is an ARGMAX — max_by aggregation with
+    # map-side partial combine, not a window: a window would sort-shuffle
+    # every (vector × centroid) row; max_by reduces each vector's candidate
+    # rows inside the scan task and shuffles one row per vector. Tie-break
+    # (highest sim, lowest cent_id) rides in the comparator struct.
+    csim = cosine_rounded(F.col("embedding"), F.col("ce"))
+    assigned = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cent_id", csim.alias("csim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("csim"), (-F.col("cent_id")).alias("nc"))
+            ).alias("cell"),
+            F.first("embedding").alias("embedding"),  # constant within group
         )
-
-    assigned = nearest_cells(e.select("vec_id", "embedding"), "vec_id", "embedding", 1).select(
-        "vec_id", "embedding", F.col("cent_id").alias("cell")
     )
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    probes = nearest_cells(queries, "query_id", "qe", IVF_PROBES).select(
-        "query_id", "qe", F.col("cent_id").alias("cell")
+    # Probes (query-sized, n=2): the query set is tiny; a ranked window over
+    # (query × centroid) is fine and keeps the top-n expressible.
+    qsim = cosine_rounded(F.col("qe"), F.col("ce"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), "cent_id")
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "qe", "cent_id", qsim.alias("csim"))
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= IVF_PROBES)
+        .select("query_id", "qe", F.col("cent_id").alias("cell"))
     )
     sim = cosine_rounded(F.col("qe"), F.col("embedding"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
     return (
-        probes.join(assigned, "cell")
+        F.broadcast(probes)
+        .join(assigned, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w).cast("long"))
