@@ -38,6 +38,7 @@ HEADLINE = [
     "q32_window_frames",  # running/moving frames
     "q60_dedup_exact",  # keyed dedup
     "q63_session_window",  # sessionization
+    "q50_pandas_udf_tokenize",  # Arrow-batched pandas UDF path
     "q73_token_count_bpe",  # regex tokenization over documents
     "q75_neardup_jaccard",  # exact shingle Jaccard (inverted index join)
     "q76_neardup_minhash_lsh",  # MinHash LSH candidates + verify

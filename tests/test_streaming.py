@@ -200,3 +200,59 @@ def test_streaming_window_agg_matches_batch_twin(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+# --- stream-stream interval join --------------------------------------------
+
+
+@pytest.mark.timeout(120)
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join (SURVEY.md §2B as-of/interval row,
+    streaming form): views joined to purchases by the same user within
+    [view.ts, view.ts + 1h]. Both sides watermarked so Spark can bound the
+    join state; result equals the identical batch join on the same data."""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    src_dir = tmp_path / "ev_join_stream"
+    ev.write.parquet(str(src_dir))
+
+    def split(df):
+        views = df.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        return views, buys
+
+    cond = (
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(src_dir))
+    sv, sb = split(stream)
+    joined = sv.withWatermark("v_ts", "2 hours").join(
+        sb.withWatermark("b_ts", "2 hours"), cond
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    got = sorted(
+        (r.view_id, r.buy_id) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    bv, bb = split(ev)
+    expected = sorted((r.view_id, r.buy_id) for r in bv.join(bb, cond).collect())
+    assert got == expected and len(expected) > 0
