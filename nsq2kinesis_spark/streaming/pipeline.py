@@ -67,6 +67,22 @@ def forwarding_transform(df: DataFrame, streaming: bool = True) -> DataFrame:
     return partition_key_transform(oversize_filter(dedup_transform(df, streaming)))
 
 
+def with_forward_metrics(df: DataFrame, observation=None) -> DataFrame:
+    """Running counters (reference aggregator.go:183-205 Size()/Count()) as
+    ``df.observe`` metrics: records and payload bytes passing the forward
+    path. Streaming: pass no observation — metrics land in every
+    ``StreamingQueryProgress.observedMetrics['forward_metrics']``. Batch:
+    pass a ``pyspark.sql.Observation`` and read ``observation.get`` after an
+    action. Zero-cost in the plan (piggybacks on the pass, no extra scan)."""
+    metrics = (
+        F.count(F.lit(1)).alias("n_records"),
+        F.coalesce(F.sum(F.octet_length("body")), F.lit(0)).alias("n_body_bytes"),
+    )
+    if observation is not None:
+        return df.observe(observation, *metrics)
+    return df.observe("forward_metrics", *metrics)
+
+
 @dataclass
 class PipelineConfig:
     checkpoint_dir: str
@@ -86,10 +102,12 @@ def build_pipeline(source_df: DataFrame, sink, config: PipelineConfig):
     from ..session import ship_package
 
     ship_package(source_df.sparkSession)
-    transformed = partition_key_transform(
-        oversize_filter(
-            dedup_transform(source_df, streaming=True, watermark=config.dedup_watermark),
-            config.max_body_bytes,
+    transformed = with_forward_metrics(
+        partition_key_transform(
+            oversize_filter(
+                dedup_transform(source_df, streaming=True, watermark=config.dedup_watermark),
+                config.max_body_bytes,
+            )
         )
     )
     return (

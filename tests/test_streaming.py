@@ -256,3 +256,53 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     bv, bb = split(ev)
     expected = sorted((r.view_id, r.buy_id) for r in bv.join(bb, cond).collect())
     assert got == expected and len(expected) > 0
+
+
+# --- partitioned sink mode (reference partitioned.go stub, implemented) -----
+
+
+def test_partitioned_sink_one_key_per_aggregate(spark, tmp_path):
+    """KinesisSink(partitioned=True): every aggregated entry contains
+    records of exactly one partition key (the reference's declared-but-
+    unimplemented PartitionedAggregator, partitioned.go:3-10)."""
+    rows = [(f"m{i}", f"body-{i}".encode(), f"key-{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "message_id string, body binary, partition_key string")
+    spool = tmp_path / "pspool"
+    spool.mkdir()
+    sink = KinesisSink(
+        stream="t",
+        client_factory=lambda: SpoolingKinesisClient(str(spool)),
+        partitioned=True,
+    )
+    sink(df, 0)
+    seen_keys = set()
+    for pk, data in read_spool(str(spool)):
+        if is_aggregated(data):
+            keys_inside = {k for k, _ in deaggregate(data)}
+            assert keys_inside == {pk}  # single-key aggregate
+            seen_keys |= keys_inside
+        else:
+            seen_keys.add(pk)
+    assert seen_keys == {"key-0", "key-1", "key-2"}
+
+
+# --- forward-path observe metrics (reference running counters) --------------
+
+
+def test_forward_metrics_observation(spark):
+    """with_forward_metrics exposes the reference's Size()/Count() counters
+    (aggregator.go:183-205) via df.observe — batch form read through a
+    pyspark Observation."""
+    from pyspark.sql import Observation
+
+    from nsq2kinesis_spark.streaming.pipeline import with_forward_metrics
+
+    rows = [("m1", b"aaaa", "2024-01-01 00:00:00", 1, None),
+            ("m2", b"bb", "2024-01-01 00:00:01", 1, None)]
+    df = spark.createDataFrame(
+        rows, "message_id string, body binary, ts string, attempts int, key string"
+    ).selectExpr("message_id", "body", "CAST(ts AS TIMESTAMP) ts", "attempts", "key")
+    obs = Observation("forward_metrics")
+    out = with_forward_metrics(forwarding_transform(df, streaming=False), obs)
+    out.collect()
+    assert obs.get == {"n_records": 2, "n_body_bytes": 6}
