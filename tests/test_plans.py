@@ -9,6 +9,7 @@ the opportunities we designed for)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from nsq2kinesis_spark.plans.explain import (
     has_broadcast_join,
@@ -133,3 +134,46 @@ def test_no_query_uses_row_python_udf(spark):
             continue
         plan = physical_plan(q.builder(spark, SF_CORRECTNESS))
         assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both fact tables on the join key makes the join
+    exchange-free (co-located partitions) — the 100 TB pattern for repeated
+    fact-fact joins: pay the shuffle once at write time, never per query.
+    Broadcast is disabled so the assertion really proves bucket co-location
+    (a broadcast join would also be exchange-free)."""
+    from nsq2kinesis_spark.tables import table
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", str(tmp_path / "li_b")
+    ).mode("overwrite").saveAsTable("li_bucketed")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", str(tmp_path / "o_b")
+    ).mode("overwrite").saveAsTable("o_bucketed")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("li_bucketed")
+            .join(
+                spark.table("o_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderdate")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = physical_plan(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # join itself is exchange-free; only the final groupBy may shuffle
+        assert n_shuffles(j) <= 1, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
