@@ -82,9 +82,32 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "kpl_pack_recs_per_s": kpl_pack_throughput(),
             }
         )
     )
+
+
+def kpl_pack_throughput(n_records: int = 1000, body_bytes: int = 1000) -> int:
+    """Sink-side packer throughput, the analog of the reference's
+    BenchmarkPut1000 (reference aggregator_test.go:218-252): pack n 1 KB
+    bodies under one key, drain, repeat for ≥0.5 s; returns records/sec.
+    Single-core number — the sink runs one packer per executor task, so
+    cluster throughput is this × task parallelism."""
+    from nsq2kinesis_spark.streaming.kpl import KplAggregator
+
+    body = b"x" * body_bytes
+    deadline = time.perf_counter() + 0.5
+    done = 0
+    while time.perf_counter() < deadline:
+        agg = KplAggregator()
+        for _ in range(n_records):
+            agg.put(body, "a")
+        entries = agg.drain()
+        assert len(entries) == 42  # the reference's packing invariant
+        done += n_records
+    elapsed = time.perf_counter() - (deadline - 0.5)
+    return int(done / elapsed)
 
 
 if __name__ == "__main__":

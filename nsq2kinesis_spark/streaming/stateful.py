@@ -40,7 +40,15 @@ def _dedup_fn(
 ) -> Iterator[pd.DataFrame]:
     """Keep a record iff its key is unseen or last seen ≥ TTL ago (event
     time). Every sighting refreshes last-seen (reference Test() marks the
-    current generation even for dupes, deduper.go:25-38)."""
+    current generation even for dupes, deduper.go:25-38).
+
+    Timeout = state EVICTION (the reference's Trim() generation drop,
+    deduper.go:42-47): without the remove() branch, every key ever seen
+    would hold state forever and the store would grow unboundedly at scale.
+    """
+    if state.hasTimedOut:
+        state.remove()
+        return
     (last_seen,) = state.get if state.exists else (None,)
     kept = []
     for pdf in pdfs:
@@ -105,7 +113,13 @@ def make_count_size_trigger(max_count: int = MAX_COUNT, max_bytes: int = MAX_BYT
 
 
 def count_size_trigger(df, max_count: int = MAX_COUNT, max_bytes: int = MAX_BYTES):
-    """df must have (key, n_bytes); emits sealed-batch summaries."""
+    """df must have (key, n_bytes); emits sealed-batch summaries.
+
+    NoTimeout is deliberate: the key space here is the sink-batch routing
+    key (bounded, typically stream/shard names), so state is O(#keys). A
+    deployment with unbounded keys would add a processing-time timeout and
+    seal the open batch in the hasTimedOut branch (flush-on-idle, the
+    reference's MaxDelay timer, kinesis_writer.go:142-147)."""
     return df.groupBy("key").applyInPandasWithState(
         make_count_size_trigger(max_count, max_bytes),
         outputStructType=TRIGGER_OUTPUT_SCHEMA,
