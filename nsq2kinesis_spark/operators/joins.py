@@ -84,19 +84,33 @@ def q20_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_join_shuffle_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-fact shuffle join (lineitem⋈orders on o_orderkey) plus a
     customer join; TPC-H-Q3-shaped. At 100 TB both fact sides hash-shuffle
-    on the same key; AQE picks SMJ/SHJ and splits skewed partitions."""
+    on the same key; AQE picks SMJ/SHJ and splits skewed partitions.
+
+    Partial aggregation is pushed BELOW the join: lineitem pre-aggregates
+    revenue per orderkey (exact integer units, so the regroup is lossless),
+    which (a) shuffles one row per order instead of every line item and
+    (b) turns the top-level COUNT(DISTINCT o_orderkey) into a plain
+    count(*) — no expand/two-phase distinct aggregation."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
     )
-    li = t(spark, sf_dir, "lineitem")
+    li_agg = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))).alias(
+                "rev_units"
+            )
+        )
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(li_agg, li_agg.l_orderkey == o.o_orderkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
-            revenue_sum().alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+            (F.sum("rev_units").cast("double") / 10000.0).alias("revenue"),
         )
     )
 
