@@ -161,6 +161,41 @@ def q73_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q54_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN text LIKE 'GIF8%' THEN 'gif'
+                WHEN text LIKE 'RIFF%' THEN 'riff'
+                WHEN text LIKE 'ID3%'  THEN 'mp3'
+                ELSE 'unknown' END AS format,
+           CAST(16 + CAST(CONCAT('0x', SUBSTR(SHA256(text), 1, 2)) AS INT) % 240 AS INTEGER)
+             AS width,
+           CAST(16 + CAST(CONCAT('0x', SUBSTR(SHA256(text), 3, 2)) AS INT) % 240 AS INTEGER)
+             AS height,
+           CAST(STRLEN(text) AS BIGINT) AS n_bytes,
+           MD5(text) AS content_hash
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "mapInPandas"),
+)
+def q54_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal mapInPandas decode path (functions/multimodal.py),
+    oracle-CHECKED: documents' text re-encoded as the opaque binary payload,
+    run through extract_media_meta's Arrow-batched pipeline (format sniff +
+    deterministic fake decode + hashes). The fake decode derives (width,
+    height) from the payload's sha256, which DuckDB recomputes exactly —
+    proving the Python batch plumbing (schema, batching, null handling)
+    produces bit-identical results to a SQL respecification. Swapping
+    fake_decode for a real codec keeps this plan and schema unchanged."""
+    from ..functions.multimodal import extract_media_meta
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return extract_media_meta(d)
+
+
+@query(
     "q74_multimodal_meta",
     oracle="""
     SELECT doc_id,
