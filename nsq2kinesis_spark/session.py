@@ -52,6 +52,7 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state_store: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
@@ -76,6 +77,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if rocksdb_state_store:
+        # Production streaming-state default: RocksDB spills keyed state to
+        # local disk with incremental checkpoints — the in-memory (HDFS)
+        # provider requires all state to fit on-heap, which the reference's
+        # unbounded dedup key space would eventually blow past
+        # (deduper.go:19-20 has the same all-in-RAM limitation).
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

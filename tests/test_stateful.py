@@ -126,3 +126,23 @@ def test_count_size_trigger_seals_batches(spark, tmp_path):
     # k2: 60 B each → adding the 2nd record stays (120 > 100 → seal at 1)
     assert sealed[("k2", 0)] == (1, 60)
     assert sealed[("k2", 1)] == (1, 60)
+
+
+def test_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """Same dedup semantics on the RocksDB state store provider — the
+    production configuration for unbounded key spaces (state spills to
+    local disk instead of the on-heap HDFS-backed provider)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rows = opstring_to_rows("a#a##a")  # dupe within TTL, fresh after
+        got = run_streaming_dedup(spark, rows, tmp_path)
+        assert got == ["c0_m0", "c0_m5"]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
