@@ -83,9 +83,37 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "kpl_pack_recs_per_s": kpl_pack_throughput(),
+                "forward_path_recs_per_s": forward_path_throughput(spark),
             }
         )
     )
+
+
+def forward_path_throughput(spark, n: int = 100_000) -> int:
+    """End-to-end streaming hot path as a micro-batch: dedup → oversize →
+    partition key → KPL pack → chunked PutRecords to an in-memory client,
+    measured in records/sec on this machine. The reference's configured
+    single-instance ceiling is ~500 recs/s (BASELINE.md: 1 batch/s × 500
+    records); this measures the same contract on Spark's executor
+    parallelism."""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.streaming.kinesis_sink import FakeKinesisClient, KinesisSink
+    from nsq2kinesis_spark.streaming.pipeline import forwarding_transform
+
+    df = spark.range(n).select(
+        F.col("id").cast("string").alias("message_id"),
+        F.encode(F.concat(F.lit("body-"), F.col("id")), "UTF-8").alias("body"),
+        F.timestamp_millis(F.col("id") * 10).alias("ts"),
+        F.lit(1).alias("attempts"),
+        F.lit(None).cast("string").alias("key"),
+    )
+    transformed = forwarding_transform(df, streaming=False)
+    sink = KinesisSink(stream="bench", client_factory=FakeKinesisClient)
+    sink(transformed, 0)  # warmup
+    start = time.perf_counter()
+    sink(transformed, 1)
+    return int(n / (time.perf_counter() - start))
 
 
 def kpl_pack_throughput(n_records: int = 1000, body_bytes: int = 1000) -> int:
