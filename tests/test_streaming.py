@@ -306,3 +306,44 @@ def test_forward_metrics_observation(spark):
     out = with_forward_metrics(forwarding_transform(df, streaming=False), obs)
     out.collect()
     assert obs.get == {"n_records": 2, "n_body_bytes": 6}
+
+
+@pytest.mark.timeout(120)
+def test_streaming_session_window_matches_batch_twin(spark, tmp_path):
+    """session_window on an unbounded source (availableNow) equals the
+    batch q63 formulation on the same data — gap-based sessionization works
+    under the streaming state machinery, not just as a batch expression."""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    src_dir = tmp_path / "events_sess_stream"
+    ev.write.parquet(str(src_dir))
+
+    def sessionize(df):
+        return df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(F.count("*").alias("n_events"))
+
+    stream = sessionize(
+        spark.readStream.schema(ev.schema).parquet(str(src_dir)).withWatermark("ts", "1 hour")
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    got = {
+        (r["w"]["start"], r["w"]["end"], r["user_id"]): r["n_events"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        (r["w"]["start"], r["w"]["end"], r["user_id"]): r["n_events"]
+        for r in sessionize(ev).collect()
+    }
+    assert got == expected and len(expected) > 0
