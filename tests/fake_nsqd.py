@@ -32,8 +32,14 @@ def _message_frame(msg_id: str, body: bytes, attempts: int = 1) -> bytes:
 
 
 class FakeNsqd(threading.Thread):
-    """One-connection fake nsqd. ``messages`` is a list of (msg_id, body);
-    ids listed in ``deliver_twice`` are sent twice (redelivery simulation).
+    """Fake nsqd accepting any number of sequential/concurrent consumer
+    connections. ``messages`` is a list of (msg_id, body); ids listed in
+    ``deliver_twice`` are sent twice on first delivery (redelivery noise).
+
+    NSQ redelivery semantics: each new connection's RDY receives every
+    message not yet FINished — so a consumer that reconnects (e.g. a
+    restarted streaming query) sees exactly the messages it never acked,
+    like a real nsqd re-queueing after client disconnect.
     """
 
     def __init__(self, messages: list[tuple[str, bytes]], deliver_twice: set[str] | None = None):
@@ -42,15 +48,27 @@ class FakeNsqd(threading.Thread):
         self.deliver_twice = deliver_twice or set()
         self.finished: list[str] = []
         self.subscribed: tuple[str, str] | None = None
+        self.n_connections = 0
         self.server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.server.bind(("127.0.0.1", 0))
-        self.server.listen(1)
+        self.server.listen(4)
         self.addr = f"127.0.0.1:{self.server.getsockname()[1]}"
         self._stop = threading.Event()
 
     def run(self) -> None:
-        conn, _ = self.server.accept()
+        self.server.settimeout(0.2)
+        while not self._stop.is_set():
+            try:
+                conn, _ = self.server.accept()
+            except (TimeoutError, socket.timeout):
+                continue
+            except OSError:
+                return
+            self.n_connections += 1
+            threading.Thread(target=self._serve, args=(conn,), daemon=True).start()
+
+    def _serve(self, conn: socket.socket) -> None:
         conn.settimeout(0.2)
         buf = b""
 
@@ -60,6 +78,8 @@ class FakeNsqd(threading.Thread):
                 chunk = conn.recv(4096)
             except (TimeoutError, socket.timeout):
                 return True
+            except OSError:
+                return False
             if not chunk:
                 return False
             buf += chunk
@@ -69,14 +89,16 @@ class FakeNsqd(threading.Thread):
         while len(buf) < 4 and not self._stop.is_set():
             if not read_more():
                 return
-        assert buf[:4] == b"  V2", buf[:4]
+        if buf[:4] != b"  V2":
+            conn.close()
+            return
         buf = buf[4:]
 
         delivered = False
         while not self._stop.is_set():
             if b"\n" not in buf:
                 if not read_more():
-                    return
+                    break
                 continue
             line, buf = buf.split(b"\n", 1)
             parts = line.decode("ascii").split(" ")
@@ -86,15 +108,21 @@ class FakeNsqd(threading.Thread):
                 conn.sendall(_frame(0, b"OK"))
             elif cmd == "RDY" and not delivered:
                 delivered = True
+                fin = set(self.finished)
                 for msg_id, body in self.messages:
-                    conn.sendall(_message_frame(msg_id, body))
-                    if msg_id in self.deliver_twice:
+                    if msg_id in fin:
+                        continue  # acked — a real nsqd never redelivers these
+                    attempts = 1 if self.n_connections == 1 else 2
+                    conn.sendall(_message_frame(msg_id, body, attempts=attempts))
+                    if msg_id in self.deliver_twice and self.n_connections == 1:
                         conn.sendall(_message_frame(msg_id, body, attempts=2))
             elif cmd == "FIN":
                 self.finished.append(parts[1])
             elif cmd == "CLS":
-                conn.sendall(_frame(0, b"CLOSE_WAIT"))
-                break
+                try:
+                    conn.sendall(_frame(0, b"CLOSE_WAIT"))
+                finally:
+                    break
         conn.close()
 
     def stop(self) -> None:

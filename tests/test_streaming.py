@@ -347,3 +347,70 @@ def test_streaming_session_window_matches_batch_twin(spark, tmp_path):
         for r in sessionize(ev).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+# --- checkpoint restart: at-least-once recovery ------------------------------
+
+
+@pytest.mark.timeout(240)
+def test_pipeline_restart_recovers_unacked_messages(spark, tmp_path):
+    """Kill the streaming query mid-flight, restart it on the same
+    checkpoint: messages never FINed redeliver on the new connection
+    (fake nsqd implements real NSQ reconnect semantics) and every body
+    eventually reaches the sink — the §2A-14 at-least-once contract
+    across a process restart, not just within one run."""
+    from nsq2kinesis_spark.sources.nsq import NsqDataSource
+
+    bodies = {f"{i:016d}": f"r-{i}".encode() for i in range(30)}
+    nsqd = FakeNsqd(list(bodies.items()))
+    nsqd.start()
+    spark.dataSource.register(NsqDataSource)
+    spool = tmp_path / "rspool"
+    spool.mkdir()
+    ckpt = tmp_path / "rckpt"
+
+    def start_query():
+        src = (
+            spark.readStream.format("nsq")
+            .option("topic", "t")
+            .option("channel", "c")
+            .option("nsqd_tcp_address", nsqd.addr)
+            .option("poll_wait_s", "0.3")
+            .load()
+        )
+        sink = KinesisSink(
+            stream="test", client_factory=lambda: SpoolingKinesisClient(str(spool))
+        )
+        config = PipelineConfig(
+            checkpoint_dir=str(ckpt), trigger_processing_time="500 milliseconds"
+        )
+        return build_pipeline(src, sink, config)
+
+    def spool_bodies() -> set[bytes]:
+        got: set[bytes] = set()
+        for pk, data in read_spool(str(spool)):
+            if is_aggregated(data):
+                got.update(d for _, d in deaggregate(data))
+            else:
+                got.add(data)
+        return got
+
+    q1 = start_query()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not spool_bodies():
+            time.sleep(0.5)
+    finally:
+        q1.stop()  # abrupt stop: some messages consumed, possibly unacked
+
+    q2 = start_query()
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and spool_bodies() != set(bodies.values()):
+            time.sleep(1)
+    finally:
+        q2.stop()
+        nsqd.stop()
+
+    assert spool_bodies() == set(bodies.values())  # complete after restart
+    assert set(nsqd.finished) <= set(bodies)
