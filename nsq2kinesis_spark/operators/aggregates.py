@@ -194,3 +194,31 @@ def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
         F.approx_count_distinct("l_partkey", 0.01).cast("long").alias("approx_parts"),
     )
+
+
+@query(
+    "q17_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.25) AS p25_cents,
+           QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5)  AS p50_cents,
+           QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.75) AS p75_cents,
+           QUANTILE_CONT(l_quantity, 0.5) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q17_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ordered-set aggregates: percentile_cont quartiles per group
+    (Spark's exact `percentile`, not the approx sketch). Values interpolate
+    between integral cents, so both engines' linear interpolation is exact
+    double arithmetic — bit-identical without rounding. At 100 TB the exact
+    form sort-shuffles each group; the sketch alternative is q16."""
+    li = t(spark, sf_dir, "lineitem")
+    c = cents(F.col("l_extendedprice"))
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(c, 0.25).alias("p25_cents"),
+        F.percentile(c, 0.5).alias("p50_cents"),
+        F.percentile(c, 0.75).alias("p75_cents"),
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+    )
