@@ -220,3 +220,28 @@ def q74_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.expr("substring(encode(text, 'UTF-8'), 1, 8)")).alias("head_hex"),
         F.when(F.octet_length("text") >= 256, "large").otherwise("small").alias("size_class"),
     )
+
+
+@query(
+    "q79_vocab_topk",
+    oracle="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ) GROUP BY token ORDER BY n DESC, token LIMIT 100
+    """,
+    tags=("llm", "text", "vocab", "topk"),
+)
+def q79_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency (deterministic
+    count-then-token tie-break) — the vocabulary-building pass of a
+    tokenizer-training pipeline. explode → map-side partial count →
+    one shuffle on token → TakeOrderedAndProject top-k (no global sort;
+    each partition keeps only its top-100 candidates)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(100)
+    )
