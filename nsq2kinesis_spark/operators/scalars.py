@@ -171,22 +171,28 @@ def q43_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS prop_k,
            CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) % 10 AS prop_k_mod,
-           CAST(JSON_EXTRACT_STRING(props, '$.missing') AS VARCHAR) AS prop_missing
+           CAST(JSON_EXTRACT_STRING(props, '$.missing') AS VARCHAR) AS prop_missing,
+           ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ',') AS prop_keys,
+           CAST(LEN(json_keys(props)) AS INTEGER) AS n_props
     FROM events
     """,
-    tags=("scalar", "json"),
+    tags=("scalar", "json", "map"),
 )
 def q44_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON battery over the events.props payload (seed: opaque bytes parsed
-    on demand, proto/aggregation.proto:20). Uses from_json (schema'd parse,
-    codegen) plus get_json_object (path probe)."""
+    """JSON/map battery over the events.props payload (seed: opaque bytes
+    parsed on demand, proto/aggregation.proto:20). Uses from_json with both
+    a StructType (schema'd parse, codegen) and a MapType (open schema →
+    map_keys/map_values), plus get_json_object (path probe)."""
     ev = t(spark, sf_dir, "events")
     parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
+    as_map = F.from_json("props", "map<string,string>")
     return ev.select(
         "event_id",
         parsed.getField("k").alias("prop_k"),
         (parsed.getField("k") % 10).alias("prop_k_mod"),
         F.get_json_object("props", "$.missing").alias("prop_missing"),
+        F.array_join(F.array_sort(F.map_keys(as_map)), ",").alias("prop_keys"),
+        F.size(F.map_values(as_map)).cast("int").alias("n_props"),
     )
 
 

@@ -200,3 +200,44 @@ def q65_partition_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.md5("text"))
         .alias("partition_key"),
     )
+
+
+@query(
+    "q66_time_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+           CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+           CAST(GROUPING(DATE_TRUNC('day', ts)) * 2
+                + GROUPING(DATE_TRUNC('hour', ts)) AS INTEGER) AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+    GROUP BY event_type, ROLLUP(DATE_TRUNC('day', ts), DATE_TRUNC('hour', ts))
+    """,
+    tags=("streaming-twin", "rollup", "time"),
+)
+def q66_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (the 'hypertable rollup' shape): hourly,
+    daily, and total aggregates per event type in ONE pass via
+    ROLLUP(day, hour) — grouping-set expansion with map-side partial
+    aggregation, instead of three scans or a cascade of re-aggregations.
+    grouping() bits disambiguate the level; value sums in exact cents.
+
+    Spark SQL (not the DataFrame API) because only SQL expresses the
+    partial-rollup form GROUP BY a, ROLLUP(b, c) — df.rollup() would also
+    collapse event_type."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("nsq2k_events_rollup")
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_trunc('day', ts) AS day,
+               date_trunc('hour', ts) AS hour,
+               CAST(grouping(date_trunc('day', ts)) * 2
+                    + grouping(date_trunc('hour', ts)) AS INT) AS lvl,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM nsq2k_events_rollup
+        GROUP BY event_type, ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
+        """
+    )
