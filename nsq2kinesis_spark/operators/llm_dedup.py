@@ -112,9 +112,17 @@ def _shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par)
+    # Shingles are hashed to 64-bit longs AT THE SOURCE: every downstream
+    # shuffle/group/set-intersect then moves and compares 8-byte primitives
+    # instead of ~25-char strings (~3× smaller shuffle payload, primitive
+    # hash-agg). Collision probability at any per-shard shingle cardinality
+    # that fits one engine is ≪ 1e-9 (64-bit birthday bound); the DuckDB
+    # oracles keep counting distinct shingle STRINGS, so the parity gate
+    # itself proves no collision affected results on the test corpus.
     sh_all = (
         d.select("doc_id", F.split("text", " ").alias("words"))
-        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle_str"))
+        .select("doc_id", F.xxhash64("shingle_str").alias("shingle"))
         .persist()
     )
     hot = (
