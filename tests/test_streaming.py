@@ -414,3 +414,54 @@ def test_pipeline_restart_recovers_unacked_messages(spark, tmp_path):
 
     assert spool_bodies() == set(bodies.values())  # complete after restart
     assert set(nsqd.finished) <= set(bodies)
+
+
+@pytest.mark.timeout(120)
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data drop (§2B watermark row): batch 1 advances the watermark
+    past T; batch 2 delivers an event older than watermark − delay, which
+    must be excluded from the windowed aggregate (the reference's
+    generational cache similarly refuses anything older than two
+    rotations, deduper.go:42-47 — generalized to event time)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    schema = "event_id long, ts timestamp, user_id long"
+    src = tmp_path / "late_src"
+    src.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    on_time = [(i, datetime(2024, 1, 1, 10, 0, i), 1) for i in range(5)]
+    late = [(99, t0, 1)]  # 10 h older than the watermark after batch 1
+    flush = [(100, datetime(2024, 1, 2, 0, 0, 0), 1)]  # closes the 10:00 window
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(src / "*"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        # batch order made explicit: each file lands while the query runs,
+        # with a full drain between — watermark advances batch by batch
+        for i, rows_ in enumerate((on_time, late, flush)):
+            spark.createDataFrame(rows_, schema).coalesce(1).write.parquet(
+                str(src / f"f{i}")
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT w.start AS s, n FROM {name}").collect()
+    got = {(r.s, r.n) for r in rows}
+    # the on-time window closes (flush batch advanced the watermark past it)
+    # and emits all 5 rows; the late event was dropped, so its 00:00 window
+    # never materializes; the flush row's own window is still open.
+    assert got == {(datetime(2024, 1, 1, 10, 0, 0), 5)}, got
