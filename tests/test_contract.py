@@ -1,0 +1,57 @@
+"""Driver-contract hygiene: the exact properties the verification driver
+relies on (__spark_entry__.entry/queries/oracle_sql), checked locally so a
+refactor can't silently break the harness interface."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entrymod
+
+from .conftest import SF_SMOKE
+
+
+def test_contract_shapes():
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    assert qs, "queries() empty"
+    assert set(osql) <= set(qs), "oracle_sql has keys not in queries()"
+    for name in qs:
+        assert re.fullmatch(r"q\d+_\w+", name), f"bad query name {name!r}"
+    assert all(callable(b) for b in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in osql.values())
+    # rows-only set is exactly the declared approximate/probabilistic ops
+    assert sorted(set(qs) - set(osql)) == [
+        "q16_approx_distinct",
+        "q76_neardup_minhash_lsh",
+        "q82_ann_ivf",
+    ]
+
+
+def test_entry_smoke(spark):
+    """Mirror of the driver's smoke check: entry() runs at sf0.001 and
+    yields rows with a stable schema."""
+    df = entrymod.entry(spark)
+    assert df.columns == [
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "avg_qty",
+        "avg_price",
+        "avg_disc",
+        "count_order",
+    ]
+    assert df.count() > 0
+
+
+def test_builders_accept_any_sf_dir(spark):
+    """Builders must take (spark, sf_dir) positionally — the driver calls
+    them that way — and be independent of each other (no shared temp-view
+    collisions when run in sequence)."""
+    qs = entrymod.queries()
+    for name in ("q01_pricing_summary", "q52_udtf_bigrams", "q66_time_rollup"):
+        df = qs[name](spark, SF_SMOKE)
+        assert df.count() >= 0
