@@ -222,3 +222,29 @@ def q17_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(c, 0.75).alias("p75_cents"),
         F.percentile("l_quantity", 0.5).alias("median_qty"),
     )
+
+
+@query(
+    "q18_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_linenos,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def q18_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates over different columns in one query —
+    plans as an Expand (one replica per distinct group) + two-phase agg;
+    the non-distinct SUM rides along. The expensive-but-correct exact form;
+    q16's sketch is the scale alternative."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("long").alias("n_supps"),
+        F.countDistinct("l_linenumber").cast("long").alias("n_linenos"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )

@@ -307,3 +307,34 @@ def q28_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "value", "last_view_value", "last_view_ts")
     )
+
+
+@query(
+    "q29_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice > 500000)
+    """,
+    tags=("join", "subquery", "semi", "anti"),
+)
+def q29_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries (SQL surface) — Catalyst
+    rewrites them to left-semi and left-anti joins, the same physical plan
+    as q25/q26's DataFrame forms; this query proves the SQL entry path.
+    """
+    t(spark, sf_dir, "customer").createOrReplaceTempView("nsq2k_q29_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("nsq2k_q29_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM nsq2k_q29_customer c
+        WHERE EXISTS (SELECT 1 FROM nsq2k_q29_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM nsq2k_q29_orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice > 500000)
+        """
+    )

@@ -148,3 +148,32 @@ def q33_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q34_window_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           CAST(NTILE(10) OVER w AS BIGINT) AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "distribution"),
+)
+def q34_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rank/n) are exact small-integer ratios in double — engine
+    order cannot perturb them under a total order (o_totalprice, o_orderkey
+    tie-break). Completes the ranking battery of q30."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
