@@ -177,3 +177,37 @@ def q34_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(10).over(w).cast("long").alias("decile"),
     )
+
+
+@query(
+    "q35_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_last_hour
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(EPOCH(ts) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range-frame", "time"),
+)
+def q35_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, count and exact-cents sum of
+    events in the trailing hour of EVENT TIME (value-based frame bounds,
+    not row offsets — peers at equal timestamps aggregate together, which
+    a ROWS frame gets wrong). Ordered on epoch seconds so both engines
+    bound the frame identically."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_last_hour"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).over(w).cast("long").alias(
+            "cents_last_hour"
+        ),
+    )
