@@ -177,3 +177,28 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned layout (write.partitionBy) + a partition-key
+    filter: the scan must prune to one directory — at 100 TB this is the
+    difference between reading one date partition and the whole lake.
+    PushedFilters don't apply (the key isn't in the files); pruning shows
+    as a partition-filter count in the scan node."""
+    from nsq2kinesis_spark.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    out = tmp_path / "events_by_type"
+    ev.write.partitionBy("event_type").parquet(str(out))
+    df = (
+        spark.read.parquet(str(out))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "value")
+    )
+    plan = physical_plan(df)
+    # the scan enumerates exactly one of the five event_type partitions
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+    assert df.count() == ev.filter(F.col("event_type") == "purchase").count()
