@@ -465,3 +465,50 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # and emits all 5 rows; the late event was dropped, so its 00:00 window
     # never materializes; the flush row's own window is still open.
     assert got == {(datetime(2024, 1, 1, 10, 0, 0), 5)}, got
+
+
+@pytest.mark.timeout(180)
+def test_nsq_source_rate_limiting(spark, tmp_path):
+    """max_records_per_trigger bounds every micro-batch — the reference's
+    MaxInFlight=1000 backpressure knob (main.go:62) as a source option.
+    20 messages at a 5-record cap must arrive over ≥4 micro-batches, each
+    with ≤5 input rows."""
+    from nsq2kinesis_spark.sources.nsq import NsqDataSource
+
+    bodies = {f"{i:016d}": f"rl-{i}".encode() for i in range(20)}
+    nsqd = FakeNsqd(list(bodies.items()))
+    nsqd.start()
+    spark.dataSource.register(NsqDataSource)
+    src = (
+        spark.readStream.format("nsq")
+        .option("topic", "t")
+        .option("channel", "c")
+        .option("nsqd_tcp_address", nsqd.addr)
+        .option("max_records_per_trigger", "5")
+        .option("poll_wait_s", "0.3")
+        .load()
+    )
+    name = f"rl_{uuid.uuid4().hex[:8]}"
+    q = (
+        src.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "rl_ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql(f"SELECT COUNT(*) n FROM {name}").collect()[0].n >= len(bodies):
+                break
+            time.sleep(0.5)
+        rows = spark.sql(f"SELECT body FROM {name}").collect()
+        batch_sizes = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+        nsqd.stop()
+
+    assert sorted(bytes(r.body) for r in rows) == sorted(bodies.values())
+    assert batch_sizes and max(batch_sizes) <= 5, batch_sizes
+    assert len(batch_sizes) >= 4, batch_sizes
