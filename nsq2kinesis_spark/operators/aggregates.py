@@ -248,3 +248,35 @@ def q18_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_linenumber").cast("long").alias("n_linenos"),
         F.sum("l_quantity").cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "q19_agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                FILTER (WHERE l_discount = 0) AS BIGINT) AS full_price_cents,
+           CAST(AVG(l_quantity) FILTER (WHERE l_tax > 0.05) AS DOUBLE) AS avg_qty_high_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "filter-clause"),
+)
+def q19_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER clauses on aggregates (SQL:2003 conditional aggregation) —
+    one pass computes differently-filtered aggregates side by side, the
+    idiomatic replacement for N filtered self-joins. Spark plans each as a
+    conditional partial aggregate: still one scan, one shuffle."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("nsq2k_q19_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    FILTER (WHERE l_discount = 0) AS BIGINT) AS full_price_cents,
+               CAST(AVG(l_quantity) FILTER (WHERE l_tax > 0.05) AS DOUBLE) AS avg_qty_high_tax
+        FROM nsq2k_q19_lineitem GROUP BY l_returnflag
+        """
+    )
