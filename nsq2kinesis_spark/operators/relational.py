@@ -252,3 +252,32 @@ def q08_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT projection — partial-aggregate dedup before the shuffle, so
     the shuffle carries |distinct| rows per partition, not the table."""
     return t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "q09_set_ops_all",
+    oracle="""
+    SELECT nationkey, 'intersect_all' AS op FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT nationkey, 'except_all' AS op FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+    tags=("setop", "bag"),
+)
+def q09_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): each duplicate
+    participates individually — min(multiplicity) for intersect,
+    left-minus-right multiplicity for except. Completes q06/q07's DISTINCT
+    variants; one tagged union returns both results."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s).withColumn("op", F.lit("intersect_all")).unionAll(
+        c.exceptAll(s).withColumn("op", F.lit("except_all"))
+    )
