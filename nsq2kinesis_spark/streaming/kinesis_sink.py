@@ -187,10 +187,32 @@ class KinesisSink:
     max_record_bytes: int = DEFAULT_MAX_RECORD_BYTES
     partitioned: bool = False
     max_retries: int = 3
+    epoch_guard_dir: str | None = None
     metrics: list[SinkMetrics] = field(default_factory=list)
+
+    def _epoch_marker(self, epoch_id: int) -> str | None:
+        if self.epoch_guard_dir is None:
+            return None
+        import os
+
+        os.makedirs(self.epoch_guard_dir, exist_ok=True)
+        return os.path.join(self.epoch_guard_dir, f"epoch-{epoch_id}.done")
 
     def __call__(self, batch_df, epoch_id: int) -> None:
         import pandas as pd
+
+        # Epoch guard (optional): foreachBatch replays the last uncommitted
+        # epoch after a failure/restart — Spark's contract is at-least-once
+        # per epoch with a STABLE epoch_id. Recording delivered epoch ids
+        # turns the replay into a no-op: effectively-once into a
+        # non-transactional sink (the standard idempotent-foreachBatch
+        # pattern; the reference instead relied on downstream dedup alone).
+        marker = self._epoch_marker(epoch_id)
+        if marker is not None:
+            import os
+
+            if os.path.exists(marker):
+                return
 
         stream = self.stream
         target = self.target_size
@@ -260,3 +282,8 @@ class KinesisSink:
                 n_retried=stats[4] or 0,
             )
         )
+        if marker is not None:
+            # written only after every chunk delivered — a crash before this
+            # point replays the epoch (at-least-once), after it skips cleanly
+            with open(marker, "w") as fh:
+                fh.write("")

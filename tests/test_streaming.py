@@ -512,3 +512,34 @@ def test_nsq_source_rate_limiting(spark, tmp_path):
     assert sorted(bytes(r.body) for r in rows) == sorted(bodies.values())
     assert batch_sizes and max(batch_sizes) <= 5, batch_sizes
     assert len(batch_sizes) >= 4, batch_sizes
+
+
+def test_epoch_guard_makes_replay_idempotent(spark, tmp_path):
+    """foreachBatch replays the last epoch after restart; with
+    epoch_guard_dir set, a replayed (same epoch_id) delivery is a no-op —
+    effectively-once into a non-transactional sink. A NEW epoch still
+    delivers."""
+    df = spark.createDataFrame(
+        [(f"m{i}", f"b-{i}".encode()) for i in range(10)],
+        "message_id string, body binary",
+    )
+    spool = tmp_path / "espool"
+    spool.mkdir()
+    sink = KinesisSink(
+        stream="t",
+        client_factory=lambda: SpoolingKinesisClient(str(spool)),
+        epoch_guard_dir=str(tmp_path / "eguard"),
+    )
+
+    def spool_count():
+        n = 0
+        for _pk, data in read_spool(str(spool)):
+            n += len(deaggregate(data)) if is_aggregated(data) else 1
+        return n
+
+    sink(df, 7)
+    assert spool_count() == 10
+    sink(df, 7)  # replay of the same epoch → skipped
+    assert spool_count() == 10
+    sink(df, 8)  # genuinely new epoch → delivered
+    assert spool_count() == 20
