@@ -52,18 +52,27 @@ def query(
 
 
 def load_all_modules() -> None:
-    """Import every operator module so their @query decorators run."""
+    """Import every operator module so their @query decorators run.
+
+    Import order is deliberate: it fixes the registry's dict order, which is
+    the order external harnesses iterate ``queries()``. A harness that checks
+    only a prefix of the registry should see the least-recently-verified
+    queries first, so modules are ordered by verification recency:
+    windows/udfs/streaming_twins (no external correctness rows yet) and
+    similarity (q81 re-keyed this round) lead; joins/scalars (all green in
+    round 1, unchanged since) trail.
+    """
     from .operators import (  # noqa: F401
-        aggregates,
-        joins,
+        windows,
+        udfs,
+        streaming_twins,
+        similarity,
         llm_dedup,
         llm_text,
         relational,
+        aggregates,
+        joins,
         scalars,
-        similarity,
-        streaming_twins,
-        udfs,
-        windows,
     )
 
 
