@@ -67,11 +67,17 @@ MESSAGE_SCHEMA = StructType(
 
 
 class NsqConnection:
-    """Minimal NSQ TCP client: SUB → RDY → stream of messages + FIN acks."""
+    """Minimal NSQ TCP client: SUB → RDY → stream of messages + FIN acks.
+
+    All socket reads land in ``self._buf`` and frames are only parsed once
+    complete, so a poll timeout that fires mid-frame (between the 4-byte
+    size and the payload) leaves the partial bytes buffered for the next
+    poll instead of desynchronizing the stream."""
 
     def __init__(self, addr: str, topic: str, channel: str, rdy: int = 200) -> None:
         host, port = addr.rsplit(":", 1)
         self.sock = socket.create_connection((host, int(port)), timeout=10)
+        self._buf = bytearray()
         self.sock.sendall(b"  V2")
         self._command(f"SUB {topic} {channel}\n".encode(), expect_response=True)
         self._command(f"RDY {rdy}\n".encode())
@@ -83,19 +89,40 @@ class NsqConnection:
             if ftype == FRAME_TYPE_ERROR:
                 raise RuntimeError(f"nsqd error: {payload!r}")
 
-    def _read_n(self, n: int) -> bytes:
-        buf = b""
-        while len(buf) < n:
-            chunk = self.sock.recv(n - len(buf))
-            if not chunk:
-                raise ConnectionError("nsqd closed connection")
-            buf += chunk
-        return buf
+    def _recv_more(self, timeout: float) -> bool:
+        """Pull whatever bytes are available into the buffer. Returns False
+        on timeout (buffer left as-is, possibly holding a partial frame)."""
+        self.sock.settimeout(timeout)
+        try:
+            chunk = self.sock.recv(65536)
+        except (TimeoutError, socket.timeout):
+            return False
+        if not chunk:
+            raise ConnectionError("nsqd closed connection")
+        self._buf += chunk
+        return True
 
-    def _read_frame(self) -> tuple[int, bytes]:
-        size = struct.unpack(">i", self._read_n(4))[0]
-        payload = self._read_n(size)
+    def _try_parse_frame(self) -> tuple[int, bytes] | None:
+        """Pop one complete frame off the buffer, or None if incomplete."""
+        if len(self._buf) < 4:
+            return None
+        size = struct.unpack(">i", bytes(self._buf[:4]))[0]
+        if len(self._buf) < 4 + size:
+            return None
+        payload = bytes(self._buf[4 : 4 + size])
+        del self._buf[: 4 + size]
         return struct.unpack(">i", payload[:4])[0], payload[4:]
+
+    def _read_frame(self, timeout: float = 10.0) -> tuple[int, bytes]:
+        """Blocking read of one frame (used for command responses)."""
+        deadline = time.monotonic() + timeout
+        while True:
+            frame = self._try_parse_frame()
+            if frame is not None:
+                return frame
+            remaining = deadline - time.monotonic()
+            if remaining <= 0 or not self._recv_more(remaining):
+                raise TimeoutError("timed out waiting for nsqd frame")
 
     def poll(self, max_messages: int, max_wait_s: float) -> list[tuple[str, bytes, datetime, int]]:
         """Drain up to max_messages within max_wait_s. Replies NOP to
@@ -103,14 +130,13 @@ class NsqConnection:
         out: list[tuple[str, bytes, datetime, int]] = []
         deadline = time.monotonic() + max_wait_s
         while len(out) < max_messages:
-            remaining = deadline - time.monotonic()
-            if remaining <= 0:
-                break
-            self.sock.settimeout(remaining)
-            try:
-                ftype, payload = self._read_frame()
-            except (TimeoutError, socket.timeout):
-                break
+            frame = self._try_parse_frame()
+            if frame is None:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 or not self._recv_more(remaining):
+                    break  # partial bytes stay buffered for the next poll
+                continue
+            ftype, payload = frame
             if ftype == FRAME_TYPE_MESSAGE:
                 ts_ns = struct.unpack(">q", payload[:8])[0]
                 attempts = struct.unpack(">H", payload[8:10])[0]
@@ -166,10 +192,29 @@ class NsqStreamReader(SimpleDataSourceStreamReader):
         rows = [(m[0], m[1], m[2], m[3], None) for m in msgs]
         return iter(rows), {"seq": seq + 1}
 
+    def readBetweenOffsets(self, start: dict, end: dict):
+        """Replay of an uncommitted batch after a restart.
+
+        NSQ has no offset-addressed replay: messages from the crashed run
+        that were never FINed are still unacked server-side and redeliver
+        on this (new) connection after the server's msg-timeout. Returning
+        an empty iterator here is therefore correct for the at-least-once
+        contract — the same rows arrive again in a later batch — and it
+        keeps the restart from poisoning the checkpoint (the default
+        implementation raises PySparkNotImplementedError, which would fail
+        the replayed batch forever; reference recovery analog:
+        kinesis_writer.go:114-126 requeue + main.go:66 MsgTimeout)."""
+        return iter([])
+
     def commit(self, end: dict) -> None:
-        # FIN every message from batches strictly before the committed seq
+        # FIN every message from batches strictly before the committed seq.
+        # After a restart the replayed batch has no pending entries — skip
+        # connecting just to FIN nothing.
+        to_fin = sorted(k for k in self._pending if k < end["seq"])
+        if not to_fin:
+            return
         conn = self._connection()
-        for seq in sorted(k for k in self._pending if k < end["seq"]):
+        for seq in to_fin:
             for msg_id in self._pending.pop(seq):
                 conn.finish(msg_id)
 

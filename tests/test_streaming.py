@@ -416,6 +416,111 @@ def test_pipeline_restart_recovers_unacked_messages(spark, tmp_path):
     assert set(nsqd.finished) <= set(bodies)
 
 
+def test_poll_mid_frame_timeout_resyncs():
+    """A poll timeout firing mid-frame (size prefix read, payload pending)
+    must not desynchronize the stream: the partial bytes stay buffered and
+    the frame completes on the next poll (nsq.py frame buffering)."""
+    import socket as _socket
+
+    from nsq2kinesis_spark.sources.nsq import NsqConnection
+
+    from .fake_nsqd import _message_frame
+
+    a, b = _socket.socketpair()
+    try:
+        conn = NsqConnection.__new__(NsqConnection)
+        conn.sock = a
+        conn._buf = bytearray()
+        frame = _message_frame("0000000000000001", b"hello")
+        b.sendall(frame[:7])  # 4-byte size + 3 bytes of payload, then stall
+        assert conn.poll(10, 0.3) == []  # times out mid-frame, no garbage
+        b.sendall(frame[7:] + _message_frame("0000000000000002", b"world"))
+        msgs = conn.poll(10, 0.5)
+        assert [(m[0], m[1]) for m in msgs] == [
+            ("0000000000000001", b"hello"),
+            ("0000000000000002", b"world"),
+        ]
+    finally:
+        a.close()
+        b.close()
+
+
+@pytest.mark.timeout(240)
+def test_restart_with_uncommitted_batch_recovers(spark, tmp_path):
+    """Crash-shaped restart: the offset WAL is one batch ahead of the
+    commit log (simulated by deleting the newest commits/ entry), so the
+    engine replays the uncommitted batch through readBetweenOffsets.
+    Before the fix this raised PySparkNotImplementedError on every restart,
+    permanently poisoning the checkpoint; now the replayed batch is empty
+    (un-FINned messages redeliver via NSQ semantics) and the pipeline
+    drains to completion."""
+    import os
+
+    from nsq2kinesis_spark.sources.nsq import NsqDataSource
+
+    bodies = {f"{i:016d}": f"u-{i}".encode() for i in range(30)}
+    nsqd = FakeNsqd(list(bodies.items()))
+    nsqd.start()
+    spark.dataSource.register(NsqDataSource)
+    spool = tmp_path / "uspool"
+    spool.mkdir()
+    ckpt = tmp_path / "uckpt"
+
+    def start_query():
+        src = (
+            spark.readStream.format("nsq")
+            .option("topic", "t")
+            .option("channel", "c")
+            .option("nsqd_tcp_address", nsqd.addr)
+            .option("poll_wait_s", "0.3")
+            .load()
+        )
+        sink = KinesisSink(
+            stream="test", client_factory=lambda: SpoolingKinesisClient(str(spool))
+        )
+        config = PipelineConfig(
+            checkpoint_dir=str(ckpt), trigger_processing_time="500 milliseconds"
+        )
+        return build_pipeline(src, sink, config)
+
+    def spool_bodies() -> set[bytes]:
+        got: set[bytes] = set()
+        for _pk, data in read_spool(str(spool)):
+            if is_aggregated(data):
+                got.update(d for _, d in deaggregate(data))
+            else:
+                got.add(data)
+        return got
+
+    q1 = start_query()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not spool_bodies():
+            time.sleep(0.5)
+    finally:
+        q1.stop()
+
+    # Forge the crash window: WAL has the batch's offsets, commit log doesn't.
+    commits = sorted(
+        f for f in os.listdir(ckpt / "commits") if not f.startswith(".")
+    )
+    assert commits, "first run must have committed at least one batch"
+    os.remove(ckpt / "commits" / commits[-1])
+
+    q2 = start_query()
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and spool_bodies() != set(bodies.values()):
+            time.sleep(1)
+        assert q2.exception() is None, q2.exception()
+    finally:
+        q2.stop()
+        nsqd.stop()
+
+    assert spool_bodies() == set(bodies.values())
+    assert set(nsqd.finished) <= set(bodies)
+
+
 @pytest.mark.timeout(120)
 def test_watermark_drops_late_data(spark, tmp_path):
     """Late-data drop (§2B watermark row): batch 1 advances the watermark
