@@ -6,9 +6,13 @@ for embedding-space dedup/retrieval. Three tiers:
 
 - q80: brute-force top-k — the exactness baseline. Query side is tiny and
   broadcast; the corpus scan is embarrassingly parallel. Cost O(|Q|·N).
-- q81: threshold near-dup pairs with label blocking — the blocked
-  all-pairs pattern (compare only within a block key), the standard trick
-  to keep pair generation sub-quadratic.
+- q81: threshold near-dup pairs blocked by IVF cell — the blocked
+  all-pairs pattern (compare only within a block key). The block key is
+  each vector's nearest coarse centroid (the same quantizer q82 uses), so
+  expected block size is corpus/centroids ≈ IVF_CENTROID_STEP — bounded by
+  construction at any corpus size, unlike a data-dependent key (label)
+  where one hot value degrades to quadratic pairs in a single task. This
+  is the cluster-then-compare shape of embedding dedup (SemDeDup-style).
 - q82: IVF-style ANN — deterministic coarse quantizer (centroid subset),
   vectors assigned to nearest centroid, queries probe the 2 nearest
   centroid cells only. At 100 TB this is the scale path: the probe prunes
@@ -88,30 +92,68 @@ def q80_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q81_cosine_neardup",
     oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+      WHERE vec_id % {IVF_CENTROID_STEP} = 0
+    ), scored AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             {duck_cosine_sql("e.embedding", "c.ce", DIM)} AS csim
+      FROM embeddings e CROSS JOIN cents c
+    ), cells AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY csim DESC, cent_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
            {duck_cosine_sql("a.embedding", "b.embedding", DIM)} AS sim
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
     WHERE {duck_cosine_sql("a.embedding", "b.embedding", DIM)} >= {COSINE_T}
     """,
     tags=("llm", "similarity", "neardup"),
 )
 def q81_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label: the equi-join on
-    the block key keeps this a hash join (never a cross product); within a
-    block the pair predicate a<b halves the work."""
+    """Embedding-cosine near-dup pairs, blocked by IVF cell (re-keyed in
+    round 3 from `label`, whose cardinality was data-dependent and
+    unbounded — one hot label meant quadratic pairs in one task).
+
+    Every vector is assigned to its nearest coarse centroid with the same
+    deterministic quantizer and max_by argmax as q82 (one shuffled row per
+    vector, no corpus-sized window sort); pairs are generated only inside a
+    cell via an equi hash join on the cell id, so per-task pair fanout is
+    bounded by (corpus/centroids)² regardless of data distribution. The
+    cosine threshold then verifies candidates exactly. Cross-cell pairs
+    are out of contract by construction — the oracle replicates the same
+    quantizer, so the check is exact, not approximate."""
     e = t(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    sim = cosine_rounded(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            sim.alias("sim"),
+    cents = e.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    csim = cosine_rounded(F.col("embedding"), F.col("ce"))
+    cells = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cent_id", csim.alias("csim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("csim"), (-F.col("cent_id")).alias("nc"))
+            ).alias("cell"),
+            F.first("embedding").alias("embedding"),  # constant within group
         )
+    )
+    a = cells.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "cell"
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "cell"
+    )
+    sim = cosine_rounded(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "cell", sim.alias("sim"))
         .filter(F.col("sim") >= COSINE_T)
     )
 

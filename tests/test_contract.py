@@ -28,6 +28,24 @@ def test_contract_shapes():
     ]
 
 
+def test_verify_order_is_the_registry_iteration_order():
+    """VERIFY_ORDER is the single source of truth for the order external
+    harnesses iterate queries(): it must be a permutation of the registry,
+    and the round-3 rotation must hold — the 17 queries whose last fresh
+    correctness row is from round 1 (q20-q29 joins, q40-q46 scalars) lead,
+    so a harness that budgets a 50-query prefix re-verifies them."""
+    from nsq2kinesis_spark.registry import VERIFY_ORDER, all_queries
+
+    names = list(all_queries())
+    assert names == list(VERIFY_ORDER), "queries() must iterate in VERIFY_ORDER"
+    assert len(set(VERIFY_ORDER)) == len(VERIFY_ORDER), "duplicates in VERIFY_ORDER"
+    stale_head = [f"q{n}" for n in range(20, 30)] + [f"q{n}" for n in range(40, 47)]
+    got_head = [n.split("_")[0] for n in names[:17]]
+    assert got_head == stale_head, got_head
+    # every query inside the driver's 50-entry budget, stale-first
+    assert len(names) == 67
+
+
 def test_entry_smoke(spark):
     """Mirror of the driver's smoke check: entry() runs at sf0.001 and
     yields rows with a stable schema."""
