@@ -78,6 +78,7 @@ class NsqConnection:
         host, port = addr.rsplit(":", 1)
         self.sock = socket.create_connection((host, int(port)), timeout=10)
         self._buf = bytearray()
+        self._rdy = rdy
         self.sock.sendall(b"  V2")
         self._command(f"SUB {topic} {channel}\n".encode(), expect_response=True)
         self._command(f"RDY {rdy}\n".encode())
@@ -126,7 +127,13 @@ class NsqConnection:
 
     def poll(self, max_messages: int, max_wait_s: float) -> list[tuple[str, bytes, datetime, int]]:
         """Drain up to max_messages within max_wait_s. Replies NOP to
-        heartbeats. Returns (id, body, ts, attempts)."""
+        heartbeats. Returns (id, body, ts, attempts).
+
+        RDY is re-issued on every poll: nsqd decrements the ready count per
+        delivery and deferred-ack FINs never restore it, so a
+        set-RDY-once consumer silently starves after the first
+        ready-count's worth of messages."""
+        self.sock.sendall(f"RDY {self._rdy}\n".encode())
         out: list[tuple[str, bytes, datetime, int]] = []
         deadline = time.monotonic() + max_wait_s
         while len(out) < max_messages:
@@ -147,12 +154,30 @@ class NsqConnection:
             elif ftype == FRAME_TYPE_RESPONSE and payload == b"_heartbeat_":
                 self.sock.sendall(b"NOP\n")
             elif ftype == FRAME_TYPE_ERROR:
-                raise RuntimeError(f"nsqd error frame: {payload!r}")
+                # Ack races are non-fatal: FIN/REQ/TOUCH for a message the
+                # server already timed out just means it will redeliver
+                # (at-least-once noise, absorbed downstream).
+                if not payload.startswith(
+                    (b"E_FIN_FAILED", b"E_REQ_FAILED", b"E_TOUCH_FAILED")
+                ):
+                    raise RuntimeError(f"nsqd error frame: {payload!r}")
         self.sock.settimeout(10)
         return out
 
     def finish(self, msg_id: str) -> None:
         self.sock.sendall(f"FIN {msg_id}\n".encode())
+
+    def requeue(self, msg_id: str, delay_ms: int = 0) -> None:
+        """REQ: return an un-acked message to the queue after delay_ms —
+        immediate redelivery instead of waiting out the server msg-timeout
+        (reference kinesis_writer.go:114-126 failed-slot requeue)."""
+        self.sock.sendall(f"REQ {msg_id} {delay_ms}\n".encode())
+
+    def touch(self, msg_id: str) -> None:
+        """TOUCH: reset the server-side msg-timeout for a long-running
+        batch so it isn't requeued mid-processing (reference main.go:65-67
+        relies on a raised MsgTimeout for the same purpose)."""
+        self.sock.sendall(f"TOUCH {msg_id}\n".encode())
 
     def close(self) -> None:
         try:

@@ -431,6 +431,7 @@ def test_poll_mid_frame_timeout_resyncs():
         conn = NsqConnection.__new__(NsqConnection)
         conn.sock = a
         conn._buf = bytearray()
+        conn._rdy = 10
         frame = _message_frame("0000000000000001", b"hello")
         b.sendall(frame[:7])  # 4-byte size + 3 bytes of payload, then stall
         assert conn.poll(10, 0.3) == []  # times out mid-frame, no garbage
@@ -492,18 +493,26 @@ def test_restart_with_uncommitted_batch_recovers(spark, tmp_path):
                 got.add(data)
         return got
 
+    def commit_files() -> list[str]:
+        if not (ckpt / "commits").exists():
+            return []
+        return sorted(
+            f for f in os.listdir(ckpt / "commits") if not f.startswith(".")
+        )
+
     q1 = start_query()
     try:
+        # Wait for a COMMITTED batch with data: the spool is written inside
+        # foreachBatch, before the commit-log entry — stopping on spool
+        # alone can interrupt the microbatch pre-commit.
         deadline = time.time() + 60
-        while time.time() < deadline and not spool_bodies():
+        while time.time() < deadline and not (commit_files() and spool_bodies()):
             time.sleep(0.5)
     finally:
         q1.stop()
 
     # Forge the crash window: WAL has the batch's offsets, commit log doesn't.
-    commits = sorted(
-        f for f in os.listdir(ckpt / "commits") if not f.startswith(".")
-    )
+    commits = commit_files()
     assert commits, "first run must have committed at least one batch"
     os.remove(ckpt / "commits" / commits[-1])
 
