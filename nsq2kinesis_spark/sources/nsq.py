@@ -16,13 +16,20 @@ read batches in the checkpoint until committed; ``commit(offset)`` FINs the
 messages consumed up to that offset, giving at-least-once end-to-end (the
 reference's own guarantee, §2A op14; dedup downstream absorbs redelivery).
 
-The NSQ TCP wire protocol spoken here (V2 magic, SUB/RDY/FIN/NOP, 4-byte
-size + frame-type framing, 26-byte message header) is the public protocol
-documented at https://nsq.io/clients/tcp_protocol_spec.html. The reader
-holds one connection on the driver (SimpleDataSourceStreamReader executes
-driver-side); per-partition fan-out at scale would promote this to a full
-``DataSourceStreamReader`` with one nsqd connection per input partition —
-the message schema and commit contract stay identical.
+The NSQ TCP wire protocol spoken here (V2 magic, SUB/RDY/FIN/REQ/TOUCH/
+NOP, 4-byte size + frame-type framing, 26-byte message header) is the
+public protocol documented at https://nsq.io/clients/tcp_protocol_spec.html.
+
+Two reader tiers, same schema and at-least-once contract:
+
+- default: ``SimpleDataSourceStreamReader`` — one connection on the
+  driver; simplest, fine for modest topics.
+- ``.option("partitioned", "true")`` (+ ``num_partitions``): full
+  ``DataSourceStreamReader`` — N executor-side connections consuming the
+  same channel in parallel (nsqd load-balances a channel across its
+  connections), mirroring the reference's 20 concurrent handlers
+  (main.go:122). This is the 100 TB ingest path: the driver only issues
+  batch seqs and the committed watermark; all socket I/O is on executors.
 """
 
 from __future__ import annotations
@@ -33,7 +40,12 @@ import time
 from datetime import datetime, timezone
 
 import pyspark.cloudpickle as _cloudpickle
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -244,9 +256,137 @@ class NsqStreamReader(SimpleDataSourceStreamReader):
                 conn.finish(msg_id)
 
 
+class NsqInputPartition(InputPartition):
+    """One executor-side NSQ consumer slot for one microbatch. Carries the
+    batch's seq and the driver's committed watermark so the executor knows
+    which earlier batches' messages are safe to FIN."""
+
+    def __init__(self, pid: int, batch_seq: int, committed_seq: int, rdy: int) -> None:
+        self.pid = pid
+        self.batch_seq = batch_seq
+        self.committed_seq = committed_seq
+        self.rdy = rdy
+
+
+class _ExecutorConsumer:
+    """Per-(source, partition) consumer living in an executor Python worker
+    process, persisting across microbatch tasks via _EXECUTOR_CONSUMERS (a
+    process global — Spark reuses worker processes, so in steady state each
+    partition keeps one long-lived connection, like one of the reference's
+    20 concurrent handlers, main.go:122)."""
+
+    def __init__(self, addr: str, topic: str, channel: str, rdy: int) -> None:
+        self.conn = NsqConnection(addr, topic, channel, rdy=rdy)
+        self.pending: dict[int, list[str]] = {}  # batch_seq -> msg ids
+
+
+def _executor_consumers() -> dict[tuple, _ExecutorConsumer]:
+    """Process-global consumer cache for executor Python workers.
+
+    This module travels pickled BY VALUE (see register_pickle_by_value
+    above), so a plain module global would be rebuilt on every task
+    deserialization — connections and pending-FIN state would die with
+    each task and no FIN would ever be sent. Anchoring the dict on
+    ``builtins`` (always imported, never re-created) makes it genuinely
+    process-scoped: it survives across microbatch tasks in a reused
+    worker, which is what keeps one long-lived connection per partition."""
+    import builtins
+
+    cache = getattr(builtins, "_nsq2kinesis_executor_consumers", None)
+    if cache is None:
+        cache = {}
+        builtins._nsq2kinesis_executor_consumers = cache
+    return cache
+
+
+class NsqPartitionedStreamReader(DataSourceStreamReader):
+    """Executor-parallel NSQ reader: N partitions → N nsqd connections
+    consuming the same channel (nsqd load-balances a channel's messages
+    across its connections — the reference's AddConcurrentHandlers(h, 20),
+    main.go:122, is the same fan-out inside one process).
+
+    At-least-once without offset replay (same contract as the simple
+    reader): each executor task polls its partition's connection, the
+    driver embeds the committed batch watermark in the NEXT batch's
+    partitions, and the executor FINs a batch's messages only once that
+    watermark passes it — deferred ack, one batch of lag. Whenever the
+    partition→worker-process mapping shifts (task retry, worker churn,
+    restart), the orphaned connection's un-FINned messages redeliver via
+    NSQ msg-timeout to whichever connection now serves the channel, and
+    the downstream dedup stage absorbs the duplicates. FIN must ride the
+    connection that received the message, so cross-worker acks are
+    impossible by protocol — redelivery-plus-dedup is the NSQ-native
+    recovery path, not a shortcut."""
+
+    def __init__(self, options: dict) -> None:
+        self.addr = options.get("nsqd_tcp_address", "127.0.0.1:4150")
+        self.topic = options["topic"]
+        self.channel = options.get("channel", "spark")
+        self.num_partitions = int(options.get("num_partitions", "4"))
+        self.batch_size = int(options.get("max_records_per_trigger", "1000"))
+        self.poll_wait_s = float(options.get("poll_wait_s", "0.5"))
+        self._seq = 0
+        self._committed = 0
+
+    # -- driver side --
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def latestOffset(self) -> dict:
+        self._seq += 1
+        return {"seq": self._seq}
+
+    def partitions(self, start: dict, end: dict) -> list[NsqInputPartition]:
+        # On restart self._seq resumes behind the checkpoint; keep issuing
+        # offsets ahead of the replayed batch.
+        self._seq = max(self._seq, end["seq"])
+        per_part = max(1, self.batch_size // self.num_partitions)
+        return [
+            NsqInputPartition(i, start["seq"], self._committed, per_part)
+            for i in range(self.num_partitions)
+        ]
+
+    def commit(self, end: dict) -> None:
+        self._committed = end["seq"]
+
+    def stop(self) -> None:
+        pass
+
+    # -- executor side --
+
+    def read(self, partition: NsqInputPartition):
+        consumers = _executor_consumers()
+        key = (self.addr, self.topic, self.channel, partition.pid)
+        consumer = consumers.get(key)
+        if consumer is None:
+            consumer = _ExecutorConsumer(
+                self.addr, self.topic, self.channel, partition.rdy
+            )
+            consumers[key] = consumer
+        try:
+            # ack batches the driver has committed (deferred FIN)
+            for seq in sorted(s for s in consumer.pending if s < partition.committed_seq):
+                for msg_id in consumer.pending.pop(seq):
+                    consumer.conn.finish(msg_id)
+            msgs = consumer.conn.poll(partition.rdy, self.poll_wait_s)
+        except (ConnectionError, OSError):
+            # Reconnect on the next task; this connection's un-FINned
+            # messages redeliver via msg-timeout (at-least-once holds).
+            consumers.pop(key, None)
+            try:
+                consumer.conn.sock.close()
+            except OSError:
+                pass
+            return iter([])
+        consumer.pending[partition.batch_seq] = [m[0] for m in msgs]
+        return iter([(m[0], m[1], m[2], m[3], None) for m in msgs])
+
+
 class NsqDataSource(DataSource):
     """``spark.readStream.format("nsq")`` — options: topic, channel,
-    nsqd_tcp_address, max_records_per_trigger, poll_wait_s."""
+    nsqd_tcp_address, max_records_per_trigger, poll_wait_s, and
+    partitioned=true (+ num_partitions) for the executor-parallel reader."""
 
     @classmethod
     def name(cls) -> str:
@@ -254,6 +394,18 @@ class NsqDataSource(DataSource):
 
     def schema(self) -> StructType:
         return MESSAGE_SCHEMA
+
+    def streamReader(self, schema: StructType) -> NsqPartitionedStreamReader:
+        if self.options.get("partitioned", "false").lower() != "true":
+            # Signals pyspark's _streamReader to fall back to the simple
+            # driver-side reader below.
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        return NsqPartitionedStreamReader(self.options)
 
     def simpleStreamReader(self, schema: StructType) -> NsqStreamReader:
         return NsqStreamReader(self.options)

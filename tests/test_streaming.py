@@ -530,6 +530,71 @@ def test_restart_with_uncommitted_batch_recovers(spark, tmp_path):
     assert set(nsqd.finished) <= set(bodies)
 
 
+@pytest.mark.timeout(240)
+def test_partitioned_source_parallel_consumption(spark, tmp_path):
+    """Executor-parallel NSQ source (§2A-1 scale path): partitioned=true
+    opens one nsqd connection per input partition, the fake nsqd
+    load-balances the channel across them, and every body reaches the
+    sink exactly once after dedup. Deferred ack: FINs trail by one batch
+    (committed watermark rides the next batch's partitions), so consumed
+    messages get acked only after their batch commits."""
+    from nsq2kinesis_spark.sources.nsq import NsqDataSource
+
+    bodies = {f"{i:016d}": f"p-{i}".encode() for i in range(60)}
+    nsqd = FakeNsqd(list(bodies.items()), msg_timeout_s=5.0)
+    nsqd.start()
+    spark.dataSource.register(NsqDataSource)
+    spool = tmp_path / "pspool"
+    spool.mkdir()
+
+    src = (
+        spark.readStream.format("nsq")
+        .option("topic", "t")
+        .option("channel", "c")
+        .option("nsqd_tcp_address", nsqd.addr)
+        .option("partitioned", "true")
+        .option("num_partitions", "3")
+        .option("poll_wait_s", "0.3")
+        .load()
+    )
+    sink = KinesisSink(
+        stream="test", client_factory=lambda: SpoolingKinesisClient(str(spool))
+    )
+    config = PipelineConfig(
+        checkpoint_dir=str(tmp_path / "pckpt"),
+        trigger_processing_time="500 milliseconds",
+    )
+
+    def spool_bodies() -> set[bytes]:
+        got: set[bytes] = set()
+        for _pk, data in read_spool(str(spool)):
+            if is_aggregated(data):
+                got.update(d for _, d in deaggregate(data))
+            else:
+                got.add(data)
+        return got
+
+    q = build_pipeline(src, sink, config)
+    try:
+        deadline = time.time() + 150
+        while time.time() < deadline and not (
+            spool_bodies() == set(bodies.values()) and nsqd.finished
+        ):
+            time.sleep(1)
+        assert q.exception() is None, q.exception()
+    finally:
+        q.stop()
+        nsqd.stop()
+
+    assert spool_bodies() == set(bodies.values())
+    # the channel was actually consumed in parallel: one connection per
+    # partition (more only if a worker-shift forced a reconnect)
+    assert nsqd.n_connections >= 3
+    # deferred ack happened and never acked an unknown id
+    assert nsqd.finished
+    assert set(nsqd.finished) <= set(bodies)
+
+
 @pytest.mark.timeout(120)
 def test_watermark_drops_late_data(spark, tmp_path):
     """Late-data drop (§2B watermark row): batch 1 advances the watermark
