@@ -122,7 +122,8 @@ def _chunk_entries(entries: list[PackedEntry]) -> Iterator[list[PackedEntry]]:
     chunk: list[PackedEntry] = []
     size = 0
     for e in entries:
-        esize = len(e.data) + len(e.partition_key)
+        # the API limit counts the UTF-8 partition-key BYTES, not its chars
+        esize = len(e.data) + len(e.partition_key.encode("utf-8"))
         if chunk and (len(chunk) >= MAX_RECORDS_PER_CALL or size + esize > MAX_BYTES_PER_CALL):
             yield chunk
             chunk, size = [], 0
@@ -188,7 +189,30 @@ class KinesisSink:
     partitioned: bool = False
     max_retries: int = 3
     epoch_guard_dir: str | None = None
+    checkpoint_dir: str | None = None
     metrics: list[SinkMetrics] = field(default_factory=list)
+    _epoch_ns: str | None = field(default=None, init=False, repr=False)
+
+    def _epoch_namespace(self) -> str:
+        """Namespace epoch markers by the streaming query id from the
+        checkpoint's metadata file. Epoch ids restart at 0 for a fresh
+        checkpoint, so an un-namespaced marker dir reused across query
+        incarnations silently drops real epochs; the query id is stable
+        across restarts of the SAME checkpoint (replay dedup still works)
+        but new for a recreated one (no false skip)."""
+        if self._epoch_ns is None:
+            ns = "default"
+            if self.checkpoint_dir is not None:
+                import json
+                import os
+
+                try:
+                    with open(os.path.join(self.checkpoint_dir, "metadata")) as fh:
+                        ns = json.load(fh)["id"]
+                except (OSError, KeyError, ValueError):
+                    pass
+            self._epoch_ns = ns
+        return self._epoch_ns
 
     def _epoch_marker(self, epoch_id: int) -> str | None:
         if self.epoch_guard_dir is None:
@@ -196,7 +220,9 @@ class KinesisSink:
         import os
 
         os.makedirs(self.epoch_guard_dir, exist_ok=True)
-        return os.path.join(self.epoch_guard_dir, f"epoch-{epoch_id}.done")
+        return os.path.join(
+            self.epoch_guard_dir, f"epoch-{self._epoch_namespace()}-{epoch_id}.done"
+        )
 
     def __call__(self, batch_df, epoch_id: int) -> None:
         import pandas as pd

@@ -102,6 +102,9 @@ def build_pipeline(source_df: DataFrame, sink, config: PipelineConfig):
     from ..session import ship_package
 
     ship_package(source_df.sparkSession)
+    # let an epoch-guarded sink namespace its markers by this query's id
+    if getattr(sink, "checkpoint_dir", "absent") is None:
+        sink.checkpoint_dir = config.checkpoint_dir
     transformed = with_forward_metrics(
         partition_key_transform(
             oversize_filter(

@@ -35,40 +35,47 @@ DEDUP_OUTPUT_SCHEMA = "body_hash long, message_id string, ts timestamp"
 DEDUP_STATE_SCHEMA = "last_seen_s double"
 
 
-def _dedup_fn(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Keep a record iff its key is unseen or last seen ≥ TTL ago (event
-    time). Every sighting refreshes last-seen (reference Test() marks the
-    current generation even for dupes, deduper.go:25-38).
+def make_dedup_fn(ttl_s: int = DEDUP_TTL_S):
+    """Returns the applyInPandasWithState function for TTL dedup: keep a
+    record iff its key is unseen or last seen ≥ ttl_s ago (event time).
+    Every sighting refreshes last-seen (reference Test() marks the current
+    generation even for dupes, deduper.go:25-38).
 
     Timeout = state EVICTION (the reference's Trim() generation drop,
     deduper.go:42-47): without the remove() branch, every key ever seen
     would hold state forever and the store would grow unboundedly at scale.
     """
-    if state.hasTimedOut:
-        state.remove()
-        return
-    (last_seen,) = state.get if state.exists else (None,)
-    kept = []
-    for pdf in pdfs:
-        for row in pdf.sort_values("ts").itertuples(index=False):
-            ts_s = row.ts.timestamp()
-            if last_seen is None or (ts_s - last_seen) >= DEDUP_TTL_S:
-                kept.append((row.body_hash, row.message_id, row.ts))
-            last_seen = ts_s  # refresh on every sighting
-    state.update((last_seen,))
-    state.setTimeoutDuration(DEDUP_TTL_S * 1000)
-    if kept:
-        yield pd.DataFrame(kept, columns=["body_hash", "message_id", "ts"])
+
+    def dedup_fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (last_seen,) = state.get if state.exists else (None,)
+        kept = []
+        for pdf in pdfs:
+            for row in pdf.sort_values("ts").itertuples(index=False):
+                ts_s = row.ts.timestamp()
+                if last_seen is None or (ts_s - last_seen) >= ttl_s:
+                    kept.append((row.body_hash, row.message_id, row.ts))
+                last_seen = ts_s  # refresh on every sighting
+        state.update((last_seen,))
+        state.setTimeoutDuration(ttl_s * 1000)
+        if kept:
+            yield pd.DataFrame(kept, columns=["body_hash", "message_id", "ts"])
+
+    return dedup_fn
 
 
 def generational_dedup(df, ttl_s: int = DEDUP_TTL_S):
-    """df must have (body_hash, message_id, ts); emits survivors."""
+    """df must have (body_hash, message_id, ts); emits survivors deduped
+    within a ttl_s window (factory closure — ttl_s actually parameterizes
+    the state function, it isn't a decorative default)."""
     return (
         df.groupBy("body_hash")
         .applyInPandasWithState(
-            _dedup_fn,
+            make_dedup_fn(ttl_s),
             outputStructType=DEDUP_OUTPUT_SCHEMA,
             stateStructType=DEDUP_STATE_SCHEMA,
             outputMode="append",

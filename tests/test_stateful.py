@@ -51,7 +51,7 @@ DSL_CASES = [
 ]
 
 
-def run_streaming_dedup(spark, rows, tmp_path, n_files: int = 1):
+def run_streaming_dedup(spark, rows, tmp_path, n_files: int = 1, ttl_s: int | None = None):
     """Feed rows through generational_dedup as a real streaming query
     (file source, one micro-batch per file, memory sink)."""
     src = tmp_path / f"src_{uuid.uuid4().hex[:8]}"
@@ -65,7 +65,7 @@ def run_streaming_dedup(spark, rows, tmp_path, n_files: int = 1):
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
         str(src / "*")
     )
-    out = generational_dedup(stream)
+    out = generational_dedup(stream) if ttl_s is None else generational_dedup(stream, ttl_s=ttl_s)
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.outputMode("append")
@@ -87,6 +87,15 @@ def test_dedup_opstrings(spark, tmp_path):
         rows.extend(opstring_to_rows(ops, case_idx=idx))
         expected.extend(f"c{idx}_{m}" for m in exp)
     assert run_streaming_dedup(spark, rows, tmp_path) == sorted(expected)
+
+
+def test_dedup_ttl_is_honored(spark, tmp_path):
+    """ttl_s parameterizes the state function (it was once a decorative
+    default): one rotation (120 s) apart is a dupe at the default 240 s
+    TTL but fresh at ttl_s=100."""
+    rows = opstring_to_rows("a#a")
+    assert run_streaming_dedup(spark, rows, tmp_path) == ["c0_m0"]
+    assert run_streaming_dedup(spark, rows, tmp_path, ttl_s=100) == ["c0_m0", "c0_m2"]
 
 
 def test_dedup_state_survives_across_microbatches(spark, tmp_path):

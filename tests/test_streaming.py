@@ -722,3 +722,47 @@ def test_epoch_guard_makes_replay_idempotent(spark, tmp_path):
     assert spool_count() == 10
     sink(df, 8)  # genuinely new epoch → delivered
     assert spool_count() == 20
+
+
+def test_epoch_guard_namespaced_by_query_id(spark, tmp_path):
+    """A recreated checkpoint restarts epoch ids at 0; with the marker dir
+    reused, an un-namespaced guard would silently drop the new query's
+    epoch 0. Markers are namespaced by the query id in the checkpoint's
+    metadata file, so the new incarnation delivers while a same-query
+    replay still skips."""
+    import json
+
+    df = spark.createDataFrame(
+        [(f"m{i}", f"b-{i}".encode()) for i in range(10)],
+        "message_id string, body binary",
+    )
+    spool = tmp_path / "nspool"
+    spool.mkdir()
+    guard = tmp_path / "nguard"
+
+    def make_sink(query_id: str) -> KinesisSink:
+        ckpt = tmp_path / f"ckpt_{query_id}"
+        ckpt.mkdir()
+        (ckpt / "metadata").write_text(json.dumps({"id": query_id}))
+        return KinesisSink(
+            stream="t",
+            client_factory=lambda: SpoolingKinesisClient(str(spool)),
+            epoch_guard_dir=str(guard),
+            checkpoint_dir=str(ckpt),
+        )
+
+    def spool_count():
+        n = 0
+        for _pk, data in read_spool(str(spool)):
+            n += len(deaggregate(data)) if is_aggregated(data) else 1
+        return n
+
+    first = make_sink("run-1")
+    first(df, 0)
+    assert spool_count() == 10
+    first(df, 0)  # same query, same epoch → replay skipped
+    assert spool_count() == 10
+
+    rerun = make_sink("run-2")  # recreated checkpoint: epochs restart at 0
+    rerun(df, 0)
+    assert spool_count() == 20, "new query incarnation must not be skipped"
