@@ -223,8 +223,21 @@ class NsqStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         conn = self._connection()
-        msgs = conn.poll(self.batch_size, self.poll_wait_s)
         seq = start["seq"]
+        if seq in self._pending:
+            # Re-reading a seq whose previous attempt never committed (the
+            # batch failed downstream): REQ that attempt's messages for
+            # immediate redelivery instead of letting them wait out the
+            # server msg-timeout (reference kinesis_writer.go:114-126).
+            for msg_id in self._pending.pop(seq):
+                conn.requeue(msg_id, delay_ms=0)
+        # Batches polled but not yet committed are still being processed —
+        # TOUCH resets their msg-timeout so a slow sink doesn't trigger
+        # spurious redelivery mid-flight (reference main.go:65-67).
+        for ids in self._pending.values():
+            for msg_id in ids:
+                conn.touch(msg_id)
+        msgs = conn.poll(self.batch_size, self.poll_wait_s)
         self._pending[seq] = [m[0] for m in msgs]
         rows = [(m[0], m[1], m[2], m[3], None) for m in msgs]
         return iter(rows), {"seq": seq + 1}
@@ -369,6 +382,19 @@ class NsqPartitionedStreamReader(DataSourceStreamReader):
             for seq in sorted(s for s in consumer.pending if s < partition.committed_seq):
                 for msg_id in consumer.pending.pop(seq):
                     consumer.conn.finish(msg_id)
+            if partition.batch_seq in consumer.pending:
+                # This batch seq ran before on this consumer and never
+                # committed (task retry, or a crash-restart replaying the
+                # batch into a still-alive worker): REQ the failed
+                # attempt's messages so they redeliver immediately rather
+                # than after msg-timeout (reference kinesis_writer.go:
+                # 114-126 failed-slot requeue).
+                for msg_id in consumer.pending.pop(partition.batch_seq):
+                    consumer.conn.requeue(msg_id, delay_ms=0)
+            # keep not-yet-committed batches alive while the sink works
+            for ids in consumer.pending.values():
+                for msg_id in ids:
+                    consumer.conn.touch(msg_id)
             msgs = consumer.conn.poll(partition.rdy, self.poll_wait_s)
         except (ConnectionError, OSError):
             # Reconnect on the next task; this connection's un-FINned

@@ -62,6 +62,7 @@ class FakeNsqd(threading.Thread):
         self.msg_timeout_s = msg_timeout_s
         self.finished: list[str] = []
         self.requeued: list[str] = []
+        self.touched: list[str] = []
         self.subscribed: tuple[str, str] | None = None
         self.n_connections = 0
         self._lock = threading.Lock()
@@ -189,6 +190,7 @@ class FakeNsqd(threading.Thread):
                                 )
                         self.requeued.append(parts[1])
                     elif cmd == "TOUCH":
+                        self.touched.append(parts[1])
                         with self._lock:
                             if parts[1] in self._in_flight:
                                 body, attempts, _dl, cid = self._in_flight[parts[1]]

@@ -595,6 +595,64 @@ def test_partitioned_source_parallel_consumption(spark, tmp_path):
     assert set(nsqd.finished) <= set(bodies)
 
 
+def test_failed_batch_requeues_immediately_not_after_timeout():
+    """Replaying an uncommitted batch seq REQs the failed attempt's
+    messages for immediate redelivery; without REQ they'd only come back
+    after the server msg-timeout (set to 60 s here, far beyond the test's
+    own runtime, so a pass proves REQ — not timeout — recovered them).
+    Covers both reader tiers (reference kinesis_writer.go:114-126)."""
+    from nsq2kinesis_spark.sources.nsq import (
+        NsqInputPartition,
+        NsqPartitionedStreamReader,
+        NsqStreamReader,
+    )
+
+    bodies = {f"{i:016d}": f"q-{i}".encode() for i in range(6)}
+
+    # -- simple (driver-side) reader: re-read of the same seq --
+    nsqd = FakeNsqd(list(bodies.items()), msg_timeout_s=60.0)
+    nsqd.start()
+    try:
+        reader = NsqStreamReader(
+            {"topic": "t", "channel": "c", "nsqd_tcp_address": nsqd.addr, "poll_wait_s": "0.5"}
+        )
+        first = list(NsqStreamReader.read(reader, {"seq": 0})[0])
+        assert len(first) == len(bodies)
+        t0 = time.time()
+        # the batch "failed" downstream: same seq read again
+        replay_iter, _ = NsqStreamReader.read(reader, {"seq": 0})
+        redelivered = {r[1] for r in replay_iter}
+        assert redelivered == set(bodies.values())  # back via REQ
+        assert time.time() - t0 < 30, "recovered only via msg-timeout"
+        assert set(nsqd.requeued) == set(bodies)
+    finally:
+        nsqd.stop()
+
+    # -- partitioned (executor-side) reader: retry of the same batch_seq --
+    nsqd2 = FakeNsqd(list(bodies.items()), msg_timeout_s=60.0)
+    nsqd2.start()
+    try:
+        reader2 = NsqPartitionedStreamReader(
+            {"topic": "t", "channel": "c", "nsqd_tcp_address": nsqd2.addr,
+             "poll_wait_s": "0.5", "num_partitions": "1"}
+        )
+        part = NsqInputPartition(pid=0, batch_seq=1, committed_seq=1, rdy=100)
+        first = list(reader2.read(part))
+        assert len(first) == len(bodies)
+        replayed = {r[1] for r in reader2.read(part)}  # same batch_seq again
+        assert replayed == set(bodies.values())
+        assert set(nsqd2.requeued) == set(bodies)
+        # pending batches get TOUCHed on subsequent reads
+        part2 = NsqInputPartition(pid=0, batch_seq=2, committed_seq=1, rdy=100)
+        list(reader2.read(part2))
+        assert set(nsqd2.touched) == set(bodies)
+    finally:
+        import builtins
+
+        getattr(builtins, "_nsq2kinesis_executor_consumers", {}).clear()
+        nsqd2.stop()
+
+
 @pytest.mark.timeout(120)
 def test_watermark_drops_late_data(spark, tmp_path):
     """Late-data drop (§2B watermark row): batch 1 advances the watermark
