@@ -1,0 +1,172 @@
+"""Runnable pipeline entry point: ``python -m nsq2kinesis_spark``.
+
+Mirrors the reference binary's flag/env wiring (reference main.go:23-34:
+-channel/-topic/-nsqd-tcp-address/-stream/-kinesis-endpoint/-test, each
+also settable via environment like namsral/flag does) on the Spark
+pipeline: NSQ DataSource → forwarding transforms → KinesisSink, with
+SIGINT/SIGTERM stopping the query cleanly (main.go:128-140's signal
+handler + consumer drain).
+
+Without boto3 (not in this image) use ``--spool-dir`` for a filesystem
+PutRecords endpoint — the same sink code path, byte-exact KPL records.
+With boto3 available, ``--kinesis-endpoint``/AWS env wiring applies and
+``--test`` creates the stream first (main.go:92-97).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import sys
+
+__version__ = "0.3.0"
+
+
+def _env_default(name: str, fallback: str | None = None) -> str | None:
+    return os.environ.get(name, fallback)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nsq2kinesis_spark",
+        description="Forward an NSQ topic to Kinesis via Structured Streaming.",
+    )
+    p.add_argument("--topic", default=_env_default("TOPIC"), help="NSQ topic (env TOPIC)")
+    p.add_argument(
+        "--channel",
+        default=_env_default("CHANNEL", "nsq2kinesis"),
+        help="NSQ channel (env CHANNEL)",
+    )
+    p.add_argument(
+        "--nsqd-tcp-address",
+        default=_env_default("NSQD_TCP_ADDRESS", "localhost:4150"),
+        help="nsqd TCP endpoint (env NSQD_TCP_ADDRESS)",
+    )
+    p.add_argument("--stream", default=_env_default("STREAM"), help="Kinesis stream (env STREAM)")
+    p.add_argument(
+        "--kinesis-endpoint",
+        default=_env_default("KINESIS_ENDPOINT"),
+        help="Kinesis endpoint override (env KINESIS_ENDPOINT; needs boto3)",
+    )
+    p.add_argument(
+        "--spool-dir",
+        default=_env_default("SPOOL_DIR"),
+        help="write records to this directory instead of Kinesis (local test sink)",
+    )
+    p.add_argument(
+        "--test",
+        action="store_true",
+        help="test mode: create the stream first (boto3) / allow spool sink",
+    )
+    p.add_argument("--checkpoint-dir", default=_env_default("CHECKPOINT_DIR"))
+    p.add_argument("--epoch-guard-dir", default=None, help="idempotent-replay marker dir")
+    p.add_argument("--trigger-interval", default="1 second")
+    p.add_argument("--partitioned", action="store_true", help="executor-parallel NSQ reader")
+    p.add_argument("--num-partitions", type=int, default=4)
+    p.add_argument("--cpus", type=int, default=None, help="local[] cores (default: all)")
+    p.add_argument("--version", action="store_true", help="show version and exit")
+    return p
+
+
+def make_client_factory(args: argparse.Namespace):
+    """Pick the PutRecords client: spool dir (filesystem fake) or boto3."""
+    if args.spool_dir:
+        from .streaming.kinesis_sink import SpoolingKinesisClient
+
+        os.makedirs(args.spool_dir, exist_ok=True)
+        spool = args.spool_dir
+        return lambda: SpoolingKinesisClient(spool)
+
+    endpoint = args.kinesis_endpoint
+
+    def boto3_factory():
+        try:
+            import boto3  # optional dependency, absent in this image
+        except ImportError as exc:  # pragma: no cover - env without boto3
+            raise SystemExit(
+                "boto3 is required for a real Kinesis endpoint; "
+                "use --spool-dir for a local run"
+            ) from exc
+        kwargs = {"endpoint_url": endpoint} if endpoint else {}
+        return boto3.client("kinesis", **kwargs)
+
+    return boto3_factory
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    if args.version:
+        print(f"nsq2kinesis_spark {__version__}")
+        return 0
+    if not args.topic or not args.stream:
+        # reference main.go:55-58: both are mandatory
+        print("You must specify a Kinesis stream name and NSQ topic", file=sys.stderr)
+        return 1
+    if not args.checkpoint_dir:
+        print("You must specify --checkpoint-dir (env CHECKPOINT_DIR)", file=sys.stderr)
+        return 1
+
+    from .session import get_spark
+    from .sources.nsq import NsqDataSource
+    from .streaming.kinesis_sink import KinesisSink
+    from .streaming.pipeline import PipelineConfig, build_pipeline
+
+    spark = get_spark(app_name="nsq2kinesis_spark", cpus=args.cpus)
+    spark.dataSource.register(NsqDataSource)
+
+    if args.test and not args.spool_dir:
+        # reference main.go:92-97: test mode pre-creates the stream
+        try:
+            make_client_factory(args)().create_stream(StreamName=args.stream, ShardCount=1)
+        except Exception as exc:  # stream may already exist
+            print(f"stream creation: {exc}", file=sys.stderr)
+
+    reader = (
+        spark.readStream.format("nsq")
+        .option("topic", args.topic)
+        .option("channel", args.channel)
+        .option("nsqd_tcp_address", args.nsqd_tcp_address)
+    )
+    if args.partitioned:
+        reader = reader.option("partitioned", "true").option(
+            "num_partitions", str(args.num_partitions)
+        )
+    source = reader.load()
+
+    sink = KinesisSink(
+        stream=args.stream,
+        client_factory=make_client_factory(args),
+        epoch_guard_dir=args.epoch_guard_dir,
+    )
+    query = build_pipeline(
+        source,
+        sink,
+        PipelineConfig(
+            checkpoint_dir=args.checkpoint_dir,
+            trigger_processing_time=args.trigger_interval,
+        ),
+    )
+
+    # reference main.go:128-140: stop the consumer on signal. The handler
+    # must not talk to the JVM itself — py4j's gateway stream is not
+    # reentrant, and the signal can land mid-call — so it only records the
+    # request; the wait loop below performs the actual stop. query.stop()
+    # halts the trigger loop, and un-FINned in-flight messages redeliver on
+    # the next incarnation (at-least-once preserved).
+    stop_signal: list[int] = []
+    signal.signal(signal.SIGINT, lambda signum, _f: stop_signal.append(signum))
+    signal.signal(signal.SIGTERM, lambda signum, _f: stop_signal.append(signum))
+    print(f"forwarding nsq://{args.nsqd_tcp_address}/{args.topic}#{args.channel} "
+          f"-> kinesis:{args.stream} (checkpoint {args.checkpoint_dir})")
+    while not query.awaitTermination(timeout=1):
+        if stop_signal:
+            print(f"Shutting down on signal {stop_signal[0]}", file=sys.stderr)
+            query.stop()
+            query.awaitTermination()
+            break
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

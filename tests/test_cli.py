@@ -1,0 +1,97 @@
+"""CLI entry-point tests: ``python -m nsq2kinesis_spark`` wires flags/env
+to the full pipeline (reference main.go:23-34, 80-97) and shuts down
+cleanly on SIGTERM (main.go:128-140)."""
+
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+from nsq2kinesis_spark.__main__ import build_arg_parser, main
+
+from .fake_nsqd import FakeNsqd
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_version_and_flag_validation(capsys):
+    assert main(["--version"]) == 0
+    assert "nsq2kinesis_spark" in capsys.readouterr().out
+    # stream + topic are mandatory (reference main.go:55-58)
+    assert main(["--topic", "t"]) == 1
+    assert main(["--stream", "s"]) == 1
+    assert main(["--topic", "t", "--stream", "s"]) == 1  # no checkpoint dir
+
+
+def test_env_fallbacks(monkeypatch):
+    monkeypatch.setenv("TOPIC", "envtopic")
+    monkeypatch.setenv("STREAM", "envstream")
+    monkeypatch.setenv("NSQD_TCP_ADDRESS", "h:1")
+    args = build_arg_parser().parse_args([])
+    assert (args.topic, args.stream, args.nsqd_tcp_address) == (
+        "envtopic",
+        "envstream",
+        "h:1",
+    )
+
+
+def test_cli_end_to_end_sigterm_drain(tmp_path):
+    """Full subprocess e2e: module entry consumes a live fake nsqd into a
+    spool sink, then exits 0 on SIGTERM with every body delivered."""
+    bodies = {f"{i:016d}": f"cli-{i}".encode() for i in range(15)}
+    nsqd = FakeNsqd(list(bodies.items()))
+    nsqd.start()
+    spool = tmp_path / "spool"
+    # log to a file, not a PIPE: nobody drains a pipe while we wait, and a
+    # full pipe buffer would deadlock the JVM mid-shutdown
+    log_path = tmp_path / "cli.log"
+    log_fh = open(log_path, "wb")
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "nsq2kinesis_spark",
+            "--topic", "t",
+            "--channel", "c",
+            "--nsqd-tcp-address", nsqd.addr,
+            "--stream", "s",
+            "--spool-dir", str(spool),
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--trigger-interval", "500 milliseconds",
+            "--cpus", "4",
+        ],
+        cwd=REPO_ROOT,
+        stdout=log_fh,
+        stderr=subprocess.STDOUT,
+    )
+    try:
+        from nsq2kinesis_spark.streaming.kinesis_sink import read_spool
+        from nsq2kinesis_spark.streaming.kpl import deaggregate, is_aggregated
+
+        def spool_bodies() -> set[bytes]:
+            if not spool.exists():
+                return set()
+            got: set[bytes] = set()
+            for _pk, data in read_spool(str(spool)):
+                got.update(
+                    d for _, d in deaggregate(data)
+                ) if is_aggregated(data) else got.add(data)
+            return got
+
+        deadline = time.time() + 120
+        while time.time() < deadline and spool_bodies() != set(bodies.values()):
+            assert proc.poll() is None, log_path.read_text(errors="replace")
+            time.sleep(1)
+        assert spool_bodies() == set(bodies.values())
+
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=60)
+        assert rc == 0, log_path.read_text(errors="replace")
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        log_fh.close()
+        nsqd.stop()
