@@ -84,6 +84,24 @@ _DUCK_EXACT_PAIRS = f"""
 """
 
 
+# One postings build per (session, sf_dir): the df-capped postings are the
+# shared input artifact of the dedup family — a real pipeline materializes
+# them once and the exact (q75) and LSH (q76) passes both read them.
+# Memoization only dedups the DataFrame object; whether its persisted
+# blocks survive across queries is the caller's policy (bench.py clears
+# caches between unrelated queries but declares this artifact shared).
+_POSTINGS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _POSTINGS_MEMO.get(key)
+    if df is None:
+        df = _shingle_postings(spark, sf_dir)
+        _POSTINGS_MEMO[key] = df
+    return df
+
+
 def _shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) postings: distinct word trigrams, df-capped,
     persisted.
@@ -195,7 +213,7 @@ def q75_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (trigram shingles, df-capped
     inverted-index self-join). The exact baseline the approximate variants
     (q76/q78) are graded against."""
-    return _exact_pairs(spark, _shingle_postings(spark, sf_dir))
+    return _exact_pairs(spark, shared_postings(spark, sf_dir))
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
@@ -223,7 +241,7 @@ def q76_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic, so no SQL oracle; tests/test_llm_dedup.py measures recall
     against q75's exact pairs instead).
     """
-    sh = _shingle_postings(spark, sf_dir)
+    sh = shared_postings(spark, sf_dir)
     # Signatures and verification docsets aggregate separately ON PURPOSE:
     # collect_set forces ObjectHashAggregate (object-based, no codegen);
     # merging the 16 min-slots into that same agg drags them off the

@@ -139,11 +139,18 @@ def send_entries(
     entries: list[PackedEntry],
     max_retries: int = 3,
     backoff_s: float = 0.05,
+    whole_call_backoff_s: float = 0.5,
     sleep: Callable[[float], None] = time.sleep,
 ) -> tuple[int, int]:
     """PutRecords with selective per-record retry; returns (n_calls,
     n_retried). Raises RuntimeError when records still fail after retries —
-    Spark then replays the micro-batch (at-least-once)."""
+    Spark then replays the micro-batch (at-least-once).
+
+    Two backoff regimes: partial failures (a few throttled slots) use the
+    short per-slot backoff; a WHOLE call failing means the shard/stream is
+    throttled, so hammering it with the short backoff just burns the retry
+    budget — the whole-call regime waits longer per attempt (the policy
+    the reference left as a TODO, kinesis_writer.go:101-104)."""
     n_calls = 0
     n_retried = 0
     for chunk in _chunk_entries(entries):
@@ -158,6 +165,7 @@ def send_entries(
             n_calls += 1
             if not resp.get("FailedRecordCount"):
                 break
+            whole_call_failed = resp["FailedRecordCount"] >= len(pending)
             # selective retry: only the failed slots resend (reference
             # kinesis_writer.go:114-126 requeues per failed slot)
             pending = [
@@ -170,7 +178,8 @@ def send_entries(
                 raise RuntimeError(
                     f"{len(pending)} records still failing after {max_retries} retries"
                 )
-            sleep(backoff_s * (2**attempt))
+            base = whole_call_backoff_s if whole_call_failed else backoff_s
+            sleep(base * (2**attempt))
     return n_calls, n_retried
 
 

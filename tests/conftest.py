@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import os
+import signal
 import sys
 
 import duckdb
@@ -13,6 +14,36 @@ from nsq2kinesis_spark.tables import TABLE_NAMES
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = "/root/testdata/sf0.01"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "timeout(seconds): fail the test if it runs longer than this"
+    )
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    """Enforce @pytest.mark.timeout without the pytest-timeout plugin
+    (not installed in this image — the marks were silent no-ops): the
+    SIGALRM method, same as pytest-timeout's 'signal' mode. Tests run in
+    the main thread, so the alarm raises a plain failure at whatever
+    point the test is blocked, instead of hanging the whole suite."""
+    marker = item.get_closest_marker("timeout")
+    if marker is None:
+        return (yield)
+    seconds = float(marker.args[0])
+
+    def on_alarm(signum, frame):
+        raise TimeoutError(f"test exceeded {seconds:.0f}s timeout (conftest SIGALRM)")
+
+    old_handler = signal.signal(signal.SIGALRM, on_alarm)
+    signal.setitimer(signal.ITIMER_REAL, seconds)
+    try:
+        return (yield)
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old_handler)
 
 
 @pytest.fixture(scope="session")

@@ -75,6 +75,28 @@ def test_retry_exhaustion_raises():
         send_entries(client, "s", _entries(2), max_retries=2, sleep=lambda _: None)
 
 
+def test_whole_call_failure_backs_off_longer():
+    """Whole-call throttling (every slot failed) waits with the long
+    whole-call backoff; a partial failure keeps the short per-slot one
+    (the policy the reference left as TODO, kinesis_writer.go:101-104)."""
+    slept: list[float] = []
+
+    # call 0: all 3 fail (whole-call); call 1: 1 of 3 fails (partial)
+    client = FakeKinesisClient(fail_plan={0: {0, 1, 2}, 1: {0}})
+    n_calls, n_retried = send_entries(
+        client,
+        "s",
+        _entries(3),
+        backoff_s=0.01,
+        whole_call_backoff_s=1.0,
+        sleep=slept.append,
+    )
+    assert n_calls == 3
+    assert n_retried == 4  # 3 whole-call + 1 partial
+    assert slept == [1.0 * 1, 0.01 * 2]  # long base then short base (×2^attempt)
+    assert len(client.received) == 3
+
+
 # --- batch twin of the forwarding transform ---------------------------------
 
 
