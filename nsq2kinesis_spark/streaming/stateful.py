@@ -91,16 +91,33 @@ MAX_COUNT = 500  # reference kinesis_writer.go:57
 MAX_BYTES = 4_900_000
 
 
-def make_count_size_trigger(max_count: int = MAX_COUNT, max_bytes: int = MAX_BYTES):
+def make_count_size_trigger(
+    max_count: int = MAX_COUNT,
+    max_bytes: int = MAX_BYTES,
+    max_delay_ms: int | None = None,
+):
     """Returns the applyInPandasWithState function for count/size-triggered
     batch sealing: rows accumulate per key; whenever adding a row would
     exceed max_count records or max_bytes bytes, the open batch seals and a
     summary row is emitted (the reference's Add→ErrBatchTooBig→Send cycle,
-    kinesis_writer.go:52-76)."""
+    kinesis_writer.go:52-76). With ``max_delay_ms`` set, an idle key's open
+    batch also seals after that long without new rows — the reference's
+    MaxDelay flush timer (kinesis_writer.go:142-147) — via the state
+    timeout's hasTimedOut branch."""
 
     def trigger_fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # flush-on-idle: seal whatever is open, then drop the state
+            batch_no, n_records, n_bytes = state.get if state.exists else (0, 0, 0)
+            state.remove()
+            if n_records:
+                yield pd.DataFrame(
+                    [(key[0], batch_no, n_records, n_bytes)],
+                    columns=["key", "batch_no", "n_records", "n_bytes"],
+                )
+            return
         batch_no, n_records, n_bytes = state.get if state.exists else (0, 0, 0)
         sealed = []
         for pdf in pdfs:
@@ -113,24 +130,34 @@ def make_count_size_trigger(max_count: int = MAX_COUNT, max_bytes: int = MAX_BYT
                 n_records += 1
                 n_bytes += size
         state.update((batch_no, n_records, n_bytes))
+        if max_delay_ms is not None:
+            state.setTimeoutDuration(max_delay_ms)
         if sealed:
             yield pd.DataFrame(sealed, columns=["key", "batch_no", "n_records", "n_bytes"])
 
     return trigger_fn
 
 
-def count_size_trigger(df, max_count: int = MAX_COUNT, max_bytes: int = MAX_BYTES):
+def count_size_trigger(
+    df,
+    max_count: int = MAX_COUNT,
+    max_bytes: int = MAX_BYTES,
+    max_delay_ms: int | None = None,
+):
     """df must have (key, n_bytes); emits sealed-batch summaries.
 
-    NoTimeout is deliberate: the key space here is the sink-batch routing
-    key (bounded, typically stream/shard names), so state is O(#keys). A
-    deployment with unbounded keys would add a processing-time timeout and
-    seal the open batch in the hasTimedOut branch (flush-on-idle, the
-    reference's MaxDelay timer, kinesis_writer.go:142-147)."""
+    Without ``max_delay_ms``, NoTimeout applies: the key space here is the
+    sink-batch routing key (bounded, typically stream/shard names), so
+    state is O(#keys) and an open batch simply waits for more rows. With
+    ``max_delay_ms``, idle keys flush their open batch after that delay
+    (processing-time timeout), matching the reference's MaxDelay contract —
+    the right mode for unbounded or long-tailed key spaces."""
     return df.groupBy("key").applyInPandasWithState(
-        make_count_size_trigger(max_count, max_bytes),
+        make_count_size_trigger(max_count, max_bytes, max_delay_ms),
         outputStructType=TRIGGER_OUTPUT_SCHEMA,
         stateStructType=TRIGGER_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.NoTimeout
+        if max_delay_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
     )

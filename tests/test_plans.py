@@ -114,6 +114,20 @@ def test_q80_query_side_broadcast(spark):
     assert has_broadcast_join(df)
 
 
+def test_q81_blocks_on_cell_never_cross_joins(spark):
+    """q81's pair generation must be an equi hash join on the IVF cell id
+    (bounded blocks by construction) — never a cross/nested-loop product
+    over the corpus, and the centroid side of the assignment broadcasts."""
+    df = build("q81_cosine_neardup")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the only nested-loop allowed is the broadcast of the tiny centroid set
+    assert has_broadcast_join(df), plan
+    assert plan.count("HashJoin") >= 1 or "SortMergeJoin" in plan, plan
+    # argmax assignment is an aggregate (max_by), not a corpus-wide window
+    assert "Window" not in plan, plan
+
+
 def test_codegen_everywhere(spark):
     # scalar batteries must stay inside whole-stage codegen (no Python)
     for name in ("q40_string_battery", "q42_math_battery", "q45_array_battery"):

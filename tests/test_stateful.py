@@ -137,6 +137,39 @@ def test_count_size_trigger_seals_batches(spark, tmp_path):
     assert sealed[("k2", 1)] == (1, 60)
 
 
+@pytest.mark.timeout(180)
+def test_count_size_trigger_flush_on_idle(spark, tmp_path):
+    """max_delay_ms: an idle key's open (under-threshold) batch seals via
+    the processing-time state timeout — the reference's MaxDelay flush
+    (kinesis_writer.go:142-147). 3 rows of 10 B never reach the 5-record/
+    100-byte seal thresholds, so only the idle flush can emit them."""
+    rows = [("k1", 10)] * 3
+    schema = "key string, n_bytes long"
+    src = tmp_path / "idle_src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = count_size_trigger(stream, max_count=5, max_bytes=100, max_delay_ms=2000)
+    name = f"idle_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        sealed = []
+        while time.time() < deadline and not sealed:
+            time.sleep(1)
+            sealed = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    assert [(r.key, r.batch_no, r.n_records, r.n_bytes) for r in sealed] == [
+        ("k1", 0, 3, 30)
+    ]
+
+
 def test_dedup_on_rocksdb_state_store(spark, tmp_path):
     """Same dedup semantics on the RocksDB state store provider — the
     production configuration for unbounded key spaces (state spills to
