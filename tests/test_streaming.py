@@ -735,7 +735,11 @@ def test_nsq_source_rate_limiting(spark, tmp_path):
     from nsq2kinesis_spark.sources.nsq import NsqDataSource
 
     bodies = {f"{i:016d}": f"rl-{i}".encode() for i in range(20)}
-    nsqd = FakeNsqd(list(bodies.items()))
+    # long msg-timeout: this test feeds the RAW source into a memory sink
+    # (no dedup stage), and rate-limited consumption keeps messages
+    # in-flight across several triggers — a short timeout would redeliver
+    # them as duplicate rows, which is redelivery's test, not this one's
+    nsqd = FakeNsqd(list(bodies.items()), msg_timeout_s=60.0)
     nsqd.start()
     spark.dataSource.register(NsqDataSource)
     src = (
