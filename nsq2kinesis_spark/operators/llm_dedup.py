@@ -427,3 +427,77 @@ def q78_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_T)
         .distinct()
     )
+
+
+# --- Benchmark decontamination ----------------------------------------------
+
+# n-gram length for contamination matching. Production pipelines use 8-13
+# word grams (long enough that a collision implies copied benchmark text);
+# this synthetic corpus shares one vocabulary and its only long shared runs
+# are the planted near-dups, so 4 keeps the check non-vacuous at every SF
+# (8 and 5 both collide to zero matches at sf0.01). The operator shape is
+# identical at any N.
+DECON_N = 4
+# the held-out "benchmark" stand-in: same deterministic subset idiom as the
+# IVF centroids (similarity.py) — reproducible with a realistic size ratio
+DECON_BENCH_STEP = 101
+
+_SPARK_NGRAMS = f"""
+  CASE WHEN size(words) >= {DECON_N} THEN
+    array_distinct(transform(sequence(0, size(words) - {DECON_N}),
+      i -> concat_ws(' ', {", ".join(f"words[i+{k}]" for k in range(DECON_N))})))
+  ELSE CAST(array() AS ARRAY<STRING>) END
+"""
+
+
+@query(
+    "q83_decontamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents
+    ), grams AS (
+      SELECT doc_id, UNNEST(CASE WHEN LEN(words) >= {DECON_N} THEN
+          LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(words) - {DECON_N - 1}),
+            i -> LIST_AGGREGATE(words[i:i+{DECON_N - 1}], 'string_agg', ' ')))
+          ELSE [] END) AS g
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {DECON_BENCH_STEP} = 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+    FROM grams
+    WHERE doc_id % {DECON_BENCH_STEP} <> 0 AND g IN (SELECT g FROM bench)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "decontamination"),
+)
+def q83_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    {DECON_N}-gram with a held-out benchmark set, with the per-doc count of
+    contaminated (distinct) grams.
+
+    The 100 TB shape: benchmark gram sets are tiny relative to the corpus
+    (thousands of eval documents vs billions of training docs), so the
+    distinct benchmark grams BROADCAST and contamination is a map-side
+    semi-join-with-count on the corpus scan — one shuffle (the per-doc
+    count), no corpus self-join anywhere. Grams are xxhash64-packed like
+    the dedup postings; the oracle joins the gram STRINGS, so parity also
+    witnesses no hash collision on the test corpus."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("words"))
+        .select("doc_id", F.explode(F.expr(_SPARK_NGRAMS)).alias("g_str"))
+        .select("doc_id", F.xxhash64("g_str").alias("g"))
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % DECON_BENCH_STEP == 0).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % DECON_BENCH_STEP != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )

@@ -245,3 +245,54 @@ def q79_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(100)
     )
+
+
+# --- Stratified source sampling ---------------------------------------------
+
+# Per-source sampling tiers for training-mix construction: source index
+# mod 4 picks the keep-rate (100/70/40/10 %). A real pipeline reads these
+# from a mix config; a literal policy keeps the operator deterministic.
+SAMPLE_SALT = "sample:"
+
+
+def _sample_rate_sql(col: str) -> str:
+    """keep-rate percent for a source id 'srcNN' (shared SQL, both engines)."""
+    return f"100 - 30 * (CAST(SUBSTR({col}, 4) AS INTEGER) % 4)"
+
+
+@query(
+    "q84_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source, lang,
+           CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('{SAMPLE_SALT}', doc_id)), 1, 8)) AS BIGINT)
+                % 100 AS BIGINT) AS sample_key
+    FROM documents
+    WHERE CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('{SAMPLE_SALT}', doc_id)), 1, 8)) AS BIGINT)
+          % 100 < {_sample_rate_sql("source")}
+    """,
+    tags=("llm", "sampling"),
+)
+def q84_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified source sampling for training-mix construction: each
+    document keeps or drops by a DETERMINISTIC per-doc hash key compared
+    against its source's keep-rate — re-running the pipeline (or running
+    it on different cluster sizes/partitionings) selects the same sample,
+    unlike rand()-based sampling.
+
+    Scale shape: a pure narrow projection + filter on the scan (no
+    shuffle, no sampling state); the rate policy is an expression, so
+    Catalyst folds it and the filter runs inside whole-stage codegen.
+    md5 is the hash here (not xxhash64) for the same oracle-portability
+    reason as the SimHash signatures: DuckDB recomputes the identical
+    key, making the sample value-checkable."""
+    d = t(spark, sf_dir, "documents")
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 100
+    rate = F.expr(_sample_rate_sql("source"))
+    return (
+        d.select("doc_id", "source", "lang", key.alias("sample_key"))
+        .filter(F.col("sample_key") < rate)
+    )

@@ -283,10 +283,10 @@ class NsqInputPartition(InputPartition):
 
 class _ExecutorConsumer:
     """Per-(source, partition) consumer living in an executor Python worker
-    process, persisting across microbatch tasks via _EXECUTOR_CONSUMERS (a
-    process global — Spark reuses worker processes, so in steady state each
-    partition keeps one long-lived connection, like one of the reference's
-    20 concurrent handlers, main.go:122)."""
+    process, persisting across microbatch tasks via the builtins-anchored
+    cache (_executor_consumers below) — Spark reuses worker processes, so
+    in steady state each partition keeps one long-lived connection, like
+    one of the reference's 20 concurrent handlers, main.go:122."""
 
     def __init__(self, addr: str, topic: str, channel: str, rdy: int) -> None:
         self.conn = NsqConnection(addr, topic, channel, rdy=rdy)
