@@ -128,6 +128,27 @@ def test_q81_blocks_on_cell_never_cross_joins(spark):
     assert "Window" not in plan, plan
 
 
+def test_q83_benchmark_grams_broadcast(spark):
+    """Decontamination joins the corpus scan against BROADCAST benchmark
+    grams — the corpus side must never shuffle for the join (only the
+    final per-doc count aggregates)."""
+    df = build("q83_decontamination")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+    assert n_shuffles(df) <= 2, plan  # repartition gate + count agg
+
+
+def test_q84_sample_is_scan_plus_filter(spark):
+    """Stratified sampling is a pure narrow projection + filter: no
+    shuffle, no join, inside whole-stage codegen."""
+    df = build("q84_stratified_sample")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert n_shuffles(df) == 0, plan
+    assert "Join" not in plan, plan
+    assert has_whole_stage_codegen(df), plan
+
+
 def test_codegen_everywhere(spark):
     # scalar batteries must stay inside whole-stage codegen (no Python)
     for name in ("q40_string_battery", "q42_math_battery", "q45_array_battery"):
