@@ -1,0 +1,296 @@
+"""Training-corpus pipeline operators: deterministic splits, sequence
+packing, repetition metrics, and a composite quality gate.
+
+These are the batch stages a pretraining-data pipeline runs after dedup /
+decontamination (llm_dedup.py) and per-doc stats (llm_text.py):
+
+- q85 train/val/test split: a pure function of document identity (salted
+  md5 bucket), so re-runs and backfills land every doc in the same split
+  with zero coordination — and zero shuffle.
+- q86 sequence packing: assign docs to fixed token-budget training
+  sequences by ordered cumulative token count within a bounded shard.
+- q87 repetition metrics: duplicate-word / duplicate-n-gram fractions and
+  top-word share — the C4/RefinedWeb-style boilerplate signals.
+- q88 quality gate: a Gopher-style rule battery emitting per-rule flags
+  plus the final verdict, thresholds in exact integer arithmetic.
+
+Scale notes: q85/q87/q88 are shuffle-free narrow scans (linear,
+partition-local, whole-stage codegen — pinned in tests/test_plans.py).
+q86's only shuffle is its window, partitioned by (source, shard) where the
+shard key bounds partition size by construction — no global sort.
+
+North-star (BASELINE.json): the reference forwards opaque payloads
+(main.go handler loop); this module is part of the corpus-preparation
+surface the mandate adds on top of that transport core.
+
+Portability: every hash that an oracle must reproduce uses the md5 idiom
+(first N hex chars → BIGINT) shared with q77/q84 — DuckDB has no xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table as t
+from .llm_text import STOPWORDS, _count_in
+
+# -- q85: deterministic split ------------------------------------------------
+
+SPLIT_SALT = "split-v1:"  # version the salt: bump → fresh re-split
+SPLIT_BUCKETS = 100
+SPLIT_VAL_LO, SPLIT_TEST_LO = 90, 95  # train <90, val 90-94, test 95-99
+
+
+def _bucket(salt: str, col: F.Column, buckets: int) -> F.Column:
+    """Salted md5 bucket in [0, buckets) — engine-portable (see q84)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8), 16, 10)
+    return h.cast("long") % buckets
+
+
+def _duck_bucket(salt: str, expr: str, buckets: int) -> str:
+    return (
+        f"CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('{salt}', CAST({expr} AS VARCHAR))), 1, 8))"
+        f" AS BIGINT) % {buckets}"
+    )
+
+
+@query(
+    "q85_train_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source, {_duck_bucket(SPLIT_SALT, "doc_id", SPLIT_BUCKETS)} AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(bucket AS INTEGER) AS bucket,
+           CASE WHEN bucket < {SPLIT_VAL_LO} THEN 'train'
+                WHEN bucket < {SPLIT_TEST_LO} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    tags=("llm", "pipeline"),
+)
+def q85_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) by salted hash bucket of
+    doc_id. The split is a pure narrow projection — no shuffle, no state:
+    any worker, any re-run, any backfill assigns the same doc to the same
+    split, which is the property distributed corpus builds actually need
+    (a random() split is neither reproducible nor backfill-stable)."""
+    d = t(spark, sf_dir, "documents")
+    b = _bucket(SPLIT_SALT, F.col("doc_id"), SPLIT_BUCKETS)
+    return d.select(
+        "doc_id",
+        "source",
+        b.cast("int").alias("bucket"),
+        F.when(b < SPLIT_VAL_LO, "train")
+        .when(b < SPLIT_TEST_LO, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# -- q86: sequence packing ---------------------------------------------------
+
+PACK_BUDGET = 256  # tokens per training sequence
+PACK_SHARDS = 8  # packing shards per source: bounds window partition size
+
+
+@query(
+    "q86_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      FROM d
+    )
+    SELECT doc_id, source, shard, n_tokens,
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS seq_offset
+    FROM c
+    """,
+    tags=("llm", "pipeline"),
+)
+def q86_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences: within
+    each (source, shard), documents in doc_id order fill sequences by
+    cumulative token count; a doc starting at running offset c belongs to
+    sequence c // BUDGET at offset c % BUDGET (contiguous fill — docs may
+    straddle a boundary, exactly like token-level packing does).
+
+    100 TB shape: the shard key makes the window partition count
+    |sources| × PACK_SHARDS and each partition's size bounded by
+    construction — there is NO global sort/cumsum (the classic packing
+    scale-trap). All arithmetic is exact integers → bit-identical to the
+    oracle."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return d.select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tokens",
+        F.floor(cum / PACK_BUDGET).cast("long").alias("seq_id"),
+        (cum % PACK_BUDGET).cast("long").alias("seq_offset"),
+    )
+
+
+# -- q87: repetition metrics -------------------------------------------------
+
+REP_N = 3  # n-gram length for the duplicate-gram signal
+
+# all-grams (NOT distinct — duplicates are the signal here, unlike the
+# dedup shingles in llm_dedup.py)
+_REP_GRAMS = f"""
+  CASE WHEN size(words) >= {REP_N} THEN
+    transform(sequence(0, size(words) - {REP_N}),
+      i -> concat_ws(' ', {", ".join(f"words[i+{k}]" for k in range(REP_N))}))
+  ELSE CAST(array() AS ARRAY<STRING>) END
+"""
+
+# top word share via higher-order functions: O(distinct × n) per doc —
+# right for page-sized docs (stays codegen, zero shuffle); for book-length
+# docs switch to array_sort + run-length scan (same narrow shape).
+_TOP_COUNT = "array_max(transform(array_distinct(words), x -> size(filter(words, y -> y = x))))"
+_DUCK_TOP_COUNT = (
+    "LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(words), x -> LEN(LIST_FILTER(words, y -> y = x))))"
+)
+
+
+@query(
+    "q87_repetition",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents
+    ), g AS (
+      SELECT doc_id, words,
+             CASE WHEN LEN(words) >= {REP_N} THEN
+               LIST_TRANSFORM(GENERATE_SERIES(1, LEN(words) - {REP_N - 1}),
+                 i -> LIST_AGGREGATE(words[i:i+{REP_N - 1}], 'string_agg', ' '))
+             ELSE [] END AS grams
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(LEN(words) AS INTEGER) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(words)) AS INTEGER) AS n_distinct,
+           (LEN(words) - LEN(LIST_DISTINCT(words))) * 1.0 / LEN(words) AS dup_word_frac,
+           CASE WHEN LEN(grams) > 0 THEN
+             (LEN(grams) - LEN(LIST_DISTINCT(grams))) * 1.0 / LEN(grams) END AS dup_gram_frac,
+           {_DUCK_TOP_COUNT} * 1.0 / LEN(words) AS top_word_share
+    FROM g
+    """,
+    tags=("llm", "pipeline"),
+)
+def q87_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition metrics: duplicate-word fraction,
+    duplicate {REP_N}-gram fraction, and top-word share — the standard
+    boilerplate/degenerate-text signals (C4's repeated-line filter,
+    RefinedWeb's duplicate-n-gram thresholds) as one shuffle-free scan.
+    Everything is list arithmetic on the words array inside codegen; the
+    only doubles are final divisions of exact ints."""
+    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("words"))
+    g = d.withColumn("grams", F.expr(_REP_GRAMS))
+    n, nd = F.size("words"), F.size(F.array_distinct("words"))
+    ng, ngd = F.size("grams"), F.size(F.array_distinct("grams"))
+    top = F.expr(_TOP_COUNT)
+    return g.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        nd.cast("int").alias("n_distinct"),
+        ((n - nd) * F.lit(1.0) / n).alias("dup_word_frac"),
+        F.when(ng > 0, (ng - ngd) * F.lit(1.0) / ng).alias("dup_gram_frac"),
+        (top * F.lit(1.0) / n).alias("top_word_share"),
+    )
+
+
+# -- q88: composite quality gate ---------------------------------------------
+
+QF_MIN_TOKENS, QF_MAX_TOKENS = 20, 1000
+QF_MIN_MWL, QF_MAX_MWL = 3.0, 5.0  # mean word length band
+QF_MIN_STOPWORDS = 1  # at least one English stopword
+QF_REP_MULT = 10  # top_count * 10 <= n  ⇔  top-word share ≤ 0.1
+QF_TTR_NUM, QF_TTR_DEN = 2, 5  # distinct*5 >= n*2  ⇔  type-token ratio ≥ 0.4
+
+_DUCK_STOP = (
+    "LEN(LIST_FILTER(words, w -> LIST_CONTAINS(["
+    + ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    + "], w)))"
+)
+
+
+@query(
+    "q88_quality_gate",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents
+    ), m AS (
+      SELECT doc_id,
+             LEN(words) AS n,
+             LEN(LIST_DISTINCT(words)) AS nd,
+             LIST_SUM(LIST_TRANSFORM(words, x -> STRLEN(x))) AS sumlen,
+             {_DUCK_STOP} AS stop,
+             {_DUCK_TOP_COUNT} AS top
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(n BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS} AS INTEGER) AS ok_len,
+           CAST(sumlen * 1.0 / n BETWEEN {QF_MIN_MWL} AND {QF_MAX_MWL} AS INTEGER)
+             AS ok_word_len,
+           CAST(stop >= {QF_MIN_STOPWORDS} AS INTEGER) AS ok_stopword,
+           CAST(top * {QF_REP_MULT} <= n AS INTEGER) AS ok_repetition,
+           CAST(nd * {QF_TTR_DEN} >= n * {QF_TTR_NUM} AS INTEGER) AS ok_ttr,
+           CAST((n BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS})
+            AND (sumlen * 1.0 / n BETWEEN {QF_MIN_MWL} AND {QF_MAX_MWL})
+            AND stop >= {QF_MIN_STOPWORDS}
+            AND top * {QF_REP_MULT} <= n
+            AND nd * {QF_TTR_DEN} >= n * {QF_TTR_NUM} AS INTEGER) AS passes
+    FROM m
+    """,
+    tags=("llm", "pipeline"),
+)
+def q88_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule battery: token-count band, mean-word-length
+    band, minimum stopword presence, top-word-share cap, type-token-ratio
+    floor — per-rule flags plus the conjunction, for audit-friendly
+    filtering (keep the flags, filter on `passes`, and you can later ask
+    "which rule rejected how much per source" without a recompute).
+
+    Thresholds are integer (or exact-ratio) comparisons so the verdicts are
+    bit-identical across engines. Flags are INT 0/1, shuffle-free scan."""
+    d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("words"))
+    n, nd = F.size("words"), F.size(F.array_distinct("words"))
+    sumlen = F.aggregate(
+        F.transform("words", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    stop = _count_in(F.col("words"), STOPWORDS["en"])
+    top = F.expr(_TOP_COUNT)
+    mwl = sumlen * F.lit(1.0) / n
+    ok_len = (n >= QF_MIN_TOKENS) & (n <= QF_MAX_TOKENS)
+    ok_wl = (mwl >= QF_MIN_MWL) & (mwl <= QF_MAX_MWL)
+    ok_stop = stop >= QF_MIN_STOPWORDS
+    ok_rep = top * QF_REP_MULT <= n
+    ok_ttr = nd * QF_TTR_DEN >= n * QF_TTR_NUM
+    return d.select(
+        "doc_id",
+        ok_len.cast("int").alias("ok_len"),
+        ok_wl.cast("int").alias("ok_word_len"),
+        ok_stop.cast("int").alias("ok_stopword"),
+        ok_rep.cast("int").alias("ok_repetition"),
+        ok_ttr.cast("int").alias("ok_ttr"),
+        (ok_len & ok_wl & ok_stop & ok_rep & ok_ttr).cast("int").alias("passes"),
+    )

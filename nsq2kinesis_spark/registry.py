@@ -61,6 +61,7 @@ def load_all_modules() -> None:
         aggregates,
         joins,
         llm_dedup,
+        llm_pipeline,
         llm_text,
         relational,
         scalars,
@@ -73,7 +74,7 @@ def load_all_modules() -> None:
 
 # Explicit verification priority: the order external correctness harnesses
 # iterate ``queries()``. Some harnesses budget a fixed prefix (the driver
-# checks the first 50 of these 69), so this list is a documented rotation
+# checks the first 50 of these 73), so this list is a documented rotation
 # schedule, not engine semantics:
 #
 #   1. least-recently-verified queries first — q20-q29 and q40-q46 last got
@@ -134,11 +135,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q17_percentiles",
     # -- remaining prefix: streaming twins + llm dedup --
     "q60_dedup_exact",
-    "q61_tumbling_window",
-    "q62_sliding_window",
     "q63_session_window",
-    "q64_oversize_filter",
-    "q65_partition_key",
     "q66_time_rollup",
     "q75_neardup_jaccard",
     "q76_neardup_minhash_lsh",
@@ -147,11 +144,20 @@ VERIFY_ORDER: tuple[str, ...] = (
     # -- new in round 3: must be in the prefix for first oracle rows --
     "q83_decontamination",
     "q84_stratified_sample",
+    "q85_train_split",
+    "q86_sequence_packing",
+    "q87_repetition",
+    "q88_quality_gate",
     # ---- 50-query prefix boundary (driver budget) ----
-    # -- tail: fresh round-2 rows, code untouched in round 3. q18/q19 were
-    # -- displaced by the two new queries — promote them in round 4.
+    # -- tail: fresh round-2 rows, code untouched in round 3. q18/q19 and
+    # -- q61/q62/q64/q65 were displaced by the six new queries — promote
+    # -- them in round 4.
     "q18_multi_distinct",
     "q19_agg_filter_clause",
+    "q61_tumbling_window",
+    "q62_sliding_window",
+    "q64_oversize_filter",
+    "q65_partition_key",
     "q30_window_rank",
     "q31_window_analytic",
     "q32_window_frames",

@@ -42,11 +42,18 @@ def test_verify_order_is_the_registry_iteration_order():
     stale_head = [f"q{n}" for n in range(20, 30)] + [f"q{n}" for n in range(40, 47)]
     got_head = [n.split("_")[0] for n in names[:17]]
     assert got_head == stale_head, got_head
-    assert len(names) == 69
+    assert len(names) == 73
     # round-3 additions sit inside the driver's 50-entry budget so they get
     # their first oracle rows this round
-    assert "q83_decontamination" in names[:50]
-    assert "q84_stratified_sample" in names[:50]
+    for new in (
+        "q83_decontamination",
+        "q84_stratified_sample",
+        "q85_train_split",
+        "q86_sequence_packing",
+        "q87_repetition",
+        "q88_quality_gate",
+    ):
+        assert new in names[:50], new
 
 
 def test_entry_smoke(spark):

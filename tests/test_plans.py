@@ -149,6 +149,29 @@ def test_q84_sample_is_scan_plus_filter(spark):
     assert has_whole_stage_codegen(df), plan
 
 
+def test_q85_q87_q88_are_narrow_scans(spark):
+    """Split assignment, repetition metrics, and the quality gate are pure
+    per-row functions of the scan — any shuffle or Python stage appearing
+    here is a scale regression."""
+    for name in ("q85_train_split", "q87_repetition", "q88_quality_gate"):
+        df = build(name)(spark, SF_CORRECTNESS)
+        plan = physical_plan(df)
+        assert n_shuffles(df) == 0, (name, plan)
+        assert "Join" not in plan, (name, plan)
+        assert has_whole_stage_codegen(df), (name, plan)
+
+
+def test_q86_packing_single_bounded_window_shuffle(spark):
+    """Sequence packing shuffles exactly once — the (source, shard) window
+    — and must never degenerate to a global sort (a single-partition
+    window over the corpus)."""
+    df = build("q86_sequence_packing")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert n_shuffles(df) == 1, plan
+    assert "hashpartitioning(source" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
 def test_codegen_everywhere(spark):
     # scalar batteries must stay inside whole-stage codegen (no Python)
     for name in ("q40_string_battery", "q42_math_battery", "q45_array_battery"):
