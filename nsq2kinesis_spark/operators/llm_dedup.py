@@ -501,3 +501,105 @@ def q83_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_contaminated"))
     )
+
+
+# -- q89: duplicate-cluster components + canonical selection ------------------
+
+CC_MAX_ITERS = 50  # safety cap; rounds needed = cluster diameter (tiny here)
+
+_DUCK_COMPONENTS = f"""
+    WITH RECURSIVE {_DUCK_SHINGLE_CTES},
+    p AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) c
+      JOIN sizes na ON doc_a = na.doc_id
+      JOIN sizes nb ON doc_b = nb.doc_id
+      WHERE n_common * 1.0 / (na.n + nb.n - n_common) >= {JACCARD_T}
+    ),
+    e AS (
+      SELECT doc_a AS s, doc_b AS d FROM p
+      UNION SELECT doc_b, doc_a FROM p
+    ),
+    reach AS (
+      SELECT DISTINCT s, s AS d FROM e
+      UNION
+      SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s
+    )
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+           CAST(doc_id = component AS INTEGER) AS is_canonical
+    FROM (SELECT s AS doc_id, CAST(MIN(d) AS BIGINT) AS component
+          FROM reach GROUP BY s)
+"""
+
+
+@query("q89_dedup_components", oracle=_DUCK_COMPONENTS, tags=("llm", "dedup", "graph"))
+def q89_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster connected components over the q75 near-dup pair
+    graph, with canonical-representative selection (min doc_id per
+    component) — the stage a dedup pipeline runs after pair generation:
+    near-dup is transitive in effect (A~B, B~C ⇒ keep one of {A,B,C}),
+    so pairs must be closed into components before filtering.
+
+    Algorithm: min-label propagation — every node starts labeled with its
+    own id; each round takes the min of its own and its neighbors' labels;
+    fixpoint in diameter(cluster) rounds. The driver loop only orchestrates
+    (per-round work is joins/aggregations on executors; the convergence
+    probe collects a single exact-decimal sum, never data). Near-dup
+    clusters have tiny diameters, so rounds stay single-digit at any corpus
+    size; for adversarially chained graphs the same loop would switch to
+    alternating star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — noted, not needed for near-dup semantics.
+
+    Output covers every doc that appears in at least one pair (docs with no
+    near-duplicate are trivially canonical singletons and don't need rows).
+    Oracle: DuckDB WITH RECURSIVE transitive closure — same components by
+    construction, so parity also witnesses that propagation converged."""
+    pairs = _exact_pairs(spark, shared_postings(spark, sf_dir)).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    # labels only ever decrease, so the exact sum strictly decreases iff
+    # anything changed (decimal(38,0): overflow-proof at any node count).
+    prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "component")
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("component", F.coalesce("nbr", "component")).alias("component"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("component").agg(F.count("*").cast("long").alias("cluster_size"))
+    return labels.join(sizes, "component").select(
+        "doc_id",
+        F.col("component").cast("long").alias("component"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("component")).cast("int").alias("is_canonical"),
+    )

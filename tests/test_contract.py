@@ -42,7 +42,7 @@ def test_verify_order_is_the_registry_iteration_order():
     stale_head = [f"q{n}" for n in range(20, 30)] + [f"q{n}" for n in range(40, 47)]
     got_head = [n.split("_")[0] for n in names[:17]]
     assert got_head == stale_head, got_head
-    assert len(names) == 73
+    assert len(names) == 74
     # round-3 additions sit inside the driver's 50-entry budget so they get
     # their first oracle rows this round
     for new in (
@@ -52,6 +52,7 @@ def test_verify_order_is_the_registry_iteration_order():
         "q86_sequence_packing",
         "q87_repetition",
         "q88_quality_gate",
+        "q89_dedup_components",
     ):
         assert new in names[:50], new
 
