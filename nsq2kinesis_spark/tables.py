@@ -44,13 +44,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     pin_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as int64 nanos (see session.pin_session_conf):
-        # integer-truncate to microseconds (floor div — ns values overflow
-        # double, so never divide in floating point).
-        from pyspark.sql import functions as F
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as int64 nanos (see session.pin_session_conf):
+            # integer-truncate to microseconds (floor div — ns values overflow
+            # double, so never divide in floating point).
+            from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+            )
+        elif ts_type == "timestamp_ntz":
+            # Parquet logical TIMESTAMP(isAdjustedToUTC=false) loads as
+            # TIMESTAMP_NTZ. Batch F.window accepts NTZ but streaming
+            # withWatermark raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE, so
+            # normalize to TIMESTAMP here. Session TZ is pinned UTC
+            # (session.pin_session_conf), making the cast value-identical —
+            # oracle parity is unaffected.
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
