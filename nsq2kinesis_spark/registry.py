@@ -77,14 +77,16 @@ def load_all_modules() -> None:
 # checks the first 50 of these 74), so this list is a documented rotation
 # schedule, not engine semantics:
 #
-#   1. least-recently-verified queries first — q20-q29 and q40-q46 last got
-#      fresh oracle rows in round 1 (they fell outside round 2's prefix);
-#   2. then queries whose implementation changed this round (similarity:
-#      q81 re-keyed to centroid-cell blocking in round 3, plus its module
-#      peers q80/q82);
-#   3. then the remaining surface; the tail holds queries with the freshest
-#      green rows AND untouched code this round (windows, udfs, llm_text —
-#      all fresh-green in round 2, unchanged in round 3).
+#   1. least-recently-verified queries first — the 24 queries whose last
+#      fresh oracle row is from round 2 (q18/q19, q30-q35, q50-q54,
+#      q61/q62/q64/q65, q70-q74, q76, q79) lead the round-4 order;
+#   2. then queries whose implementation changed this round: q86 (shard
+#      count parameterized) and every events-table consumer (the loader now
+#      casts TIMESTAMP_NTZ ts -> TIMESTAMP: q28/q60/q63/q66/q84);
+#   3. then the rest of the prefix (relational/aggregate core + the dedup
+#      family under active bench work); the tail holds the freshest-verified
+#      untouched blocks (joins and scalars fresh-green in round 3, the
+#      round-3 llm-pipeline additions, similarity).
 #
 # Rotation rule for future rounds: no query may go two consecutive rounds
 # without a fresh row — promote anything whose last fresh row is two rounds
@@ -92,30 +94,45 @@ def load_all_modules() -> None:
 # tail. tests/test_contract.py asserts this list is a permutation of the
 # registry and that the stale-rotation prefix holds.
 VERIFY_ORDER: tuple[str, ...] = (
-    # -- stale since round 1: joins --
-    "q20_join_inner_broadcast",
-    "q21_join_shuffle_3way",
-    "q22_join_left_outer",
-    "q23_join_right_outer",
-    "q24_join_full_outer",
-    "q25_join_semi",
-    "q26_join_anti",
-    "q27_join_theta",
+    # -- stale since round 2: aggregates --
+    "q18_multi_distinct",
+    "q19_agg_filter_clause",
+    # -- stale since round 2: windows --
+    "q30_window_rank",
+    "q31_window_analytic",
+    "q32_window_frames",
+    "q33_topk_per_group",
+    "q34_window_distribution",
+    "q35_window_range_frame",
+    # -- stale since round 2: UDF surface --
+    "q50_pandas_udf_tokenize",
+    "q51_apply_in_pandas_median",
+    "q52_udtf_bigrams",
+    "q53_python_udf_crc",
+    "q54_multimodal_decode",
+    # -- stale since round 2: streaming twins --
+    "q61_tumbling_window",
+    "q62_sliding_window",
+    "q64_oversize_filter",
+    "q65_partition_key",
+    # -- stale since round 2: text analysis --
+    "q70_text_stats",
+    "q71_lang_id",
+    "q72_fingerprint",
+    "q73_token_count_bpe",
+    "q74_multimodal_meta",
+    "q79_vocab_topk",
+    # -- stale since round 2: minhash (rows-only; recall gate in tests) --
+    "q76_neardup_minhash_lsh",
+    # -- code changed in round 4: q86 shard-count knob; events loader cast
+    # -- (TIMESTAMP_NTZ -> TIMESTAMP) touches every events consumer --
+    "q86_sequence_packing",
     "q28_join_asof",
-    "q29_exists_subquery",
-    # -- stale since round 1: scalar batteries --
-    "q40_string_battery",
-    "q41_date_battery",
-    "q42_math_battery",
-    "q43_conditional_battery",
-    "q44_json_battery",
-    "q45_array_battery",
-    "q46_hash_battery",
-    # -- code changed in round 3: similarity (q81 re-key) --
-    "q80_cosine_topk",
-    "q81_cosine_neardup",
-    "q82_ann_ivf",
-    # -- remaining prefix: relational + aggregates --
+    "q60_dedup_exact",
+    "q63_session_window",
+    "q66_time_rollup",
+    "q84_stratified_sample",
+    # -- remaining prefix: relational + aggregates core --
     "q01_pricing_summary",
     "q02_project_compute",
     "q03_filter_battery",
@@ -133,50 +150,37 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q15_pivot",
     "q16_approx_distinct",
     "q17_percentiles",
-    # -- remaining prefix: streaming twins + llm dedup --
-    "q60_dedup_exact",
-    "q63_session_window",
-    "q66_time_rollup",
+    # -- remaining prefix: dedup family under active bench work (q78
+    # -- regression investigation this round) --
     "q75_neardup_jaccard",
     "q77_simhash",
     "q78_simhash_pairs",
-    # -- new in round 3: must be in the prefix for first oracle rows --
-    "q89_dedup_components",
+    # ---- 50-query prefix boundary (driver budget) ----
+    # -- tail: fresh round-3 rows, code untouched in round 4 --
+    "q20_join_inner_broadcast",
+    "q21_join_shuffle_3way",
+    "q22_join_left_outer",
+    "q23_join_right_outer",
+    "q24_join_full_outer",
+    "q25_join_semi",
+    "q26_join_anti",
+    "q27_join_theta",
+    "q29_exists_subquery",
+    "q40_string_battery",
+    "q41_date_battery",
+    "q42_math_battery",
+    "q43_conditional_battery",
+    "q44_json_battery",
+    "q45_array_battery",
+    "q46_hash_battery",
+    "q80_cosine_topk",
+    "q81_cosine_neardup",
+    "q82_ann_ivf",
     "q83_decontamination",
-    "q84_stratified_sample",
     "q85_train_split",
-    "q86_sequence_packing",
     "q87_repetition",
     "q88_quality_gate",
-    # ---- 50-query prefix boundary (driver budget) ----
-    # -- tail: fresh round-2 rows, code untouched in round 3. q18/q19,
-    # -- q61/q62/q64/q65, and q76 (rows-only; its recall gate runs in
-    # -- tests regardless) were displaced by the seven new queries —
-    # -- promote them in round 4.
-    "q18_multi_distinct",
-    "q19_agg_filter_clause",
-    "q76_neardup_minhash_lsh",
-    "q61_tumbling_window",
-    "q62_sliding_window",
-    "q64_oversize_filter",
-    "q65_partition_key",
-    "q30_window_rank",
-    "q31_window_analytic",
-    "q32_window_frames",
-    "q33_topk_per_group",
-    "q34_window_distribution",
-    "q35_window_range_frame",
-    "q50_pandas_udf_tokenize",
-    "q51_apply_in_pandas_median",
-    "q52_udtf_bigrams",
-    "q53_python_udf_crc",
-    "q54_multimodal_decode",
-    "q70_text_stats",
-    "q71_lang_id",
-    "q72_fingerprint",
-    "q73_token_count_bpe",
-    "q74_multimodal_meta",
-    "q79_vocab_topk",
+    "q89_dedup_components",
 )
 
 

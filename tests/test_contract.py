@@ -31,30 +31,36 @@ def test_contract_shapes():
 def test_verify_order_is_the_registry_iteration_order():
     """VERIFY_ORDER is the single source of truth for the order external
     harnesses iterate queries(): it must be a permutation of the registry,
-    and the round-3 rotation must hold — the 17 queries whose last fresh
-    correctness row is from round 1 (q20-q29 joins, q40-q46 scalars) lead,
-    so a harness that budgets a 50-query prefix re-verifies them."""
+    and the round-4 rotation must hold — the 24 queries whose last fresh
+    correctness row is from round 2 lead, so a harness that budgets a
+    50-query prefix re-verifies them before anything fresher."""
     from nsq2kinesis_spark.registry import VERIFY_ORDER, all_queries
 
     names = list(all_queries())
     assert names == list(VERIFY_ORDER), "queries() must iterate in VERIFY_ORDER"
     assert len(set(VERIFY_ORDER)) == len(VERIFY_ORDER), "duplicates in VERIFY_ORDER"
-    stale_head = [f"q{n}" for n in range(20, 30)] + [f"q{n}" for n in range(40, 47)]
-    got_head = [n.split("_")[0] for n in names[:17]]
-    assert got_head == stale_head, got_head
+    stale_r2 = (
+        ["q18", "q19"]
+        + [f"q{n}" for n in range(30, 36)]
+        + [f"q{n}" for n in range(50, 55)]
+        + ["q61", "q62", "q64", "q65"]
+        + [f"q{n}" for n in range(70, 75)]
+        + ["q76", "q79"]
+    )
+    got_head = [n.split("_")[0] for n in names[: len(stale_r2)]]
+    assert sorted(got_head) == sorted(stale_r2), got_head
     assert len(names) == 74
-    # round-3 additions sit inside the driver's 50-entry budget so they get
-    # their first oracle rows this round
-    for new in (
-        "q83_decontamination",
+    # queries whose code (or loader path) changed in round 4 also sit inside
+    # the driver's 50-entry budget for fresh rows
+    for changed in (
+        "q86_sequence_packing",  # shard-count knob
+        "q28_join_asof",  # events loader NTZ cast
+        "q60_dedup_exact",
+        "q63_session_window",
+        "q66_time_rollup",
         "q84_stratified_sample",
-        "q85_train_split",
-        "q86_sequence_packing",
-        "q87_repetition",
-        "q88_quality_gate",
-        "q89_dedup_components",
     ):
-        assert new in names[:50], new
+        assert changed in names[:50], changed
 
 
 def test_entry_smoke(spark):
