@@ -107,6 +107,7 @@ def main(argv: list[str] | None = None) -> int:
         print("You must specify --checkpoint-dir (env CHECKPOINT_DIR)", file=sys.stderr)
         return 1
 
+    from .observability import attach_metrics_listener, log_event
     from .session import get_spark
     from .sources.nsq import NsqDataSource
     from .streaming.kinesis_sink import KinesisSink
@@ -114,6 +115,18 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="nsq2kinesis_spark", cpus=args.cpus)
     spark.dataSource.register(NsqDataSource)
+    # per-micro-batch structured progress events (rates, forward counters,
+    # watermark drops) — the reference's zerolog operational surface
+    attach_metrics_listener(spark)
+    log_event(
+        "cli",
+        "starting",
+        topic=args.topic,
+        channel=args.channel,
+        nsqd=args.nsqd_tcp_address,
+        stream=args.stream,
+        partitioned=args.partitioned,
+    )
 
     if args.test and not args.spool_dir:
         # reference main.go:92-97: test mode pre-creates the stream

@@ -61,11 +61,76 @@ from pyspark.sql.types import (
 # no PYTHONPATH/--py-files coupling for the source.
 import sys as _sys
 
+from .. import observability as _obs
+
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+_cloudpickle.register_pickle_by_value(_obs)
 
 FRAME_TYPE_RESPONSE = 0
 FRAME_TYPE_ERROR = 1
 FRAME_TYPE_MESSAGE = 2
+
+# Requeue policy (reference main.go:66-67: DefaultRequeueDelay = 1 s with a
+# jittered backoff; go-nsq's MaxAttempts default of 5 for the dead-letter
+# cap). Overridable per source via options of the same names.
+DEFAULT_REQUEUE_BASE_MS = 1000
+DEFAULT_REQUEUE_MAX_MS = 60_000
+DEFAULT_MAX_ATTEMPTS = 5
+
+
+def requeue_delay_ms(
+    msg_id: str,
+    attempts: int,
+    base_ms: int = DEFAULT_REQUEUE_BASE_MS,
+    max_ms: int = DEFAULT_REQUEUE_MAX_MS,
+) -> int:
+    """Exponential backoff with half-jitter: delay ∈ [exp/2, exp) where
+    exp = min(base · 2^(attempts−1), max).
+
+    A persistently failing batch (poison message, sink outage) must not
+    hot-loop REQ → instant redelivery → fail; the delay grows with the
+    server-reported delivery ``attempts``. Jitter decorrelates the retry
+    times of messages that failed together (same motive as full-jitter
+    backoff, but keeping a ≥exp/2 floor so the first retry is never
+    near-immediate). The jitter fraction is derived from
+    crc32(msg_id:attempts) rather than a PRNG: uniform enough across ids,
+    and deterministic so retry schedules are reproducible under test."""
+    import zlib
+
+    shift = min(max(attempts - 1, 0), 20)
+    exp = min(base_ms << shift, max_ms)
+    half = exp // 2
+    frac = (zlib.crc32(f"{msg_id}:{attempts}".encode()) & 0xFFFFFFFF) / 2**32
+    return half + int((exp - half) * frac)
+
+
+def requeue_failed(
+    conn: "NsqConnection",
+    failed: list[tuple[str, int]],
+    base_ms: int,
+    max_ms: int,
+    max_attempts: int,
+) -> int:
+    """REQ each failed (msg_id, attempts) with backoff; messages at the
+    attempts cap are dead-lettered instead — FINed (removed from the
+    queue) and logged as a structured ``dead_letter`` event, the go-nsq
+    MaxAttempts → LogFailedMessage → FIN contract. Returns the number
+    dead-lettered. A poison message therefore makes exactly
+    ``max_attempts`` delivery attempts, each spaced further apart, then
+    leaves the queue without blocking the healthy stream."""
+    n_dead = 0
+    for msg_id, attempts in failed:
+        if attempts >= max_attempts:
+            conn.finish(msg_id)
+            n_dead += 1
+            _obs.log_event(
+                "nsq_source", "dead_letter", msg_id=msg_id, attempts=attempts
+            )
+        else:
+            conn.requeue(
+                msg_id, delay_ms=requeue_delay_ms(msg_id, attempts, base_ms, max_ms)
+            )
+    return n_dead
 
 MESSAGE_SCHEMA = StructType(
     [
@@ -210,8 +275,14 @@ class NsqStreamReader(SimpleDataSourceStreamReader):
         self.channel = options.get("channel", "spark")
         self.batch_size = int(options.get("max_records_per_trigger", "1000"))
         self.poll_wait_s = float(options.get("poll_wait_s", "0.5"))
+        self.requeue_base_ms = int(options.get("requeue_base_ms", DEFAULT_REQUEUE_BASE_MS))
+        self.requeue_max_ms = int(options.get("requeue_max_ms", DEFAULT_REQUEUE_MAX_MS))
+        self.max_attempts = int(options.get("max_attempts", DEFAULT_MAX_ATTEMPTS))
+        self.dead_lettered = 0
         self._conn: NsqConnection | None = None
-        self._pending: dict[int, list[str]] = {}  # seq → msg ids awaiting FIN
+        # seq → [(msg_id, attempts)] awaiting FIN (attempts kept for the
+        # requeue-backoff / dead-letter decision on batch failure)
+        self._pending: dict[int, list[tuple[str, int]]] = {}
 
     def _connection(self) -> NsqConnection:
         if self._conn is None:
@@ -226,19 +297,26 @@ class NsqStreamReader(SimpleDataSourceStreamReader):
         seq = start["seq"]
         if seq in self._pending:
             # Re-reading a seq whose previous attempt never committed (the
-            # batch failed downstream): REQ that attempt's messages for
-            # immediate redelivery instead of letting them wait out the
-            # server msg-timeout (reference kinesis_writer.go:114-126).
-            for msg_id in self._pending.pop(seq):
-                conn.requeue(msg_id, delay_ms=0)
+            # batch failed downstream): REQ that attempt's messages with
+            # attempts-scaled backoff — immediate enough not to wait out
+            # the server msg-timeout, delayed enough not to hot-loop on a
+            # poison message; past the attempts cap they dead-letter
+            # (reference kinesis_writer.go:114-126 + main.go:66-67).
+            self.dead_lettered += requeue_failed(
+                conn,
+                self._pending.pop(seq),
+                self.requeue_base_ms,
+                self.requeue_max_ms,
+                self.max_attempts,
+            )
         # Batches polled but not yet committed are still being processed —
         # TOUCH resets their msg-timeout so a slow sink doesn't trigger
         # spurious redelivery mid-flight (reference main.go:65-67).
         for ids in self._pending.values():
-            for msg_id in ids:
+            for msg_id, _attempts in ids:
                 conn.touch(msg_id)
         msgs = conn.poll(self.batch_size, self.poll_wait_s)
-        self._pending[seq] = [m[0] for m in msgs]
+        self._pending[seq] = [(m[0], m[3]) for m in msgs]
         rows = [(m[0], m[1], m[2], m[3], None) for m in msgs]
         return iter(rows), {"seq": seq + 1}
 
@@ -265,7 +343,7 @@ class NsqStreamReader(SimpleDataSourceStreamReader):
             return
         conn = self._connection()
         for seq in to_fin:
-            for msg_id in self._pending.pop(seq):
+            for msg_id, _attempts in self._pending.pop(seq):
                 conn.finish(msg_id)
 
 
@@ -290,7 +368,9 @@ class _ExecutorConsumer:
 
     def __init__(self, addr: str, topic: str, channel: str, rdy: int) -> None:
         self.conn = NsqConnection(addr, topic, channel, rdy=rdy)
-        self.pending: dict[int, list[str]] = {}  # batch_seq -> msg ids
+        # batch_seq -> [(msg_id, attempts)]
+        self.pending: dict[int, list[tuple[str, int]]] = {}
+        self.dead_lettered = 0
 
 
 def _executor_consumers() -> dict[tuple, _ExecutorConsumer]:
@@ -338,6 +418,20 @@ class NsqPartitionedStreamReader(DataSourceStreamReader):
         self.num_partitions = int(options.get("num_partitions", "4"))
         self.batch_size = int(options.get("max_records_per_trigger", "1000"))
         self.poll_wait_s = float(options.get("poll_wait_s", "0.5"))
+        self.requeue_base_ms = int(options.get("requeue_base_ms", DEFAULT_REQUEUE_BASE_MS))
+        self.requeue_max_ms = int(options.get("requeue_max_ms", DEFAULT_REQUEUE_MAX_MS))
+        self.max_attempts = int(options.get("max_attempts", DEFAULT_MAX_ATTEMPTS))
+        # Namespaces the executor-side consumer cache. Default "" shares
+        # consumers per (addr, topic, channel, pid) ACROSS query restarts —
+        # that is what lets a restart replaying a batch into a still-alive
+        # worker find its pending map and REQ the failed attempt instead of
+        # waiting out msg-timeout. Two CONCURRENT queries on the same
+        # topic+channel in one app (a degenerate config — they'd split the
+        # stream anyway) must set distinct ids to keep their pending-FIN
+        # maps disjoint; there is no Spark-provided stable query id visible
+        # to a Python DataSource, so this is an explicit option rather than
+        # an inferred one.
+        self.instance_id = options.get("consumer_instance_id", "")
         self._seq = 0
         self._committed = 0
 
@@ -370,7 +464,7 @@ class NsqPartitionedStreamReader(DataSourceStreamReader):
 
     def read(self, partition: NsqInputPartition):
         consumers = _executor_consumers()
-        key = (self.addr, self.topic, self.channel, partition.pid)
+        key = (self.addr, self.topic, self.channel, self.instance_id, partition.pid)
         consumer = consumers.get(key)
         if consumer is None:
             consumer = _ExecutorConsumer(
@@ -380,20 +474,26 @@ class NsqPartitionedStreamReader(DataSourceStreamReader):
         try:
             # ack batches the driver has committed (deferred FIN)
             for seq in sorted(s for s in consumer.pending if s < partition.committed_seq):
-                for msg_id in consumer.pending.pop(seq):
+                for msg_id, _attempts in consumer.pending.pop(seq):
                     consumer.conn.finish(msg_id)
             if partition.batch_seq in consumer.pending:
                 # This batch seq ran before on this consumer and never
                 # committed (task retry, or a crash-restart replaying the
                 # batch into a still-alive worker): REQ the failed
-                # attempt's messages so they redeliver immediately rather
-                # than after msg-timeout (reference kinesis_writer.go:
-                # 114-126 failed-slot requeue).
-                for msg_id in consumer.pending.pop(partition.batch_seq):
-                    consumer.conn.requeue(msg_id, delay_ms=0)
+                # attempt's messages with attempts-scaled backoff — sooner
+                # than msg-timeout, but never a hot loop; past the cap
+                # they dead-letter (reference kinesis_writer.go:114-126 +
+                # main.go:66-67).
+                consumer.dead_lettered += requeue_failed(
+                    consumer.conn,
+                    consumer.pending.pop(partition.batch_seq),
+                    self.requeue_base_ms,
+                    self.requeue_max_ms,
+                    self.max_attempts,
+                )
             # keep not-yet-committed batches alive while the sink works
             for ids in consumer.pending.values():
-                for msg_id in ids:
+                for msg_id, _attempts in ids:
                     consumer.conn.touch(msg_id)
             msgs = consumer.conn.poll(partition.rdy, self.poll_wait_s)
         except (ConnectionError, OSError):
@@ -405,14 +505,17 @@ class NsqPartitionedStreamReader(DataSourceStreamReader):
             except OSError:
                 pass
             return iter([])
-        consumer.pending[partition.batch_seq] = [m[0] for m in msgs]
+        consumer.pending[partition.batch_seq] = [(m[0], m[3]) for m in msgs]
         return iter([(m[0], m[1], m[2], m[3], None) for m in msgs])
 
 
 class NsqDataSource(DataSource):
     """``spark.readStream.format("nsq")`` — options: topic, channel,
-    nsqd_tcp_address, max_records_per_trigger, poll_wait_s, and
-    partitioned=true (+ num_partitions) for the executor-parallel reader."""
+    nsqd_tcp_address, max_records_per_trigger, poll_wait_s, requeue_base_ms
+    / requeue_max_ms / max_attempts (failed-batch backoff + dead-letter
+    policy), partitioned=true (+ num_partitions) for the executor-parallel
+    reader, and consumer_instance_id to namespace the executor consumer
+    cache when several partitioned queries share one topic+channel."""
 
     @classmethod
     def name(cls) -> str:

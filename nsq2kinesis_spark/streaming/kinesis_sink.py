@@ -308,14 +308,28 @@ class KinesisSink:
             .sum()
             .collect()[0]
         )
-        self.metrics.append(
-            SinkMetrics(
-                n_input=stats[0] or 0,
-                n_oversize_dropped=stats[1] or 0,
-                n_entries=stats[2] or 0,
-                n_calls=stats[3] or 0,
-                n_retried=stats[4] or 0,
-            )
+        batch_metrics = SinkMetrics(
+            n_input=stats[0] or 0,
+            n_oversize_dropped=stats[1] or 0,
+            n_entries=stats[2] or 0,
+            n_calls=stats[3] or 0,
+            n_retried=stats[4] or 0,
+        )
+        self.metrics.append(batch_metrics)
+        # structured per-batch delivery event (reference kinesis_writer.go:
+        # 98-112 logs sends/drops/retries the same way)
+        from ..observability import log_event
+
+        log_event(
+            "kinesis_sink",
+            "batch_delivered",
+            stream=self.stream,
+            epoch_id=epoch_id,
+            n_input=batch_metrics.n_input,
+            n_oversize_dropped=batch_metrics.n_oversize_dropped,
+            n_entries=batch_metrics.n_entries,
+            n_calls=batch_metrics.n_calls,
+            n_retried=batch_metrics.n_retried,
         )
         if marker is not None:
             # written only after every chunk delivered — a crash before this

@@ -619,9 +619,11 @@ def test_partitioned_source_parallel_consumption(spark, tmp_path):
 
 def test_failed_batch_requeues_immediately_not_after_timeout():
     """Replaying an uncommitted batch seq REQs the failed attempt's
-    messages for immediate redelivery; without REQ they'd only come back
-    after the server msg-timeout (set to 60 s here, far beyond the test's
-    own runtime, so a pass proves REQ — not timeout — recovered them).
+    messages for redelivery; without REQ they'd only come back after the
+    server msg-timeout (set to 60 s here, far beyond the test's own
+    runtime, so a pass proves REQ — not timeout — recovered them).
+    ``requeue_base_ms=0`` pins the backoff to zero so redelivery is
+    immediate; the default backoff policy has its own test below.
     Covers both reader tiers (reference kinesis_writer.go:114-126)."""
     from nsq2kinesis_spark.sources.nsq import (
         NsqInputPartition,
@@ -636,7 +638,8 @@ def test_failed_batch_requeues_immediately_not_after_timeout():
     nsqd.start()
     try:
         reader = NsqStreamReader(
-            {"topic": "t", "channel": "c", "nsqd_tcp_address": nsqd.addr, "poll_wait_s": "0.5"}
+            {"topic": "t", "channel": "c", "nsqd_tcp_address": nsqd.addr,
+             "poll_wait_s": "0.5", "requeue_base_ms": "0"}
         )
         first = list(NsqStreamReader.read(reader, {"seq": 0})[0])
         assert len(first) == len(bodies)
@@ -656,7 +659,7 @@ def test_failed_batch_requeues_immediately_not_after_timeout():
     try:
         reader2 = NsqPartitionedStreamReader(
             {"topic": "t", "channel": "c", "nsqd_tcp_address": nsqd2.addr,
-             "poll_wait_s": "0.5", "num_partitions": "1"}
+             "poll_wait_s": "0.5", "num_partitions": "1", "requeue_base_ms": "0"}
         )
         part = NsqInputPartition(pid=0, batch_seq=1, committed_seq=1, rdy=100)
         first = list(reader2.read(part))
@@ -673,6 +676,178 @@ def test_failed_batch_requeues_immediately_not_after_timeout():
 
         getattr(builtins, "_nsq2kinesis_executor_consumers", {}).clear()
         nsqd2.stop()
+
+
+def test_requeue_delay_backoff_shape():
+    """delay ∈ [exp/2, exp) with exp = min(base·2^(attempts−1), cap);
+    deterministic per (msg_id, attempts); capped; never negative."""
+    from nsq2kinesis_spark.sources.nsq import requeue_delay_ms
+
+    for attempts, exp in [(1, 1000), (2, 2000), (3, 4000), (6, 32000)]:
+        d = requeue_delay_ms("m" * 16, attempts, base_ms=1000, max_ms=60_000)
+        assert exp // 2 <= d < exp, (attempts, d)
+    # cap: huge attempts values (uint16 range) must not overflow or exceed max
+    d = requeue_delay_ms("m" * 16, 60_000, base_ms=1000, max_ms=60_000)
+    assert 30_000 <= d < 60_000
+    # deterministic
+    assert requeue_delay_ms("a", 3) == requeue_delay_ms("a", 3)
+    # zero base → zero delay (the "immediate" config used by the test above)
+    assert requeue_delay_ms("a", 5, base_ms=0) == 0
+
+
+def test_poison_message_backs_off_and_dead_letters():
+    """A batch that keeps failing REQs its messages with growing delay and,
+    at the attempts cap, dead-letters them (FIN + structured log) instead
+    of hot-looping (reference main.go:66-67 DefaultRequeueDelay + go-nsq
+    MaxAttempts semantics). Exercised on the simple reader; the
+    partitioned tier shares requeue_failed()."""
+    from nsq2kinesis_spark.sources.nsq import NsqStreamReader, requeue_delay_ms
+
+    nsqd = FakeNsqd([("poison-msg-00001", b"bad")], msg_timeout_s=60.0)
+    nsqd.start()
+    try:
+        reader = NsqStreamReader(
+            {"topic": "t", "channel": "c", "nsqd_tcp_address": nsqd.addr,
+             "poll_wait_s": "0.2", "requeue_base_ms": "600",
+             "requeue_max_ms": "5000", "max_attempts": "3"}
+        )
+        # attempt 1 delivered
+        rows, _ = NsqStreamReader.read(reader, {"seq": 0})
+        first = list(rows)
+        assert len(first) == 1 and first[0][3] == 1  # attempts == 1
+        # batch "fails" → replay REQs with backoff(attempts=1) ∈ [300, 600) ms
+        t_req = time.time()
+        rows, _ = NsqStreamReader.read(reader, {"seq": 0})
+        assert list(rows) == []  # deferred: not redelivered within 0.2 s poll
+        # wait out the deferral; attempt 2 arrives
+        redelivered = []
+        deadline = time.time() + 5
+        seq = 1
+        while not redelivered and time.time() < deadline:
+            rows, _ = NsqStreamReader.read(reader, {"seq": seq})
+            redelivered = list(rows)
+            seq += 1
+        assert redelivered and redelivered[0][3] == 2
+        delay1 = requeue_delay_ms("poison-msg-00001", 1, 600, 5000)
+        assert time.time() - t_req >= delay1 / 1000.0
+        # fail again → backoff(2); wait for attempt 3
+        failed_seq = seq - 1
+        rows, _ = NsqStreamReader.read(reader, {"seq": failed_seq})
+        assert list(rows) == []
+        redelivered = []
+        deadline = time.time() + 5
+        while not redelivered and time.time() < deadline:
+            rows, _ = NsqStreamReader.read(reader, {"seq": seq})
+            redelivered = list(rows)
+            seq += 1
+        assert redelivered and redelivered[0][3] == 3
+        # attempts == max_attempts: the next failure dead-letters (FIN, no REQ)
+        failed_seq = seq - 1
+        rows, _ = NsqStreamReader.read(reader, {"seq": failed_seq})
+        assert list(rows) == []
+        assert reader.dead_lettered == 1
+        assert nsqd.requeued == ["poison-msg-00001", "poison-msg-00001"]
+        assert nsqd.finished == ["poison-msg-00001"]
+        # the queue is genuinely drained — nothing redelivers afterwards
+        time.sleep(0.5)
+        rows, _ = NsqStreamReader.read(reader, {"seq": seq})
+        assert list(rows) == []
+    finally:
+        nsqd.stop()
+
+
+@pytest.mark.timeout(120)
+def test_metrics_listener_exports_progress(spark, tmp_path):
+    """MetricsQueryListener turns every StreamingQueryProgress into one
+    structured event carrying the forward-path observe counters — the
+    engine's zerolog-equivalent operational surface (reference
+    main.go:46-52)."""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.observability import attach_metrics_listener
+    from nsq2kinesis_spark.streaming.pipeline import (
+        dedup_transform,
+        with_forward_metrics,
+    )
+
+    src_dir = tmp_path / "msgs"
+    rows = [(f"m{i}", f"payload-{i}".encode(), f"2024-01-01 00:00:{i:02d}") for i in range(10)]
+    spark.createDataFrame(rows, "message_id string, body binary, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.parquet(str(src_dir))
+
+    listener = attach_metrics_listener(spark)
+    try:
+        schema = "message_id string, body binary, ts timestamp"
+        stream = with_forward_metrics(
+            dedup_transform(
+                spark.readStream.schema(schema).parquet(str(src_dir)), streaming=True
+            )
+        )
+        name = f"obs_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        # listener callbacks are async — wait for the progress event
+        deadline = time.time() + 20
+        while listener.n_progress_events == 0 and time.time() < deadline:
+            time.sleep(0.2)
+        assert listener.n_progress_events > 0
+        progress = listener.last_progress
+        assert progress is not None
+        assert progress["forward_records"] == 10
+        assert progress["forward_body_bytes"] == sum(len(b) for _, b, _ in rows)
+        assert "state_rows" in progress  # dedup state surfaced
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_concurrent_partitioned_readers_have_disjoint_consumers():
+    """Two partitioned readers on the same topic+channel with distinct
+    consumer_instance_id values must not share an executor consumer —
+    their pending-FIN maps stay disjoint (the cache key includes the
+    instance id)."""
+    import builtins
+
+    from nsq2kinesis_spark.sources.nsq import (
+        NsqInputPartition,
+        NsqPartitionedStreamReader,
+    )
+
+    # 8 messages: each connection's RDY budget (2 at connect + 2 at poll)
+    # caps it at 4, so the second consumer is guaranteed deliveries too
+    bodies = {f"{i:016d}": f"x-{i}".encode() for i in range(8)}
+    nsqd = FakeNsqd(list(bodies.items()), msg_timeout_s=60.0)
+    nsqd.start()
+    try:
+        opts = {"topic": "t", "channel": "c", "nsqd_tcp_address": nsqd.addr,
+                "poll_wait_s": "0.3", "num_partitions": "1"}
+        r_a = NsqPartitionedStreamReader({**opts, "consumer_instance_id": "qa"})
+        r_b = NsqPartitionedStreamReader({**opts, "consumer_instance_id": "qb"})
+        part = NsqInputPartition(pid=0, batch_seq=1, committed_seq=0, rdy=2)
+        got_a = list(r_a.read(part))
+        got_b = list(r_b.read(part))
+        cache = getattr(builtins, "_nsq2kinesis_executor_consumers", {})
+        keys = [k for k in cache if k[0] == nsqd.addr]
+        assert len(keys) == 2  # one consumer per instance id
+        ca = cache[(nsqd.addr, "t", "c", "qa", 0)]
+        cb = cache[(nsqd.addr, "t", "c", "qb", 0)]
+        ids_a = {m for m, _ in ca.pending[1]}
+        ids_b = {m for m, _ in cb.pending[1]}
+        assert ids_a == {r[0] for r in got_a}
+        assert ids_b == {r[0] for r in got_b}
+        assert ids_a.isdisjoint(ids_b)  # nsqd split the channel; no overlap
+        assert ids_a and ids_b
+    finally:
+        import builtins as _b
+
+        getattr(_b, "_nsq2kinesis_executor_consumers", {}).clear()
+        nsqd.stop()
 
 
 @pytest.mark.timeout(120)
