@@ -93,14 +93,28 @@ def q85_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- q86: sequence packing ---------------------------------------------------
 
 PACK_BUDGET = 256  # tokens per training sequence
-PACK_SHARDS = 8  # packing shards per source: bounds window partition size
+# Shard count is DERIVED from corpus size: shards = ceil(n_docs / TARGET),
+# so each (source, shard) window partition holds O(TARGET) docs at ANY
+# corpus size. A fixed shard count would make window-partition SIZE grow
+# linearly with the corpus — the round-3 scale defect this replaces.
+PACK_TARGET_DOCS_PER_SHARD = 125
+
+
+def pack_shard_count(n_docs: int, target: int = PACK_TARGET_DOCS_PER_SHARD) -> int:
+    """ceil(n_docs / target), min 1 — the data-derived packing shard count."""
+    return max(1, -(-n_docs // target))
 
 
 @query(
     "q86_sequence_packing",
     oracle=f"""
-    WITH d AS (
-      SELECT doc_id, source, CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+    WITH ns AS (
+      SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {PACK_TARGET_DOCS_PER_SHARD}.0) AS BIGINT))
+             AS shards
+      FROM documents
+    ), d AS (
+      SELECT doc_id, source,
+             CAST(doc_id % (SELECT shards FROM ns) AS INTEGER) AS shard,
              CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens
       FROM documents
     ), c AS (
@@ -116,22 +130,33 @@ PACK_SHARDS = 8  # packing shards per source: bounds window partition size
     """,
     tags=("llm", "pipeline"),
 )
-def q86_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q86_sequence_packing(
+    spark: SparkSession, sf_dir: str, shards: int | None = None
+) -> DataFrame:
     """Pack documents into fixed token-budget training sequences: within
     each (source, shard), documents in doc_id order fill sequences by
     cumulative token count; a doc starting at running offset c belongs to
     sequence c // BUDGET at offset c % BUDGET (contiguous fill — docs may
     straddle a boundary, exactly like token-level packing does).
 
-    100 TB shape: the shard key makes the window partition count
-    |sources| × PACK_SHARDS and each partition's size bounded by
-    construction — there is NO global sort/cumsum (the classic packing
-    scale-trap). All arithmetic is exact integers → bit-identical to the
-    oracle."""
-    d = t(spark, sf_dir, "documents").select(
+    100 TB shape: the shard count scales with the corpus
+    (ceil(n_docs / PACK_TARGET_DOCS_PER_SHARD), overridable via
+    ``shards``), so each window partition sorts O(TARGET) docs regardless
+    of corpus size and there is NO global sort/cumsum (the classic packing
+    scale-trap). Shards are independent packing domains, so the shard
+    count changes layout, never correctness. The sizing count() is a
+    metadata-cheap scalar job (parquet row counts), the same documented
+    driver-side-scalar exception as q89's convergence probe — no data
+    rows move to the driver. All arithmetic is exact integers →
+    bit-identical to the oracle, which derives the identical shard count
+    from COUNT(*)."""
+    d0 = t(spark, sf_dir, "documents")
+    if shards is None:
+        shards = pack_shard_count(d0.count())
+    d = d0.select(
         "doc_id",
         "source",
-        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+        (F.col("doc_id") % shards).cast("int").alias("shard"),
         F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
     )
     w = (

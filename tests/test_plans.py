@@ -172,6 +172,40 @@ def test_q86_packing_single_bounded_window_shuffle(spark):
     assert "rangepartitioning" not in plan.lower(), plan
 
 
+def test_q86_shard_count_tracks_corpus_size(spark):
+    """The packing shard count is data-derived (ceil(n_docs / target)), so
+    window-partition size stays O(target) docs at any corpus size instead
+    of growing linearly with a fixed shard constant. 500 docs at sf0.01 →
+    4 shards; the explicit ``shards`` override changes the layout."""
+    from nsq2kinesis_spark.operators.llm_pipeline import (
+        PACK_TARGET_DOCS_PER_SHARD,
+        pack_shard_count,
+        q86_sequence_packing,
+    )
+
+    assert pack_shard_count(500) == 4
+    assert pack_shard_count(5_000) == 40
+    assert pack_shard_count(5_000_000) == 40_000  # 100× corpus → 100× shards
+    assert pack_shard_count(1) == 1
+    df = build("q86_sequence_packing")(spark, SF_CORRECTNESS)
+    n_shards = df.select("shard").distinct().count()
+    assert n_shards == pack_shard_count(500)
+    # every shard's doc count is bounded by the target (doc_id is dense
+    # here, so modulo spreads evenly; the bound is the design claim)
+    from pyspark.sql import functions as F
+
+    per_shard = df.groupBy("source", "shard").agg(F.count("*").alias("n"))
+    assert per_shard.agg(F.max("n")).collect()[0][0] <= PACK_TARGET_DOCS_PER_SHARD
+    # explicit override rules the layout
+    assert (
+        q86_sequence_packing(spark, SF_CORRECTNESS, shards=2)
+        .select("shard")
+        .distinct()
+        .count()
+        == 2
+    )
+
+
 def test_codegen_everywhere(spark):
     # scalar batteries must stay inside whole-stage codegen (no Python)
     for name in ("q40_string_battery", "q42_math_battery", "q45_array_battery"):
