@@ -28,6 +28,7 @@ _MAGIC = {
     b"\x89PNG\r\n\x1a\n": "png",
     b"\xff\xd8\xff": "jpeg",
     b"GIF8": "gif",
+    b"BM": "bmp",
     b"RIFF": "riff",  # wav/avi container
     b"ID3": "mp3",
 }
@@ -49,21 +50,100 @@ def fake_decode(data: bytes) -> tuple[int, int]:
     return 16 + h[0] % 240, 16 + h[1] % 240
 
 
-def real_decode(data: bytes) -> tuple[int, int]:
-    """Real codec path — gated on optional deps not present in this image."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
+def parse_image_dimensions(data: bytes) -> tuple[int, int] | None:
+    """REAL (width, height) from the container structure of PNG / GIF /
+    BMP / JPEG — pure struct parsing of public file formats, no codec
+    library and no pixel decompression (dimensions live in fixed header
+    fields; JPEG requires walking the marker stream to the SOF segment).
+    Returns None for formats whose dimensions genuinely need a codec."""
+    import struct
+
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+        # IHDR is mandatory-first: width/height at bytes 16..24, big-endian
+        w, h = struct.unpack(">II", data[16:24])
+        return w, h
+    if data[:4] == b"GIF8" and len(data) >= 10:
+        # logical screen descriptor, little-endian u16 pair at bytes 6..10
+        w, h = struct.unpack("<HH", data[6:10])
+        return w, h
+    if data[:2] == b"BM" and len(data) >= 26:
+        # BITMAPINFOHEADER: signed i32 width/height at offset 18 (height
+        # may be negative = top-down rows)
+        w, h = struct.unpack("<ii", data[18:26])
+        return w, abs(h)
+    if data[:3] == b"\xff\xd8\xff":
+        # walk JPEG markers to a start-of-frame (SOF0..SOF15, excluding
+        # DHT/JPG/DAC): segment payload is [precision u8, height u16,
+        # width u16, ...], big-endian
+        i = 2
+        while i + 9 <= len(data):
+            if data[i] != 0xFF:
+                return None  # desynchronized marker stream
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return w, h
+            i += 2 + seg_len
+    return None
+
+
+def parse_wav_meta(data: bytes) -> dict | None:
+    """REAL audio metadata from a RIFF/WAVE container: channels, sample
+    rate, bits per sample, and duration derived from the data-chunk byte
+    count — again pure public-format struct parsing, no audio library.
+    Returns None if the payload is not a WAVE file."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    meta: dict = {}
+    i = 12
+    while i + 8 <= len(data):
+        chunk_id = data[i : i + 4]
+        chunk_len = struct.unpack("<I", data[i + 4 : i + 8])[0]
+        if chunk_id == b"fmt " and i + 24 <= len(data):
+            _fmt, channels, rate = struct.unpack("<HHI", data[i + 8 : i + 16])
+            bits = struct.unpack("<H", data[i + 22 : i + 24])[0]
+            meta.update(channels=channels, sample_rate=rate, bits_per_sample=bits)
+        elif chunk_id == b"data":
+            meta["data_bytes"] = chunk_len
+        i += 8 + chunk_len + (chunk_len & 1)  # chunks are word-aligned
+    if {"channels", "sample_rate", "bits_per_sample", "data_bytes"} <= meta.keys():
+        bytes_per_s = meta["sample_rate"] * meta["channels"] * meta["bits_per_sample"] // 8
+        meta["duration_s"] = meta["data_bytes"] / bytes_per_s if bytes_per_s else None
+    return meta
+
+
+def structural_decode(data: bytes) -> tuple[int, int]:
+    """Dimension decode via the pure-structural parsers above. Raises
+    NotImplementedError only for payloads whose format genuinely needs a
+    codec library — the narrow remaining gate."""
+    dims = parse_image_dimensions(data)
+    if dims is None:
         raise NotImplementedError(
-            "image codec not available in this environment; use fake_decode "
-            "or install Pillow"
-        ) from e
-    import io
+            f"format {sniff_format(data)!r} needs a codec library "
+            "(install Pillow) or is not an image"
+        )
+    return dims
 
-    from PIL import Image
 
-    with Image.open(io.BytesIO(data)) as im:
-        return im.width, im.height
+def real_decode(data: bytes) -> tuple[int, int]:
+    """Real decode path: Pillow when available (full codec coverage),
+    otherwise the dependency-free structural parser (PNG/GIF/BMP/JPEG
+    dimensions from their public container headers)."""
+    try:
+        import io
+
+        from PIL import Image  # optional dependency, absent in this image
+
+        with Image.open(io.BytesIO(data)) as im:
+            return im.width, im.height
+    except ImportError:
+        return structural_decode(data)
 
 
 def extract_media_meta(df: DataFrame, decode_fn=fake_decode) -> DataFrame:

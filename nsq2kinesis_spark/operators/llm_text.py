@@ -165,6 +165,7 @@ def q73_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CASE WHEN text LIKE 'GIF8%' THEN 'gif'
+                WHEN text LIKE 'BM%'   THEN 'bmp'
                 WHEN text LIKE 'RIFF%' THEN 'riff'
                 WHEN text LIKE 'ID3%'  THEN 'mp3'
                 ELSE 'unknown' END AS format,

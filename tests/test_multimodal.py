@@ -47,9 +47,94 @@ def test_extract_media_meta_end_to_end(spark):
     assert 16 <= out[1].width <= 255
 
 
-def test_real_decode_gated():
-    with pytest.raises(NotImplementedError, match="codec not available"):
-        real_decode(PNG)
+def _real_png(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def _real_gif(w: int, h: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def _real_bmp(w: int, h: int) -> bytes:
+    import struct
+
+    file_header = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+    dib = struct.pack("<IiiHH", 40, w, -h, 1, 24)  # negative height = top-down
+    return file_header + dib + b"\x00" * 8
+
+
+def _real_jpeg(w: int, h: int) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _real_wav(seconds: float = 0.5, rate: int = 8000, channels: int = 2) -> bytes:
+    import struct
+
+    data_bytes = int(seconds * rate * channels * 2)
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    data = b"data" + struct.pack("<I", data_bytes)
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_structural_decode_real_formats():
+    """The real-decode path runs WITHOUT a codec library: dimensions come
+    from the public container structure of each format (PNG IHDR, GIF
+    screen descriptor, BMP DIB header, JPEG SOF marker) — the previously
+    untested NotImplementedError gate now only covers genuinely
+    codec-needing payloads."""
+    from nsq2kinesis_spark.functions.multimodal import (
+        parse_image_dimensions,
+        parse_wav_meta,
+        structural_decode,
+    )
+
+    assert real_decode(_real_png(37, 23)) == (37, 23)
+    assert real_decode(_real_gif(320, 200)) == (320, 200)
+    assert real_decode(_real_bmp(64, 48)) == (64, 48)  # top-down height normalized
+    assert real_decode(_real_jpeg(96, 48)) == (96, 48)
+    assert parse_image_dimensions(JUNK) is None
+    with pytest.raises(NotImplementedError, match="codec library"):
+        structural_decode(JUNK)
+    meta = parse_wav_meta(_real_wav(0.5, 8000, 2))
+    assert meta["channels"] == 2
+    assert meta["sample_rate"] == 8000
+    assert meta["bits_per_sample"] == 16
+    assert meta["duration_s"] == pytest.approx(0.5)
+    assert parse_wav_meta(JUNK) is None
+
+
+def test_real_decode_through_spark_plumbing(spark):
+    """extract_media_meta with the REAL structural decoder — same
+    mapInPandas plan and schema as the fake path, actual dimensions out."""
+    from nsq2kinesis_spark.functions.multimodal import structural_decode
+
+    rows = [
+        (1, _real_png(37, 23)),
+        (2, _real_gif(320, 200)),
+        (3, _real_bmp(64, 48)),
+        (4, _real_jpeg(96, 48)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in extract_media_meta(df, decode_fn=structural_decode).collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("png", 37, 23)
+    assert (out[2].format, out[2].width, out[2].height) == ("gif", 320, 200)
+    assert (out[3].format, out[3].width, out[3].height) == ("bmp", 64, 48)
+    assert (out[4].format, out[4].width, out[4].height) == ("jpeg", 96, 48)
 
 
 def test_frame_sample_shapes(spark):
