@@ -86,6 +86,7 @@ class MetricsQueryListener(StreamingQueryListener):
 
     def __init__(self) -> None:
         self.last_progress: dict[str, Any] | None = None
+        self.progress_by_query: dict[str, dict[str, Any]] = {}  # query id → latest
         self.n_progress_events = 0
 
     def onQueryStarted(self, event) -> None:
@@ -112,6 +113,7 @@ class MetricsQueryListener(StreamingQueryListener):
                 record.get("watermark_dropped_rows", 0) + op.numRowsDroppedByWatermark
             )
         self.last_progress = record
+        self.progress_by_query[str(p.id)] = record
         self.n_progress_events += 1
         log_event("stream", "progress", **record)
 

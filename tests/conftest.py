@@ -20,6 +20,12 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "timeout(seconds): fail the test if it runs longer than this"
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: e2e tests (live sockets, subprocess CLIs, streaming queries, "
+        "RocksDB) — the fast inner-loop lane is `pytest -m 'not slow'`; the "
+        "full default run remains the round gate",
+    )
 
 
 @pytest.hookimpl(wrapper=True)

@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 import signal
 import subprocess
+
+import pytest
 import sys
 import time
 
@@ -38,6 +40,7 @@ def test_env_fallbacks(monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_cli_end_to_end_sigterm_drain(tmp_path):
     """Full subprocess e2e: module entry consumes a live fake nsqd into a
     spool sink, then exits 0 on SIGTERM with every body delivered."""

@@ -51,6 +51,33 @@ DSL_CASES = [
 ]
 
 
+def drain_and_stop(q, timeout_s: float = 80.0) -> None:
+    """Wait until an availableNow query has consumed all its input, then
+    stop it explicitly.
+
+    The stateful operators use ProcessingTimeTimeout for state eviction
+    (the reference's wall-clock rotation ticker), so an availableNow query
+    stays alive for MINUTES after the data is fully processed, waiting for
+    eviction timers. awaitTermination(90) therefore burned its entire
+    timeout AND leaked a still-running query into the rest of the suite
+    (empty batches every trigger, stealing executor time from every later
+    test). Detect drained-ness instead: once a zero-input progress follows
+    the data batches, the source has nothing left and the sink is
+    complete."""
+    deadline = time.time() + timeout_s
+    seen_input = False
+    while time.time() < deadline and q.isActive:
+        lp = q.lastProgress
+        if lp is not None:
+            if lp["numInputRows"] > 0:
+                seen_input = True
+            elif seen_input:
+                break  # a post-data empty batch: everything is processed
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+
+
 def run_streaming_dedup(spark, rows, tmp_path, n_files: int = 1, ttl_s: int | None = None):
     """Feed rows through generational_dedup as a real streaming query
     (file source, one micro-batch per file, memory sink)."""
@@ -74,10 +101,11 @@ def run_streaming_dedup(spark, rows, tmp_path, n_files: int = 1, ttl_s: int | No
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(90)
+    drain_and_stop(q)
     return sorted(r.message_id for r in spark.sql(f"SELECT * FROM {name}").collect())
 
 
+@pytest.mark.slow
 def test_dedup_opstrings(spark, tmp_path):
     """All DSL cases share ONE streaming query — keys are namespaced per
     case, so keyed state is independent (and the single query exercises
@@ -89,6 +117,7 @@ def test_dedup_opstrings(spark, tmp_path):
     assert run_streaming_dedup(spark, rows, tmp_path) == sorted(expected)
 
 
+@pytest.mark.slow
 def test_dedup_ttl_is_honored(spark, tmp_path):
     """ttl_s parameterizes the state function (it was once a decorative
     default): one rotation (120 s) apart is a dupe at the default 240 s
@@ -98,6 +127,7 @@ def test_dedup_ttl_is_honored(spark, tmp_path):
     assert run_streaming_dedup(spark, rows, tmp_path, ttl_s=100) == ["c0_m0", "c0_m2"]
 
 
+@pytest.mark.slow
 def test_dedup_state_survives_across_microbatches(spark, tmp_path):
     # same key in two different micro-batches within TTL → second dropped
     rows = opstring_to_rows("a#a")
@@ -105,6 +135,7 @@ def test_dedup_state_survives_across_microbatches(spark, tmp_path):
     assert got == ["c0_m0"]
 
 
+@pytest.mark.slow
 def test_count_size_trigger_seals_batches(spark, tmp_path):
     """Reference kinesis_writer.go:52-76: batch seals at 500 records or
     4.9 MB — scaled down to 5 records / 100 bytes for the test."""
@@ -124,7 +155,7 @@ def test_count_size_trigger_seals_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(90)
+    drain_and_stop(q)
     sealed = {
         (r.key, r.batch_no): (r.n_records, r.n_bytes)
         for r in spark.sql(f"SELECT * FROM {name}").collect()
@@ -137,6 +168,7 @@ def test_count_size_trigger_seals_batches(spark, tmp_path):
     assert sealed[("k2", 1)] == (1, 60)
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(180)
 def test_count_size_trigger_flush_on_idle(spark, tmp_path):
     """max_delay_ms: an idle key's open (under-threshold) batch seals via
@@ -170,6 +202,7 @@ def test_count_size_trigger_flush_on_idle(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_dedup_on_rocksdb_state_store(spark, tmp_path):
     """Same dedup semantics on the RocksDB state store provider — the
     production configuration for unbounded key spaces (state spills to

@@ -124,6 +124,7 @@ def test_forwarding_transform_batch(spark):
 # --- end-to-end: fake nsqd → Structured Streaming → spooled Kinesis ---------
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(180)
 def test_nsq_to_kinesis_end_to_end(spark, tmp_path):
     """The reference's whole job as one streaming query: messages (with a
@@ -183,6 +184,7 @@ def test_nsq_to_kinesis_end_to_end(spark, tmp_path):
 # --- streaming windowed agg vs batch twin -----------------------------------
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(120)
 def test_streaming_window_agg_matches_batch_twin(spark, tmp_path):
     """Tumbling-window agg over a file stream (availableNow) equals the
@@ -227,6 +229,7 @@ def test_streaming_window_agg_matches_batch_twin(spark, tmp_path):
 # --- stream-stream interval join --------------------------------------------
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(120)
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Watermarked stream-stream join (SURVEY.md §2B as-of/interval row,
@@ -330,6 +333,7 @@ def test_forward_metrics_observation(spark):
     assert obs.get == {"n_records": 2, "n_body_bytes": 6}
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(120)
 def test_streaming_session_window_matches_batch_twin(spark, tmp_path):
     """session_window on an unbounded source (availableNow) equals the
@@ -374,6 +378,7 @@ def test_streaming_session_window_matches_batch_twin(spark, tmp_path):
 # --- checkpoint restart: at-least-once recovery ------------------------------
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(240)
 def test_pipeline_restart_recovers_unacked_messages(spark, tmp_path):
     """Kill the streaming query mid-flight, restart it on the same
@@ -468,6 +473,7 @@ def test_poll_mid_frame_timeout_resyncs():
         b.close()
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(240)
 def test_restart_with_uncommitted_batch_recovers(spark, tmp_path):
     """Crash-shaped restart: the offset WAL is one batch ahead of the
@@ -552,6 +558,7 @@ def test_restart_with_uncommitted_batch_recovers(spark, tmp_path):
     assert set(nsqd.finished) <= set(bodies)
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(240)
 def test_partitioned_source_parallel_consumption(spark, tmp_path):
     """Executor-parallel NSQ source (§2A-1 scale path): partitioned=true
@@ -695,6 +702,7 @@ def test_requeue_delay_backoff_shape():
     assert requeue_delay_ms("a", 5, base_ms=0) == 0
 
 
+@pytest.mark.slow
 def test_poison_message_backs_off_and_dead_letters():
     """A batch that keeps failing REQs its messages with growing delay and,
     at the attempts cap, dead-letters them (FIN + structured log) instead
@@ -756,6 +764,7 @@ def test_poison_message_backs_off_and_dead_letters():
         nsqd.stop()
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(120)
 def test_metrics_listener_exports_progress(spark, tmp_path):
     """MetricsQueryListener turns every StreamingQueryProgress into one
@@ -792,13 +801,15 @@ def test_metrics_listener_exports_progress(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
+        qid = str(q.id)
         q.awaitTermination(60)
-        # listener callbacks are async — wait for the progress event
+        # listener callbacks are async, and OTHER tests' queries on this
+        # shared session also emit progress — wait for THIS query's event
+        # (the per-query map exists precisely for multi-query sessions)
         deadline = time.time() + 20
-        while listener.n_progress_events == 0 and time.time() < deadline:
+        while qid not in listener.progress_by_query and time.time() < deadline:
             time.sleep(0.2)
-        assert listener.n_progress_events > 0
-        progress = listener.last_progress
+        progress = listener.progress_by_query.get(qid)
         assert progress is not None
         assert progress["forward_records"] == 10
         assert progress["forward_body_bytes"] == sum(len(b) for _, b, _ in rows)
@@ -850,6 +861,7 @@ def test_concurrent_partitioned_readers_have_disjoint_consumers():
         nsqd.stop()
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(120)
 def test_watermark_drops_late_data(spark, tmp_path):
     """Late-data drop (§2B watermark row): batch 1 advances the watermark
@@ -901,6 +913,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got == {(datetime(2024, 1, 1, 10, 0, 0), 5)}, got
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(180)
 def test_nsq_source_rate_limiting(spark, tmp_path):
     """max_records_per_trigger bounds every micro-batch — the reference's
@@ -952,6 +965,7 @@ def test_nsq_source_rate_limiting(spark, tmp_path):
     assert len(batch_sizes) >= 4, batch_sizes
 
 
+@pytest.mark.slow
 def test_epoch_guard_makes_replay_idempotent(spark, tmp_path):
     """foreachBatch replays the last epoch after restart; with
     epoch_guard_dir set, a replayed (same epoch_id) delivery is a no-op —
@@ -983,6 +997,7 @@ def test_epoch_guard_makes_replay_idempotent(spark, tmp_path):
     assert spool_count() == 20
 
 
+@pytest.mark.slow
 def test_epoch_guard_namespaced_by_query_id(spark, tmp_path):
     """A recreated checkpoint restarts epoch ids at 0; with the marker dir
     reused, an un-namespaced guard would silently drop the new query's
