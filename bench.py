@@ -15,6 +15,13 @@ execution and no query inherits another's persisted intermediate state.
 This mirrors how a long-running cluster engine is actually measured —
 per-query latency on a warm service, not JVM-cold-start.
 
+Noise floor, measured (round 4): sub-second queries on this shared
+32-thread box spread ±30% warm (q20 over n=6 isolated runs:
+0.72-1.18 s, min 0.718 ≈ its round-2 best 0.70) — so min-of-2 deltas
+under ~0.2 s between rounds (e.g. round 3's q20 "+31%" = +0.22 s) are
+sampling noise, not plan changes. Treat cross-round deltas as real only
+when they exceed the band or the plan diffs.
+
 One declared exception: the df-capped shingle postings are the shared
 input artifact of the near-dup family — a real pipeline materializes them
 once and both the exact (q75) and LSH (q76) passes read the artifact, so
