@@ -220,3 +220,109 @@ def q82_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
     )
+
+
+# -- k-means training for the IVF quantizer -----------------------------------
+
+KMEANS_ITERS = 2  # Lloyd iterations; fixed count keeps the op deterministic
+
+
+def _duck_kmeans_oracle() -> str:
+    """Generated DuckDB twin of q90: the same init subset, the same
+    argmax-cosine assignment (rounded sim, lowest-cent_id tie-break), the
+    same per-dimension means rounded to 6 dp each iteration — rounding at
+    every step is what keeps two engines' float summation orders from
+    drifting apart across iterations."""
+    cos = duck_cosine_sql("e.embedding", "c.ce", DIM)
+    avgs = ", ".join(
+        f"ROUND(AVG(CAST(embedding[{i + 1}] AS DOUBLE)), 6)" for i in range(DIM)
+    )
+    elems = ", ".join(
+        f"CAST(CAST(ce[{i + 1}] AS DECIMAL(12,6)) AS VARCHAR)" for i in range(DIM)
+    )
+    sql = f"""
+    WITH c0 AS (
+      SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+      WHERE vec_id % {IVF_CENTROID_STEP} = 0
+    )"""
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        sql += f""",
+    a{it} AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos} DESC, c.cent_id) AS rn
+      FROM embeddings e CROSS JOIN {prev} c
+    ),
+    m{it} AS (
+      SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+             LIST_VALUE({avgs}) AS ce
+      FROM a{it} WHERE rn = 1 GROUP BY cent_id
+    )"""
+        prev = f"m{it}"
+    sql += f"""
+    SELECT cent_id AS centroid_id, n_members,
+           CONCAT_WS(',', {elems}) AS centroid
+    FROM {prev}
+    """
+    return sql
+
+
+@query("q90_kmeans_train", oracle=_duck_kmeans_oracle(), tags=("llm", "similarity", "kmeans"))
+def q90_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer: k-means (Lloyd) over the embedding
+    corpus, initialized from the deterministic subset q82 uses raw
+    (vec_id % STEP == 0) and refined for KMEANS_ITERS iterations — the
+    training step a real IVF system runs before q82's assignment/probe.
+
+    The whole training is ONE lazy plan — no driver-side loop state, no
+    collect between iterations. Per iteration: (1) assignment is the q82
+    argmax shape (broadcast centroids into the scan, max_by partial
+    aggregation — one shuffled row per vector, never a window over the
+    (vector × centroid) cross product); (2) the update is a groupBy(cent_id)
+    with 64 per-dimension avg aggregates (map-side partials; K rows out).
+    At 100 TB: per iteration one N-row shuffle + one K-row aggregate, with
+    the centroid set always broadcast-sized — the canonical distributed
+    k-means layout.
+
+    Cross-engine exactness: means are ROUNDED to 6 dp at every iteration
+    (both engines), so summation-order ulp noise cannot compound across
+    iterations; assignment ties break on (rounded sim desc, cent_id asc),
+    the q82 comparator. Centroids emit as fixed-scale decimal strings.
+    Empty clusters drop out deterministically on both sides (no member
+    rows → no group)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    last = None
+    for _ in range(KMEANS_ITERS):
+        csim = cosine_rounded(F.col("embedding"), F.col("ce"))
+        assigned = (
+            e.crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "cent_id", csim.alias("csim"))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "cent_id", F.struct(F.col("csim"), (-F.col("cent_id")).alias("nc"))
+                ).alias("cent_id"),
+                F.first("embedding").alias("embedding"),
+            )
+        )
+        avgs = [
+            F.round(F.avg(F.col("embedding")[i].cast("double")), 6).alias(f"d{i}")
+            for i in range(DIM)
+        ]
+        last = assigned.groupBy("cent_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"), *avgs
+        )
+        cents = last.select(
+            "cent_id", F.array(*[F.col(f"d{i}") for i in range(DIM)]).alias("ce")
+        )
+    return last.select(
+        F.col("cent_id").alias("centroid_id"),
+        "n_members",
+        F.concat_ws(
+            ",", *[F.col(f"d{i}").cast("decimal(12,6)").cast("string") for i in range(DIM)]
+        ).alias("centroid"),
+    )

@@ -206,6 +206,20 @@ def test_q86_shard_count_tracks_corpus_size(spark):
     )
 
 
+def test_q90_kmeans_iterations_broadcast_no_window(spark):
+    """k-means training: every iteration broadcasts the (tiny) centroid set
+    into the corpus scan and reduces the argmax via max_by aggregation —
+    never a window over the (vector × centroid) cross product, never a
+    shuffled join of the corpus against centroids."""
+    df = build("q90_kmeans_train")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    n_bcast = plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin")
+    assert n_bcast >= 2, plan  # one broadcast assignment per iteration
+    assert "SortMergeJoin" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
 def test_codegen_everywhere(spark):
     # scalar batteries must stay inside whole-stage codegen (no Python)
     for name in ("q40_string_battery", "q42_math_battery", "q45_array_battery"):
