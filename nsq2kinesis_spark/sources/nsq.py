@@ -371,6 +371,26 @@ class _ExecutorConsumer:
         # batch_seq -> [(msg_id, attempts)]
         self.pending: dict[int, list[tuple[str, int]]] = {}
         self.dead_lettered = 0
+        self.last_used = time.monotonic()
+
+
+# A stopped/restarted query's consumers are never read again, but their
+# sockets would otherwise stay open until nsqd's missed-heartbeat
+# disconnect. Entries idle this long are closed by whichever task next
+# runs in the same worker; their un-FINned messages redeliver (the normal
+# at-least-once orphan path).
+CONSUMER_IDLE_EVICT_S = 300.0
+
+
+def _evict_idle_consumers(
+    consumers: dict, now: float, ttl_s: float = CONSUMER_IDLE_EVICT_S
+) -> None:
+    for key in [k for k, c in consumers.items() if now - c.last_used > ttl_s]:
+        stale = consumers.pop(key)
+        try:
+            stale.conn.close()
+        except OSError:
+            pass
 
 
 def _executor_consumers() -> dict[tuple, _ExecutorConsumer]:
@@ -464,6 +484,7 @@ class NsqPartitionedStreamReader(DataSourceStreamReader):
 
     def read(self, partition: NsqInputPartition):
         consumers = _executor_consumers()
+        _evict_idle_consumers(consumers, time.monotonic())
         key = (self.addr, self.topic, self.channel, self.instance_id, partition.pid)
         consumer = consumers.get(key)
         if consumer is None:
@@ -471,6 +492,7 @@ class NsqPartitionedStreamReader(DataSourceStreamReader):
                 self.addr, self.topic, self.channel, partition.rdy
             )
             consumers[key] = consumer
+        consumer.last_used = time.monotonic()
         try:
             # ack batches the driver has committed (deferred FIN)
             for seq in sorted(s for s in consumer.pending if s < partition.committed_seq):

@@ -818,6 +818,43 @@ def test_metrics_listener_exports_progress(spark, tmp_path):
         spark.streams.removeListener(listener)
 
 
+def test_idle_consumers_evicted():
+    """Consumers a stopped query abandons are closed by the next task in
+    the same worker once idle past the TTL, instead of holding sockets
+    until nsqd's missed-heartbeat disconnect."""
+    import builtins
+
+    from nsq2kinesis_spark.sources.nsq import (
+        NsqInputPartition,
+        NsqPartitionedStreamReader,
+    )
+
+    bodies = {f"{i:016d}": f"x-{i}".encode() for i in range(4)}
+    nsqd = FakeNsqd(list(bodies.items()), msg_timeout_s=60.0)
+    nsqd.start()
+    try:
+        opts = {"topic": "t", "channel": "c", "nsqd_tcp_address": nsqd.addr,
+                "poll_wait_s": "0.3", "num_partitions": "1"}
+        r_old = NsqPartitionedStreamReader({**opts, "consumer_instance_id": "old"})
+        part = NsqInputPartition(pid=0, batch_seq=1, committed_seq=0, rdy=2)
+        list(r_old.read(part))
+        cache = getattr(builtins, "_nsq2kinesis_executor_consumers", {})
+        old_key = (nsqd.addr, "t", "c", "old", 0)
+        assert old_key in cache
+        # age the old consumer past the TTL; a different reader's task
+        # evicts it on its next read
+        cache[old_key].last_used -= 10_000
+        r_new = NsqPartitionedStreamReader({**opts, "consumer_instance_id": "new"})
+        list(r_new.read(part))
+        assert old_key not in cache
+        assert (nsqd.addr, "t", "c", "new", 0) in cache
+    finally:
+        import builtins as _b
+
+        getattr(_b, "_nsq2kinesis_executor_consumers", {}).clear()
+        nsqd.stop()
+
+
 def test_concurrent_partitioned_readers_have_disjoint_consumers():
     """Two partitioned readers on the same topic+channel with distinct
     consumer_instance_id values must not share an executor consumer —
