@@ -40,6 +40,49 @@ def test_env_fallbacks(monkeypatch):
     )
 
 
+def test_boto3_factory_wiring(monkeypatch):
+    """The real-Kinesis branch (boto3 absent from this image) executed via
+    an injected stand-in module: the factory must build a kinesis client
+    with the endpoint override exactly as boto3's public API takes it —
+    this was the one forwarding-path seam no test had ever run."""
+    import types
+
+    from nsq2kinesis_spark.__main__ import make_client_factory
+
+    calls: list[tuple[str, dict]] = []
+    fake = types.ModuleType("boto3")
+    fake.client = lambda svc, **kw: (calls.append((svc, kw)), "CLIENT")[-1]
+    monkeypatch.setitem(sys.modules, "boto3", fake)
+
+    args = build_arg_parser().parse_args(
+        ["--topic", "t", "--stream", "s", "--checkpoint-dir", "c",
+         "--kinesis-endpoint", "http://localhost:4567"]
+    )
+    assert make_client_factory(args)() == "CLIENT"
+    assert calls == [("kinesis", {"endpoint_url": "http://localhost:4567"})]
+
+    # no endpoint override → default client, no kwargs (real AWS wiring)
+    calls.clear()
+    args2 = build_arg_parser().parse_args(
+        ["--topic", "t", "--stream", "s", "--checkpoint-dir", "c"]
+    )
+    assert make_client_factory(args2)() == "CLIENT"
+    assert calls == [("kinesis", {})]
+
+
+def test_boto3_missing_is_a_clean_exit(monkeypatch):
+    """Without boto3 and without --spool-dir, the factory fails with an
+    actionable SystemExit instead of a raw ImportError."""
+    from nsq2kinesis_spark.__main__ import make_client_factory
+
+    monkeypatch.setitem(sys.modules, "boto3", None)  # forces ImportError
+    args = build_arg_parser().parse_args(
+        ["--topic", "t", "--stream", "s", "--checkpoint-dir", "c"]
+    )
+    with pytest.raises(SystemExit, match="spool-dir"):
+        make_client_factory(args)()
+
+
 @pytest.mark.slow
 def test_cli_end_to_end_sigterm_drain(tmp_path):
     """Full subprocess e2e: module entry consumes a live fake nsqd into a
