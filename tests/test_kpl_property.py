@@ -101,3 +101,23 @@ def test_slot_mapping_covers_all_inputs(records):
             else [e.data]
         )
         assert datas == [records[s][0] for s in e.slots]
+
+
+@given(
+    msg_id=st.text(min_size=1, max_size=32),
+    attempts=st.integers(min_value=1, max_value=65_535),
+    base=st.integers(min_value=1, max_value=10_000),
+    cap=st.integers(min_value=1, max_value=600_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_requeue_delay_invariants(msg_id, attempts, base, cap):
+    """Backoff policy holds for ANY message id / attempts / config: delay
+    is deterministic, inside [exp/2, exp) for exp = min(base·2^(a−1), cap),
+    and never exceeds the cap (uint16 attempts must not overflow)."""
+    from nsq2kinesis_spark.sources.nsq import requeue_delay_ms
+
+    d = requeue_delay_ms(msg_id, attempts, base, cap)
+    assert d == requeue_delay_ms(msg_id, attempts, base, cap)  # deterministic
+    exp = min(base << min(attempts - 1, 20), cap)  # base, cap >= 1 → exp >= 1
+    assert exp // 2 <= d < exp or d == exp // 2  # half-jitter band (exp=1 → d=0)
+    assert 0 <= d <= cap
