@@ -297,3 +297,49 @@ def q84_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", "lang", key.alias("sample_key"))
         .filter(F.col("sample_key") < rate)
     )
+
+
+FRAME_BYTES = 64  # frame_sample slice size
+MAX_FRAMES = 8
+
+
+@query(
+    "q91_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             LEAST({MAX_FRAMES}, GREATEST(1, STRLEN(text) // {FRAME_BYTES})) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i.i AS INTEGER) AS frame_no,
+           CAST(STRLEN(SUBSTR(text, i.i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS BIGINT)
+             AS n_bytes,
+           MD5(SUBSTR(text, i.i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_hash
+    FROM f CROSS JOIN LATERAL (SELECT UNNEST(GENERATE_SERIES(0, n_frames - 1)) AS i) i
+    """,
+    tags=("llm", "multimodal", "mapInPandas"),
+)
+def q91_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque binary payloads (functions/multimodal.py
+    ``frame_sample``), oracle-CHECKED: documents' text re-encoded as the
+    payload, sliced into up to {MAX_FRAMES} {FRAME_BYTES}-byte frames by
+    the Arrow-batched mapInPandas explode — the row-multiplying plumbing a
+    video frame-extraction pipeline needs (the codec call itself would
+    replace the slicer; schema/batching/fan-out are what this proves).
+    The corpus is ASCII (asserted by q74's byte/char parity), so DuckDB's
+    character SUBSTR reproduces the byte slices exactly; frames compare by
+    length + md5 rather than raw bytes so both engines emit plain
+    strings/ints."""
+    from ..functions.multimodal import frame_sample
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = frame_sample(d, every_n_bytes=FRAME_BYTES, max_frames=MAX_FRAMES)
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.octet_length("frame").cast("long").alias("n_bytes"),
+        F.md5("frame").alias("frame_hash"),
+    )

@@ -74,7 +74,7 @@ def load_all_modules() -> None:
 
 # Explicit verification priority: the order external correctness harnesses
 # iterate ``queries()``. Some harnesses budget a fixed prefix (the driver
-# checks the first 50 of these 75), so this list is a documented rotation
+# checks the first 50 of these 76), so this list is a documented rotation
 # schedule, not engine semantics:
 #
 #   1. least-recently-verified queries first — the 24 queries whose last
@@ -134,6 +134,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q84_stratified_sample",
     # -- new in round 4: first oracle rows --
     "q90_kmeans_train",
+    "q91_frame_sample",
     # -- remaining prefix: relational + aggregates core --
     "q01_pricing_summary",
     "q02_project_compute",
@@ -150,7 +151,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q13_grouping_sets",
     "q14_collect_pack",
     "q15_pivot",
-    "q17_percentiles",
     # -- remaining prefix: dedup family under active bench work (q78
     # -- regression investigation this round) --
     "q75_neardup_jaccard",
@@ -178,6 +178,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q81_cosine_neardup",
     "q82_ann_ivf",
     "q16_approx_distinct",
+    "q17_percentiles",
     "q83_decontamination",
     "q85_train_split",
     "q87_repetition",
