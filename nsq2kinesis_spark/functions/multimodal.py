@@ -203,3 +203,63 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) ->
     return df.select("doc_id", "payload").mapInPandas(
         sample_batches, "doc_id long, frame_no int, frame binary, frame_hash string"
     )
+
+
+def byte_features(df: DataFrame) -> DataFrame:
+    """Feature extraction over opaque payloads (the 'feature-extract' verb
+    of the multimodal pipeline): per-payload byte statistics — count, mean
+    byte value, distinct-byte cardinality — as one Arrow-batched pass.
+    With a real vision/audio model this function body becomes the
+    embedding call; the schema/batching/no-shuffle shape is identical."""
+    from collections.abc import Iterator
+
+    def feat_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    rows.append((doc_id, 0, None, 0))
+                    continue
+                data = bytes(payload)
+                rows.append(
+                    (
+                        doc_id,
+                        len(data),
+                        round(sum(data) / len(data), 6),
+                        len(set(data)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "mean_byte", "n_distinct_bytes"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        feat_batches, "doc_id long, n_bytes long, mean_byte double, n_distinct_bytes int"
+    )
+
+
+def byte_resize(df: DataFrame, stride: int = 4) -> DataFrame:
+    """Resize/downsample over opaque payloads (the 'resize' verb): keep
+    every ``stride``-th byte — the deterministic stand-in for a pixel
+    resampler (a real one swaps the slice for cv2/PIL resize; the
+    Arrow-batched plumbing and output schema stay put)."""
+    import hashlib
+    from collections.abc import Iterator
+
+    def resize_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                thumb = bytes(payload)[::stride]
+                rows.append((doc_id, len(thumb), hashlib.md5(thumb).hexdigest()))
+            yield pd.DataFrame(rows, columns=["doc_id", "thumb_bytes", "thumb_hash"])
+
+    return df.select("doc_id", "payload").mapInPandas(
+        resize_batches, "doc_id long, thumb_bytes long, thumb_hash string"
+    )

@@ -343,3 +343,66 @@ def q91_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("frame").cast("long").alias("n_bytes"),
         F.md5("frame").alias("frame_hash"),
     )
+
+
+RESIZE_STRIDE = 4  # byte_resize keeps every 4th byte
+
+
+@query(
+    "q92_media_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(STRLEN(text) AS BIGINT) AS n_bytes,
+           ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, STRLEN(text)),
+                 i -> ORD(SUBSTR(text, i, 1)))) * 1.0 / STRLEN(text), 6) AS mean_byte,
+           CAST(LEN(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, STRLEN(text)),
+                 i -> SUBSTR(text, i, 1)))) AS INTEGER) AS n_distinct_bytes
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "mapInPandas"),
+)
+def q92_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'feature-extract' verb of the multimodal pipeline
+    (functions/multimodal.py ``byte_features``): per-payload byte
+    statistics from an Arrow-batched mapInPandas pass, oracle-checked —
+    the mean byte value and distinct-byte cardinality recompute exactly
+    in SQL over the ASCII corpus. A real feature extractor (CLIP/wav2vec
+    embedding) replaces the function body; schema, batching, and the
+    shuffle-free shape are what this pins."""
+    from ..functions.multimodal import byte_features
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return byte_features(d)
+
+
+@query(
+    "q93_media_resize",
+    oracle=f"""
+    WITH thumbs AS (
+      SELECT doc_id,
+             ARRAY_TO_STRING(LIST_TRANSFORM(
+               GENERATE_SERIES(1, STRLEN(text), {RESIZE_STRIDE}),
+               i -> SUBSTR(text, i, 1)), '') AS thumb
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(STRLEN(thumb) AS BIGINT) AS thumb_bytes,
+           MD5(thumb) AS thumb_hash
+    FROM thumbs
+    """,
+    tags=("llm", "multimodal", "mapInPandas"),
+)
+def q93_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'resize' verb (functions/multimodal.py ``byte_resize``):
+    every-{RESIZE_STRIDE}th-byte downsample as the deterministic stand-in
+    for a pixel resampler, oracle-checked byte-for-byte (thumb length +
+    md5 against DuckDB's strided-character reconstruction). cv2/PIL
+    resize swaps in for the slice; the mapInPandas plumbing stays."""
+    from ..functions.multimodal import byte_resize
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return byte_resize(d, stride=RESIZE_STRIDE)
