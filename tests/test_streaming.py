@@ -124,6 +124,61 @@ def test_forwarding_transform_batch(spark):
 # --- end-to-end: fake nsqd → Structured Streaming → spooled Kinesis ---------
 
 
+def test_frame_parser_survives_any_chunking():
+    """Property: the wire parser reassembles the SAME message sequence no
+    matter how the TCP stream is fragmented (single bytes, mid-size-prefix
+    splits, coalesced frames) and with heartbeats interleaved anywhere —
+    the generalization of the mid-frame resync test."""
+    import socket as _socket
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nsq2kinesis_spark.sources.nsq import NsqConnection
+
+    from .fake_nsqd import _frame, _message_frame
+
+    @given(
+        bodies=st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=6),
+        cuts=st.lists(st.integers(min_value=1, max_value=400), max_size=12),
+        hb_positions=st.sets(st.integers(min_value=0, max_value=5), max_size=3),
+    )
+    @settings(max_examples=25, deadline=None)
+    def check(bodies, cuts, hb_positions):
+        stream = b""
+        for i, body in enumerate(bodies):
+            if i in hb_positions:
+                stream += _frame(0, b"_heartbeat_")
+            stream += _message_frame(f"{i:016d}", body)
+        a, b = _socket.socketpair()
+        try:
+            conn = NsqConnection.__new__(NsqConnection)
+            conn.sock = a
+            conn._buf = bytearray()
+            conn._rdy = 100
+            # fragment the byte stream at arbitrary cut points
+            offsets = sorted({min(c, len(stream)) for c in cuts})
+            pieces, prev = [], 0
+            for off in offsets + [len(stream)]:
+                if off > prev:
+                    pieces.append(stream[prev:off])
+                    prev = off
+            for piece in pieces:
+                b.sendall(piece)
+            got = []
+            deadline = time.time() + 5
+            while len(got) < len(bodies) and time.time() < deadline:
+                got.extend(conn.poll(100, 0.2))
+            assert [(m[0], m[1]) for m in got] == [
+                (f"{i:016d}", body) for i, body in enumerate(bodies)
+            ]
+        finally:
+            a.close()
+            b.close()
+
+    check()
+
+
 @pytest.mark.slow
 @pytest.mark.timeout(180)
 def test_nsq_to_kinesis_end_to_end(spark, tmp_path):
