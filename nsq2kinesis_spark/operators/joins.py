@@ -338,3 +338,80 @@ def q29_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o.o_totalprice > 500000)
         """
     )
+
+
+# -- q94: range join, bin-blocked ---------------------------------------------
+
+RANGE_LOOKBACK_S = 1800  # 30-minute attribution window = 1 bin width
+
+
+@query(
+    "q94_range_join_binned",
+    oracle=f"""
+    SELECT p.event_id, p.user_id,
+           CAST(COUNT(v.event_id) AS BIGINT) AS n_precursors,
+           CAST(SUM(CASE WHEN v.event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_views,
+           CAST(SUM(CASE WHEN v.event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clicks
+    FROM events p
+    LEFT JOIN events v
+      ON v.user_id = p.user_id
+     AND v.event_type IN ('view', 'click')
+     AND v.ts >= p.ts - INTERVAL {RANGE_LOOKBACK_S} SECOND
+     AND v.ts <  p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+    tags=("join", "range", "binned"),
+)
+def q94_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (purchase ← same-user view/click within the preceding
+    30 minutes — clickstream attribution), executed as a BIN-BLOCKED
+    equi-join: both sides bucket time into lookback-width bins, each
+    purchase probes its own and the previous bin (a 30-min window spans at
+    most 2 bins after integer-second truncation), and the time range
+    becomes a residual predicate on hash-join candidates.
+
+    This is THE scale pattern for range joins: a plain (user, time-range)
+    theta join either nested-loops or joins each user's ENTIRE history;
+    binning bounds every probe to two (user, 30-min-bin) buckets no matter
+    how many years of events a user has. The oracle is the unbinned range
+    join itself, so parity proves the binning is lossless. One precursor
+    lives in exactly one bin → no double counting across the two probe
+    rows; purchases with no precursors survive via the left join (the two
+    probe rows collapse in the final group-by)."""
+    ev = t(spark, sf_dir, "events")
+    bin_col = F.floor(F.unix_timestamp("ts") / RANGE_LOOKBACK_S)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), bin_col.alias("p_bin")
+    )
+    probes = p.select(
+        "event_id",
+        "user_id",
+        "p_ts",
+        F.explode(F.array(F.col("p_bin"), F.col("p_bin") - 1)).alias("probe_bin"),
+    )
+    v = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_type").alias("v_type"),
+        bin_col.alias("v_bin"),
+    )
+    joined = probes.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("probe_bin") == F.col("v_bin"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {RANGE_LOOKBACK_S} SECOND"))
+        & (F.col("v_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("v_ts").cast("long").alias("n_precursors"),
+        F.coalesce(
+            F.sum(F.when(F.col("v_type") == "view", 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_views"),
+        F.coalesce(
+            F.sum(F.when(F.col("v_type") == "click", 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_clicks"),
+    )

@@ -308,3 +308,15 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1), plan
     assert df.count() == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_q94_range_join_is_hash_not_nested_loop(spark):
+    """The bin-blocked range join must execute as an equi hash join on
+    (user_id, bin) with the time range as a residual predicate — a plain
+    theta formulation degrades to a nested-loop join (the quadratic trap
+    this operator exists to avoid)."""
+    df = build("q94_range_join_binned")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
