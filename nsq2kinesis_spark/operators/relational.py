@@ -281,3 +281,106 @@ def q09_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.intersectAll(s).withColumn("op", F.lit("intersect_all")).unionAll(
         c.exceptAll(s).withColumn("op", F.lit("except_all"))
     )
+
+
+# -- q95: Z-order layout key --------------------------------------------------
+
+Z_BITS = 8  # bits per dimension after bucket normalization; zkey spans 16
+
+
+def _duck_z_terms(expr: str, offset: int) -> str:
+    return " + ".join(
+        f"((({expr} >> {i}) & 1) << {2 * i + offset})" for i in range(Z_BITS)
+    )
+
+
+def zorder_key(a, b):
+    """Interleave the low Z_BITS bits of two integer dimensions into one
+    Morton (Z-curve) key: a's bit i lands at position 2i, b's at 2i+1.
+    Pure codegen bit arithmetic — no UDF."""
+    from functools import reduce
+
+    terms = [
+        F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        for i in range(Z_BITS)
+    ] + [
+        F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        for i in range(Z_BITS)
+    ]
+    return reduce(lambda x, y: x + y, terms)
+
+
+_DUCK_Z_DIMS = f"""
+    bounds AS (
+      SELECT MIN(user_id) AS min_u, MAX(user_id) AS max_u,
+             MIN(CAST(EPOCH(ts) AS BIGINT) // 86400) AS min_d,
+             MAX(CAST(EPOCH(ts) AS BIGINT) // 86400) AS max_d
+      FROM events
+    ),
+    dims AS (
+      SELECT event_id,
+             (user_id - min_u) * {(1 << Z_BITS) - 1}
+               // GREATEST(1, max_u - min_u) AS dim_user,
+             (CAST(EPOCH(ts) AS BIGINT) // 86400 - min_d) * {(1 << Z_BITS) - 1}
+               // GREATEST(1, max_d - min_d) AS dim_day
+      FROM events CROSS JOIN bounds
+    )
+"""
+
+
+@query(
+    "q95_zorder_key",
+    oracle=f"""
+    WITH {_DUCK_Z_DIMS}
+    SELECT event_id,
+           CAST(dim_user AS BIGINT) AS dim_user,
+           CAST(dim_day AS BIGINT) AS dim_day,
+           CAST({_duck_z_terms("dim_user", 0)}
+              + {_duck_z_terms("dim_day", 1)} AS BIGINT) AS zkey
+    FROM dims
+    """,
+    tags=("layout", "zorder"),
+)
+def q95_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (user_id, event day) — the
+    multi-dimensional clustering technique for scan pruning at 100 TB:
+    write a table range-partitioned and sorted by this key and every
+    output file covers a bounded RECTANGLE in (user, day) space, so
+    parquet min/max row-group statistics prune scans filtered on EITHER
+    dimension (a single-column sort prunes only its own column).
+
+    Raw column values interleave badly when the dimensions span different
+    bit-widths (the wider one dominates the curve), so each dimension is
+    first min-max normalized to a Z_BITS-wide bucket rank — the same
+    equal-width normalization OPTIMIZE ZORDER performs. The min/max
+    bounds ride a broadcast cross join (scalar row — no data moves to the
+    driver); bucketing and interleaving are exact integer arithmetic
+    inside whole-stage codegen, bit-identical to the SQL twin. The layout
+    payoff is demonstrated in tests/test_plans.py (file-level min/max
+    rectangles after a z-ordered write vs a single-dimension sort)."""
+    ev = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    bounds = ev.agg(
+        F.min("user_id").alias("min_u"),
+        F.max("user_id").alias("max_u"),
+        F.min(day).alias("min_d"),
+        F.max(day).alias("max_d"),
+    )
+    top = (1 << Z_BITS) - 1
+    with_bounds = ev.select("event_id", "user_id", day.alias("day")).crossJoin(
+        F.broadcast(bounds)
+    )
+    dim_user = F.floor(
+        (F.col("user_id") - F.col("min_u")) * top
+        / F.greatest(F.lit(1), F.col("max_u") - F.col("min_u"))
+    ).cast("long")
+    dim_day = F.floor(
+        (F.col("day") - F.col("min_d")) * top
+        / F.greatest(F.lit(1), F.col("max_d") - F.col("min_d"))
+    ).cast("long")
+    return with_bounds.select(
+        "event_id",
+        dim_user.alias("dim_user"),
+        dim_day.alias("dim_day"),
+        zorder_key(dim_user, dim_day).cast("long").alias("zkey"),
+    )

@@ -320,3 +320,57 @@ def test_q94_range_join_is_hash_not_nested_loop(spark):
     assert "NestedLoop" not in plan, plan
     assert "Cartesian" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+
+def test_q95_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """The layout payoff of the z-key: after a z-ordered write, a point
+    filter on EITHER dimension skips a substantial share of files (each
+    file's parquet min/max covers a bounded slice of BOTH dimensions). A
+    single-dimension sort prunes only its own column — every file spans
+    the full range of the other. Metric: expected fraction of files whose
+    [min, max] contains a uniform random point, per dimension — exactly
+    what footer-based file skipping evaluates."""
+    import pyarrow.parquet as pq
+
+    df = build("q95_zorder_key")(spark, "/root/testdata/sf0.001")
+    full = 256.0  # normalized dimension width (2^Z_BITS)
+
+    def write_and_measure(sorted_df, path):
+        sorted_df.write.parquet(str(path))
+        widths = {"dim_user": [], "dim_day": []}
+        for f in path.glob("*.parquet"):
+            meta = pq.ParquetFile(str(f)).metadata
+            bounds = {}
+            for rg in range(meta.num_row_groups):
+                row_group = meta.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    if col.statistics is None or name not in widths:
+                        continue
+                    lo, hi = bounds.get(name, (col.statistics.min, col.statistics.max))
+                    bounds[name] = (
+                        min(lo, col.statistics.min),
+                        max(hi, col.statistics.max),
+                    )
+            for name, (lo, hi) in bounds.items():
+                widths[name].append(hi - lo + 1)
+        return {
+            name: sum(ws) / (full * len(ws)) for name, ws in widths.items() if ws
+        }
+
+    z = write_and_measure(
+        df.repartitionByRange(8, "zkey").sortWithinPartitions("zkey"),
+        tmp_path / "zorder",
+    )
+    by_day = write_and_measure(
+        df.repartitionByRange(8, "dim_day").sortWithinPartitions("dim_day"),
+        tmp_path / "bytime",
+    )
+    # single-dimension layout: cannot prune the OTHER dimension at all
+    assert by_day["dim_user"] > 0.9, by_day
+    # z-layout: a point filter on EITHER dimension skips a real share of
+    # files — bounded scan fraction on both axes is the whole point
+    assert z["dim_user"] < 0.75, z
+    assert z["dim_day"] < 0.75, z
