@@ -43,7 +43,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     pin_session_conf(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    parquet_path = os.path.join(sf_dir, f"{name}.parquet")
+    jsonl_path = os.path.join(sf_dir, f"{name}.jsonl")
+    csv_path = os.path.join(sf_dir, f"{name}.csv")
+    if os.path.exists(parquet_path) or not (
+        os.path.exists(jsonl_path) or os.path.exists(csv_path)
+    ):
+        # parquet is the primary format (missing paths still route here so
+        # the caller gets Spark's clean PATH_NOT_FOUND)
+        df = spark.read.parquet(parquet_path)
+    elif os.path.exists(jsonl_path):
+        # source-format breadth: the same catalog serves JSON-lines copies
+        # of a table (schema inferred here; a production deployment pins
+        # explicit schemas — inference costs an extra pass and can widen
+        # types)
+        df = spark.read.json(jsonl_path)
+    else:
+        df = spark.read.csv(csv_path, header=True, inferSchema=True, multiLine=True, escape='"')
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
