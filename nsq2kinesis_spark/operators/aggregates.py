@@ -280,3 +280,95 @@ def q19_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nsq2k_q19_lineitem GROUP BY l_returnflag
         """
     )
+
+
+# -- q96: Misra-Gries heavy hitters (bounded-memory sketch + exact verify) ----
+
+MG_K = 40  # heavy hitter = token with freq * MG_K >= total token count
+MG_CAPACITY = 4 * MG_K  # per-partition counter budget (m); error <= n_p/(m+1)
+
+
+def misra_gries_summaries(tokens, capacity: int = MG_CAPACITY):
+    """Per-partition Misra-Gries summaries over a token column: at most
+    ``capacity`` counters live at any moment, whatever the vocabulary
+    size. On overflow every counter decrements by one (retiring one
+    occurrence of capacity+1 DISTINCT tokens at once), which yields the
+    classic guarantee: a token with partition frequency > n_p/(capacity+1)
+    is still retained with a positive lower-bound count."""
+    from collections.abc import Iterator
+
+    def mg(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < capacity:
+                    counters[tok] = 1
+                else:
+                    dead = []
+                    for t2 in counters:
+                        counters[t2] -= 1
+                        if counters[t2] == 0:
+                            dead.append(t2)
+                    for t2 in dead:
+                        del counters[t2]
+        yield pd.DataFrame(
+            {"token": list(counters.keys()), "lb": list(counters.values())}
+        )
+
+    return tokens.mapInPandas(mg, "token string, lb long")
+
+
+@query(
+    "q96_heavy_hitters_mg",
+    oracle=f"""
+    WITH toks AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ), total AS (
+      SELECT COUNT(*) AS n FROM toks
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM toks CROSS JOIN total
+    GROUP BY token, total.n
+    HAVING COUNT(*) * {MG_K} >= total.n
+    """,
+    tags=("agg", "sketch", "heavy-hitters", "mapInPandas"),
+)
+def q96_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (tokens with frequency ≥ n/{MG_K}) via a
+    Misra-Gries sketch — EXACT output from a bounded-memory plan:
+
+    1. per-partition MG summaries (mapInPandas, ≤ MG_CAPACITY counters
+       per task — memory is O(capacity) however large the vocabulary);
+    2. merge candidate lower bounds (one tiny shuffle of ≤ capacity rows
+       per partition — never the full token-frequency table);
+    3. EXACT recount of the candidates only (broadcast semi-join into the
+       token scan) and the exact integer threshold freq·K ≥ n.
+
+    Any true heavy hitter has frequency share ≥ 1/K > 1/(capacity+1) in
+    at least one partition, so MG retains it and step 3's recount makes
+    the final answer exact — which is why a SKETCH operator can carry a
+    full value oracle instead of a rows-only check (q16's HLL can't).
+    The decrement path is exercised with capacity ≪ vocabulary in
+    tests/test_llm_dedup.py."""
+    d = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    candidates = (
+        misra_gries_summaries(d)
+        .groupBy("token")
+        .agg(F.sum("lb").alias("lb"))
+        .select("token")
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * MG_K >= F.col("n"))
+        .select("token", "freq")
+    )
