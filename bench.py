@@ -88,10 +88,12 @@ def main() -> None:
     for name in HEADLINE:
         run(name)
 
-    # two timed passes, report the min — single-shot local timings carry
-    # 20-30% GC/scheduler noise that min-of-N suppresses
+    # three timed passes, report the min — single-shot local timings carry
+    # 20-30% GC/scheduler/host-tenancy noise that min-of-N suppresses (the
+    # round-4 noise-floor measurement above: even the single-threaded
+    # packer throughput drifts ±20% between runs on this shared box)
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             if name not in POSTINGS_READERS:
                 # no persisted state carries into a timing (except the
@@ -112,7 +114,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-                "kpl_pack_recs_per_s": kpl_pack_throughput(),
+                "kpl_pack_recs_per_s": max(kpl_pack_throughput() for _ in range(3)),
                 "forward_path_recs_per_s": forward_path_throughput(spark),
             }
         )
