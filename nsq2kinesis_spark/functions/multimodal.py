@@ -67,10 +67,15 @@ def parse_image_dimensions(data: bytes) -> tuple[int, int] | None:
         w, h = struct.unpack("<HH", data[6:10])
         return w, h
     if data[:2] == b"BM" and len(data) >= 26:
-        # BITMAPINFOHEADER: signed i32 width/height at offset 18 (height
-        # may be negative = top-down rows)
+        # Only the BITMAPINFOHEADER family stores i32 width/height at
+        # offset 18 — verify the DIB header-size field first; the legacy
+        # 12-byte BITMAPCOREHEADER (u16 dims) would otherwise parse as
+        # garbage, and "structurally unknown" must mean None, not wrong.
+        dib_size = struct.unpack("<I", data[14:18])[0]
+        if dib_size not in (40, 52, 56, 64, 108, 124):
+            return None
         w, h = struct.unpack("<ii", data[18:26])
-        return w, abs(h)
+        return w, abs(h)  # negative height = top-down rows
     if data[:3] == b"\xff\xd8\xff":
         # walk JPEG markers to a start-of-frame (SOF0..SOF15, excluding
         # DHT/JPG/DAC): segment payload is [precision u8, height u16,
@@ -79,9 +84,12 @@ def parse_image_dimensions(data: bytes) -> tuple[int, int] | None:
         while i + 9 <= len(data):
             if data[i] != 0xFF:
                 return None  # desynchronized marker stream
+            # any number of 0xFF fill bytes may pad before a marker
+            while i + 1 < len(data) and data[i + 1] == 0xFF:
+                i += 1
             marker = data[i + 1]
-            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2  # standalone markers carry no length
+            if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers (incl. EOI) carry no length
                 continue
             seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
@@ -105,7 +113,10 @@ def parse_wav_meta(data: bytes) -> dict | None:
     while i + 8 <= len(data):
         chunk_id = data[i : i + 4]
         chunk_len = struct.unpack("<I", data[i + 4 : i + 8])[0]
-        if chunk_id == b"fmt " and i + 24 <= len(data):
+        if chunk_id == b"fmt " and chunk_len >= 16 and i + 24 <= len(data):
+            # chunk_len >= 16 guards the PCM WAVEFORMATEX layout: a legacy
+            # 14-byte WAVEFORMAT has no wBitsPerSample and reading past it
+            # would take the next chunk's header bytes as the bit depth
             _fmt, channels, rate = struct.unpack("<HHI", data[i + 8 : i + 16])
             bits = struct.unpack("<H", data[i + 22 : i + 24])[0]
             meta.update(channels=channels, sample_rate=rate, bits_per_sample=bits)
@@ -255,6 +266,9 @@ def byte_resize(df: DataFrame, stride: int = 4) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:
+                    # same null contract as byte_features: keep the row
+                    # with empty output rather than dropping the document
+                    rows.append((doc_id, 0, None))
                     continue
                 thumb = bytes(payload)[::stride]
                 rows.append((doc_id, len(thumb), hashlib.md5(thumb).hexdigest()))

@@ -370,13 +370,16 @@ def q95_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_bounds = ev.select("event_id", "user_id", day.alias("day")).crossJoin(
         F.broadcast(bounds)
     )
-    dim_user = F.floor(
-        (F.col("user_id") - F.col("min_u")) * top
-        / F.greatest(F.lit(1), F.col("max_u") - F.col("min_u"))
+    # integer DIV, not double '/': past ~2^45-wide dimension ranges a
+    # double quotient can round UP across the bucket boundary where the
+    # oracle's integer // floors — DIV keeps both engines in exact i64
+    # arithmetic (the (x−min)·top product must fit a long, i.e. dimension
+    # ranges up to ~2^55 — the same domain the oracle's BIGINT // has)
+    dim_user = F.expr(
+        f"(user_id - min_u) * {top} div greatest(1, max_u - min_u)"
     ).cast("long")
-    dim_day = F.floor(
-        (F.col("day") - F.col("min_d")) * top
-        / F.greatest(F.lit(1), F.col("max_d") - F.col("min_d"))
+    dim_day = F.expr(
+        f"(day - min_d) * {top} div greatest(1, max_d - min_d)"
     ).cast("long")
     return with_bounds.select(
         "event_id",

@@ -385,7 +385,19 @@ CONSUMER_IDLE_EVICT_S = 300.0
 def _evict_idle_consumers(
     consumers: dict, now: float, ttl_s: float = CONSUMER_IDLE_EVICT_S
 ) -> None:
-    for key in [k for k, c in consumers.items() if now - c.last_used > ttl_s]:
+    # Only pending-free consumers are evictable: a live query with a
+    # trigger interval longer than the TTL legitimately leaves its
+    # consumer idle between micro-batches, and closing it while batches
+    # await their deferred FIN would redeliver EVERY batch forever (the
+    # FIN rides the delivering connection). A truly orphaned consumer
+    # with pending messages stops answering heartbeats, so nsqd reaps the
+    # connection itself; the dead cache entry then fails its next use (if
+    # any) and is dropped by read()'s ConnectionError path.
+    for key in [
+        k
+        for k, c in consumers.items()
+        if now - c.last_used > ttl_s and not c.pending
+    ]:
         stale = consumers.pop(key)
         try:
             stale.conn.close()

@@ -81,6 +81,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type == "string":
+            # JSON/CSV fallback copies carry ts as an ISO-8601 string
+            # (Spark's JSON inference does not produce timestamps) — cast
+            # so every events consumer sees one timestamp type regardless
+            # of the serving format.
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

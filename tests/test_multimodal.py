@@ -147,3 +147,51 @@ def test_frame_sample_shapes(spark):
     assert [f.frame_no for f in png_frames] == list(range(len(png_frames)))
     assert bytes(png_frames[0].frame) == PNG[:32]
     assert png_frames[0].frame_hash == hashlib.md5(PNG[:32]).hexdigest()
+
+
+def test_structural_decode_rejects_ambiguous_containers():
+    """Robustness of the structural parsers: formats whose layout the
+    parser cannot verify return None/partial rather than garbage — a
+    core-header (OS/2) BMP, a truncated WAVEFORMAT fmt chunk, and a JPEG
+    padded with legal 0xFF fill bytes."""
+    import struct
+
+    from nsq2kinesis_spark.functions.multimodal import (
+        parse_image_dimensions,
+        parse_wav_meta,
+    )
+
+    # BITMAPCOREHEADER: 12-byte DIB with u16 dims — not parseable as i32
+    core_bmp = (
+        b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 100, 100, 1, 24)
+    )
+    assert parse_image_dimensions(core_bmp) is None
+
+    # legacy 14-byte WAVEFORMAT fmt chunk: no wBitsPerSample — the parser
+    # must not read the next chunk's header as bit depth
+    fmt14 = b"fmt " + struct.pack("<I", 14) + struct.pack("<HHIIH", 1, 2, 8000, 32000, 4)
+    body = b"WAVE" + fmt14 + b"data" + struct.pack("<I", 16)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta = parse_wav_meta(wav)
+    assert "bits_per_sample" not in meta
+    assert meta["data_bytes"] == 16
+
+    # JPEG with 0xFF fill padding before the SOF marker (legal per spec)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xff\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 48, 96) + b"\x01\x11\x00"
+    padded_jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert parse_image_dimensions(padded_jpeg) == (96, 48)
+
+
+def test_byte_resize_keeps_null_payload_rows(spark):
+    """byte_resize shares byte_features' null contract: a null payload
+    keeps its row (empty output) instead of vanishing from the corpus."""
+    from nsq2kinesis_spark.functions.multimodal import byte_features, byte_resize
+
+    df = spark.createDataFrame([(1, b"abcdefgh"), (2, None)], "doc_id long, payload binary")
+    resized = {r.doc_id: r for r in byte_resize(df, stride=4).collect()}
+    feats = {r.doc_id: r for r in byte_features(df).collect()}
+    assert set(resized) == set(feats) == {1, 2}
+    assert resized[2].thumb_bytes == 0 and resized[2].thumb_hash is None
+    assert resized[1].thumb_bytes == 2  # b"ae"

@@ -49,6 +49,30 @@ def test_queries_are_format_invariant(spark, tmp_path):
         assert _rows(builder(spark, csv_dir)) == expected, (qname, "csv")
 
 
+def test_events_jsonl_normalizes_ts(spark, tmp_path):
+    """events served from JSON lines carries ts as an ISO string (Spark's
+    JSON inference never yields timestamps) — the loader must normalize it
+    to TIMESTAMP so every events consumer works unchanged. q60 (dedup on
+    events) must match its parquet result exactly."""
+    from nsq2kinesis_spark.tables import table as load
+
+    sf_dir = tmp_path / "sf_events"
+    sf_dir.mkdir()
+    out = tmp_path / "stage_events"
+    # default JSON timestampFormat truncates to milliseconds — export with
+    # full microsecond precision so the round trip is lossless
+    load(spark, SF_SMOKE, "events").coalesce(1).write.option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).json(str(out))
+    part = glob.glob(str(out / "part-*"))[0]
+    shutil.copy(part, sf_dir / "events.jsonl")
+
+    df = load(spark, str(sf_dir), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp", df.dtypes
+    builder = all_queries()["q60_dedup_exact"].builder
+    assert _rows(builder(spark, str(sf_dir))) == _rows(builder(spark, SF_SMOKE))
+
+
 def test_missing_table_keeps_clean_error(spark, tmp_path):
     """A bad sf_dir still raises Spark's PATH_NOT_FOUND (the fallback
     routing must not swallow it into a confusing CSV error)."""

@@ -873,10 +873,14 @@ def test_metrics_listener_exports_progress(spark, tmp_path):
         spark.streams.removeListener(listener)
 
 
+@pytest.mark.slow
 def test_idle_consumers_evicted():
-    """Consumers a stopped query abandons are closed by the next task in
-    the same worker once idle past the TTL, instead of holding sockets
-    until nsqd's missed-heartbeat disconnect."""
+    """Pending-free consumers a stopped query abandons are closed by the
+    next task in the same worker once idle past the TTL, instead of
+    holding sockets until nsqd's missed-heartbeat disconnect. Consumers
+    with batches still awaiting deferred FIN are NEVER evicted — a live
+    query triggering slower than the TTL must not lose its acking
+    connection (nsqd reaps genuinely dead ones via heartbeat itself)."""
     import builtins
 
     from nsq2kinesis_spark.sources.nsq import (
@@ -896,11 +900,18 @@ def test_idle_consumers_evicted():
         cache = getattr(builtins, "_nsq2kinesis_executor_consumers", {})
         old_key = (nsqd.addr, "t", "c", "old", 0)
         assert old_key in cache
-        # age the old consumer past the TTL; a different reader's task
-        # evicts it on its next read
+        # age the old consumer past the TTL while it still has pending
+        # batches: it must survive eviction (slow-trigger liveness)
         cache[old_key].last_used -= 10_000
         r_new = NsqPartitionedStreamReader({**opts, "consumer_instance_id": "new"})
         list(r_new.read(part))
+        assert old_key in cache  # pending != empty → exempt
+        # once its batches are acked (pending drained), the same idle age
+        # makes it evictable
+        cache[old_key].pending.clear()
+        cache[old_key].last_used -= 10_000
+        part2 = NsqInputPartition(pid=0, batch_seq=2, committed_seq=1, rdy=2)
+        list(r_new.read(part2))
         assert old_key not in cache
         assert (nsqd.addr, "t", "c", "new", 0) in cache
     finally:
@@ -910,6 +921,7 @@ def test_idle_consumers_evicted():
         nsqd.stop()
 
 
+@pytest.mark.slow
 def test_concurrent_partitioned_readers_have_disjoint_consumers():
     """Two partitioned readers on the same topic+channel with distinct
     consumer_instance_id values must not share an executor consumer —
