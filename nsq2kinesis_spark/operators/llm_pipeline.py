@@ -319,3 +319,171 @@ def q88_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_ttr.cast("int").alias("ok_ttr"),
         (ok_len & ok_wl & ok_stop & ok_rep & ok_ttr).cast("int").alias("passes"),
     )
+
+
+# -- q97: the whole corpus build as ONE plan ----------------------------------
+
+_Q97_QUAL_SQL = f"""
+      n BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS}
+      AND sumlen * 1.0 / n BETWEEN {QF_MIN_MWL} AND {QF_MAX_MWL}
+      AND stop >= {QF_MIN_STOPWORDS}
+      AND top * {QF_REP_MULT} <= n
+      AND nd * {QF_TTR_DEN} >= n * {QF_TTR_NUM}
+"""
+
+
+def _q97_oracle() -> str:
+    from .llm_dedup import DECON_BENCH_STEP, DECON_N
+
+    return f"""
+    WITH w0 AS (
+      SELECT doc_id, source, text, STRING_SPLIT(text, ' ') AS words FROM documents
+    ), q AS (
+      SELECT doc_id, source, text, words,
+             LEN(words) AS n,
+             LEN(LIST_DISTINCT(words)) AS nd,
+             LIST_SUM(LIST_TRANSFORM(words, x -> STRLEN(x))) AS sumlen,
+             {_DUCK_STOP} AS stop,
+             {_DUCK_TOP_COUNT} AS top
+      FROM w0
+    ), qual AS (
+      SELECT doc_id, source, text, CAST(n AS INTEGER) AS n_tokens FROM q
+      WHERE doc_id % {DECON_BENCH_STEP} <> 0 AND ({_Q97_QUAL_SQL})
+    ), grams AS (
+      SELECT doc_id, UNNEST(CASE WHEN LEN(words) >= {DECON_N} THEN
+          LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(words) - {DECON_N - 1}),
+            i -> LIST_AGGREGATE(words[i:i+{DECON_N - 1}], 'string_agg', ' ')))
+          ELSE [] END) AS g
+      FROM w0
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {DECON_BENCH_STEP} = 0
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE doc_id % {DECON_BENCH_STEP} <> 0 AND g IN (SELECT g FROM bench)
+    ), clean AS (
+      SELECT * FROM qual WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), canon AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+        ORDER BY doc_id) AS rn
+      FROM clean
+    ), ns AS (
+      SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {PACK_TARGET_DOCS_PER_SHARD}.0) AS BIGINT))
+             AS shards
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(doc_id % (SELECT shards FROM ns) AS INTEGER) AS shard,
+             {_duck_bucket(SPLIT_SALT, "doc_id", SPLIT_BUCKETS)} AS bucket
+      FROM canon WHERE rn = 1
+    ), c AS (
+      SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before
+      FROM kept
+    )
+    SELECT doc_id, source,
+           CASE WHEN bucket < {SPLIT_VAL_LO} THEN 'train'
+                WHEN bucket < {SPLIT_TEST_LO} THEN 'val'
+                ELSE 'test' END AS split,
+           shard, n_tokens,
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS seq_offset
+    FROM c
+    """
+
+
+@query("q97_corpus_build", oracle=_q97_oracle(), tags=("llm", "pipeline", "composition"))
+def q97_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-corpus build as one declarative plan — the
+    composition proof that the pipeline operators stack: Gopher-style
+    quality gate (q88) → benchmark decontamination (q83, any contaminated
+    gram disqualifies) → exact-dedup canonical selection (q72 fingerprint,
+    keep lowest doc_id) → deterministic train/val/test split (q85) →
+    token-budget sequence packing (q86) over the surviving corpus.
+
+    Plan shape at 100 TB: one corpus scan computes quality + fingerprint;
+    decontamination stays a broadcast gram semi-join feeding a distinct
+    doc-id set that anti-joins back (contaminated sets are benchmark-sized
+    — tiny); canonical selection is one fingerprint-keyed window; packing
+    is the (source, shard)-bounded window with the corpus-derived shard
+    count. Catalyst fuses the narrow stages into the scan; total shuffles:
+    contamination count, fingerprint window, packing window. Every stage
+    is exact integer/hash arithmetic, so the five-stage composition still
+    hash-matches its single SQL oracle."""
+    from .llm_dedup import DECON_BENCH_STEP, DECON_N
+    from .llm_text import STOPWORDS, _count_in
+
+    d0 = t(spark, sf_dir, "documents")
+    shards = pack_shard_count(d0.count())
+    d = d0.select("doc_id", "source", "text", F.split("text", " ").alias("words"))
+
+    n, nd = F.size("words"), F.size(F.array_distinct("words"))
+    sumlen = F.aggregate(
+        F.transform("words", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    stop = _count_in(F.col("words"), STOPWORDS["en"])
+    top = F.expr(_TOP_COUNT)
+    mwl = sumlen * F.lit(1.0) / n
+    passes = (
+        (n >= QF_MIN_TOKENS) & (n <= QF_MAX_TOKENS)
+        & (mwl >= QF_MIN_MWL) & (mwl <= QF_MAX_MWL)
+        & (stop >= QF_MIN_STOPWORDS)
+        & (top * QF_REP_MULT <= n)
+        & (nd * QF_TTR_DEN >= n * QF_TTR_NUM)
+    )
+    qual = d.filter((F.col("doc_id") % DECON_BENCH_STEP != 0) & passes).select(
+        "doc_id", "source", "text", n.cast("int").alias("n_tokens")
+    )
+
+    ngrams_expr = f"""
+      CASE WHEN size(words) >= {DECON_N} THEN
+        array_distinct(transform(sequence(0, size(words) - {DECON_N}),
+          i -> concat_ws(' ', {", ".join(f"words[i+{k}]" for k in range(DECON_N))})))
+      ELSE CAST(array() AS ARRAY<STRING>) END
+    """
+    grams = d.select("doc_id", F.explode(F.expr(ngrams_expr)).alias("g_str")).select(
+        "doc_id", F.xxhash64("g_str").alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") % DECON_BENCH_STEP == 0).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % DECON_BENCH_STEP != 0)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = qual.join(contaminated, "doc_id", "left_anti")
+
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        clean.withColumn("fp", fp)
+        .withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("doc_id") % shards).cast("int").alias("shard"),
+            _bucket(SPLIT_SALT, F.col("doc_id"), SPLIT_BUCKETS).alias("bucket"),
+        )
+    )
+    w_pack = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0)).cast("long")
+    return kept.select(
+        "doc_id",
+        "source",
+        F.when(F.col("bucket") < SPLIT_VAL_LO, "train")
+        .when(F.col("bucket") < SPLIT_TEST_LO, "val")
+        .otherwise("test")
+        .alias("split"),
+        "shard",
+        "n_tokens",
+        F.floor(cum / PACK_BUDGET).cast("long").alias("seq_id"),
+        (cum % PACK_BUDGET).cast("long").alias("seq_offset"),
+    )
