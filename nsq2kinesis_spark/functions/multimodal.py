@@ -87,6 +87,8 @@ def parse_image_dimensions(data: bytes) -> tuple[int, int] | None:
             # any number of 0xFF fill bytes may pad before a marker
             while i + 1 < len(data) and data[i + 1] == 0xFF:
                 i += 1
+            if i + 9 > len(data):
+                return None  # fill skip consumed the tail; truncated stream
             marker = data[i + 1]
             if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers (incl. EOI) carry no length

@@ -412,7 +412,7 @@ def q97_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination count, fingerprint window, packing window. Every stage
     is exact integer/hash arithmetic, so the five-stage composition still
     hash-matches its single SQL oracle."""
-    from .llm_dedup import DECON_BENCH_STEP, DECON_N
+    from .llm_dedup import _SPARK_NGRAMS, DECON_BENCH_STEP
     from .llm_text import STOPWORDS, _count_in
 
     d0 = t(spark, sf_dir, "documents")
@@ -437,13 +437,9 @@ def q97_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text", n.cast("int").alias("n_tokens")
     )
 
-    ngrams_expr = f"""
-      CASE WHEN size(words) >= {DECON_N} THEN
-        array_distinct(transform(sequence(0, size(words) - {DECON_N}),
-          i -> concat_ws(' ', {", ".join(f"words[i+{k}]" for k in range(DECON_N))})))
-      ELSE CAST(array() AS ARRAY<STRING>) END
-    """
-    grams = d.select("doc_id", F.explode(F.expr(ngrams_expr)).alias("g_str")).select(
+    # the SAME gram expression q83 uses — shared so the composed
+    # decontamination stage can never diverge from the standalone operator
+    grams = d.select("doc_id", F.explode(F.expr(_SPARK_NGRAMS)).alias("g_str")).select(
         "doc_id", F.xxhash64("g_str").alias("g")
     )
     bench = grams.filter(F.col("doc_id") % DECON_BENCH_STEP == 0).select("g").distinct()

@@ -385,18 +385,21 @@ CONSUMER_IDLE_EVICT_S = 300.0
 def _evict_idle_consumers(
     consumers: dict, now: float, ttl_s: float = CONSUMER_IDLE_EVICT_S
 ) -> None:
-    # Only pending-free consumers are evictable: a live query with a
-    # trigger interval longer than the TTL legitimately leaves its
-    # consumer idle between micro-batches, and closing it while batches
-    # await their deferred FIN would redeliver EVERY batch forever (the
-    # FIN rides the delivering connection). A truly orphaned consumer
-    # with pending messages stops answering heartbeats, so nsqd reaps the
-    # connection itself; the dead cache entry then fails its next use (if
-    # any) and is dropped by read()'s ConnectionError path.
+    # Only consumers with no message awaiting FIN are evictable: a live
+    # query with a trigger interval longer than the TTL legitimately
+    # leaves its consumer idle between micro-batches, and closing it
+    # while batches await their deferred FIN would redeliver EVERY batch
+    # forever (the FIN rides the delivering connection). A truly orphaned
+    # consumer with pending messages stops answering heartbeats, so nsqd
+    # reaps the connection itself; the dead cache entry then fails its
+    # next use (if any) and is dropped by read()'s ConnectionError path.
+    # NOTE: read() always records a batch entry (possibly an EMPTY list on
+    # a quiet topic), so the check must be "no message ids anywhere", not
+    # "dict empty" — the latter never holds for an abandoned consumer.
     for key in [
         k
         for k, c in consumers.items()
-        if now - c.last_used > ttl_s and not c.pending
+        if now - c.last_used > ttl_s and not any(c.pending.values())
     ]:
         stale = consumers.pop(key)
         try:

@@ -183,6 +183,11 @@ def test_structural_decode_rejects_ambiguous_containers():
     padded_jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
     assert parse_image_dimensions(padded_jpeg) == (96, 48)
 
+    # truncated streams ending in fill bytes must return None, never raise
+    # (the fill skip once walked past the loop's bounds guard)
+    assert parse_image_dimensions(b"\xff\xd8\xff" + b"\xff" * 9) is None
+    assert parse_image_dimensions(b"\xff\xd8\xff" + b"\xff" * 7 + b"\xe0") is None
+
 
 def test_byte_resize_keeps_null_payload_rows(spark):
     """byte_resize shares byte_features' null contract: a null payload

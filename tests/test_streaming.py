@@ -905,10 +905,11 @@ def test_idle_consumers_evicted():
         cache[old_key].last_used -= 10_000
         r_new = NsqPartitionedStreamReader({**opts, "consumer_instance_id": "new"})
         list(r_new.read(part))
-        assert old_key in cache  # pending != empty → exempt
-        # once its batches are acked (pending drained), the same idle age
-        # makes it evictable
-        cache[old_key].pending.clear()
+        assert old_key in cache  # pending message ids → exempt
+        # once no message awaits FIN — the realistic abandoned state is a
+        # dict of EMPTY batch lists (read() records one per batch even on
+        # a quiet topic) — the same idle age makes it evictable
+        cache[old_key].pending = {7: [], 8: []}
         cache[old_key].last_used -= 10_000
         part2 = NsqInputPartition(pid=0, batch_seq=2, committed_seq=1, rdy=2)
         list(r_new.read(part2))
