@@ -271,8 +271,15 @@ class KinesisSink:
                     body = bytes(row.body)
                     key = getattr(row, "partition_key", None)
                     n_input += 1
-                    if len(body) > max_bytes:
-                        # reference kinesis_writer.go:167-170: drop, log, never send
+                    pk_bytes = len(effective_partition_key(body, key).encode("utf-8"))
+                    if len(body) + pk_bytes > max_bytes:
+                        # Kinesis's 1 MiB per-record limit counts data PLUS
+                        # the UTF-8 partition key; a body within max_bytes
+                        # but over it with the key would be a poison record
+                        # — PutRecords rejects it, the batch fails, and
+                        # Spark replays the same batch forever. Drop and
+                        # count instead (the reference checked body only,
+                        # kinesis_writer.go:167-170 — this closes that gap).
                         n_dropped += 1
                         continue
                     if partitioned:

@@ -207,7 +207,11 @@ class KplAggregator:
     _done: list[PackedEntry] = field(default_factory=list)
 
     def _incoming_size(self, data: bytes, key: str) -> int:
-        return len(data) + (0 if key in self._key_index else len(key))
+        # key size in UTF-8 BYTES: Go's len(string) is bytes, so the
+        # reference's accounting (aggregator.go:140) is byte-based, and
+        # the sink's PutRecords chunker counts the same way — counting
+        # chars here under-sized frames with non-ASCII keys
+        return len(data) + (0 if key in self._key_index else len(key.encode("utf-8")))
 
     def _flush_current(self) -> None:
         if not self._records:
@@ -237,7 +241,7 @@ class KplAggregator:
         if pk not in self._key_index:
             self._key_index[pk] = len(self._keys)
             self._keys.append(pk)
-            self._size += len(pk)
+            self._size += len(pk.encode("utf-8"))
         self._records.append((self._key_index[pk], data))
         self._slots.append(slot)
         self._size += len(data)

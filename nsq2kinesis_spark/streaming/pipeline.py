@@ -61,10 +61,18 @@ def partition_key_transform(df: DataFrame, key_col: str = "key") -> DataFrame:
     )
 
 
-def forwarding_transform(df: DataFrame, streaming: bool = True) -> DataFrame:
+def forwarding_transform(
+    df: DataFrame,
+    streaming: bool = True,
+    watermark: str = DEDUP_WATERMARK,
+    max_bytes: int = MAX_BODY_BYTES,
+) -> DataFrame:
     """The full hot path (dedup → oversize → partition key), shared by the
-    streaming pipeline and its oracle-checkable batch twins (q60/q64/q65)."""
-    return partition_key_transform(oversize_filter(dedup_transform(df, streaming)))
+    streaming pipeline (build_pipeline — ONE composition, no inline copy
+    to drift) and its oracle-checkable batch twins (q60/q64/q65)."""
+    return partition_key_transform(
+        oversize_filter(dedup_transform(df, streaming, watermark=watermark), max_bytes)
+    )
 
 
 def with_forward_metrics(df: DataFrame, observation=None) -> DataFrame:
@@ -106,11 +114,11 @@ def build_pipeline(source_df: DataFrame, sink, config: PipelineConfig):
     if getattr(sink, "checkpoint_dir", "absent") is None:
         sink.checkpoint_dir = config.checkpoint_dir
     transformed = with_forward_metrics(
-        partition_key_transform(
-            oversize_filter(
-                dedup_transform(source_df, streaming=True, watermark=config.dedup_watermark),
-                config.max_body_bytes,
-            )
+        forwarding_transform(
+            source_df,
+            streaming=True,
+            watermark=config.dedup_watermark,
+            max_bytes=config.max_body_bytes,
         )
     )
     return (

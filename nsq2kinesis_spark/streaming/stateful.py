@@ -54,6 +54,14 @@ def make_dedup_fn(ttl_s: int = DEDUP_TTL_S):
     Timeout = state EVICTION (the reference's Trim() generation drop,
     deduper.go:42-47): without the remove() branch, every key ever seen
     would hold state forever and the store would grow unboundedly at scale.
+
+    Clock contract: the keep/drop COMPARISON is event-time; EVICTION is
+    wall-clock (ProcessingTimeTimeout — exactly the reference's ticker-
+    driven Trim). Consequence: if the source stalls for more than ttl_s of
+    wall time, evicted keys can re-admit an event-time duplicate — the
+    same best-effort-cache behavior the reference has, and safe under the
+    pipeline's at-least-once contract (dedup here is a cost optimization,
+    not a correctness gate).
     """
 
     def dedup_fn(
@@ -69,7 +77,11 @@ def make_dedup_fn(ttl_s: int = DEDUP_TTL_S):
                 ts_s = row.ts.timestamp()
                 if last_seen is None or (ts_s - last_seen) >= ttl_s:
                     kept.append((row.body_hash, row.message_id, row.ts))
-                last_seen = ts_s  # refresh on every sighting
+                # refresh on every sighting — but never BACKWARD: a late
+                # out-of-order record must not regress the mark, or a
+                # duplicate arriving ttl_s after the LATE record (yet
+                # within ttl_s of the true latest sighting) leaks through
+                last_seen = ts_s if last_seen is None else max(last_seen, ts_s)
         state.update((last_seen,))
         state.setTimeoutDuration(ttl_s * 1000)
         if kept:
@@ -142,7 +154,8 @@ class TtlDedupProcessor(StatefulProcessor):
                 ts_s = row.ts.timestamp()
                 if last_seen is None or (ts_s - last_seen) >= self.ttl_s:
                     kept.append((row.body_hash, row.message_id, row.ts))
-                last_seen = ts_s
+                # never regress on late out-of-order records (see dedup_fn)
+                last_seen = ts_s if last_seen is None else max(last_seen, ts_s)
         self._last.update((last_seen,))
         if kept:
             yield pd.DataFrame(kept, columns=["body_hash", "message_id", "ts"])
@@ -187,26 +200,49 @@ def make_count_size_trigger(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            # flush-on-idle: seal whatever is open, then drop the state
+            # Flush-on-idle: seal whatever is open. batch_no must survive
+            # the flush — removing the state would restart numbering at 0
+            # and a later batch would reuse an already-emitted
+            # (key, batch_no) identity. The emptied counter lingers for a
+            # cleanup grace (10× the flush delay, min 60 s) and is only
+            # dropped by a timeout that finds NOTHING open — so numbering
+            # is continuous across any idle gap shorter than the grace,
+            # and dead keys still cannot hold state forever.
             batch_no, n_records, n_bytes = state.get if state.exists else (0, 0, 0)
-            state.remove()
             if n_records:
+                state.update((batch_no + 1, 0, 0))
+                if max_delay_ms is not None:
+                    state.setTimeoutDuration(max(10 * max_delay_ms, 60_000))
                 yield pd.DataFrame(
                     [(key[0], batch_no, n_records, n_bytes)],
                     columns=["key", "batch_no", "n_records", "n_bytes"],
                 )
+            else:
+                state.remove()
             return
         batch_no, n_records, n_bytes = state.get if state.exists else (0, 0, 0)
         sealed = []
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
                 size = int(row.n_bytes)
-                if n_records + 1 > max_count or n_bytes + size > max_bytes:
+                if n_records and (
+                    n_records + 1 > max_count or n_bytes + size > max_bytes
+                ):
+                    # would-overflow seal — only for a NON-empty batch (a
+                    # single over-limit row otherwise emitted a phantom
+                    # 0-record summary before landing in the next batch)
                     sealed.append((key[0], batch_no, n_records, n_bytes))
                     batch_no += 1
                     n_records, n_bytes = 0, 0
                 n_records += 1
                 n_bytes += size
+                if n_records >= max_count or n_bytes >= max_bytes:
+                    # seal AT the limit, not one row later: an exactly-full
+                    # batch with no successor row must still emit (without
+                    # this, max_delay_ms=None would hold it open forever)
+                    sealed.append((key[0], batch_no, n_records, n_bytes))
+                    batch_no += 1
+                    n_records, n_bytes = 0, 0
         state.update((batch_no, n_records, n_bytes))
         if max_delay_ms is not None:
             state.setTimeoutDuration(max_delay_ms)

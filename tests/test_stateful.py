@@ -254,3 +254,115 @@ def test_dedup_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+@pytest.mark.slow
+def test_dedup_never_regresses_on_late_records(spark, tmp_path):
+    """A late out-of-order sighting must not move last_seen backward: a
+    duplicate inside the TTL of the TRUE latest sighting stays dropped
+    even if it is past the TTL of the late record."""
+    # file 1: t=+240s (latest), file 2: late record t=+1s, file 3:
+    # duplicate at t=+340s — within 240s of +240 (drop), but 339s after
+    # the late +1 record (a regressed mark would admit it)
+    rows1 = [(7, "m_latest", T0 + timedelta(seconds=240))]
+    rows2 = [(7, "m_late", T0 + timedelta(seconds=1))]
+    rows3 = [(7, "m_dup", T0 + timedelta(seconds=340))]
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = "body_hash long, message_id string, ts timestamp"
+    for i, chunk in enumerate([rows1, rows2, rows3]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(str(src / f"f{i}"))
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        str(src / "*")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        generational_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_and_stop(q)
+    got = sorted(r.message_id for r in spark.sql(f"SELECT * FROM {name}").collect())
+    # m_latest first sighting: kept. m_late: dup within TTL of +240 (the
+    # comparison is against the max mark): dropped. m_dup at +340: within
+    # 240s of +240: dropped.
+    assert got == ["m_latest"], got
+
+
+@pytest.mark.slow
+def test_count_size_trigger_seals_exactly_full_and_oversize(spark, tmp_path):
+    """Two sealing edges: (a) a batch reaching exactly max_count seals
+    immediately (no successor row needed); (b) a single row over
+    max_bytes forms its own sealed batch with NO phantom 0-record seal."""
+    rows = [("k1", 10)] * 5 + [("k2", 500)]  # k1: exactly 5; k2: 500 > 100
+    schema = "key string, n_bytes long"
+    src = tmp_path / "edge_src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = count_size_trigger(stream, max_count=5, max_bytes=100)
+    name = f"edge_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_and_stop(q)
+    sealed = {
+        (r.key, r.batch_no): (r.n_records, r.n_bytes)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert sealed[("k1", 0)] == (5, 50)  # exactly-full seals without row 6
+    assert sealed[("k2", 0)] == (1, 500)  # oversize row: own batch, no phantom
+    assert ("k2", 1) not in sealed
+
+
+@pytest.mark.slow
+@pytest.mark.timeout(180)
+def test_idle_flush_preserves_batch_numbering(spark, tmp_path):
+    """After a flush-on-idle seal, the key's NEXT batch continues the
+    batch_no sequence instead of reusing an already-emitted identity."""
+    schema = "key string, n_bytes long"
+    src = tmp_path / "renum_src"
+    src.mkdir()
+    spark.createDataFrame([("k1", 10)] * 2, schema).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        str(src / "*")
+    )
+    out = count_size_trigger(stream, max_count=5, max_bytes=100, max_delay_ms=1500)
+    name = f"renum_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+        assert [(r.key, r.batch_no, r.n_records) for r in rows] == [("k1", 0, 2)]
+        # more rows after the idle flush: numbering must continue at 1
+        spark.createDataFrame([("k1", 10)] * 2, schema).coalesce(1).write.parquet(
+            str(src / "f1")
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(0.5)
+        nums = sorted((r.batch_no, r.n_records) for r in rows)
+        assert nums == [(0, 2), (1, 2)], nums
+    finally:
+        q.stop()
