@@ -21,7 +21,6 @@ from ..tables import table as t
 from .relational import cents, duck_cents
 
 # exact revenue aggregation in integer cents×basis-points (see relational.py)
-_REVENUE_SPARK = None  # defined below once cents() is imported
 
 
 def revenue_sum():

@@ -152,9 +152,12 @@ def _shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh_all.join(F.broadcast(hot), "shingle", "left_anti").persist()
 
 
-# Pair emission packs (doc_a, doc_b) into ONE BIGINT (doc ids fit 32 bits
-# per corpus shard): the pair-count shuffle moves an 8-byte key instead of a
-# 16-byte struct, and hashes/compares a primitive long.
+# Pair emission packs (doc_a, doc_b) into ONE BIGINT (valid for doc ids in
+# [0, 2^32) — the full unsigned 32-bit range, because the unpack below uses
+# a LOGICAL shift: doc_a >= 2^31 sets the sign bit of the packed long, and
+# an arithmetic shiftright would smear it into a negative id): the
+# pair-count shuffle moves an 8-byte key instead of a 16-byte struct, and
+# hashes/compares a primitive long.
 _PAIR_PACKED = """
   flatten(transform(ds, (a, i) ->
     transform(slice(ds, i + 2, size(ds)), b -> shiftleft(a, 32) + b)))
@@ -163,7 +166,7 @@ _PAIR_PACKED = """
 
 def _unpack_pairs(pairs: DataFrame) -> DataFrame:
     return pairs.select(
-        F.shiftright("pk", 32).alias("doc_a"),
+        F.expr("shiftrightunsigned(pk, 32)").alias("doc_a"),
         F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("doc_b"),
         *[c for c in pairs.columns if c != "pk"],
     )
@@ -192,10 +195,14 @@ def _exact_pairs(spark: SparkSession, sh: DataFrame) -> DataFrame:
         .groupBy("pk")
         .agg(F.count("*").cast("long").alias("n_common"))
     )
+    # NO broadcast hint on the size joins: sizes is per-DOCUMENT (corpus-
+    # sized — one row per doc), so forcing a broadcast would OOM the
+    # driver at real scale. The PAIR side is the small one (near-dup
+    # pairs ≪ docs); AQE picks the right strategy per actual sizes.
     na = _unpack_pairs(pairs).alias("pa")
     return (
-        na.join(F.broadcast(sizes.alias("na")), F.col("doc_a") == F.col("na.doc_id"))
-        .join(F.broadcast(sizes.alias("nb")), F.col("doc_b") == F.col("nb.doc_id"))
+        na.join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
@@ -589,6 +596,7 @@ def q89_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # labels only ever decrease, so the exact sum strictly decreases iff
     # anything changed (decimal(38,0): overflow-proof at any node count).
     prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+    converged = False
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["doc_id"])
@@ -610,8 +618,19 @@ def q89_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # raising beats silently returning non-minimal component ids: an
+        # adversarially chained graph (diameter > CC_MAX_ITERS) needs the
+        # star-contraction variant, not a wrong answer
+        labels.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"label propagation did not converge in {CC_MAX_ITERS} rounds "
+            "(cluster diameter exceeds the cap — switch to star contraction)"
+        )
     sizes = labels.groupBy("component").agg(F.count("*").cast("long").alias("cluster_size"))
     return labels.join(sizes, "component").select(
         "doc_id",

@@ -258,6 +258,35 @@ _DUCK_STOP = (
 )
 
 
+def quality_flags(words_col: str = "words") -> dict:
+    """The five Gopher-style rule columns + their conjunction, as named
+    Spark Columns over a words array — the ONE definition both q88 (per-
+    rule flags) and q97's corpus-build gate consume, so the composed and
+    standalone operators cannot diverge."""
+    w = F.col(words_col)
+    n, nd = F.size(w), F.size(F.array_distinct(w))
+    sumlen = F.aggregate(F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
+    stop = _count_in(w, STOPWORDS["en"])
+    top = F.expr(_TOP_COUNT.replace("words", words_col))
+    mwl = sumlen * F.lit(1.0) / n
+    flags = {
+        "n": n,
+        "ok_len": (n >= QF_MIN_TOKENS) & (n <= QF_MAX_TOKENS),
+        "ok_word_len": (mwl >= QF_MIN_MWL) & (mwl <= QF_MAX_MWL),
+        "ok_stopword": stop >= QF_MIN_STOPWORDS,
+        "ok_repetition": top * QF_REP_MULT <= n,
+        "ok_ttr": nd * QF_TTR_DEN >= n * QF_TTR_NUM,
+    }
+    flags["passes"] = (
+        flags["ok_len"]
+        & flags["ok_word_len"]
+        & flags["ok_stopword"]
+        & flags["ok_repetition"]
+        & flags["ok_ttr"]
+    )
+    return flags
+
+
 @query(
     "q88_quality_gate",
     oracle=f"""
@@ -298,26 +327,15 @@ def q88_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Thresholds are integer (or exact-ratio) comparisons so the verdicts are
     bit-identical across engines. Flags are INT 0/1, shuffle-free scan."""
     d = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("words"))
-    n, nd = F.size("words"), F.size(F.array_distinct("words"))
-    sumlen = F.aggregate(
-        F.transform("words", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-    )
-    stop = _count_in(F.col("words"), STOPWORDS["en"])
-    top = F.expr(_TOP_COUNT)
-    mwl = sumlen * F.lit(1.0) / n
-    ok_len = (n >= QF_MIN_TOKENS) & (n <= QF_MAX_TOKENS)
-    ok_wl = (mwl >= QF_MIN_MWL) & (mwl <= QF_MAX_MWL)
-    ok_stop = stop >= QF_MIN_STOPWORDS
-    ok_rep = top * QF_REP_MULT <= n
-    ok_ttr = nd * QF_TTR_DEN >= n * QF_TTR_NUM
+    q = quality_flags()
     return d.select(
         "doc_id",
-        ok_len.cast("int").alias("ok_len"),
-        ok_wl.cast("int").alias("ok_word_len"),
-        ok_stop.cast("int").alias("ok_stopword"),
-        ok_rep.cast("int").alias("ok_repetition"),
-        ok_ttr.cast("int").alias("ok_ttr"),
-        (ok_len & ok_wl & ok_stop & ok_rep & ok_ttr).cast("int").alias("passes"),
+        q["ok_len"].cast("int").alias("ok_len"),
+        q["ok_word_len"].cast("int").alias("ok_word_len"),
+        q["ok_stopword"].cast("int").alias("ok_stopword"),
+        q["ok_repetition"].cast("int").alias("ok_repetition"),
+        q["ok_ttr"].cast("int").alias("ok_ttr"),
+        q["passes"].cast("int").alias("passes"),
     )
 
 
@@ -413,28 +431,14 @@ def q97_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact integer/hash arithmetic, so the five-stage composition still
     hash-matches its single SQL oracle."""
     from .llm_dedup import _SPARK_NGRAMS, DECON_BENCH_STEP
-    from .llm_text import STOPWORDS, _count_in
 
     d0 = t(spark, sf_dir, "documents")
     shards = pack_shard_count(d0.count())
     d = d0.select("doc_id", "source", "text", F.split("text", " ").alias("words"))
 
-    n, nd = F.size("words"), F.size(F.array_distinct("words"))
-    sumlen = F.aggregate(
-        F.transform("words", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-    )
-    stop = _count_in(F.col("words"), STOPWORDS["en"])
-    top = F.expr(_TOP_COUNT)
-    mwl = sumlen * F.lit(1.0) / n
-    passes = (
-        (n >= QF_MIN_TOKENS) & (n <= QF_MAX_TOKENS)
-        & (mwl >= QF_MIN_MWL) & (mwl <= QF_MAX_MWL)
-        & (stop >= QF_MIN_STOPWORDS)
-        & (top * QF_REP_MULT <= n)
-        & (nd * QF_TTR_DEN >= n * QF_TTR_NUM)
-    )
-    qual = d.filter((F.col("doc_id") % DECON_BENCH_STEP != 0) & passes).select(
-        "doc_id", "source", "text", n.cast("int").alias("n_tokens")
+    q = quality_flags()
+    qual = d.filter((F.col("doc_id") % DECON_BENCH_STEP != 0) & q["passes"]).select(
+        "doc_id", "source", "text", q["n"].cast("int").alias("n_tokens")
     )
 
     # the SAME gram expression q83 uses — shared so the composed

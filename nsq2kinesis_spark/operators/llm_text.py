@@ -164,17 +164,20 @@ def q73_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q54_multimodal_decode",
     oracle="""
     SELECT doc_id,
-           CASE WHEN text LIKE 'GIF8%' THEN 'gif'
+           CASE WHEN STRLEN(text) = 0 THEN 'empty'
+                WHEN text LIKE 'GIF8%' THEN 'gif'
                 WHEN text LIKE 'BM%'   THEN 'bmp'
                 WHEN text LIKE 'RIFF%' THEN 'riff'
                 WHEN text LIKE 'ID3%'  THEN 'mp3'
                 ELSE 'unknown' END AS format,
-           CAST(16 + CAST(CONCAT('0x', SUBSTR(SHA256(text), 1, 2)) AS INT) % 240 AS INTEGER)
-             AS width,
-           CAST(16 + CAST(CONCAT('0x', SUBSTR(SHA256(text), 3, 2)) AS INT) % 240 AS INTEGER)
-             AS height,
+           CASE WHEN STRLEN(text) = 0 THEN NULL ELSE
+             CAST(16 + CAST(CONCAT('0x', SUBSTR(SHA256(text), 1, 2)) AS INT) % 240 AS INTEGER)
+           END AS width,
+           CASE WHEN STRLEN(text) = 0 THEN NULL ELSE
+             CAST(16 + CAST(CONCAT('0x', SUBSTR(SHA256(text), 3, 2)) AS INT) % 240 AS INTEGER)
+           END AS height,
            CAST(STRLEN(text) AS BIGINT) AS n_bytes,
-           MD5(text) AS content_hash
+           CASE WHEN STRLEN(text) = 0 THEN NULL ELSE MD5(text) END AS content_hash
     FROM documents
     """,
     tags=("llm", "multimodal", "mapInPandas"),
@@ -214,7 +217,6 @@ def q74_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/multimodal.py; the corpus here is text re-encoded as bytes).
     Seed: the reference's opaque `bytes data` field (proto/aggregation.proto:20)."""
     d = t(spark, sf_dir, "documents")
-    payload = F.encode("text", "UTF-8")
     return d.select(
         "doc_id",
         F.octet_length("text").cast("long").alias("payload_bytes"),

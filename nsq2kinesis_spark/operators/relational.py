@@ -313,15 +313,15 @@ def zorder_key(a, b):
 _DUCK_Z_DIMS = f"""
     bounds AS (
       SELECT MIN(user_id) AS min_u, MAX(user_id) AS max_u,
-             MIN(CAST(EPOCH(ts) AS BIGINT) // 86400) AS min_d,
-             MAX(CAST(EPOCH(ts) AS BIGINT) // 86400) AS max_d
+             MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400) AS min_d,
+             MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400) AS max_d
       FROM events
     ),
     dims AS (
       SELECT event_id,
              (user_id - min_u) * {(1 << Z_BITS) - 1}
                // GREATEST(1, max_u - min_u) AS dim_user,
-             (CAST(EPOCH(ts) AS BIGINT) // 86400 - min_d) * {(1 << Z_BITS) - 1}
+             (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 - min_d) * {(1 << Z_BITS) - 1}
                // GREATEST(1, max_d - min_d) AS dim_day
       FROM events CROSS JOIN bounds
     )

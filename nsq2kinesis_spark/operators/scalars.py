@@ -66,7 +66,7 @@ def q40_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(DAY(o_orderdate) AS INTEGER) AS order_day,
            CAST(DAYOFWEEK(o_orderdate) + 1 AS INTEGER) AS order_dow,
            CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
-           CAST(EPOCH(o_orderdate) AS BIGINT) AS order_epoch,
+           CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS order_epoch,
            CAST(o_orderdate AS DATE) + 30 AS due_date,
            CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002
     FROM orders

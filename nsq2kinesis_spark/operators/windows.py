@@ -186,7 +186,7 @@ def q34_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_last_hour
     FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
-    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(EPOCH(ts) AS BIGINT)
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     tags=("window", "range-frame", "time"),
