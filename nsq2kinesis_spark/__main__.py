@@ -57,7 +57,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--test",
         action="store_true",
-        help="test mode: create the stream first (boto3) / allow spool sink",
+        default=bool(_env_default("TEST")),
+        help="test mode: create the stream first (boto3) / allow spool sink (env TEST)",
     )
     p.add_argument("--checkpoint-dir", default=_env_default("CHECKPOINT_DIR"))
     p.add_argument("--epoch-guard-dir", default=None, help="idempotent-replay marker dir")

@@ -133,13 +133,17 @@ def parse_wav_meta(data: bytes) -> dict | None:
 
 def structural_decode(data: bytes) -> tuple[int, int]:
     """Dimension decode via the pure-structural parsers above. Raises
-    NotImplementedError only for payloads whose format genuinely needs a
-    codec library — the narrow remaining gate."""
+    NotImplementedError for formats that genuinely need a codec library,
+    ValueError for a recognized image container whose structure doesn't
+    parse (truncated/corrupt — a codec would fail on it too)."""
     dims = parse_image_dimensions(data)
     if dims is None:
+        fmt = sniff_format(data)
+        if fmt in ("png", "gif", "bmp", "jpeg"):
+            raise ValueError(f"corrupt or truncated {fmt} container")
         raise NotImplementedError(
-            f"format {sniff_format(data)!r} needs a codec library "
-            "(install Pillow) or is not an image"
+            f"format {fmt!r} needs a codec library (install Pillow) "
+            "or is not an image"
         )
     return dims
 
@@ -176,7 +180,13 @@ def extract_media_meta(df: DataFrame, decode_fn=fake_decode) -> DataFrame:
                     rows.append((doc_id, "empty", None, None, 0, None))
                     continue
                 data = bytes(payload)
-                width, height = decode_fn(data)
+                try:
+                    width, height = decode_fn(data)
+                except Exception:  # noqa: BLE001 - any decode failure degrades, never kills the stage
+                    # one corrupt/undecodable payload must not fail the
+                    # whole Spark stage — degrade to null dimensions (the
+                    # same convention as empty payloads) and keep the row
+                    width = height = None
                 rows.append(
                     (
                         doc_id,

@@ -46,6 +46,15 @@ def get_logger() -> logging.Logger:
     return logger
 
 
+def _json_safe(value: Any) -> Any:
+    """NaN/Infinity are not legal JSON and Spark reports exactly those for
+    a query's first progress rates — map non-finite floats to None so
+    every emitted line stays parseable by strict consumers."""
+    if isinstance(value, float) and (value != value or value in (float("inf"), float("-inf"))):
+        return None
+    return value
+
+
 def log_event(component: str, event: str, **fields: Any) -> None:
     """Emit one structured event as a JSON line.
 
@@ -54,7 +63,7 @@ def log_event(component: str, event: str, **fields: Any) -> None:
     kinesis_writer.go:98-112) — a level-free event name plus typed fields.
     """
     record = {"ts": time.time(), "component": component, "event": event}
-    record.update(fields)
+    record.update({k: _json_safe(v) for k, v in fields.items()})
     get_logger().info(json.dumps(record, default=str))
 
 

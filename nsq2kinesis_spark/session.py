@@ -28,23 +28,40 @@ def ship_package(spark: SparkSession) -> None:
     runtime, cwd-independent; on a cluster this doubles as the --py-files
     shipping path.
     """
-    if id(spark) in _SHIPPED_SESSIONS:
+    # Dedup on applicationId, not id(spark): a new session allocated at a
+    # recycled object address would otherwise silently skip shipping.
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_SESSIONS:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(tempfile.gettempdir(), f"nsq2kinesis_spark_{os.getpid()}.zip")
+    # Content-addressed zip name: a PID-keyed name could collide with a
+    # stale zip from an earlier process after PID wraparound and ship old
+    # code; hashing each member's path+mtime+size makes any source change
+    # produce a fresh artifact.
+    import hashlib
+
+    members: list[tuple[str, str]] = []
+    digest = hashlib.sha256()
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            full = os.path.join(root, fname)
+            arc = os.path.join("nsq2kinesis_spark", os.path.relpath(full, pkg_dir))
+            st = os.stat(full)
+            digest.update(f"{arc}:{st.st_mtime_ns}:{st.st_size}".encode())
+            members.append((full, arc))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"nsq2kinesis_spark_{digest.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fname in files:
-                    if not fname.endswith(".py"):
-                        continue
-                    full = os.path.join(root, fname)
-                    arc = os.path.join(
-                        "nsq2kinesis_spark", os.path.relpath(full, pkg_dir)
-                    )
-                    zf.write(full, arc)
+        tmp_path = zip_path + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp_path, "w") as zf:
+            for full, arc in members:
+                zf.write(full, arc)
+        os.replace(tmp_path, zip_path)  # atomic vs concurrent builders
     spark.sparkContext.addPyFile(zip_path)
-    _SHIPPED_SESSIONS.add(id(spark))
+    _SHIPPED_SESSIONS.add(app_id)
 
 
 def get_spark(

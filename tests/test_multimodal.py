@@ -200,3 +200,20 @@ def test_byte_resize_keeps_null_payload_rows(spark):
     assert set(resized) == set(feats) == {1, 2}
     assert resized[2].thumb_bytes == 0 and resized[2].thumb_hash is None
     assert resized[1].thumb_bytes == 2  # b"ae"
+
+
+def test_corrupt_payload_degrades_not_crashes(spark):
+    """One corrupt payload (recognized container, unparseable structure)
+    must not fail the Spark stage: extract_media_meta degrades it to null
+    dimensions and keeps the row."""
+    from nsq2kinesis_spark.functions.multimodal import structural_decode
+
+    truncated_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 4  # magic ok, no IHDR
+    with pytest.raises(ValueError, match="corrupt or truncated png"):
+        structural_decode(truncated_png)
+    df = spark.createDataFrame(
+        [(1, _real_png(37, 23)), (2, truncated_png)], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in extract_media_meta(df, decode_fn=structural_decode).collect()}
+    assert (out[1].width, out[1].height) == (37, 23)
+    assert out[2].format == "png" and out[2].width is None and out[2].height is None

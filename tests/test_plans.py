@@ -134,9 +134,13 @@ def test_q83_benchmark_grams_broadcast(spark):
     final per-doc count aggregates)."""
     df = build("q83_decontamination")(spark, SF_CORRECTNESS)
     plan = physical_plan(df)
-    assert has_broadcast_join(df), plan
+    assert has_broadcast_join(df, plan), plan
     assert "CartesianProduct" not in plan, plan
-    assert n_shuffles(df) <= 2, plan  # repartition gate + count agg
+    # now that n_shuffles counts RoundRobin exchanges too: the local
+    # parallelism repartition gate appears once per consuming branch
+    # (bench grams + corpus grams), plus the bench distinct and the
+    # per-doc count aggregate; the JOIN itself stays broadcast (above)
+    assert n_shuffles(df, plan) <= 4, plan
 
 
 def test_q84_sample_is_scan_plus_filter(spark):
