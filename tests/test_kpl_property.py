@@ -26,9 +26,13 @@ from nsq2kinesis_spark.streaming.kpl import (
 )
 
 bodies = st.binary(min_size=0, max_size=2_000)
+# keys include non-ASCII text: partition-key size accounting is in UTF-8
+# BYTES (a 255-char CJK key is 765 wire bytes), so the round-trip must
+# hold when chars != bytes
 keys = st.one_of(
     st.none(),
     st.text(min_size=0, max_size=300, alphabet=st.characters(codec="ascii")),
+    st.text(min_size=0, max_size=100, alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",))),
 )
 
 

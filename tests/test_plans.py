@@ -314,6 +314,23 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert df.count() == ev.filter(F.col("event_type") == "purchase").count()
 
 
+def test_q97_corpus_build_plan_shape(spark):
+    """The five-stage corpus build keeps each stage's scale shape when
+    composed: the decontamination gram join stays broadcast, nothing
+    degenerates to a cartesian/nested-loop product, and the only windows
+    are the fingerprint-canonical and bounded packing ones."""
+    df = build("q97_corpus_build")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df, plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Window [") == 2, plan  # fingerprint rn + packing cumsum
+    # the rn=1 canonical filter activates WindowGroupLimit pushdown: each
+    # task keeps one row per fingerprint BEFORE the window sort
+    assert "WindowGroupLimit" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
 def test_q94_range_join_is_hash_not_nested_loop(spark):
     """The bin-blocked range join must execute as an equi hash join on
     (user_id, bin) with the time range as a residual predicate — a plain
