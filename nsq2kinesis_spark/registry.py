@@ -80,13 +80,17 @@ def load_all_modules() -> None:
 #   1. least-recently-verified queries first — the 24 queries whose last
 #      fresh oracle row is from round 2 (q18/q19, q30-q35, q50-q54,
 #      q61/q62/q64/q65, q70-q74, q76, q79) lead the round-4 order;
-#   2. then queries whose implementation changed this round: q86 (shard
-#      count parameterized) and every events-table consumer (the loader now
-#      casts TIMESTAMP_NTZ ts -> TIMESTAMP: q28/q60/q63/q66/q84);
-#   3. then the rest of the prefix (relational/aggregate core + the dedup
-#      family under active bench work); the tail holds the freshest-verified
-#      untouched blocks (joins and scalars fresh-green in round 3, the
-#      round-3 llm-pipeline additions, similarity).
+#   2. then queries whose implementation changed this round — q86 (shard
+#      count parameterized), the events-table consumers (the loader now
+#      casts TIMESTAMP_NTZ ts -> TIMESTAMP: q28/q60/q63/q66/q84), and
+#      q77/q78 (packed-lane SimHash votes) — plus the eight NEW round-4
+#      queries needing first oracle rows (q90 kmeans, q91 frame sample,
+#      q92/q93 media feature/resize, q94 binned range join, q95 z-order,
+#      q96 Misra-Gries, q97 corpus build);
+#   3. then the rest of the prefix (relational/aggregate core); the tail
+#      holds the freshest-verified untouched blocks (joins and scalars
+#      fresh-green in round 3, the round-3 llm-pipeline additions,
+#      similarity, and the aggregates displaced by the new queries).
 #
 # Rotation rule for future rounds: no query may go two consecutive rounds
 # without a fresh row — promote anything whose last fresh row is two rounds
