@@ -57,7 +57,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--test",
         action="store_true",
-        default=bool(_env_default("TEST")),
+        # parse boolean env values like namsral/flag does — bool() on the
+        # raw string would treat TEST=0 / TEST=false as enabled
+        default=(_env_default("TEST") or "").lower() in ("1", "true", "yes", "on"),
         help="test mode: create the stream first (boto3) / allow spool sink (env TEST)",
     )
     p.add_argument("--checkpoint-dir", default=_env_default("CHECKPOINT_DIR"))

@@ -237,7 +237,17 @@ def byte_features(df: DataFrame) -> DataFrame:
     from collections.abc import Iterator
 
     def feat_batches(batches: Iterator) -> Iterator:
+        import math
+
         import pandas as pd
+
+        def round_half_up(x: float, nd: int = 6) -> float:
+            # Python round() is banker's (half-to-even); the SQL oracle's
+            # ROUND is half away from zero — ties at the 6th decimal (e.g.
+            # odd byte sums over power-of-two lengths, exact in binary)
+            # would diverge. x is always >= 0 here.
+            scale = 10**nd
+            return math.floor(x * scale + 0.5) / scale
 
         for pdf in batches:
             rows = []
@@ -250,7 +260,7 @@ def byte_features(df: DataFrame) -> DataFrame:
                     (
                         doc_id,
                         len(data),
-                        round(sum(data) / len(data), 6),
+                        round_half_up(sum(data) / len(data)),
                         len(set(data)),
                     )
                 )

@@ -42,14 +42,17 @@ def ship_package(spark: SparkSession) -> None:
 
     members: list[tuple[str, str]] = []
     digest = hashlib.sha256()
-    for root, _dirs, files in os.walk(pkg_dir):
+    for root, dirs, files in os.walk(pkg_dir):
+        dirs.sort()  # deterministic recursion order — part of the digest
         for fname in sorted(files):
             if not fname.endswith(".py"):
                 continue
             full = os.path.join(root, fname)
             arc = os.path.join("nsq2kinesis_spark", os.path.relpath(full, pkg_dir))
-            st = os.stat(full)
-            digest.update(f"{arc}:{st.st_mtime_ns}:{st.st_size}".encode())
+            digest.update(arc.encode())
+            with open(full, "rb") as fh:
+                digest.update(fh.read())  # content, not mtime: identical
+                # source (fresh checkout, reinstall) reuses one zip name
             members.append((full, arc))
     zip_path = os.path.join(
         tempfile.gettempdir(), f"nsq2kinesis_spark_{digest.hexdigest()[:16]}.zip"

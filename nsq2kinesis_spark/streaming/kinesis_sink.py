@@ -271,7 +271,18 @@ class KinesisSink:
                     body = bytes(row.body)
                     key = getattr(row, "partition_key", None)
                     n_input += 1
-                    pk_bytes = len(effective_partition_key(body, key).encode("utf-8"))
+                    # partition keys are capped at 255 chars = at most
+                    # 1020 UTF-8 bytes, so bodies comfortably under the
+                    # limit skip deriving the key (the keyless fallback is
+                    # a pure-Python FNV over the whole body — running it
+                    # per record just for this check would double the hot
+                    # path's hashing cost)
+                    if len(body) + 1020 <= max_bytes:
+                        pk_bytes = 0
+                    else:
+                        pk_bytes = len(
+                            effective_partition_key(body, key).encode("utf-8")
+                        )
                     if len(body) + pk_bytes > max_bytes:
                         # Kinesis's 1 MiB per-record limit counts data PLUS
                         # the UTF-8 partition key; a body within max_bytes

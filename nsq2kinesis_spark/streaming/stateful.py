@@ -245,7 +245,14 @@ def make_count_size_trigger(
                     n_records, n_bytes = 0, 0
         state.update((batch_no, n_records, n_bytes))
         if max_delay_ms is not None:
-            state.setTimeoutDuration(max_delay_ms)
+            # open batch → flush timer; NOTHING open (an at-limit seal just
+            # emptied it) → the long cleanup grace. Arming the short timer
+            # on an empty counter would let its timeout's remove() discard
+            # batch_no after only the flush delay — and the next batch
+            # would reuse an already-emitted (key, batch_no) identity.
+            state.setTimeoutDuration(
+                max_delay_ms if n_records else max(10 * max_delay_ms, 60_000)
+            )
         if sealed:
             yield pd.DataFrame(sealed, columns=["key", "batch_no", "n_records", "n_bytes"])
 

@@ -38,6 +38,11 @@ def test_env_fallbacks(monkeypatch):
         "envstream",
         "h:1",
     )
+    # TEST parses boolean values (namsral/flag semantics): falsy spellings
+    # must NOT enable test mode
+    for val, expected in (("1", True), ("true", True), ("0", False), ("false", False), ("no", False)):
+        monkeypatch.setenv("TEST", val)
+        assert build_arg_parser().parse_args([]).test is expected, val
 
 
 def test_reader_options_from_flags():
