@@ -20,7 +20,12 @@ Noise floor, measured (round 4): sub-second queries on this shared
 0.72-1.18 s, min 0.718 ≈ its round-2 best 0.70) — so min-of-2 deltas
 under ~0.2 s between rounds (e.g. round 3's q20 "+31%" = +0.22 s) are
 sampling noise, not plan changes. Treat cross-round deltas as real only
-when they exceed the band or the plan diffs.
+when they exceed the band or the plan diffs. ``kpl_pack_recs_per_s``
+doubles as a HOST-SPEED CALIBRATION ANCHOR: it is identical single-thread
+pure-Python code every round (round-4 samples on this box: 182k in a
+quiet window, 118-158k under co-tenant load), so when two rounds' anchors
+differ, normalize their query totals by the anchor ratio before calling a
+delta real.
 
 One declared exception: the df-capped shingle postings are the shared
 input artifact of the near-dup family — a real pipeline materializes them
