@@ -487,3 +487,42 @@ def q97_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(cum / PACK_BUDGET).cast("long").alias("seq_id"),
         (cum % PACK_BUDGET).cast("long").alias("seq_offset"),
     )
+
+
+# -- q99: per-source document cap --------------------------------------------
+
+# Corpus-mix curation: cap how many documents any one source contributes
+# (the "domain cap" every web-scale corpus build applies so a single crawl
+# host can't dominate the training mix — C4/RefinedWeb-style). Keep the
+# best SOURCE_CAP docs per source, "best" = longest (n_chars), doc_id
+# tie-break for determinism.
+SOURCE_CAP = 10
+
+
+@query(
+    "q99_source_cap",
+    oracle=f"""
+    SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {SOURCE_CAP}
+    """,
+    tags=("llm", "pipeline", "curation"),
+)
+def q99_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap: rank docs within each source and keep
+    the top SOURCE_CAP. The rank-filter idiom compiles to WindowGroupLimit
+    (pinned in test_plans.py): each shuffle partition retains only its
+    per-source top-K candidates BEFORE the window sort, so the operator
+    moves O(sources * cap) rows, not the corpus — the property that makes
+    a domain cap runnable as a cheap pass over 100 TB. No other shuffle:
+    one hash exchange on source."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= SOURCE_CAP)
+    )

@@ -11,7 +11,7 @@ scale linearly with the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -408,3 +408,73 @@ def q93_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return byte_resize(d, stride=RESIZE_STRIDE)
+
+
+# -- q100: TF-IDF top terms per document --------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+@query(
+    "q100_tfidf_topterms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ), nd AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT f.doc_id, f.token, f.tf, d.df,
+             CAST(f.tf * ((SELECT n_docs FROM nd) + 1) AS DOUBLE) / (d.df + 1)
+               AS score
+      FROM tf f JOIN dfreq d USING (token)
+    )
+    SELECT doc_id, token, tf, df, score, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rk
+      FROM scored
+    ) WHERE rk <= {TFIDF_TOP_K}
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def q100_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per document: tf-idf-style scoring with the
+    smoothed INVERSE-FREQUENCY RATIO tf*(N+1)/(df+1) instead of the
+    log-idf textbook form — IEEE double division is correctly rounded and
+    therefore bit-identical across engines, while ln() is a transcendental
+    whose last ulp may differ between libm implementations (and under a
+    tf multiplier that ulp could flip a rank). The plan is the shape that
+    scales: explode -> two map-side-partial aggregations (tf keyed by
+    (doc, token), df keyed by token — df is vocabulary-sized, orders of
+    magnitude smaller than the corpus) -> hash join tf<-df on token (AQE
+    picks broadcast when the vocab fits) -> per-doc WindowGroupLimit
+    top-K. No global sort, no driver state; the N-docs scalar is a
+    broadcast one-row aggregate, not a collected constant."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * (F.col("n_docs") + 1)).cast("double")
+                / (F.col("df") + 1)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+    )

@@ -326,3 +326,149 @@ def q90_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", *[F.col(f"d{i}").cast("decimal(12,6)").cast("string") for i in range(DIM)]
         ).alias("centroid"),
     )
+
+
+# -- q98: signed-random-projection (hyperplane) LSH ----------------------------
+
+# SRP-LSH (Charikar, STOC'02 "Similarity estimation techniques from
+# rounding algorithms"): P random hyperplanes; each vector's signature bit
+# p is sign(<v, h_p>); P(bit agrees) = 1 - angle/pi, so banded signatures
+# bucket high-cosine pairs with tunable recall. This is the hash-based
+# scale path for embedding near-dup, complementing q81's cluster-then-
+# compare (IVF-cell) blocking: SRP needs no trained quantizer and its
+# collision probability is a pure function of the angle, independent of
+# how the corpus clusters.
+SRP_SALT = "srp-v1:"  # versioned: bump -> fresh hyperplane family
+SRP_PLANES = 64
+SRP_BANDS = 8
+SRP_BAND_BITS = SRP_PLANES // SRP_BANDS
+# Components quantized to integers BEFORE the signed sum so the dot's sign
+# is computed in exact integer arithmetic — no engine can flip a near-zero
+# float sum's sign by summing in a different order. floor(x * 1e6) is
+# deterministic IEEE double math, identical in Spark and DuckDB.
+SRP_QUANT = 1_000_000
+
+
+def _srp_sign(p: int, d: int) -> int:
+    """Rademacher hyperplane component in {-1,+1}, derived from the md5
+    idiom (q84/q85) so the oracle regenerates the identical family in SQL:
+    parity of the first-8-hex-chars integer of md5('srp-v1:<p>:<d>')."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{SRP_SALT}{p}:{d}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def _duck_srp_oracle() -> str:
+    return f"""
+    WITH planes AS (
+      SELECT p.p, d.d,
+             CASE WHEN CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('{SRP_SALT}',
+                         CAST(p.p AS VARCHAR), ':', CAST(d.d AS VARCHAR))), 1, 8))
+                       AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT UNNEST(GENERATE_SERIES(0, {SRP_PLANES - 1})) AS p) p
+      CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {DIM - 1})) AS d) d
+    ), vq AS (
+      SELECT vec_id, d.d,
+             CAST(FLOOR(CAST(embedding[d.d + 1] AS DOUBLE) * {SRP_QUANT}) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {DIM - 1})) AS d) d
+    ), dots AS (
+      SELECT v.vec_id, pl.p, SUM(pl.sgn * v.q) AS dot
+      FROM vq v JOIN planes pl ON pl.d = v.d
+      GROUP BY v.vec_id, pl.p
+    ), bands AS (
+      SELECT vec_id, CAST(p // {SRP_BAND_BITS} AS INTEGER) AS band_idx,
+             CAST(SUM(CASE WHEN dot >= 0 THEN 1 << (p % {SRP_BAND_BITS}) ELSE 0 END)
+                  AS INTEGER) AS band_val
+      FROM dots GROUP BY vec_id, p // {SRP_BAND_BITS}
+    ), cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                  AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, c.n_bands,
+           {duck_cosine_sql("ea.embedding", "eb.embedding", DIM)} AS sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    """
+
+
+@query("q98_srp_lsh_pairs", oracle=_duck_srp_oracle(), tags=("llm", "similarity", "lsh"))
+def q98_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH candidate pairs with exact cosine verification.
+
+    Plan shape (the 100 TB path): one corpus scan computes all 64 signed
+    integer dots per vector (whole-stage-codegen'd zip_with/aggregate over
+    the quantized vector — the 64x64 sign matrix is a plan literal, zero
+    distributed state), bits pack into 8 band values of 8 bits, bands
+    explode to 8 rows/vector, and candidates come from an equi hash join
+    on (band_idx, band_val) — never an all-pairs comparison. Expected
+    candidate volume is collision-probability-bounded: a random
+    (near-orthogonal) pair shares a band with p ~= 8 * 0.5^8 ~= 3%, while
+    a cosine-0.9 pair is caught with p ~= 99%+; the exact cosine join then
+    verifies candidates only. Recall-vs-threshold for this synthetic
+    near-orthogonal corpus is measured in tests/test_llm_dedup.py.
+
+    The oracle regenerates the identical hyperplane family (md5-parity
+    Rademacher signs), so unlike probabilistic-looking LSH this query is
+    fully value-checked: candidates AND sims must match exactly.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    vq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(SRP_QUANT))).cast("long"),
+    )
+    sig = e.select("vec_id", vq.alias("vq"))
+    dot_cols = []
+    for p in range(SRP_PLANES):
+        sgns = F.array(
+            *[F.lit(_srp_sign(p, d)).cast("long") for d in range(DIM)]
+        )
+        dot_cols.append(
+            F.aggregate(
+                F.zip_with(F.col("vq"), sgns, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias(f"dp{p}")
+        )
+    dots = sig.select("vec_id", *dot_cols)
+    band_structs = []
+    for b in range(SRP_BANDS):
+        val = None
+        for j in range(SRP_BAND_BITS):
+            term = F.when(
+                F.col(f"dp{b * SRP_BAND_BITS + j}") >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            val = term if val is None else val + term
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), val.cast("int").alias("band_val"))
+        )
+    bands = dots.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("vec_id", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = cosine_rounded(F.col("ea"), F.col("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", "n_bands", sim.alias("sim"))
+    )

@@ -83,10 +83,11 @@ def load_all_modules() -> None:
 #   2. then queries whose implementation changed this round — q86 (shard
 #      count parameterized), the events-table consumers (the loader now
 #      casts TIMESTAMP_NTZ ts -> TIMESTAMP: q28/q60/q63/q66/q84), and
-#      q77/q78 (packed-lane SimHash votes) — plus the eight NEW round-4
+#      q77/q78 (packed-lane SimHash votes) — plus the eleven NEW round-4
 #      queries needing first oracle rows (q90 kmeans, q91 frame sample,
 #      q92/q93 media feature/resize, q94 binned range join, q95 z-order,
-#      q96 Misra-Gries, q97 corpus build);
+#      q96 Misra-Gries, q97 corpus build, q98 SRP-LSH, q99 source cap,
+#      q100 tf-idf);
 #   3. then the rest of the prefix (relational/aggregate core); the tail
 #      holds the freshest-verified untouched blocks (joins and scalars
 #      fresh-green in round 3, the round-3 llm-pipeline additions,
@@ -145,14 +146,16 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q95_zorder_key",
     "q96_heavy_hitters_mg",
     "q97_corpus_build",
-    # -- remaining prefix: relational + aggregates core --
+    "q98_srp_lsh_pairs",
+    "q99_source_cap",
+    "q100_tfidf_topterms",
+    # -- remaining prefix: relational + aggregates core (q05-q07 set ops,
+    # -- fresh-green in round 3 and untouched, demoted to the tail to make
+    # -- room for the three new queries' first rows) --
     "q01_pricing_summary",
     "q02_project_compute",
     "q03_filter_battery",
     "q04_sort_limit",
-    "q05_union_all",
-    "q06_intersect",
-    "q07_except",
     "q08_distinct",
     "q10_agg_global",
     # -- remaining prefix: dedup family under active bench work (q78
@@ -181,6 +184,9 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q80_cosine_topk",
     "q81_cosine_neardup",
     "q82_ann_ivf",
+    "q05_union_all",
+    "q06_intersect",
+    "q07_except",
     "q09_set_ops_all",
     "q11_rollup",
     "q12_cube",

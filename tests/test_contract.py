@@ -49,7 +49,7 @@ def test_verify_order_is_the_registry_iteration_order():
     )
     got_head = [n.split("_")[0] for n in names[: len(stale_r2)]]
     assert sorted(got_head) == sorted(stale_r2), got_head
-    assert len(names) == 82
+    assert len(names) == 85
     # queries whose code (or loader path) changed in round 4 also sit inside
     # the driver's 50-entry budget for fresh rows
     for changed in (
@@ -61,6 +61,9 @@ def test_verify_order_is_the_registry_iteration_order():
         "q95_zorder_key",
         "q96_heavy_hitters_mg",
         "q97_corpus_build",
+        "q98_srp_lsh_pairs",
+        "q99_source_cap",
+        "q100_tfidf_topterms",
         "q77_simhash",  # packed-lane vote rewrite
         "q78_simhash_pairs",
         "q86_sequence_packing",  # shard-count knob

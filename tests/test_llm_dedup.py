@@ -121,3 +121,39 @@ def test_misra_gries_survives_capacity_much_smaller_than_vocab(spark):
         .collect()
     }
     assert refined == exact == {"hot0", "hot1", "hot2"}
+
+
+def test_srp_lsh_candidates_bounded_and_enriched(spark):
+    """q98's LSH must (a) generate far fewer candidates than all-pairs —
+    the 8-bands x 8-bit family's collision rate for this near-orthogonal
+    corpus is ~3% (theory: 1-(1-0.5^8)^8 ≈ 0.031) — and (b) be enriched
+    in genuinely similar pairs: at least half of ALL pairs with exact
+    cosine ≥ 0.45 (computed by brute force here) must appear among the
+    candidates, an order of magnitude above the base collision rate.
+    Deterministic: fixed hyperplane family, fixed corpus."""
+    from nsq2kinesis_spark.operators.similarity import COSINE_T
+    from nsq2kinesis_spark.tables import table
+
+    rows = QUERIES["q98_srp_lsh_pairs"].builder(spark, SF_CORRECTNESS).collect()
+    n_vecs = table(spark, SF_CORRECTNESS, "embeddings").count()
+    all_pairs = n_vecs * (n_vecs - 1) // 2
+    frac = len(rows) / all_pairs
+    assert frac <= 0.06, f"candidate fraction {frac:.3f} — LSH not pruning"
+
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.functions.vectors import cosine_rounded
+
+    e = table(spark, SF_CORRECTNESS, "embeddings")
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    exact = {
+        (r.va, r.vb)
+        for r in a.join(b, F.col("va") < F.col("vb"))
+        .filter(cosine_rounded(F.col("ea"), F.col("eb")) >= COSINE_T)
+        .collect()
+    }
+    assert exact, "corpus has no pairs above threshold — testdata changed?"
+    caught = {(r.vec_a, r.vec_b) for r in rows if r.sim >= COSINE_T}
+    recall = len(caught & exact) / len(exact)
+    assert recall >= 0.5, f"SRP recall {recall:.2f} vs exact {len(exact)} pairs"

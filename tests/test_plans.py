@@ -395,3 +395,28 @@ def test_q95_zorder_write_prunes_both_dimensions(spark, tmp_path):
     # files — bounded scan fraction on both axes is the whole point
     assert z["dim_user"] < 0.75, z
     assert z["dim_day"] < 0.75, z
+
+
+def test_q99_source_cap_window_group_limit(spark):
+    # the domain-cap rank filter must activate WindowGroupLimit so each
+    # partition keeps only its per-source top-K before the window sort —
+    # the property that makes the cap O(sources * cap) data movement
+    df = build("q99_source_cap")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_q100_tfidf_window_group_limit(spark):
+    df = build("q100_tfidf_topterms")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_q98_srp_candidates_join_is_hash_not_nested_loop(spark):
+    # the band self-join must execute as an equi join on
+    # (band_idx, band_val) — if the conjuncts ever degrade to a
+    # nested-loop/cartesian comparison the LSH loses its entire point
+    df = build("q98_srp_lsh_pairs")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
