@@ -420,3 +420,61 @@ def test_q98_srp_candidates_join_is_hash_not_nested_loop(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Joining a hive-partitioned fact on its partition column against a
+    selectively-filtered dim must inject a DynamicPruningSubquery into the
+    fact scan — at 100 TB this is the difference between scanning every
+    partition and scanning only the partitions the dim's survivors name.
+    (Static pruning can't do this: the surviving keys are only known at
+    runtime, after the dim's filter executes.)"""
+    ev = spark.read.parquet(f"{SF_CORRECTNESS}/events.parquet")
+    out = str(tmp_path / "ev_parted")
+    ev.write.partitionBy("event_type").parquet(out)
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(t, float(i)) for i, t in enumerate(sorted(types))],
+        "event_type string, w double",
+    )
+    big = spark.read.parquet(out)
+    j = big.join(dim.filter(F.col("w") < 2.0), "event_type").agg(
+        F.sum(F.col("value") * F.col("w")).alias("s")
+    )
+    assert "dynamicpruning" in physical_plan(j).lower(), physical_plan(j)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """With broadcast off (the 100 TB fact-to-fact regime), a selective
+    filter on one join side should inject a runtime bloom filter into the
+    other side's scan (BloomFilterMightContain) — rows that cannot match
+    are dropped BEFORE the shuffle, which is where fact-to-fact join cost
+    lives at scale. Thresholds are lowered only because the test tables
+    are tiny; the assertion is the plan shape, not the thresholds."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_CORRECTNESS}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_CORRECTNESS}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+            F.count("*").alias("n")
+        )
+        plan = physical_plan(j).lower()
+        assert "bloom_filter_agg" in plan, plan  # built from the filtered side
+        assert "might_contain" in plan, plan  # probes on the fact side pre-shuffle
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
