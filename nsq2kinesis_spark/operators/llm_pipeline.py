@@ -526,3 +526,70 @@ def q99_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= SOURCE_CAP)
     )
+
+
+# -- q102: incremental dedup against a corpus snapshot -------------------------
+
+# The daily-ingest shape: a new batch of documents must be deduplicated
+# (a) against everything already in the corpus and (b) within itself —
+# without ever rewriting the existing corpus. Snapshot vs batch is split
+# on the source index here (a real pipeline splits on ingest date).
+SNAPSHOT_MAX_SRC = 14  # src0..src14 = corpus so far; src15+ = new batch
+
+
+@query(
+    "q102_incremental_dedup",
+    oracle=f"""
+    WITH fps AS (
+      SELECT doc_id, source,
+             CAST(SUBSTR(source, 4) AS INTEGER) AS src_idx,
+             MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))),
+                 '|')) AS fp
+      FROM documents
+    ), snap AS (
+      SELECT DISTINCT fp FROM fps WHERE src_idx <= {SNAPSHOT_MAX_SRC}
+    ), batch AS (
+      SELECT * FROM fps WHERE src_idx > {SNAPSHOT_MAX_SRC}
+    ), fresh AS (
+      SELECT b.* FROM batch b LEFT JOIN snap s USING (fp)
+      WHERE s.fp IS NULL
+    )
+    SELECT doc_id, source, fp FROM (
+      SELECT doc_id, source, fp,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fresh
+    ) WHERE rn = 1
+    """,
+    tags=("llm", "pipeline", "dedup", "incremental"),
+)
+def q102_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: admit only batch documents whose fingerprint
+    appears neither in the corpus snapshot nor earlier in the batch
+    (min-doc_id canonical within the batch). The fingerprint is the
+    BAG-OF-WORDS form — md5 of the sorted distinct token set — which
+    collapses word-reorder/repetition edits that byte-exact
+    fingerprints (q97's whitespace-collapse md5) treat as distinct;
+    pick the key per corpus policy, the plan is identical.
+
+    Scale shape: both the anti-join and the within-batch canonical pick
+    key on the SAME column (fp), so the batch is shuffled once and the
+    exchange is reused across the two steps; the snapshot side ships only
+    its distinct fingerprints (map-side distinct before the shuffle), not
+    document text. Nothing rewrites the snapshot — the admitted set is
+    pure-append, which is what makes the op runnable per-ingest-batch
+    against a 100 TB corpus."""
+    d = t(spark, sf_dir, "documents")
+    src_idx = F.substring("source", 4, 10).cast("int")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), "|"))
+    fps = d.select("doc_id", "source", src_idx.alias("src_idx"), fp.alias("fp"))
+    snap = (
+        fps.filter(F.col("src_idx") <= SNAPSHOT_MAX_SRC).select("fp").distinct()
+    )
+    batch = fps.filter(F.col("src_idx") > SNAPSHOT_MAX_SRC)
+    fresh = batch.join(snap, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "fp")
+    )

@@ -211,3 +211,99 @@ def q35_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents_last_hour"
         ),
     )
+
+
+# -- q101: ordered event funnel ------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@query(
+    "q101_event_funnel",
+    oracle="""
+    WITH o2 AS (
+      SELECT user_id, event_type, seen_view,
+             MAX(CASE WHEN event_type = 'click' AND seen_view = 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS UNBOUNDED PRECEDING) AS seen_click
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+            FROM (SELECT user_id, event_type, ts, event_id,
+                         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS seen_view
+                  FROM events))
+    ), per_user AS (
+      SELECT user_id,
+             MAX(seen_view) AS s1,
+             MAX(seen_click) AS s2,
+             MAX(CASE WHEN event_type = 'purchase' AND seen_click = 1
+                      THEN 1 ELSE 0 END) AS s3
+      FROM o2 GROUP BY user_id
+    )
+    SELECT stage, stage_no, users FROM (
+      SELECT 'view' AS stage, 1 AS stage_no, CAST(SUM(s1) AS BIGINT) AS users
+      FROM per_user
+      UNION ALL
+      SELECT 'click', 2, CAST(SUM(s2) AS BIGINT) FROM per_user
+      UNION ALL
+      SELECT 'purchase', 3, CAST(SUM(s3) AS BIGINT) FROM per_user
+    )
+    """,
+    tags=("window", "funnel", "events"),
+)
+def q101_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click-after-view ->
+    purchase-after-click) computed in ONE pass over the events table: a
+    single hash exchange on user_id, one sort per partition, running
+    MAX-over-ROWS flags carrying the sequential stage dependency, then an
+    ordinary per-user aggregate. The naive formulation is three
+    self-joins (first view ⋈ first later click ⋈ first later purchase) —
+    three shuffles of the full fact and a quadratic tie surface; the
+    running-flag form is how funnels stay linear at 100 TB. Ordering ties
+    broken by event_id so both engines walk identical sequences."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seen_view = F.max(
+        F.when(F.col("event_type") == "view", 1).otherwise(0)
+    ).over(w)
+    o = e.withColumn("seen_view", seen_view)
+    seen_click = F.max(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("seen_view") == 1), 1
+        ).otherwise(0)
+    ).over(w)
+    o2 = o.withColumn("seen_click", seen_click)
+    per_user = o2.groupBy("user_id").agg(
+        F.max("seen_view").alias("s1"),
+        F.max("seen_click").alias("s2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("seen_click") == 1), 1
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    totals = per_user.agg(
+        F.sum("s1").cast("long").alias("view"),
+        F.sum("s2").cast("long").alias("click"),
+        F.sum("s3").cast("long").alias("purchase"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("stage"),
+                F.lit(i + 1).alias("stage_no"),
+                F.col(s).alias("users"),
+            )
+            for i, s in enumerate(FUNNEL_STAGES)
+        ]
+    )
+    return (
+        totals.select(F.explode(stages).alias("x"))
+        .select("x.stage", "x.stage_no", "x.users")
+    )

@@ -83,11 +83,11 @@ def load_all_modules() -> None:
 #   2. then queries whose implementation changed this round — q86 (shard
 #      count parameterized), the events-table consumers (the loader now
 #      casts TIMESTAMP_NTZ ts -> TIMESTAMP: q28/q60/q63/q66/q84), and
-#      q77/q78 (packed-lane SimHash votes) — plus the eleven NEW round-4
+#      q77/q78 (packed-lane SimHash votes) — plus the thirteen NEW round-4
 #      queries needing first oracle rows (q90 kmeans, q91 frame sample,
 #      q92/q93 media feature/resize, q94 binned range join, q95 z-order,
 #      q96 Misra-Gries, q97 corpus build, q98 SRP-LSH, q99 source cap,
-#      q100 tf-idf);
+#      q100 tf-idf, q101 funnel, q102 incremental dedup);
 #   3. then the rest of the prefix (relational/aggregate core); the tail
 #      holds the freshest-verified untouched blocks (joins and scalars
 #      fresh-green in round 3, the round-3 llm-pipeline additions,
@@ -149,15 +149,15 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q98_srp_lsh_pairs",
     "q99_source_cap",
     "q100_tfidf_topterms",
-    # -- remaining prefix: relational + aggregates core (q05-q07 set ops,
-    # -- fresh-green in round 3 and untouched, demoted to the tail to make
-    # -- room for the three new queries' first rows) --
+    "q101_event_funnel",
+    "q102_incremental_dedup",
+    # -- remaining prefix: relational core (q05-q08 set ops/distinct and
+    # -- q10, fresh-green in round 3 and untouched, demoted to the tail to
+    # -- make room for the five new queries' first rows) --
     "q01_pricing_summary",
     "q02_project_compute",
     "q03_filter_battery",
     "q04_sort_limit",
-    "q08_distinct",
-    "q10_agg_global",
     # -- remaining prefix: dedup family under active bench work (q78
     # -- regression investigation this round) --
     "q75_neardup_jaccard",
@@ -187,6 +187,8 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q05_union_all",
     "q06_intersect",
     "q07_except",
+    "q08_distinct",
+    "q10_agg_global",
     "q09_set_ops_all",
     "q11_rollup",
     "q12_cube",

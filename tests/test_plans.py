@@ -478,3 +478,33 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q101_funnel_two_shuffles_only(spark):
+    # running-flag funnel: ONE hash exchange on user_id feeds both window
+    # passes and the per-user aggregate (same key -> exchange reuse), plus
+    # the final single-partition 3-row aggregate. The naive 3-self-join
+    # form would shuffle the fact three times.
+    df = build("q101_event_funnel")(spark, SF_CORRECTNESS)
+    assert n_shuffles(df) == 2, physical_plan(df)
+
+
+def test_q102_incremental_dedup_batch_shuffles_once(spark):
+    # anti-join and within-batch canonical both key on fp: the batch side
+    # is exchanged once and reused; the snapshot contributes only its own
+    # distinct-fp exchange. 2 total — and the admitted set must actually
+    # be smaller than the batch (the corpus plants token-set collisions),
+    # or the dedup would be vacuously green.
+    df = build("q102_incremental_dedup")(spark, SF_CORRECTNESS)
+    assert n_shuffles(df) == 2, physical_plan(df)
+    from nsq2kinesis_spark.operators.llm_pipeline import SNAPSHOT_MAX_SRC
+    from nsq2kinesis_spark.tables import table
+    from pyspark.sql import functions as FF
+
+    batch_n = (
+        table(spark, SF_CORRECTNESS, "documents")
+        .filter(FF.substring("source", 4, 10).cast("int") > SNAPSHOT_MAX_SRC)
+        .count()
+    )
+    admitted = df.count()
+    assert 0 < admitted < batch_n, (admitted, batch_n)
