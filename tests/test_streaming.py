@@ -1145,3 +1145,61 @@ def test_epoch_guard_namespaced_by_query_id(spark, tmp_path):
     rerun = make_sink("run-2")  # recreated checkpoint: epochs restart at 0
     rerun(df, 0)
     assert spool_count() == 20, "new query incarnation must not be skipped"
+
+
+# --- stream-static enrichment join -------------------------------------------
+
+
+@pytest.mark.slow
+@pytest.mark.timeout(120)
+def test_stream_static_enrichment_join_matches_batch(spark, tmp_path):
+    """Stream-static join (the 100 TB enrichment pattern): an unbounded
+    stream joined against a static dimension. The static side needs no
+    watermark and no state — Spark re-plans it per micro-batch, and a
+    dimension-sized side broadcasts into every batch exactly like the
+    batch join. Result must equal the identical batch enrichment."""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    src_dir = tmp_path / "ev_enrich_stream"
+    ev.write.parquet(str(src_dir))
+    dim = spark.createDataFrame(
+        [("view", 1.0), ("click", 3.0), ("purchase", 10.0), ("signup", 5.0),
+         ("error", 0.0)],
+        "event_type string, weight double",
+    )
+
+    def enrich(df):
+        return (
+            df.join(F.broadcast(dim), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                # exact integer cents so stream/batch sum orders can't drift
+                F.sum(
+                    (F.round(F.col("value") * 100, 0) * F.col("weight")).cast("long")
+                ).alias("weighted_cents"),
+            )
+        )
+
+    stream = enrich(spark.readStream.schema(ev.schema).parquet(str(src_dir)))
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    got = {
+        (r["event_type"]): (r["n"], r["weighted_cents"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        (r["event_type"]): (r["n"], r["weighted_cents"])
+        for r in enrich(ev).collect()
+    }
+    assert got == expected and len(got) == 5
