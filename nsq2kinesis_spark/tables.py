@@ -44,14 +44,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     pin_session_conf(spark)
     parquet_path = os.path.join(sf_dir, f"{name}.parquet")
+    orc_path = os.path.join(sf_dir, f"{name}.orc")
     jsonl_path = os.path.join(sf_dir, f"{name}.jsonl")
     csv_path = os.path.join(sf_dir, f"{name}.csv")
     if os.path.exists(parquet_path) or not (
-        os.path.exists(jsonl_path) or os.path.exists(csv_path)
+        os.path.exists(orc_path)
+        or os.path.exists(jsonl_path)
+        or os.path.exists(csv_path)
     ):
         # parquet is the primary format (missing paths still route here so
         # the caller gets Spark's clean PATH_NOT_FOUND)
         df = spark.read.parquet(parquet_path)
+    elif os.path.exists(orc_path):
+        # ORC carries full types (incl. timestamps) and the same native
+        # pushdown/pruning path as parquet — no normalization needed beyond
+        # the shared events-ts handling below
+        df = spark.read.orc(orc_path)
     elif os.path.exists(jsonl_path):
         # source-format breadth: the same catalog serves JSON-lines copies
         # of a table (schema inferred here; a production deployment pins

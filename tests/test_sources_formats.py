@@ -81,3 +81,29 @@ def test_missing_table_keeps_clean_error(spark, tmp_path):
 
     with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
         table(spark, str(tmp_path / "nope"), "documents").count()
+
+
+def test_orc_serves_events_with_full_timestamp_fidelity(spark, tmp_path):
+    """ORC copies serve through the same catalog with native types — the
+    events table (the hardest case: timestamp precision) must produce
+    byte-identical q60/q63 results vs parquet. Unlike the text formats,
+    ORC needs no ts normalization and keeps the parquet-grade
+    pushdown/pruning path."""
+    from nsq2kinesis_spark.tables import table as load
+
+    sf_dir = tmp_path / "sf_orc"
+    sf_dir.mkdir()
+    for name in ("events", "documents"):
+        out = tmp_path / f"stage_orc_{name}"
+        load(spark, SF_SMOKE, name).coalesce(1).write.orc(str(out))
+        part = glob.glob(str(out / "part-*"))[0]
+        shutil.copy(part, sf_dir / f"{name}.orc")
+
+    df = load(spark, str(sf_dir), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp", df.dtypes
+    queries = all_queries()
+    for qname in ("q60_dedup_exact", "q63_session_window", "q70_text_stats"):
+        builder = queries[qname].builder
+        assert _rows(builder(spark, str(sf_dir))) == _rows(
+            builder(spark, SF_SMOKE)
+        ), qname
