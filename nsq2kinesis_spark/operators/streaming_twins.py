@@ -241,3 +241,57 @@ def q66_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type, ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
         """
     )
+
+
+# -- q104: rolling 7-day active users ------------------------------------------
+
+ROLLING_DAYS = 7
+
+
+@query(
+    "q104_rolling_active_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), contrib AS (
+      SELECT DISTINCT user_id, day + CAST(o.o AS INTEGER) AS report_day
+      FROM ud CROSS JOIN
+           (SELECT UNNEST(GENERATE_SERIES(0, {ROLLING_DAYS - 1})) AS o) o
+    )
+    SELECT report_day, CAST(COUNT(*) AS BIGINT) AS active_users_7d
+    FROM contrib GROUP BY report_day
+    """,
+    tags=("window", "rolling", "distinct", "events"),
+)
+def q104_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the metric every
+    product pipeline computes, and the op Spark cannot express directly
+    (COUNT(DISTINCT) OVER a moving frame is unsupported, and the
+    size(collect_set) OVER workaround materializes every window's user
+    set in executor memory — unbounded at 100 TB).
+
+    The scale-safe decomposition: dedup to (user, active-day) — corpus
+    shrinks to at most users x days rows — then each active day
+    CONTRIBUTES to its next 7 report days (bounded x7 explode), dedup
+    (user, report_day) since a user active on several days in one window
+    must count once, and count per report day. Every step is a bounded
+    map-side explode or a keyed aggregate; no per-window set state
+    exists anywhere. Report days trail {ROLLING_DAYS - 1} days past the
+    last activity by construction (the window is still moving off the
+    data's edge) — consumers slice what they need."""
+    e = t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(ROLLING_DAYS - 1))
+            ).alias("o"),
+            "day",
+        )
+        .select("user_id", F.date_add("day", F.col("o")).alias("report_day"))
+        .distinct()
+    )
+    return contrib.groupBy("report_day").agg(
+        F.count("*").cast("long").alias("active_users_7d")
+    )

@@ -307,3 +307,54 @@ def q101_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.select(F.explode(stages).alias("x"))
         .select("x.stage", "x.stage_no", "x.users")
     )
+
+
+# -- q103: gaps and islands ----------------------------------------------------
+
+
+@query(
+    "q103_gaps_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn_all,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_type
+      FROM events
+    ), islands AS (
+      SELECT user_id, event_type, rn_all - rn_type AS grp,
+             CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM seq GROUP BY user_id, event_type, rn_all - rn_type
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run
+    FROM islands GROUP BY user_id, event_type
+    """,
+    tags=("window", "islands", "events"),
+)
+def q103_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, maximal runs of consecutive events of
+    the same type, summarized as island count and longest run. The
+    rn_all - rn_type subtraction trick turns run detection into pure
+    window arithmetic: both row_numbers ride the SAME exchange on
+    user_id (the per-(user,type) window only sub-sorts within the
+    partition), and the island/summary aggregates re-key by user_id so
+    nothing ever shuffles the fact twice. Ties broken by event_id —
+    both engines walk identical sequences."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    islands = seq.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").cast("long").alias("run_len")
+    )
+    return islands.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.max("run_len").cast("long").alias("longest_run"),
+    )

@@ -83,11 +83,12 @@ def load_all_modules() -> None:
 #   2. then queries whose implementation changed this round — q86 (shard
 #      count parameterized), the events-table consumers (the loader now
 #      casts TIMESTAMP_NTZ ts -> TIMESTAMP: q28/q60/q63/q66/q84), and
-#      q77/q78 (packed-lane SimHash votes) — plus the thirteen NEW round-4
+#      q77/q78 (packed-lane SimHash votes) — plus the fifteen NEW round-4
 #      queries needing first oracle rows (q90 kmeans, q91 frame sample,
 #      q92/q93 media feature/resize, q94 binned range join, q95 z-order,
 #      q96 Misra-Gries, q97 corpus build, q98 SRP-LSH, q99 source cap,
-#      q100 tf-idf, q101 funnel, q102 incremental dedup);
+#      q100 tf-idf, q101 funnel, q102 incremental dedup, q103 islands,
+#      q104 rolling active users);
 #   3. then the rest of the prefix (relational/aggregate core); the tail
 #      holds the freshest-verified untouched blocks (joins and scalars
 #      fresh-green in round 3, the round-3 llm-pipeline additions,
@@ -151,11 +152,11 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q100_tfidf_topterms",
     "q101_event_funnel",
     "q102_incremental_dedup",
-    # -- remaining prefix: relational core (q05-q08 set ops/distinct and
-    # -- q10, fresh-green in round 3 and untouched, demoted to the tail to
-    # -- make room for the five new queries' first rows) --
-    "q01_pricing_summary",
-    "q02_project_compute",
+    "q103_gaps_islands",
+    "q104_rolling_active_users",
+    # -- remaining prefix: relational core (q01/q02 and q05-q08/q10,
+    # -- fresh-green in round 3 and untouched, demoted to the tail to make
+    # -- room for the seven new queries' first rows) --
     "q03_filter_battery",
     "q04_sort_limit",
     # -- remaining prefix: dedup family under active bench work (q78
@@ -184,6 +185,8 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q80_cosine_topk",
     "q81_cosine_neardup",
     "q82_ann_ivf",
+    "q01_pricing_summary",
+    "q02_project_compute",
     "q05_union_all",
     "q06_intersect",
     "q07_except",

@@ -508,3 +508,24 @@ def test_q102_incremental_dedup_batch_shuffles_once(spark):
     )
     admitted = df.count()
     assert 0 < admitted < batch_n, (admitted, batch_n)
+
+
+def test_q103_islands_single_exchange(spark):
+    # both row_numbers, the island aggregate, and the summary aggregate all
+    # cluster on user_id — ONE hash exchange carries the whole query
+    # (hashpartitioning on a subset of each group key satisfies the
+    # downstream clustering requirements)
+    df = build("q103_gaps_islands")(spark, SF_CORRECTNESS)
+    assert n_shuffles(df) == 1, physical_plan(df)
+
+
+def test_q104_rolling_distinct_never_materializes_window_sets(spark):
+    # the rolling-distinct decomposition is three keyed exchanges over
+    # (user, day)-deduped data — and NO window operator: the unscalable
+    # formulation (size(collect_set) OVER a moving frame) would hold every
+    # window's full user set in executor memory
+    df = build("q104_rolling_active_users")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "collect_set" not in plan, plan
+    assert n_shuffles(df) == 3, plan
