@@ -276,8 +276,8 @@ def q104_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, report_day) since a user active on several days in one window
     must count once, and count per report day. Every step is a bounded
     map-side explode or a keyed aggregate; no per-window set state
-    exists anywhere. Report days trail {ROLLING_DAYS - 1} days past the
-    last activity by construction (the window is still moving off the
+    exists anywhere. Report days trail ROLLING_DAYS - 1 (six) days past
+    the last activity by construction (the window is still moving off the
     data's edge) — consumers slice what they need."""
     e = t(spark, sf_dir, "events")
     ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
