@@ -96,6 +96,11 @@ class MetricsQueryListener(StreamingQueryListener):
     def __init__(self) -> None:
         self.last_progress: dict[str, Any] | None = None
         self.progress_by_query: dict[str, dict[str, Any]] = {}  # query id → latest
+        # query id → RUNNING totals across micro-batches (the reference's
+        # counters are cumulative, aggregator.go:183-205 — and per-batch
+        # snapshots alone are racy to read: a watermark-advancing trailing
+        # batch reports 0 rows and overwrites the interesting snapshot)
+        self.totals_by_query: dict[str, dict[str, Any]] = {}
         self.n_progress_events = 0
 
     def onQueryStarted(self, event) -> None:
@@ -123,6 +128,23 @@ class MetricsQueryListener(StreamingQueryListener):
             )
         self.last_progress = record
         self.progress_by_query[str(p.id)] = record
+        totals = self.totals_by_query.setdefault(
+            str(p.id),
+            {
+                "n_batches": 0,
+                "num_input_rows": 0,
+                "forward_records": 0,
+                "forward_body_bytes": 0,
+                "watermark_dropped_rows": 0,
+                "state_rows": 0,
+            },
+        )
+        totals["n_batches"] += 1
+        totals["num_input_rows"] += p.numInputRows
+        totals["forward_records"] += record.get("forward_records", 0)
+        totals["forward_body_bytes"] += record.get("forward_body_bytes", 0)
+        totals["watermark_dropped_rows"] += record.get("watermark_dropped_rows", 0)
+        totals["state_rows"] = record.get("state_rows", totals["state_rows"])
         self.n_progress_events += 1
         log_event("stream", "progress", **record)
 

@@ -858,17 +858,22 @@ def test_metrics_listener_exports_progress(spark, tmp_path):
         )
         qid = str(q.id)
         q.awaitTermination(60)
-        # listener callbacks are async, and OTHER tests' queries on this
-        # shared session also emit progress — wait for THIS query's event
-        # (the per-query map exists precisely for multi-query sessions)
+        # listener callbacks are async, and a watermarked availableNow run
+        # emits a trailing zero-row batch whose per-batch snapshot can
+        # overwrite the interesting one — so assert on the listener's
+        # CUMULATIVE per-query totals, waiting until all rows are counted
         deadline = time.time() + 20
-        while qid not in listener.progress_by_query and time.time() < deadline:
+        while (
+            listener.totals_by_query.get(qid, {}).get("forward_records", 0) < 10
+            and time.time() < deadline
+        ):
             time.sleep(0.2)
-        progress = listener.progress_by_query.get(qid)
-        assert progress is not None
-        assert progress["forward_records"] == 10
-        assert progress["forward_body_bytes"] == sum(len(b) for _, b, _ in rows)
-        assert "state_rows" in progress  # dedup state surfaced
+        totals = listener.totals_by_query.get(qid)
+        assert totals is not None
+        assert totals["forward_records"] == 10
+        assert totals["forward_body_bytes"] == sum(len(b) for _, b, _ in rows)
+        assert "state_rows" in totals  # dedup state surfaced
+        assert qid in listener.progress_by_query  # per-batch snapshots too
     finally:
         spark.streams.removeListener(listener)
 
