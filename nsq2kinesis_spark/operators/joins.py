@@ -414,3 +414,34 @@ def q94_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("v_type") == "click", 1).otherwise(0)), F.lit(0)
         ).cast("long").alias("n_clicks"),
     )
+
+
+# -- q105: correlated scalar subqueries (decorrelation) ------------------------
+
+_Q105_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM {orders} o1
+WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) *
+        (SELECT COUNT(*) FROM {orders} o2 WHERE o2.o_custkey = o1.o_custkey)
+      > (SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+         FROM {orders} o3 WHERE o3.o_custkey = o1.o_custkey)
+"""
+
+
+@query(
+    "q105_scalar_subquery",
+    oracle=_Q105_SQL.format(orders="orders"),
+    tags=("join", "subquery", "scalar", "decorrelation"),
+)
+def q105_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above their customer's average order value, written as two
+    CORRELATED SCALAR SUBQUERIES (SQL surface; the oracle runs the very
+    same text). Catalyst decorrelates both into per-customer aggregates
+    hash-joined back to the fact — one pass over orders per aggregate,
+    never a per-row re-scan (plan-pinned: no nested-loop, no cartesian).
+
+    The predicate is the avg comparison cross-multiplied into exact
+    integer cents (price*100*count > sum_cents): dividing in doubles
+    would make boundary rows engine-dependent at the last ulp, which is
+    the difference between a checkable operator and a flaky one."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("nsq2k_q105_orders")
+    return spark.sql(_Q105_SQL.format(orders="nsq2k_q105_orders"))

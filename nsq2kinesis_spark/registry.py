@@ -83,12 +83,12 @@ def load_all_modules() -> None:
 #   2. then queries whose implementation changed this round — q86 (shard
 #      count parameterized), the events-table consumers (the loader now
 #      casts TIMESTAMP_NTZ ts -> TIMESTAMP: q28/q60/q63/q66/q84), and
-#      q77/q78 (packed-lane SimHash votes) — plus the fifteen NEW round-4
+#      q77/q78 (packed-lane SimHash votes) — plus the sixteen NEW round-4
 #      queries needing first oracle rows (q90 kmeans, q91 frame sample,
 #      q92/q93 media feature/resize, q94 binned range join, q95 z-order,
 #      q96 Misra-Gries, q97 corpus build, q98 SRP-LSH, q99 source cap,
 #      q100 tf-idf, q101 funnel, q102 incremental dedup, q103 islands,
-#      q104 rolling active users);
+#      q104 rolling active users, q105 scalar subquery);
 #   3. then the rest of the prefix (relational/aggregate core); the tail
 #      holds the freshest-verified untouched blocks (joins and scalars
 #      fresh-green in round 3, the round-3 llm-pipeline additions,
@@ -154,10 +154,10 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q102_incremental_dedup",
     "q103_gaps_islands",
     "q104_rolling_active_users",
-    # -- remaining prefix: relational core (q01/q02 and q05-q08/q10,
+    "q105_scalar_subquery",
+    # -- remaining prefix: relational core (q01-q03 and q05-q08/q10,
     # -- fresh-green in round 3 and untouched, demoted to the tail to make
-    # -- room for the seven new queries' first rows) --
-    "q03_filter_battery",
+    # -- room for the new queries' first rows) --
     "q04_sort_limit",
     # -- remaining prefix: dedup family under active bench work (q78
     # -- regression investigation this round) --
@@ -187,6 +187,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q82_ann_ivf",
     "q01_pricing_summary",
     "q02_project_compute",
+    "q03_filter_battery",
     "q05_union_all",
     "q06_intersect",
     "q07_except",

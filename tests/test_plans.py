@@ -529,3 +529,14 @@ def test_q104_rolling_distinct_never_materializes_window_sets(spark):
     assert "Window" not in plan, plan
     assert "collect_set" not in plan, plan
     assert n_shuffles(df) == 3, plan
+
+
+def test_q105_subqueries_decorrelated_to_hash_joins(spark):
+    # both correlated scalar subqueries must decorrelate into aggregate +
+    # hash join — a per-row re-execution would appear as a nested loop /
+    # cartesian over the fact
+    df = build("q105_scalar_subquery")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2, plan
