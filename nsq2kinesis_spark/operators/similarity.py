@@ -347,6 +347,17 @@ SRP_BAND_BITS = SRP_PLANES // SRP_BANDS
 # float sum's sign by summing in a different order. floor(x * 1e6) is
 # deterministic IEEE double math, identical in Spark and DuckDB.
 SRP_QUANT = 1_000_000
+# Hot-bucket cap: a band bucket larger than this is skipped entirely.
+# 8-bit bands have only 256 values, so bucket size grows LINEARLY with the
+# corpus and within-bucket pairs quadratically — the cap makes candidate
+# volume <= bands * 2^bits * cap^2 regardless of corpus size (the same
+# bounded-blocking move as q75's shingle DF cap; at production scale you
+# also widen the bands to ~log2(n) bits and the cap prunes the stragglers).
+# Skipping a saturated bucket loses only pairs that agree on nothing
+# discriminative — a full bucket means that band carries no signal there.
+# 64 > the max observed bucket at both test SFs (11 @ sf0.01, 32 @ sf0.1),
+# so the cap is semantics-neutral on the checked corpora by construction.
+SRP_BUCKET_CAP = 64
 
 
 def _srp_sign(p: int, d: int) -> int:
@@ -382,10 +393,15 @@ def _duck_srp_oracle() -> str:
              CAST(SUM(CASE WHEN dot >= 0 THEN 1 << (p % {SRP_BAND_BITS}) ELSE 0 END)
                   AS INTEGER) AS band_val
       FROM dots GROUP BY vec_id, p // {SRP_BAND_BITS}
+    ), kept AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS n_bucket
+        FROM bands
+      ) WHERE n_bucket <= {SRP_BUCKET_CAP}
     ), cand AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(COUNT(*) AS BIGINT) AS n_bands
-      FROM bands a
-      JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      FROM kept a
+      JOIN kept b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
                   AND a.vec_id < b.vec_id
       GROUP BY a.vec_id, b.vec_id
     )
@@ -412,6 +428,13 @@ def q98_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cosine-0.9 pair is caught with p ~= 99%+; the exact cosine join then
     verifies candidates only. Recall-vs-threshold for this synthetic
     near-orthogonal corpus is measured in tests/test_llm_dedup.py.
+
+    Saturated band buckets are excluded BEFORE the self-join via a
+    broadcast anti-join against the (tiny, by construction) list of
+    buckets larger than SRP_BUCKET_CAP — the q75 DF-cap move. Without
+    it, within-bucket pairs grow quadratically once the 2^bits value
+    space saturates; with it, candidate volume is hard-bounded by
+    bands * 2^bits * cap^2 at ANY corpus size.
 
     The oracle regenerates the identical hyperplane family (md5-parity
     Rademacher signs), so unlike probabilistic-looking LSH this query is
@@ -450,8 +473,15 @@ def q98_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = dots.select(
         "vec_id", F.explode(F.array(*band_structs)).alias("band")
     ).select("vec_id", "band.band_idx", "band.band_val")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    hot = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n_bucket"))
+        .filter(F.col("n_bucket") > SRP_BUCKET_CAP)
+        .select("band_idx", "band_val")
+    )
+    kept = bands.join(F.broadcast(hot), ["band_idx", "band_val"], "left_anti")
+    a = kept.alias("a")
+    b = kept.alias("b")
     cand = (
         a.join(
             b,

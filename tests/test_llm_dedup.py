@@ -157,3 +157,26 @@ def test_srp_lsh_candidates_bounded_and_enriched(spark):
     caught = {(r.vec_a, r.vec_b) for r in rows if r.sim >= COSINE_T}
     recall = len(caught & exact) / len(exact)
     assert recall >= 0.5, f"SRP recall {recall:.2f} vs exact {len(exact)} pairs"
+
+
+def test_srp_bucket_cap_parity_when_cap_bites(spark, duck, monkeypatch):
+    """SRP_BUCKET_CAP=64 never fires on the checked corpora (max bucket 11
+    at sf0.01), so the standard parity run can't distinguish a broken cap
+    from a working one. Force the cap low enough to bite (4) and prove the
+    Spark anti-join and the oracle's window-count filter still agree
+    exactly — the formulation equivalence the 100 TB path depends on."""
+    from nsq2kinesis_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "SRP_BUCKET_CAP", 4)
+    sdf = S.q98_srp_lsh_pairs(spark, SF_CORRECTNESS)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duck(SF_CORRECTNESS)
+    res = con.execute(S._duck_srp_oracle())  # regenerated with the patched cap
+    dcols = [d[0] for d in res.description]
+    order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    drows = sorted(tuple(str(row[i]) for i in order) for row in res.fetchall())
+    assert cols == sorted(dcols)
+    assert srows == drows
+    # the cap genuinely bit: fewer candidates than the uncapped run's 4462
+    assert 0 < len(srows) < 4000, len(srows)
