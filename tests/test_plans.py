@@ -497,6 +497,10 @@ def test_q102_incremental_dedup_batch_shuffles_once(spark):
     # or the dedup would be vacuously green.
     df = build("q102_incremental_dedup")(spark, SF_CORRECTNESS)
     assert n_shuffles(df) == 2, physical_plan(df)
+    # rn = 1 activates WindowGroupLimit: each map partition forwards ONE
+    # row per fingerprint before the exchange, so a viral duplicate (one
+    # fp with millions of copies) cannot create a hot sort partition
+    assert "WindowGroupLimit" in physical_plan(df), physical_plan(df)
     from nsq2kinesis_spark.operators.llm_pipeline import SNAPSHOT_MAX_SRC
     from nsq2kinesis_spark.tables import table
     from pyspark.sql import functions as FF
