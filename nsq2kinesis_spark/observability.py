@@ -136,7 +136,6 @@ class MetricsQueryListener(StreamingQueryListener):
                 "forward_records": 0,
                 "forward_body_bytes": 0,
                 "watermark_dropped_rows": 0,
-                "state_rows": 0,
             },
         )
         totals["n_batches"] += 1
@@ -144,9 +143,21 @@ class MetricsQueryListener(StreamingQueryListener):
         totals["forward_records"] += record.get("forward_records", 0)
         totals["forward_body_bytes"] += record.get("forward_body_bytes", 0)
         totals["watermark_dropped_rows"] += record.get("watermark_dropped_rows", 0)
-        totals["state_rows"] = record.get("state_rows", totals["state_rows"])
+        if "state_rows" in record:
+            # gauge, not a counter: latest state-store occupancy (only set
+            # when the query actually reports a stateful operator, so its
+            # absence stays observable)
+            totals["state_rows"] = record["state_rows"]
         self.n_progress_events += 1
-        log_event("stream", "progress", **record)
+        # one log line per micro-batch carrying BOTH the batch snapshot and
+        # the cumulative counters — collectors need no listener-object
+        # access to reconstruct running totals
+        log_event(
+            "stream",
+            "progress",
+            **record,
+            **{f"total_{k}": v for k, v in totals.items() if k != "num_input_rows"},
+        )
 
     def onQueryIdle(self, event) -> None:
         pass

@@ -418,12 +418,14 @@ def q94_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- q105: correlated scalar subqueries (decorrelation) ------------------------
 
-_Q105_SQL = """
-SELECT o_orderkey, o_custkey, o_totalprice FROM {orders} o1
-WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) *
-        (SELECT COUNT(*) FROM {orders} o2 WHERE o2.o_custkey = o1.o_custkey)
-      > (SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-         FROM {orders} o3 WHERE o3.o_custkey = o1.o_custkey)
+# duck_cents generates SQL valid in BOTH dialects, so the shared query
+# text stays on the codebase-wide exact-money convention
+_Q105_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice FROM {{orders}} o1
+WHERE {duck_cents("o_totalprice")} *
+        (SELECT COUNT(*) FROM {{orders}} o2 WHERE o2.o_custkey = o1.o_custkey)
+      > (SELECT SUM({duck_cents("o_totalprice")})
+         FROM {{orders}} o3 WHERE o3.o_custkey = o1.o_custkey)
 """
 
 

@@ -470,9 +470,14 @@ def q98_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_structs.append(
             F.struct(F.lit(b).alias("band_idx"), val.cast("int").alias("band_val"))
         )
-    bands = dots.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("vec_id", "band.band_idx", "band.band_val")
+    # persisted (q78 precedent): three consumers — the hot-bucket
+    # aggregate and both self-join sides — must read the 8-rows/vector
+    # band table, not re-evaluate the 64-plane dot subtree each
+    bands = (
+        dots.select("vec_id", F.explode(F.array(*band_structs)).alias("band"))
+        .select("vec_id", "band.band_idx", "band.band_val")
+        .persist()
+    )
     hot = (
         bands.groupBy("band_idx", "band_val")
         .agg(F.count(F.lit(1)).alias("n_bucket"))

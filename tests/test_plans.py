@@ -543,4 +543,10 @@ def test_q105_subqueries_decorrelated_to_hash_joins(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2, plan
+    # one hash join back to the fact PER subquery, and each decorrelated
+    # aggregate prints as a partial+final pair — so 2 joins and >=4
+    # aggregate nodes prove BOTH subqueries decorrelated (a single
+    # surviving aggregate would show only 2 nodes and 1 join)
+    assert plan.count("HashJoin") == 2, plan
+    agg_nodes = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert agg_nodes >= 4, plan
