@@ -507,3 +507,93 @@ def q98_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", "n_bands", sim.alias("sim"))
     )
+
+
+# -- q106: behavioral (time-series) similarity search --------------------------
+
+SIM_TOP_K = 3
+
+
+@query(
+    "q106_user_similarity",
+    oracle=f"""
+    WITH uv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), norms AS (
+      SELECT user_id, SUM(cents * cents) AS nrm FROM uv GROUP BY user_id
+    ), dots AS (
+      SELECT a.user_id AS ua, b.user_id AS ub, SUM(a.cents * b.cents) AS dot
+      FROM uv a JOIN uv b ON a.day = b.day AND a.user_id <> b.user_id
+      GROUP BY a.user_id, b.user_id
+    ), sims AS (
+      SELECT d.ua AS user_id, d.ub AS other_id,
+             ROUND(d.dot / (SQRT(na.nrm) * SQRT(nb.nrm)), 6) AS sim
+      FROM dots d
+      JOIN norms na ON na.user_id = d.ua
+      JOIN norms nb ON nb.user_id = d.ub
+    )
+    SELECT user_id, other_id, sim, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY sim DESC, other_id) AS rk
+      FROM sims
+    ) WHERE rk <= {SIM_TOP_K}
+    """,
+    tags=("similarity", "timeseries", "events"),
+)
+def q106_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k behaviorally similar users: cosine over each user's daily
+    activity profile (exact-cents value per active day), computed the
+    way distributed time-series similarity search actually scales — as a
+    SPARSE inverted-index join, never by materializing dense per-user
+    vectors:
+
+    - dot products come from self-joining the (user, day, cents) index
+      on day and summing coincident products — zero entries contribute
+      nothing and cost nothing, and the join is an equi hash join whose
+      per-day fanout is (users active that day)^2, bounded by the
+      activity profile rather than the user count;
+    - norms are a per-user aggregate of squared cents;
+    - all sums are exact BIGINT arithmetic, so the only float ops are
+      one sqrt and one division per pair (both correctly-rounded IEEE),
+      making the rounded similarity bit-identical across engines;
+    - top-k per user via the rank-filter idiom (WindowGroupLimit).
+
+    At web scale the day key is replaced by (day, bucket) salting or an
+    SRP signature (q98) to bound hot-day fanout — the join shape stays
+    identical."""
+    e = t(spark, sf_dir, "events")
+    uv = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    )
+    norms = uv.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("cents")).alias("nrm")
+    )
+    a = uv.select(F.col("user_id").alias("ua"), "day", F.col("cents").alias("ca"))
+    b = uv.select(F.col("user_id").alias("ub"), "day", F.col("cents").alias("cb"))
+    dots = (
+        a.join(b, "day")
+        .filter(F.col("ua") != F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("user_id").alias("ua"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("user_id").alias("ub"), F.col("nrm").alias("nb"))
+    sims = (
+        dots.join(na, "ua")
+        .join(nb, "ub")
+        .select(
+            F.col("ua").alias("user_id"),
+            F.col("ub").alias("other_id"),
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("sim").desc(), "other_id")
+    return (
+        sims.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= SIM_TOP_K)
+    )

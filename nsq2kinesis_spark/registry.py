@@ -74,7 +74,7 @@ def load_all_modules() -> None:
 
 # Explicit verification priority: the order external correctness harnesses
 # iterate ``queries()``. Some harnesses budget a fixed prefix (the driver
-# checks the first 50 of these 90), so this list is a documented rotation
+# checks the first 50 of these 91), so this list is a documented rotation
 # schedule, not engine semantics:
 #
 #   1. least-recently-verified queries first — the 24 queries whose last
@@ -83,12 +83,13 @@ def load_all_modules() -> None:
 #   2. then queries whose implementation changed this round — q86 (shard
 #      count parameterized), the events-table consumers (the loader now
 #      casts TIMESTAMP_NTZ ts -> TIMESTAMP: q28/q60/q63/q66/q84), and
-#      q77/q78 (packed-lane SimHash votes) — plus the sixteen NEW round-4
+#      q77/q78 (packed-lane SimHash votes) — plus the seventeen NEW round-4
 #      queries needing first oracle rows (q90 kmeans, q91 frame sample,
 #      q92/q93 media feature/resize, q94 binned range join, q95 z-order,
 #      q96 Misra-Gries, q97 corpus build, q98 SRP-LSH, q99 source cap,
 #      q100 tf-idf, q101 funnel, q102 incremental dedup, q103 islands,
-#      q104 rolling active users, q105 scalar subquery);
+#      q104 rolling active users, q105 scalar subquery, q106 behavioral
+#      similarity);
 #   3. then the rest of the prefix (relational/aggregate core); the tail
 #      holds the freshest-verified untouched blocks (joins and scalars
 #      fresh-green in round 3, the round-3 llm-pipeline additions,
@@ -155,12 +156,11 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q103_gaps_islands",
     "q104_rolling_active_users",
     "q105_scalar_subquery",
-    # -- remaining prefix: relational core (q01-q03 and q05-q08/q10,
-    # -- fresh-green in round 3 and untouched, demoted to the tail to make
-    # -- room for the new queries' first rows) --
-    "q04_sort_limit",
-    # -- remaining prefix: dedup family under active bench work (q78
-    # -- regression investigation this round) --
+    "q106_user_similarity",
+    # -- remaining prefix: the dedup family under active bench work (q78
+    # -- regression investigation this round). The whole relational core
+    # -- q01-q17, fresh-green in round 3 and untouched, is demoted to the
+    # -- tail to make room for the seventeen new queries' first rows. --
     "q75_neardup_jaccard",
     "q77_simhash",
     "q78_simhash_pairs",
@@ -185,6 +185,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q80_cosine_topk",
     "q81_cosine_neardup",
     "q82_ann_ivf",
+    "q04_sort_limit",
     "q01_pricing_summary",
     "q02_project_compute",
     "q03_filter_battery",

@@ -49,7 +49,7 @@ def test_verify_order_is_the_registry_iteration_order():
     )
     got_head = [n.split("_")[0] for n in names[: len(stale_r2)]]
     assert sorted(got_head) == sorted(stale_r2), got_head
-    assert len(names) == 90
+    assert len(names) == 91
     # queries whose code (or loader path) changed in round 4 also sit inside
     # the driver's 50-entry budget for fresh rows
     for changed in (
@@ -69,6 +69,7 @@ def test_verify_order_is_the_registry_iteration_order():
         "q103_gaps_islands",
         "q104_rolling_active_users",
         "q105_scalar_subquery",
+        "q106_user_similarity",
         "q77_simhash",  # packed-lane vote rewrite
         "q78_simhash_pairs",
         "q86_sequence_packing",  # shard-count knob

@@ -550,3 +550,14 @@ def test_q105_subqueries_decorrelated_to_hash_joins(spark):
     assert plan.count("HashJoin") == 2, plan
     agg_nodes = plan.count("HashAggregate") + plan.count("SortAggregate")
     assert agg_nodes >= 4, plan
+
+
+def test_q106_sparse_similarity_is_equi_join(spark):
+    # the dot products must come from the day-keyed inverted-index equi
+    # join — never a dense all-pairs product — and top-k must push the
+    # per-partition limit
+    df = build("q106_user_similarity")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
