@@ -289,33 +289,60 @@ class NsqStreamReader(SimpleDataSourceStreamReader):
             self._conn = NsqConnection(self.addr, self.topic, self.channel, rdy=self.batch_size)
         return self._conn
 
+    def _reset_connection(self) -> None:
+        """Drop a dead connection and all its per-connection ack state.
+
+        Pending (un-FINned) message ids are only meaningful on the
+        connection that delivered them — after a disconnect nsqd requeues
+        that connection's in-flight messages itself, so clearing `_pending`
+        loses nothing: the same messages redeliver on the next connection
+        (at-least-once; duplicates absorbed by the dedup operator). The
+        reference inherits this behavior from go-nsq's automatic
+        reconnect+redelivery (main.go:61-68 config, nsq.io protocol)."""
+        if self._conn is not None:
+            try:
+                self._conn.sock.close()
+            except OSError:
+                pass
+            self._conn = None
+        self._pending.clear()
+
     def initialOffset(self) -> dict:
         return {"seq": 0}
 
     def read(self, start: dict):
-        conn = self._connection()
         seq = start["seq"]
-        if seq in self._pending:
-            # Re-reading a seq whose previous attempt never committed (the
-            # batch failed downstream): REQ that attempt's messages with
-            # attempts-scaled backoff — immediate enough not to wait out
-            # the server msg-timeout, delayed enough not to hot-loop on a
-            # poison message; past the attempts cap they dead-letter
-            # (reference kinesis_writer.go:114-126 + main.go:66-67).
-            self.dead_lettered += requeue_failed(
-                conn,
-                self._pending.pop(seq),
-                self.requeue_base_ms,
-                self.requeue_max_ms,
-                self.max_attempts,
-            )
-        # Batches polled but not yet committed are still being processed —
-        # TOUCH resets their msg-timeout so a slow sink doesn't trigger
-        # spurious redelivery mid-flight (reference main.go:65-67).
-        for ids in self._pending.values():
-            for msg_id, _attempts in ids:
-                conn.touch(msg_id)
-        msgs = conn.poll(self.batch_size, self.poll_wait_s)
+        try:
+            conn = self._connection()
+            if seq in self._pending:
+                # Re-reading a seq whose previous attempt never committed
+                # (the batch failed downstream): REQ that attempt's
+                # messages with attempts-scaled backoff — immediate enough
+                # not to wait out the server msg-timeout, delayed enough
+                # not to hot-loop on a poison message; past the attempts
+                # cap they dead-letter (reference kinesis_writer.go:114-126
+                # + main.go:66-67).
+                self.dead_lettered += requeue_failed(
+                    conn,
+                    self._pending.pop(seq),
+                    self.requeue_base_ms,
+                    self.requeue_max_ms,
+                    self.max_attempts,
+                )
+            # Batches polled but not yet committed are still being
+            # processed — TOUCH resets their msg-timeout so a slow sink
+            # doesn't trigger spurious redelivery mid-flight (reference
+            # main.go:65-67).
+            for ids in self._pending.values():
+                for msg_id, _attempts in ids:
+                    conn.touch(msg_id)
+            msgs = conn.poll(self.batch_size, self.poll_wait_s)
+        except (ConnectionError, OSError):
+            # nsqd went away (restart, network blip): reconnect on the
+            # next micro-batch instead of failing the query — go-nsq
+            # semantics. This batch is empty; un-FINned messages redeliver.
+            self._reset_connection()
+            return iter([]), {"seq": seq + 1}
         self._pending[seq] = [(m[0], m[3]) for m in msgs]
         rows = [(m[0], m[1], m[2], m[3], None) for m in msgs]
         return iter(rows), {"seq": seq + 1}
@@ -341,10 +368,17 @@ class NsqStreamReader(SimpleDataSourceStreamReader):
         to_fin = sorted(k for k in self._pending if k < end["seq"])
         if not to_fin:
             return
-        conn = self._connection()
-        for seq in to_fin:
-            for msg_id, _attempts in self._pending.pop(seq):
-                conn.finish(msg_id)
+        try:
+            conn = self._connection()
+            for seq in to_fin:
+                for msg_id, _attempts in self._pending.pop(seq):
+                    conn.finish(msg_id)
+        except (ConnectionError, OSError):
+            # Connection died before the acks landed: the un-FINned
+            # messages redeliver after msg-timeout and the dedup operator
+            # absorbs them — at-least-once, not at-most-once, so dropping
+            # the FINs is safe and failing the query here is not.
+            self._reset_connection()
 
 
 class NsqInputPartition(InputPartition):

@@ -56,6 +56,7 @@ class FakeNsqd(threading.Thread):
         messages: list[tuple[str, bytes]],
         deliver_twice: set[str] | None = None,
         msg_timeout_s: float = 3.0,
+        port: int = 0,
     ):
         super().__init__(daemon=True)
         self.deliver_twice = deliver_twice or set()
@@ -78,7 +79,9 @@ class FakeNsqd(threading.Thread):
         self._dup_sent: set[str] = set()
         self.server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self.server.bind(("127.0.0.1", 0))
+        # port=0 → ephemeral; a fixed port lets a test "restart nsqd" at
+        # the same address a consumer is configured with
+        self.server.bind(("127.0.0.1", port))
         self.server.listen(8)
         self.addr = f"127.0.0.1:{self.server.getsockname()[1]}"
         self._stop = threading.Event()

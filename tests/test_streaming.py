@@ -1208,3 +1208,73 @@ def test_stream_static_enrichment_join_matches_batch(spark, tmp_path):
         for r in enrich(ev).collect()
     }
     assert got == expected and len(got) == 5
+
+
+# --- nsqd restart / reconnect -------------------------------------------------
+
+
+@pytest.mark.slow
+@pytest.mark.timeout(180)
+def test_simple_reader_survives_nsqd_restart(spark, tmp_path):
+    """nsqd dying mid-stream must NOT fail the query: the simple reader
+    drops the dead connection, emits empty batches while the broker is
+    down, and re-subscribes when it returns (go-nsq auto-reconnect
+    semantics, reference main.go:61-68). Messages published after the
+    restart flow through the same uninterrupted query."""
+    from nsq2kinesis_spark.sources.nsq import NsqDataSource
+
+    first = {f"{i:016d}": f"pre-{i}".encode() for i in range(5)}
+    second = {f"{i:016d}": f"post-{i}".encode() for i in range(10, 15)}
+    nsqd1 = FakeNsqd(list(first.items()))
+    nsqd1.start()
+    port = int(nsqd1.addr.rsplit(":", 1)[1])
+
+    spark.dataSource.register(NsqDataSource)
+    src = (
+        spark.readStream.format("nsq")
+        .option("topic", "events")
+        .option("channel", "spark")
+        .option("nsqd_tcp_address", nsqd1.addr)
+        .option("poll_wait_s", "0.3")
+        .load()
+    )
+    name = f"reconnect_{uuid.uuid4().hex[:8]}"
+    q = (
+        src.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    nsqd2 = None
+    try:
+        def seen() -> set[str]:
+            return {
+                r["message_id"]
+                for r in spark.sql(f"SELECT message_id FROM {name}").collect()
+            }
+
+        deadline = time.time() + 60
+        while time.time() < deadline and not (set(first) <= seen()):
+            time.sleep(0.5)
+        assert set(first) <= seen(), "pre-restart messages never arrived"
+
+        nsqd1.stop()  # connection dies mid-stream
+        time.sleep(3)  # a few triggers fire against the dead broker
+        assert q.isActive and q.exception() is None, q.exception()
+
+        nsqd2 = FakeNsqd(list(second.items()), port=port)  # same address
+        nsqd2.start()
+        deadline = time.time() + 90
+        while time.time() < deadline and not (set(second) <= seen()):
+            time.sleep(0.5)
+        assert set(second) <= seen(), (
+            f"post-restart messages never arrived: {sorted(seen())}"
+        )
+        assert q.isActive and q.exception() is None, q.exception()
+        assert nsqd2.subscribed == ("events", "spark")  # fresh SUB handshake
+    finally:
+        q.stop()
+        nsqd1.stop()
+        if nsqd2 is not None:
+            nsqd2.stop()
