@@ -561,3 +561,57 @@ def test_q106_sparse_similarity_is_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_compaction_restores_file_layout(spark, tmp_path):
+    """The small-files maintenance pass every 100 TB table needs: a
+    fragmented write (many tiny files — the natural output of a
+    high-parallelism or streaming job) is compacted by
+    repartitionByRange(target, key) + sortWithinPartitions, which must
+    (a) cut file count to the target, (b) preserve rows exactly, and
+    (c) leave each file a DISJOINT key range so footer-based pruning
+    serves point lookups from one file instead of all of them."""
+    import pyarrow.parquet as pq
+
+    from nsq2kinesis_spark.tables import table
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    frag = tmp_path / "fragmented"
+    docs.repartition(64).write.parquet(str(frag))
+    assert len(list(frag.glob("*.parquet"))) >= 32  # genuinely fragmented
+
+    compacted = tmp_path / "compacted"
+    (
+        spark.read.parquet(str(frag))
+        .repartitionByRange(4, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.parquet(str(compacted))
+    )
+    files = sorted(compacted.glob("*.parquet"))
+    assert len(files) <= 4, files
+
+    got = spark.read.parquet(str(compacted))
+    assert got.count() == docs.count()
+    assert sorted(r.doc_id for r in got.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+
+    # disjoint per-file doc_id ranges → a point filter prunes to ONE file
+    ranges = []
+    for f in files:
+        meta = pq.ParquetFile(str(f)).metadata
+        lo = hi = None
+        for rg in range(meta.num_row_groups):
+            row_group = meta.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema != "doc_id" or col.statistics is None:
+                    continue
+                lo = col.statistics.min if lo is None else min(lo, col.statistics.min)
+                hi = col.statistics.max if hi is None else max(hi, col.statistics.max)
+        if lo is not None:
+            ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) == len(files)
+    for (_, prev_hi), (next_lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi < next_lo, ranges  # no overlap between files
