@@ -537,9 +537,15 @@ class NsqPartitionedStreamReader(DataSourceStreamReader):
         key = (self.addr, self.topic, self.channel, self.instance_id, partition.pid)
         consumer = consumers.get(key)
         if consumer is None:
-            consumer = _ExecutorConsumer(
-                self.addr, self.topic, self.channel, partition.rdy
-            )
+            try:
+                consumer = _ExecutorConsumer(
+                    self.addr, self.topic, self.channel, partition.rdy
+                )
+            except (ConnectionError, OSError):
+                # broker down (restart in progress): this batch is empty;
+                # the next task retries the connection — failing the TASK
+                # here would fail the whole query on a transient outage
+                return iter([])
             consumers[key] = consumer
         consumer.last_used = time.monotonic()
         try:

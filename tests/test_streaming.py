@@ -1278,3 +1278,70 @@ def test_simple_reader_survives_nsqd_restart(spark, tmp_path):
         nsqd1.stop()
         if nsqd2 is not None:
             nsqd2.stop()
+
+
+@pytest.mark.slow
+@pytest.mark.timeout(180)
+def test_partitioned_reader_survives_nsqd_restart(spark, tmp_path):
+    """The executor-parallel reader's reconnect path, end-to-end: kill the
+    broker under a running partitioned query, restart it at the same
+    address, and the same query (N connections, deferred FIN) must
+    deliver the post-restart messages without failing."""
+    from nsq2kinesis_spark.sources.nsq import NsqDataSource
+
+    first = {f"{i:016d}": f"a-{i}".encode() for i in range(6)}
+    second = {f"{i:016d}": f"b-{i}".encode() for i in range(20, 26)}
+    nsqd1 = FakeNsqd(list(first.items()), msg_timeout_s=5.0)
+    nsqd1.start()
+    port = int(nsqd1.addr.rsplit(":", 1)[1])
+    spark.dataSource.register(NsqDataSource)
+
+    src = (
+        spark.readStream.format("nsq")
+        .option("topic", "t")
+        .option("channel", "c")
+        .option("nsqd_tcp_address", nsqd1.addr)
+        .option("partitioned", "true")
+        .option("num_partitions", "2")
+        .option("poll_wait_s", "0.3")
+        .load()
+    )
+    name = f"preconn_{uuid.uuid4().hex[:8]}"
+    q = (
+        src.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    nsqd2 = None
+    try:
+        def seen() -> set[str]:
+            return {
+                r["message_id"]
+                for r in spark.sql(f"SELECT message_id FROM {name}").collect()
+            }
+
+        deadline = time.time() + 60
+        while time.time() < deadline and not (set(first) <= seen()):
+            time.sleep(0.5)
+        assert set(first) <= seen(), "pre-restart messages never arrived"
+
+        nsqd1.stop()
+        time.sleep(3)
+        assert q.isActive and q.exception() is None, q.exception()
+
+        nsqd2 = FakeNsqd(list(second.items()), msg_timeout_s=5.0, port=port)
+        nsqd2.start()
+        deadline = time.time() + 90
+        while time.time() < deadline and not (set(second) <= seen()):
+            time.sleep(0.5)
+        assert set(second) <= seen(), (
+            f"post-restart messages never arrived: {sorted(seen())}"
+        )
+        assert q.isActive and q.exception() is None, q.exception()
+    finally:
+        q.stop()
+        nsqd1.stop()
+        if nsqd2 is not None:
+            nsqd2.stop()
