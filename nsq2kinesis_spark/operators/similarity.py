@@ -557,16 +557,28 @@ def q106_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     - norms are a per-user aggregate of squared cents;
     - all sums are exact BIGINT arithmetic, so the only float ops are
       one sqrt and one division per pair (both correctly-rounded IEEE),
-      making the rounded similarity bit-identical across engines;
+      making the rounded similarity bit-identical across engines. The
+      exactness claim has an explicit capacity envelope: per-day cents
+      are guarded below 10^8 (|value| < $1M/day), which keeps every
+      product <= 10^16 and the int64 norm/dot sums exact for ~920
+      active days per user — beyond that, Spark's non-ANSI int64 would
+      wrap silently while DuckDB promotes to int128, so the guard
+      raises loudly instead (same move as the SimHash vote-overflow
+      guard); widen to decimal(38,0) if a deployment needs more;
     - top-k per user via the rank-filter idiom (WindowGroupLimit).
 
     At web scale the day key is replaced by (day, bucket) salting or an
     SRP signature (q98) to bound hot-day fanout — the join shape stays
     identical."""
     e = t(spark, sf_dir, "events")
-    uv = (
-        e.groupBy("user_id", F.to_date("ts").alias("day"))
-        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    raw_cents = F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+    guarded = F.when(F.abs(raw_cents) < F.lit(100_000_000), raw_cents).otherwise(
+        F.raise_error(
+            F.lit("q106 cents magnitude exceeds the int64-exactness envelope")
+        ).cast("long")
+    )
+    uv = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        guarded.alias("cents")
     )
     norms = uv.groupBy("user_id").agg(
         F.sum(F.col("cents") * F.col("cents")).alias("nrm")

@@ -151,11 +151,21 @@ class NsqConnection:
     size and the payload) leaves the partial bytes buffered for the next
     poll instead of desynchronizing the stream."""
 
+    # nsqd's default heartbeat interval is 30 s; go-nsq declares a
+    # connection dead after ~2 missed heartbeats. 70 s = 2 intervals plus
+    # margin. This catches HALF-OPEN connections (silent network
+    # partition: no RST, recv just times out forever, sends land in the
+    # local buffer) that no socket error would ever surface — without the
+    # deadline the reader would poll a dead socket for the kernel's
+    # ~15-minute retransmission timeout before noticing.
+    STALE_AFTER_S = 70.0
+
     def __init__(self, addr: str, topic: str, channel: str, rdy: int = 200) -> None:
         host, port = addr.rsplit(":", 1)
         self.sock = socket.create_connection((host, int(port)), timeout=10)
         self._buf = bytearray()
         self._rdy = rdy
+        self._last_frame = time.monotonic()
         self.sock.sendall(b"  V2")
         self._command(f"SUB {topic} {channel}\n".encode(), expect_response=True)
         self._command(f"RDY {rdy}\n".encode())
@@ -189,6 +199,7 @@ class NsqConnection:
             return None
         payload = bytes(self._buf[4 : 4 + size])
         del self._buf[: 4 + size]
+        self._last_frame = time.monotonic()  # any frame proves liveness
         return struct.unpack(">i", payload[:4])[0], payload[4:]
 
     def _read_frame(self, timeout: float = 10.0) -> tuple[int, bytes]:
@@ -210,6 +221,11 @@ class NsqConnection:
         delivery and deferred-ack FINs never restore it, so a
         set-RDY-once consumer silently starves after the first
         ready-count's worth of messages."""
+        if time.monotonic() - self._last_frame > self.STALE_AFTER_S:
+            raise ConnectionError(
+                f"no frame (not even a heartbeat) from nsqd in "
+                f"{self.STALE_AFTER_S:.0f}s — connection presumed half-open"
+            )
         self.sock.sendall(f"RDY {self._rdy}\n".encode())
         out: list[tuple[str, bytes, datetime, int]] = []
         deadline = time.monotonic() + max_wait_s
@@ -337,10 +353,16 @@ class NsqStreamReader(SimpleDataSourceStreamReader):
                 for msg_id, _attempts in ids:
                     conn.touch(msg_id)
             msgs = conn.poll(self.batch_size, self.poll_wait_s)
-        except (ConnectionError, OSError):
+        except (ConnectionError, OSError) as e:
             # nsqd went away (restart, network blip): reconnect on the
             # next micro-batch instead of failing the query — go-nsq
             # semantics. This batch is empty; un-FINned messages redeliver.
+            # Logged so a PERMANENT failure (typo'd address → gaierror
+            # every batch) is visible as a stream of these events rather
+            # than indistinguishable from a quiet topic.
+            _obs.log_event(
+                "nsq_source", "connection_lost", addr=self.addr, error=str(e)
+            )
             self._reset_connection()
             return iter([]), {"seq": seq + 1}
         self._pending[seq] = [(m[0], m[3]) for m in msgs]
@@ -373,11 +395,14 @@ class NsqStreamReader(SimpleDataSourceStreamReader):
             for seq in to_fin:
                 for msg_id, _attempts in self._pending.pop(seq):
                     conn.finish(msg_id)
-        except (ConnectionError, OSError):
+        except (ConnectionError, OSError) as e:
             # Connection died before the acks landed: the un-FINned
             # messages redeliver after msg-timeout and the dedup operator
             # absorbs them — at-least-once, not at-most-once, so dropping
             # the FINs is safe and failing the query here is not.
+            _obs.log_event(
+                "nsq_source", "commit_connection_lost", addr=self.addr, error=str(e)
+            )
             self._reset_connection()
 
 
@@ -541,10 +566,17 @@ class NsqPartitionedStreamReader(DataSourceStreamReader):
                 consumer = _ExecutorConsumer(
                     self.addr, self.topic, self.channel, partition.rdy
                 )
-            except (ConnectionError, OSError):
+            except (ConnectionError, OSError) as e:
                 # broker down (restart in progress): this batch is empty;
                 # the next task retries the connection — failing the TASK
                 # here would fail the whole query on a transient outage
+                _obs.log_event(
+                    "nsq_source",
+                    "connect_failed",
+                    addr=self.addr,
+                    partition=partition.pid,
+                    error=str(e),
+                )
                 return iter([])
             consumers[key] = consumer
         consumer.last_used = time.monotonic()
@@ -573,9 +605,16 @@ class NsqPartitionedStreamReader(DataSourceStreamReader):
                 for msg_id, _attempts in ids:
                     consumer.conn.touch(msg_id)
             msgs = consumer.conn.poll(partition.rdy, self.poll_wait_s)
-        except (ConnectionError, OSError):
+        except (ConnectionError, OSError) as e:
             # Reconnect on the next task; this connection's un-FINned
             # messages redeliver via msg-timeout (at-least-once holds).
+            _obs.log_event(
+                "nsq_source",
+                "connection_lost",
+                addr=self.addr,
+                partition=partition.pid,
+                error=str(e),
+            )
             consumers.pop(key, None)
             try:
                 consumer.conn.sock.close()

@@ -344,6 +344,34 @@ def test_q94_range_join_is_hash_not_nested_loop(spark):
 
 
 
+
+def _file_column_bounds(path, columns):
+    """Per-file footer [min, max] of the given columns: the statistics a
+    parquet reader's file-skipping consults. Returns {file: {col: (lo, hi)}}
+    (files/columns without statistics omitted)."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in sorted(path.glob("*.parquet")):
+        bounds = {}
+        meta = pq.ParquetFile(str(f)).metadata
+        for rg in range(meta.num_row_groups):
+            row_group = meta.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if col.statistics is None or name not in columns:
+                    continue
+                lo, hi = bounds.get(name, (col.statistics.min, col.statistics.max))
+                bounds[name] = (
+                    min(lo, col.statistics.min),
+                    max(hi, col.statistics.max),
+                )
+        if bounds:
+            out[f] = bounds
+    return out
+
+
 def test_q95_zorder_write_prunes_both_dimensions(spark, tmp_path):
     """The layout payoff of the z-key: after a z-ordered write, a point
     filter on EITHER dimension skips a substantial share of files (each
@@ -352,29 +380,13 @@ def test_q95_zorder_write_prunes_both_dimensions(spark, tmp_path):
     the full range of the other. Metric: expected fraction of files whose
     [min, max] contains a uniform random point, per dimension — exactly
     what footer-based file skipping evaluates."""
-    import pyarrow.parquet as pq
-
     df = build("q95_zorder_key")(spark, "/root/testdata/sf0.001")
     full = 256.0  # normalized dimension width (2^Z_BITS)
 
     def write_and_measure(sorted_df, path):
         sorted_df.write.parquet(str(path))
         widths = {"dim_user": [], "dim_day": []}
-        for f in path.glob("*.parquet"):
-            meta = pq.ParquetFile(str(f)).metadata
-            bounds = {}
-            for rg in range(meta.num_row_groups):
-                row_group = meta.row_group(rg)
-                for ci in range(row_group.num_columns):
-                    col = row_group.column(ci)
-                    name = col.path_in_schema
-                    if col.statistics is None or name not in widths:
-                        continue
-                    lo, hi = bounds.get(name, (col.statistics.min, col.statistics.max))
-                    bounds[name] = (
-                        min(lo, col.statistics.min),
-                        max(hi, col.statistics.max),
-                    )
+        for bounds in _file_column_bounds(path, set(widths)).values():
             for name, (lo, hi) in bounds.items():
                 widths[name].append(hi - lo + 1)
         return {
@@ -571,8 +583,6 @@ def test_compaction_restores_file_layout(spark, tmp_path):
     (a) cut file count to the target, (b) preserve rows exactly, and
     (c) leave each file a DISJOINT key range so footer-based pruning
     serves point lookups from one file instead of all of them."""
-    import pyarrow.parquet as pq
-
     from nsq2kinesis_spark.tables import table
 
     docs = table(spark, SF_CORRECTNESS, "documents")
@@ -597,21 +607,10 @@ def test_compaction_restores_file_layout(spark, tmp_path):
     )
 
     # disjoint per-file doc_id ranges → a point filter prunes to ONE file
-    ranges = []
-    for f in files:
-        meta = pq.ParquetFile(str(f)).metadata
-        lo = hi = None
-        for rg in range(meta.num_row_groups):
-            row_group = meta.row_group(rg)
-            for ci in range(row_group.num_columns):
-                col = row_group.column(ci)
-                if col.path_in_schema != "doc_id" or col.statistics is None:
-                    continue
-                lo = col.statistics.min if lo is None else min(lo, col.statistics.min)
-                hi = col.statistics.max if hi is None else max(hi, col.statistics.max)
-        if lo is not None:
-            ranges.append((lo, hi))
-    ranges.sort()
+    ranges = sorted(
+        bounds["doc_id"]
+        for bounds in _file_column_bounds(compacted, {"doc_id"}).values()
+    )
     assert len(ranges) == len(files)
     for (_, prev_hi), (next_lo, _) in zip(ranges, ranges[1:]):
         assert prev_hi < next_lo, ranges  # no overlap between files

@@ -156,6 +156,7 @@ def test_frame_parser_survives_any_chunking():
             conn.sock = a
             conn._buf = bytearray()
             conn._rdy = 100
+            conn._last_frame = time.monotonic()
             # fragment the byte stream at arbitrary cut points
             offsets = sorted({min(c, len(stream)) for c in cuts})
             pieces, prev = [], 0
@@ -1345,3 +1346,37 @@ def test_partitioned_reader_survives_nsqd_restart(spark, tmp_path):
         nsqd1.stop()
         if nsqd2 is not None:
             nsqd2.stop()
+
+
+def test_half_open_connection_hits_heartbeat_deadline():
+    """A silently-partitioned connection (no RST — recv just never returns
+    data) must be declared dead once no frame, not even a heartbeat,
+    arrives within STALE_AFTER_S, instead of polling a dead socket until
+    the kernel's ~15-minute retransmission timeout. Any frame refreshes
+    the deadline."""
+    import socket as _socket
+
+    from nsq2kinesis_spark.sources.nsq import NsqConnection
+
+    from .fake_nsqd import _frame
+
+    a, b = _socket.socketpair()
+    try:
+        conn = NsqConnection.__new__(NsqConnection)
+        conn.sock = a
+        conn._buf = bytearray()
+        conn._rdy = 10
+        conn._last_frame = time.monotonic()
+
+        # a heartbeat frame keeps the connection alive
+        b.sendall(_frame(0, b"_heartbeat_"))
+        assert conn.poll(10, 0.2) == []  # heartbeat consumed, NOP replied
+        assert time.monotonic() - conn._last_frame < 1
+
+        # silence past the deadline → declared dead on the next poll
+        conn._last_frame = time.monotonic() - NsqConnection.STALE_AFTER_S - 1
+        with pytest.raises(ConnectionError, match="half-open"):
+            conn.poll(10, 0.2)
+    finally:
+        a.close()
+        b.close()
