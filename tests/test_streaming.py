@@ -515,6 +515,7 @@ def test_poll_mid_frame_timeout_resyncs():
         conn.sock = a
         conn._buf = bytearray()
         conn._rdy = 10
+        conn._last_frame = time.monotonic()
         frame = _message_frame("0000000000000001", b"hello")
         b.sendall(frame[:7])  # 4-byte size + 3 bytes of payload, then stall
         assert conn.poll(10, 0.3) == []  # times out mid-frame, no garbage
