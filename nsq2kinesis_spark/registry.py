@@ -18,7 +18,7 @@ Queries without an oracle (approximate/streaming-only ops) register with
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
