@@ -614,3 +614,47 @@ def test_compaction_restores_file_layout(spark, tmp_path):
     assert len(ranges) == len(files)
     for (_, prev_hi), (next_lo, _) in zip(ranges, ranges[1:]):
         assert prev_hi < next_lo, ranges  # no overlap between files
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark):
+    """The engine's skew story is two-tier: deterministic salting
+    (functions/skew.py, tests/test_skew.py) where the hot key is known,
+    and AQE's runtime skew-join split for the hot keys nobody predicted.
+    This pins the second tier: a 90%-hot-key shuffle join must execute
+    with the hot partition SPLIT (SortMergeJoin(skew=true) reading an
+    'AQEShuffleRead skewed'), not with one straggler task processing 90%
+    of the data. Thresholds are lowered only because the test data is
+    tiny; the assertion is the runtime re-plan itself."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 60), F.col("id").cast("string")).alias("pay"),
+        )
+        right = spark.range(5_000).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        j = left.join(right, "k")
+        n = len(j.collect())  # AQE re-plans DURING execution — run, then inspect
+        assert n == 180_500  # 180k hot-key matches + 500 tail matches
+        plan = physical_plan(j)
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
