@@ -74,7 +74,7 @@ def load_all_modules() -> None:
 
 # Explicit verification priority: the order external correctness harnesses
 # iterate ``queries()``. Some harnesses budget a fixed prefix (the driver
-# checks the first 50 of these 91), so this list is a documented rotation
+# checks the first 50 of these 92), so this list is a documented rotation
 # schedule, not engine semantics:
 #
 #   1. least-recently-verified queries first — the 24 queries whose last
@@ -83,13 +83,13 @@ def load_all_modules() -> None:
 #   2. then queries whose implementation changed this round — q86 (shard
 #      count parameterized), the events-table consumers (the loader now
 #      casts TIMESTAMP_NTZ ts -> TIMESTAMP: q28/q60/q63/q66/q84), and
-#      q77/q78 (packed-lane SimHash votes) — plus the seventeen NEW round-4
+#      q77/q78 (packed-lane SimHash votes) — plus the eighteen NEW round-4
 #      queries needing first oracle rows (q90 kmeans, q91 frame sample,
 #      q92/q93 media feature/resize, q94 binned range join, q95 z-order,
 #      q96 Misra-Gries, q97 corpus build, q98 SRP-LSH, q99 source cap,
 #      q100 tf-idf, q101 funnel, q102 incremental dedup, q103 islands,
 #      q104 rolling active users, q105 scalar subquery, q106 behavioral
-#      similarity);
+#      similarity, q107 event paths);
 #   3. then the rest of the prefix (relational/aggregate core); the tail
 #      holds the freshest-verified untouched blocks (joins and scalars
 #      fresh-green in round 3, the round-3 llm-pipeline additions,
@@ -157,11 +157,11 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q104_rolling_active_users",
     "q105_scalar_subquery",
     "q106_user_similarity",
-    # -- remaining prefix: the dedup family under active bench work (q78
-    # -- regression investigation this round). The whole relational core
-    # -- q01-q17, fresh-green in round 3 and untouched, is demoted to the
-    # -- tail to make room for the seventeen new queries' first rows. --
-    "q75_neardup_jaccard",
+    "q107_event_paths",
+    # -- remaining prefix: the SimHash pair (code changed in round 4:
+    # -- packed-lane votes). The whole relational core q01-q17 plus q75
+    # -- (all fresh-green in round 3 and untouched) is demoted to the
+    # -- tail to make room for the eighteen new queries' first rows. --
     "q77_simhash",
     "q78_simhash_pairs",
     # ---- 50-query prefix boundary (driver budget) ----
@@ -185,6 +185,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q80_cosine_topk",
     "q81_cosine_neardup",
     "q82_ann_ivf",
+    "q75_neardup_jaccard",
     "q04_sort_limit",
     "q01_pricing_summary",
     "q02_project_compute",

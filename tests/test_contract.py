@@ -49,7 +49,7 @@ def test_verify_order_is_the_registry_iteration_order():
     )
     got_head = [n.split("_")[0] for n in names[: len(stale_r2)]]
     assert sorted(got_head) == sorted(stale_r2), got_head
-    assert len(names) == 91
+    assert len(names) == 92
     # queries whose code (or loader path) changed in round 4 also sit inside
     # the driver's 50-entry budget for fresh rows
     for changed in (
@@ -70,6 +70,7 @@ def test_verify_order_is_the_registry_iteration_order():
         "q104_rolling_active_users",
         "q105_scalar_subquery",
         "q106_user_similarity",
+        "q107_event_paths",
         "q77_simhash",  # packed-lane vote rewrite
         "q78_simhash_pairs",
         "q86_sequence_packing",  # shard-count knob

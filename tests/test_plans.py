@@ -658,3 +658,12 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q107_paths_topk_no_global_sort(spark):
+    # path counting ends in TakeOrderedAndProject — partitions forward
+    # only their own top candidates, never a corpus-wide range sort
+    df = build("q107_event_paths")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
