@@ -362,7 +362,6 @@ def q103_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- q107: top event paths (behavioral sequences) ------------------------------
 
-PATH_LEN = 3
 PATH_TOP_K = 10
 
 
@@ -377,30 +376,38 @@ PATH_TOP_K = 10
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT CONCAT(t1, '>', t2, '>', t3) AS path, CAST(COUNT(*) AS BIGINT) AS n
-    FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
     GROUP BY CONCAT(t1, '>', t2, '>', t3)
     ORDER BY n DESC, path LIMIT {PATH_TOP_K}
     """,
     tags=("window", "paths", "events"),
 )
 def q107_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{K} most frequent 3-step behavioral sequences (event-type
-    trigram paths per user) — the path-analysis pass of product
-    analytics. One exchange on user_id serves both LEADs; path counting
-    is a map-side-partial aggregate; the final top-k is
+    """Top-PATH_TOP_K most frequent 3-step behavioral sequences
+    (event-type trigram paths per user) — the path-analysis pass of
+    product analytics. One exchange on user_id serves both LEADs; path
+    counting is a map-side-partial aggregate; the final top-k is
     TakeOrderedAndProject (each partition forwards only its own top
     candidates — no global sort). Sequence boundaries respect users:
     LEAD never crosses the window partition, so no cross-user phantom
-    paths. Ties broken (count desc, path asc) for determinism."""
+    paths. All three legs filtered non-null and joined with explicit
+    separators (F.concat, not concat_ws, which silently DROPS a null
+    leg and its separator — a null event_type would alias 'a>b' with a
+    genuine 2-step path). Ties broken (count desc, path asc)."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         F.col("event_type").alias("t1"),
         F.lead("event_type", 1).over(w).alias("t2"),
         F.lead("event_type", 2).over(w).alias("t3"),
-    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    ).filter(
+        F.col("t1").isNotNull()
+        & F.col("t2").isNotNull()
+        & F.col("t3").isNotNull()
+    )
+    path = F.concat("t1", F.lit(">"), "t2", F.lit(">"), "t3")
     return (
-        seq.select(F.concat_ws(">", "t1", "t2", "t3").alias("path"))
+        seq.select(path.alias("path"))
         .groupBy("path")
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy(F.col("n").desc(), "path")

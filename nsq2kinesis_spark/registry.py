@@ -81,9 +81,12 @@ def load_all_modules() -> None:
 #      fresh oracle row is from round 2 (q18/q19, q30-q35, q50-q54,
 #      q61/q62/q64/q65, q70-q74, q76, q79) lead the round-4 order;
 #   2. then queries whose implementation changed this round — q86 (shard
-#      count parameterized), the events-table consumers (the loader now
-#      casts TIMESTAMP_NTZ ts -> TIMESTAMP: q28/q60/q63/q66/q84), and
-#      q77/q78 (packed-lane SimHash votes) — plus the eighteen NEW round-4
+#      count parameterized), events-table consumers (the loader now casts
+#      TIMESTAMP_NTZ ts -> TIMESTAMP: q28/q60/q63; q66 cedes its slot —
+#      the cast path is re-proven by the 10+ other events consumers in
+#      the prefix and q66's own code is untouched since its fresh r3
+#      row), q84 (llm_text.py round-4 edits), and q75/q77/q78 (pair
+#      machinery + packed-lane SimHash votes) — plus the eighteen NEW round-4
 #      queries needing first oracle rows (q90 kmeans, q91 frame sample,
 #      q92/q93 media feature/resize, q94 binned range join, q95 z-order,
 #      q96 Misra-Gries, q97 corpus build, q98 SRP-LSH, q99 source cap,
@@ -137,7 +140,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q28_join_asof",
     "q60_dedup_exact",
     "q63_session_window",
-    "q66_time_rollup",
     "q84_stratified_sample",
     # -- new in round 4: first oracle rows --
     "q90_kmeans_train",
@@ -158,10 +160,11 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q105_scalar_subquery",
     "q106_user_similarity",
     "q107_event_paths",
-    # -- remaining prefix: the SimHash pair (code changed in round 4:
-    # -- packed-lane votes). The whole relational core q01-q17 plus q75
-    # -- (all fresh-green in round 3 and untouched) is demoted to the
-    # -- tail to make room for the eighteen new queries' first rows. --
+    # -- remaining prefix: the dedup family whose code changed in round 4
+    # -- (4e8be4a rewrote q75's pair unpacking/join hints; packed-lane
+    # -- votes rewrote q77/q78). The whole relational core q01-q17
+    # -- (fresh-green in round 3, untouched) sits in the tail. --
+    "q75_neardup_jaccard",
     "q77_simhash",
     "q78_simhash_pairs",
     # ---- 50-query prefix boundary (driver budget) ----
@@ -185,7 +188,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q80_cosine_topk",
     "q81_cosine_neardup",
     "q82_ann_ivf",
-    "q75_neardup_jaccard",
+    "q66_time_rollup",
     "q04_sort_limit",
     "q01_pricing_summary",
     "q02_project_compute",

@@ -71,13 +71,13 @@ def test_verify_order_is_the_registry_iteration_order():
         "q105_scalar_subquery",
         "q106_user_similarity",
         "q107_event_paths",
+        "q75_neardup_jaccard",  # pair unpacking/join-hint rewrite (4e8be4a)
         "q77_simhash",  # packed-lane vote rewrite
         "q78_simhash_pairs",
         "q86_sequence_packing",  # shard-count knob
         "q28_join_asof",  # events loader NTZ cast
         "q60_dedup_exact",
         "q63_session_window",
-        "q66_time_rollup",
         "q84_stratified_sample",
     ):
         assert changed in names[:50], changed

@@ -30,6 +30,28 @@ def build(name):
     return QUERIES[name].builder
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _conf_override(spark, confs):
+    """Temporarily set session confs; restore (or unset) on exit so no
+    test leaks conf state into the shared session."""
+    saved = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+
 def test_q01_filter_pushed_to_scan(spark):
     df = build("q01_pricing_summary")(spark, SF_CORRECTNESS)
     assert any("l_shipdate" in f for f in pushed_filters(df)), pushed_filters(df)
@@ -469,11 +491,7 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
-    saved = {}
-    for k, v in confs.items():
-        saved[k] = spark.conf.get(k, None)
-        spark.conf.set(k, v)
-    try:
+    with _conf_override(spark, confs):
         li = spark.read.parquet(f"{SF_CORRECTNESS}/lineitem.parquet")
         orders = spark.read.parquet(f"{SF_CORRECTNESS}/orders.parquet").filter(
             F.col("o_totalprice") > 400000
@@ -484,12 +502,6 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
         plan = physical_plan(j).lower()
         assert "bloom_filter_agg" in plan, plan  # built from the filtered side
         assert "might_contain" in plan, plan  # probes on the fact side pre-shuffle
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 def test_q101_funnel_two_shuffles_only(spark):
@@ -633,11 +645,7 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark):
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
     }
-    saved = {}
-    for k, v in confs.items():
-        saved[k] = spark.conf.get(k, None)
-        spark.conf.set(k, v)
-    try:
+    with _conf_override(spark, confs):
         left = spark.range(200_000).select(
             F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
             F.concat(F.lit("x" * 60), F.col("id").cast("string")).alias("pay"),
@@ -652,12 +660,6 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark):
         assert "isFinalPlan=true" in plan, plan
         assert "skew=true" in plan, plan
         assert "AQEShuffleRead skewed" in plan, plan
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 def test_q107_paths_topk_no_global_sort(spark):
