@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import table as t
-from .relational import cents, duck_money_sum, money_sum
+from .relational import cents, duck_cents, duck_money_sum, money_sum
 
 
 @query(
@@ -371,4 +371,38 @@ def q96_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .filter(F.col("freq") * MG_K >= F.col("n"))
         .select("token", "freq")
+    )
+
+
+# -- q108: daily metric percentile bands ---------------------------------------
+
+
+@query(
+    "q108_daily_value_bands",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           QUANTILE_CONT({duck_cents("value")}, 0.25) AS p25_cents,
+           QUANTILE_CONT({duck_cents("value")}, 0.5) AS p50_cents,
+           QUANTILE_CONT({duck_cents("value")}, 0.75) AS p75_cents
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+    tags=("agg", "percentile", "timeseries", "events"),
+)
+def q108_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational time series: per-day exact quartile bands of the event
+    value — the p25/p50/p75-over-time panel every metrics dashboard
+    draws. Same exactness idiom as q17 (percentile_cont over integer
+    cents: interpolation between integers is exact double arithmetic,
+    bit-identical across engines), but keyed by event DAY, so the group
+    count grows with the time span while per-group state stays one day's
+    volume — the partitioning that keeps exact percentiles tractable on
+    an unbounded event history."""
+    e = t(spark, sf_dir, "events")
+    c = cents(F.col("value"))
+    return e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.percentile(c, 0.25).alias("p25_cents"),
+        F.percentile(c, 0.5).alias("p50_cents"),
+        F.percentile(c, 0.75).alias("p75_cents"),
     )
