@@ -299,8 +299,6 @@ def q104_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- q109: retention cohorts ---------------------------------------------------
 
-RETENTION_OFFSETS = (1, 7)  # day-1 and day-7 retention
-
 
 @query(
     "q109_retention_cohorts",
@@ -336,18 +334,18 @@ def q109_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
     fc = ud.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    # offsets written literally, mirroring the oracle's explicit +1/+7 —
+    # changing the retention horizons means editing BOTH texts together
     fl = (
         fc.join(ud, "user_id")
         .groupBy("user_id", "cohort")
         .agg(
-            *[
-                F.max(
-                    F.when(
-                        F.col("day") == F.date_add("cohort", off), 1
-                    ).otherwise(0)
-                ).alias(f"r{off}")
-                for off in RETENTION_OFFSETS
-            ]
+            F.max(
+                F.when(F.col("day") == F.date_add("cohort", 1), 1).otherwise(0)
+            ).alias("r1"),
+            F.max(
+                F.when(F.col("day") == F.date_add("cohort", 7), 1).otherwise(0)
+            ).alias("r7"),
         )
     )
     return fl.groupBy("cohort").agg(
