@@ -669,3 +669,23 @@ def test_q107_paths_topk_no_global_sort(spark):
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_q108_daily_bands_single_shuffle(spark):
+    # exact percentiles per day: one hash exchange on the day key, no
+    # window over the event history
+    df = build("q108_daily_value_bands")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert n_shuffles(df) == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_q109_retention_keyed_aggregates_only(spark):
+    # cohort retention is three keyed exchanges ((user,day) dedup, per-user
+    # min/flags riding the user key, per-cohort rollup) and an equi join —
+    # never a window over the raw event history
+    df = build("q109_retention_cohorts")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert n_shuffles(df) == 3, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
