@@ -406,3 +406,80 @@ def q108_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(c, 0.5).alias("p50_cents"),
         F.percentile(c, 0.75).alias("p75_cents"),
     )
+
+
+# -- q114: daily volume anomalies (z-score over keyed stats) -------------------
+
+ANOMALY_Z = 1.2  # |z| threshold for flagging a day
+
+
+@query(
+    "q114_daily_anomalies",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS sum_n,
+             CAST(SUM(n * n) AS BIGINT) AS sum_n2
+      FROM daily GROUP BY event_type
+    ), scored AS (
+      SELECT d.event_type, d.day, d.n,
+             CAST(s.sum_n AS DOUBLE) / s.n_days AS mean_n,
+             (CAST(d.n AS DOUBLE) - CAST(s.sum_n AS DOUBLE) / s.n_days)
+               / SQRT(CAST(s.n_days * s.sum_n2 - s.sum_n * s.sum_n AS DOUBLE)
+                      / (s.n_days * (s.n_days - 1))) AS z
+      FROM daily d JOIN stats s USING (event_type)
+      WHERE s.n_days > 1 AND s.n_days * s.sum_n2 > s.sum_n * s.sum_n
+    )
+    SELECT event_type, day, n, mean_n, z FROM scored WHERE ABS(z) > {ANOMALY_Z}
+    """,
+    tags=("agg", "anomaly", "timeseries", "events"),
+)
+def q114_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: flag (event_type, day) cells whose daily
+    event count deviates more than {ANOMALY_Z} sample standard deviations
+    from that type's mean daily count. The variance comes from the exact
+    integer moments (n_days*sum_n2 - sum_n^2) — never from stddev_samp,
+    whose streaming (Welford) accumulation order is engine- and
+    partition-dependent at the last ulp; here every input to the floating
+    point section is an exact BIGINT, and the identical literal expression
+    tree (cast, divide, subtract, sqrt, divide — each correctly rounded
+    under IEEE 754) makes z bit-identical across engines, so even the
+    threshold filter is safe. Shape: day-keyed partial agg -> type-keyed
+    rollup (|event_types| rows, broadcast back) -> map-side scoring; no
+    window over the event history, no second scan of the raw table."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_n2"),
+    )
+    mean_n = F.col("sum_n").cast("double") / F.col("n_days")
+    var_n = (
+        F.col("n_days") * F.col("sum_n2") - F.col("sum_n") * F.col("sum_n")
+    ).cast("double") / (F.col("n_days") * (F.col("n_days") - 1))
+    z = (F.col("n").cast("double") - mean_n) / F.sqrt(var_n)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(
+            (F.col("n_days") > 1)
+            & (
+                F.col("n_days") * F.col("sum_n2")
+                > F.col("sum_n") * F.col("sum_n")
+            )
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            mean_n.alias("mean_n"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > ANOMALY_Z)
+    )

@@ -638,3 +638,79 @@ def q89_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("component")).cast("int").alias("is_canonical"),
     )
+
+
+# -- q111: chunk-level (paragraph) dedup + reassembly -------------------------
+
+DEDUP_CHUNK_TOKENS = 10  # tokens per chunk (the "paragraph" unit)
+
+
+@query(
+    "q111_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents
+    ), chunks AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             ARRAY_TO_STRING(
+               tk[(i * {DEDUP_CHUNK_TOKENS} + 1):((i + 1) * {DEDUP_CHUNK_TOKENS})],
+               ' ') AS chunk
+      FROM toks, UNNEST(RANGE((LEN(tk) + {DEDUP_CHUNK_TOKENS} - 1)
+                              // {DEDUP_CHUNK_TOKENS})) AS u(i)
+    ), ranked AS (
+      SELECT doc_id, pos, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos),
+                    '') AS clean_text
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("llm", "dedup", "chunk"),
+)
+def q111_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (the C4/RefinedWeb "remove duplicated
+    lines across the corpus" pass): split every document into consecutive
+    {DEDUP_CHUNK_TOKENS}-token chunks, keep only the corpus-wide FIRST
+    occurrence of each chunk text (ordered by doc_id, then position), and
+    reassemble the surviving chunks in original order. Unlike doc-level
+    dedup (q60/q75) this rewrites documents rather than dropping them.
+
+    Shape: one codegen'd chunker projection (transform over sequence — no
+    Python), one chunk-keyed exchange for the first-occurrence ranking,
+    one doc-keyed exchange to reassemble. At 100 TB the chunk key is the
+    natural shard: occurrences of one chunk text co-locate, every other
+    step is map-side. The reassembly carries (pos, chunk) structs through
+    collect_list and sorts per doc — per-doc state is document-sized, not
+    corpus-sized. Production variant would rank on xxhash64(chunk) to
+    shrink the shuffle key; the text key is kept here so the oracle can
+    reproduce values exactly."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.floor(
+        (F.size(toks) + (DEDUP_CHUNK_TOKENS - 1)) / DEDUP_CHUNK_TOKENS
+    ).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * DEDUP_CHUNK_TOKENS + 1, DEDUP_CHUNK_TOKENS), " "
+        ),
+    )
+    chunks = d.select("doc_id", F.posexplode(chunk_arr).alias("pos", "chunk"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.array_sort(
+        F.collect_list(F.when(F.col("rn") == 1, F.struct("pos", "chunk")))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(kept, lambda s: s.getField("chunk")), " "
+        ).alias("clean_text"),
+    )

@@ -593,3 +593,69 @@ def q102_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "fp")
     )
+
+
+# -- q113: length-bucketed batching economics ---------------------------------
+
+# Power-of-two sequence-length buckets for padded batch assembly. The CASE
+# ladder is exact integer comparison in both engines (a log2/bit-trick
+# derivation would drag transcendentals or engine-specific intrinsics into
+# the oracle contract for zero gain — the ladder is fixed and tiny).
+PAD_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+
+def _bucket_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN n_tokens <= {b} THEN {b}" for b in PAD_BUCKETS[:-1]
+    )
+    return f"CASE {arms} ELSE {PAD_BUCKETS[-1]} END"
+
+
+@query(
+    "q113_length_buckets",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), bucketed AS (
+      SELECT source, n_tokens, CAST({_bucket_case_sql()} AS BIGINT) AS bucket
+      FROM sized
+    )
+    SELECT source, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+           CAST(bucket * COUNT(*) - SUM(n_tokens) AS BIGINT) AS waste_tokens,
+           CAST(bucket * COUNT(*) - SUM(n_tokens) AS DOUBLE)
+             / (bucket * COUNT(*)) AS waste_frac
+    FROM bucketed GROUP BY source, bucket
+    """,
+    tags=("llm", "pipeline", "batching"),
+)
+def q113_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padded-batch economics for training/inference: assign every document
+    to a power-of-two sequence-length bucket and report, per (source,
+    bucket), how many pad tokens the bucketing wastes — the number that
+    decides bucket boundaries on a real corpus. One codegen'd projection
+    (token count + CASE ladder) and one keyed aggregation; group count is
+    |sources| x |buckets| regardless of corpus size, and waste_frac is a
+    single division of exact BIGINTs, so the whole result is bit-exact at
+    any scale."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    bucket = F.lit(PAD_BUCKETS[-1]).cast("long")
+    for b in reversed(PAD_BUCKETS[:-1]):
+        bucket = F.when(n_tokens <= b, F.lit(b).cast("long")).otherwise(bucket)
+    sized = d.select("source", n_tokens.alias("n_tokens"), bucket.alias("bucket"))
+    return sized.groupBy("source", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        (F.col("bucket") * F.count("*")).cast("long").alias("padded_tokens"),
+        (F.col("bucket") * F.count("*") - F.sum("n_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+        (
+            (F.col("bucket") * F.count("*") - F.sum("n_tokens")).cast("double")
+            / (F.col("bucket") * F.count("*"))
+        ).alias("waste_frac"),
+    )

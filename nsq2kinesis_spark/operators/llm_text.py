@@ -478,3 +478,189 @@ def q100_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TFIDF_TOP_K)
     )
+
+
+# -- q110: PII detection + redaction ------------------------------------------
+
+# Patterns kept to syntax shared by Java regex (Spark) and RE2 (DuckDB):
+# char classes, bounded repetition, \d, \b — no backreferences, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONGNUM_RE = r"\d{12,}"
+
+# The synthetic corpus carries no natural PII, so the query plants
+# deterministic doc_id-derived PII spans (email on every 3rd doc, IPv4 on
+# every 4th, a 16-digit account number on every 5th) and the oracle plants
+# the identical spans — the detector/redactor is then exercised on known
+# ground truth rather than vacuously counting zeros.
+_PII_AUG_SQL = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' acct 411111111111' || CAST(1000 + doc_id % 1000 AS VARCHAR)"
+    " ELSE '' END"
+)
+
+
+@query(
+    "q110_pii_redaction",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_IPV4_RE}')) AS INTEGER) AS n_ips,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_LONGNUM_RE}')) AS INTEGER) AS n_longnums,
+           REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+             text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IPV4_RE}', '<IP>', 'g'),
+             '{PII_LONGNUM_RE}', '<NUM>', 'g') AS redacted
+    FROM aug
+    """,
+    tags=("llm", "text", "pii"),
+)
+def q110_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count and redact email / IPv4 /
+    long-digit-run spans per document. Entirely JVM regex inside one
+    codegen'd projection — a narrow map-only scan with zero shuffle at any
+    corpus size (the shape PII scrubbing must have at 100 TB: it runs over
+    every byte, so anything beyond a single scan is waste). Patterns are
+    restricted to the Java-regex/RE2 common subset so the DuckDB oracle is
+    bit-identical; replacement order (email -> IP -> digit-run) is fixed so
+    the narrower patterns can't eat inside wider spans first."""
+    d = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" acct 411111111111"),
+                (1000 + F.col("doc_id") % 1000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(aug, F.lit(PII_IPV4_RE)).cast("int").alias("n_ips"),
+        F.regexp_count(aug, F.lit(PII_LONGNUM_RE)).cast("int").alias("n_longnums"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
+                PII_IPV4_RE,
+                "<IP>",
+            ),
+            PII_LONGNUM_RE,
+            "<NUM>",
+        ).alias("redacted"),
+    )
+
+
+# -- q112: token co-occurrence lift -------------------------------------------
+
+LIFT_MIN_DF = 5  # df cap: tokens must appear in >= this many docs
+LIFT_TOP_K = 50
+
+
+@query(
+    "q112_cooccurrence_lift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+      )
+    ), cx AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+      GROUP BY token HAVING COUNT(*) >= {LIFT_MIN_DF}
+    ), toks2 AS (
+      SELECT tk.doc_id, tk.token FROM toks tk JOIN cx USING (token)
+    ), cab AS (
+      SELECT a.token AS tok_a, b.token AS tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM toks2 a JOIN toks2 b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY a.token, b.token
+    ), nd AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT tok_a, tok_b, c_ab, x.c AS c_a, y.c AS c_b,
+           CAST(c_ab * (SELECT n_docs FROM nd) AS DOUBLE) / (x.c * y.c) AS lift
+    FROM cab JOIN cx x ON tok_a = x.token JOIN cx y ON tok_b = y.token
+    ORDER BY lift DESC, tok_a, tok_b LIMIT {LIFT_TOP_K}
+    """,
+    tags=("llm", "text", "cooccurrence"),
+)
+def q112_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-pair association mining: document-level co-occurrence counts
+    scored by lift P(a,b)/(P(a)P(b)) — the exp of PMI, kept as a pure
+    ratio of exact integer counts so one IEEE division reproduces
+    bit-identically (ln() would not). Shape: explode -> distinct (doc,
+    token) -> broadcast df-cap semi-join (tokens under {LIFT_MIN_DF} docs
+    are pruned BEFORE the pair join, which is what bounds the quadratic
+    fanout on a real corpus: the surviving vocabulary is frequency-capped,
+    and per-doc distinct tokens are bounded by it) -> doc-keyed self-join
+    -> pair-keyed partial agg -> two broadcast joins to attach unary
+    counts -> TakeOrderedAndProject top-{LIFT_TOP_K} (per-partition heads
+    only, no global range sort)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    cx = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("c"))
+        .filter(F.col("c") >= LIFT_MIN_DF)
+    )
+    toks2 = toks.join(F.broadcast(cx.select("token")), "token")
+    a = toks2.select("doc_id", F.col("token").alias("tok_a"))
+    b = toks2.select("doc_id", F.col("token").alias("tok_b"))
+    cab = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+    )
+    nd = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        cab.join(F.broadcast(cx.withColumnRenamed("token", "tok_a")), "tok_a")
+        .withColumnRenamed("c", "c_a")
+        .join(
+            F.broadcast(
+                cx.withColumnRenamed("token", "tok_b").withColumnRenamed("c", "c_b")
+            ),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                (F.col("c_ab") * F.col("n_docs")).cast("double")
+                / (F.col("c_a") * F.col("c_b"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), "tok_a", "tok_b"
+    ).limit(LIFT_TOP_K)

@@ -168,6 +168,15 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q77_simhash",
     "q78_simhash_pairs",
     # ---- 50-query prefix boundary (driver budget) ----
+    # -- added late in round 4, after the 50-entry prefix was already fully
+    # -- claimed by the mandatory r2-stale rotation + the earlier r4 work;
+    # -- they sit first past the boundary so they lead the r5 prefix, and
+    # -- tests/test_oracle_parity.py proves them locally this round --
+    "q110_pii_redaction",
+    "q111_chunk_dedup",
+    "q112_cooccurrence_lift",
+    "q113_length_buckets",
+    "q114_daily_anomalies",
     # -- tail: fresh round-3 rows, code untouched in round 4 --
     "q20_join_inner_broadcast",
     "q21_join_shuffle_3way",

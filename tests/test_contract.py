@@ -49,7 +49,7 @@ def test_verify_order_is_the_registry_iteration_order():
     )
     got_head = [n.split("_")[0] for n in names[: len(stale_r2)]]
     assert sorted(got_head) == sorted(stale_r2), got_head
-    assert len(names) == 94
+    assert len(names) == 99
     # queries whose code (or loader path) changed in round 4 also sit inside
     # the driver's 50-entry budget for fresh rows
     for changed in (

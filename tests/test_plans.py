@@ -689,3 +689,54 @@ def test_q109_retention_keyed_aggregates_only(spark):
     assert n_shuffles(df) == 3, plan
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q110_pii_redaction_map_only_scan(spark):
+    # PII scrubbing must be a single map-only codegen'd projection: it
+    # touches every byte of a 100 TB corpus, so any exchange is waste
+    df = build("q110_pii_redaction")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert n_shuffles(df) == 0, plan
+    assert has_whole_stage_codegen(df), plan
+    assert "pythonudf" not in plan.lower(), plan
+
+
+def test_q111_chunk_dedup_two_keyed_exchanges(spark):
+    # chunk-keyed first-occurrence ranking + doc-keyed reassembly — the
+    # chunker itself (transform over sequence) must stay in the scan stage
+    df = build("q111_chunk_dedup")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert n_shuffles(df) == 2, plan
+    assert "pythonudf" not in plan.lower(), plan
+
+
+def test_q112_lift_unary_counts_broadcast(spark):
+    # the df-cap semi-join and both unary-count attachments ride
+    # broadcasts (vocab-sized); the only shuffles key the doc-id pair
+    # join and the two aggregations; top-k is per-partition heads
+    df = build("q112_cooccurrence_lift")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q113_length_buckets_single_shuffle(spark):
+    # token-count + CASE ladder fold into the scan projection; one hash
+    # exchange on the (source, bucket) key and nothing else
+    df = build("q113_length_buckets")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert n_shuffles(df) == 1, plan
+    assert "Join" not in plan, plan
+    assert "pythonudf" not in plan.lower(), plan
+
+
+def test_q114_anomalies_no_window_broadcast_stats(spark):
+    # two keyed aggregations and a broadcast join back — never a window
+    # over the raw event history, never a second scan of events
+    df = build("q114_daily_anomalies")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert has_broadcast_join(df), plan
+    assert plan.lower().count("parquet") <= 2 or plan.count("FileScan") <= 2, plan
