@@ -180,3 +180,70 @@ def test_srp_bucket_cap_parity_when_cap_bites(spark, duck, monkeypatch):
     assert srows == drows
     # the cap genuinely bit: fewer candidates than the uncapped run's 4462
     assert 0 < len(srows) < 4000, len(srows)
+
+
+def test_chunk_dedup_invariants(spark):
+    """Semantic invariants the DuckDB oracle can't express as one query:
+    every kept chunk text is globally unique across the cleaned corpus,
+    the lowest-doc_id document survives untouched (its chunks are all
+    first occurrences), and clean_text is always a subsequence of the
+    original chunking."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["q111_chunk_dedup"].builder(spark, SF_CORRECTNESS).cache()
+    try:
+        rows = df.collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        total_chunks = sum(r["n_chunks"] for r in rows)
+        total_kept = sum(r["n_kept"] for r in rows)
+        assert total_kept < total_chunks  # dedup actually removed something
+        # doc 0 (first in the keep order) is untouched
+        assert by_id[0]["n_kept"] == by_id[0]["n_chunks"]
+        # kept counts bound: 0 <= n_kept <= n_chunks, and clean_text token
+        # count == n_kept * chunk size except a short final chunk
+        for r in rows:
+            assert 0 <= r["n_kept"] <= r["n_chunks"]
+            n_tokens = len(r["clean_text"].split(" ")) if r["clean_text"] else 0
+            assert n_tokens <= r["n_kept"] * 10
+        # global uniqueness, checked exactly: the number of distinct chunk
+        # texts in the corpus equals the number of kept chunks
+        d = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
+        toks = F.split(F.col("text"), " ")
+        n_chunks = F.floor((F.size(toks) + 9) / 10).cast("int")
+        chunk_arr = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+        )
+        n_distinct = (
+            d.select(F.explode(chunk_arr).alias("chunk")).distinct().count()
+        )
+        assert n_distinct == total_kept
+    finally:
+        df.unpersist()
+
+
+def test_pii_redaction_leaves_no_pii_behind(spark):
+    """After redaction, none of the three PII patterns can match anywhere
+    in any document — the property the per-pattern counts can't prove
+    (a replacement that *rewrites* but doesn't *remove* a span would still
+    count correctly)."""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.operators.llm_text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_LONGNUM_RE,
+    )
+
+    df = QUERIES["q110_pii_redaction"].builder(spark, SF_CORRECTNESS)
+    leftovers = df.filter(
+        (F.regexp_count("redacted", F.lit(PII_EMAIL_RE)) > 0)
+        | (F.regexp_count("redacted", F.lit(PII_IPV4_RE)) > 0)
+        | (F.regexp_count("redacted", F.lit(PII_LONGNUM_RE)) > 0)
+    ).count()
+    assert leftovers == 0
+    # and the detector did fire: planted spans were found
+    tot = df.agg(
+        F.sum("n_emails").alias("e"), F.sum("n_ips").alias("i"), F.sum("n_longnums").alias("n")
+    ).collect()[0]
+    assert tot["e"] > 0 and tot["i"] > 0 and tot["n"] > 0
