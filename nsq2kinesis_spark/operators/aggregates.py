@@ -422,8 +422,8 @@ ANOMALY_Z = 1.2  # |z| threshold for flagging a day
     ), stats AS (
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_days,
-             CAST(SUM(n) AS BIGINT) AS sum_n,
-             CAST(SUM(n * n) AS BIGINT) AS sum_n2
+             SUM(CAST(n AS HUGEINT)) AS sum_n,
+             SUM(CAST(n AS HUGEINT) * n) AS sum_n2
       FROM daily GROUP BY event_type
     ), scored AS (
       SELECT d.event_type, d.day, d.n,
@@ -448,17 +448,24 @@ def q114_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     point section is an exact BIGINT, and the identical literal expression
     tree (cast, divide, subtract, sqrt, divide — each correctly rounded
     under IEEE 754) makes z bit-identical across engines, so even the
-    threshold filter is safe. Shape: day-keyed partial agg -> type-keyed
-    rollup (|event_types| rows, broadcast back) -> map-side scoring; no
-    window over the event history, no second scan of the raw table."""
+    threshold filter is safe. The moments accumulate in 128-bit exact
+    integers (Spark decimal(38,0), DuckDB HUGEINT): at 100 TB an event
+    type can exceed 3e9 total events, where sum_n^2 and n*sum_n2 blow
+    past BIGINT (2^63) and would raise under ANSI arithmetic — the wide
+    lanes stay exact to ~1e38, far beyond any reachable corpus, and cost
+    one 16-byte column per event type. Shape: day-keyed partial agg ->
+    type-keyed rollup (|event_types| rows, broadcast back) -> map-side
+    scoring; no window over the event history, no second scan of the raw
+    table."""
     e = t(spark, sf_dir, "events")
     daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count("*").cast("long").alias("n")
     )
+    wide = F.col("n").cast("decimal(38,0)")
     stats = daily.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_days"),
-        F.sum("n").cast("long").alias("sum_n"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_n2"),
+        F.sum(wide).alias("sum_n"),
+        F.sum(wide * F.col("n")).alias("sum_n2"),
     )
     mean_n = F.col("sum_n").cast("double") / F.col("n_days")
     var_n = (

@@ -618,15 +618,17 @@ def _bucket_case_sql() -> str:
       SELECT source, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
       FROM documents
     ), bucketed AS (
-      SELECT source, n_tokens, CAST({_bucket_case_sql()} AS BIGINT) AS bucket
+      SELECT source, n_tokens, CAST({_bucket_case_sql()} AS BIGINT) AS bucket,
+             LEAST(n_tokens, CAST({_bucket_case_sql()} AS BIGINT)) AS fit_tokens
       FROM sized
     )
     SELECT source, bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(fit_tokens) AS BIGINT) AS fit_tokens,
+           CAST(SUM(n_tokens - fit_tokens) AS BIGINT) AS trunc_tokens,
            CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
-           CAST(bucket * COUNT(*) - SUM(n_tokens) AS BIGINT) AS waste_tokens,
-           CAST(bucket * COUNT(*) - SUM(n_tokens) AS DOUBLE)
+           CAST(bucket * COUNT(*) - SUM(fit_tokens) AS BIGINT) AS waste_tokens,
+           CAST(bucket * COUNT(*) - SUM(fit_tokens) AS DOUBLE)
              / (bucket * COUNT(*)) AS waste_frac
     FROM bucketed GROUP BY source, bucket
     """,
@@ -636,26 +638,39 @@ def q113_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Padded-batch economics for training/inference: assign every document
     to a power-of-two sequence-length bucket and report, per (source,
     bucket), how many pad tokens the bucketing wastes — the number that
-    decides bucket boundaries on a real corpus. One codegen'd projection
-    (token count + CASE ladder) and one keyed aggregation; group count is
-    |sources| x |buckets| regardless of corpus size, and waste_frac is a
-    single division of exact BIGINTs, so the whole result is bit-exact at
-    any scale."""
+    decides bucket boundaries on a real corpus. Documents longer than the
+    top bucket are TRUNCATED to it (the standard max-sequence-length rule):
+    waste counts pad slots only (bucket - fit length, always >= 0) and the
+    tokens lost to truncation are reported separately as trunc_tokens —
+    without the split, over-length docs would contribute NEGATIVE waste and
+    silently cancel real padding in the same group. One codegen'd
+    projection (token count + CASE ladder) and one keyed aggregation; group
+    count is |sources| x |buckets| regardless of corpus size, and
+    waste_frac is a single division of exact BIGINTs, so the whole result
+    is bit-exact at any scale."""
     d = t(spark, sf_dir, "documents")
     n_tokens = F.size(F.split("text", " ")).cast("long")
     bucket = F.lit(PAD_BUCKETS[-1]).cast("long")
     for b in reversed(PAD_BUCKETS[:-1]):
         bucket = F.when(n_tokens <= b, F.lit(b).cast("long")).otherwise(bucket)
-    sized = d.select("source", n_tokens.alias("n_tokens"), bucket.alias("bucket"))
+    sized = d.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        bucket.alias("bucket"),
+        F.least(n_tokens, bucket).alias("fit_tokens"),
+    )
     return sized.groupBy("source", "bucket").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum("fit_tokens").cast("long").alias("fit_tokens"),
+        F.sum(F.col("n_tokens") - F.col("fit_tokens"))
+        .cast("long")
+        .alias("trunc_tokens"),
         (F.col("bucket") * F.count("*")).cast("long").alias("padded_tokens"),
-        (F.col("bucket") * F.count("*") - F.sum("n_tokens"))
+        (F.col("bucket") * F.count("*") - F.sum("fit_tokens"))
         .cast("long")
         .alias("waste_tokens"),
         (
-            (F.col("bucket") * F.count("*") - F.sum("n_tokens")).cast("double")
+            (F.col("bucket") * F.count("*") - F.sum("fit_tokens")).cast("double")
             / (F.col("bucket") * F.count("*"))
         ).alias("waste_frac"),
     )

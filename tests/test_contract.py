@@ -50,8 +50,12 @@ def test_verify_order_is_the_registry_iteration_order():
     got_head = [n.split("_")[0] for n in names[: len(stale_r2)]]
     assert sorted(got_head) == sorted(stale_r2), got_head
     assert len(names) == 99
-    # queries whose code (or loader path) changed in round 4 also sit inside
-    # the driver's 50-entry budget for fresh rows
+    # Queries whose code (or loader path) changed EARLY in round 4 also sit
+    # inside the driver's 50-entry budget for fresh rows. Exception, by
+    # design: q110-q114 were added late in round 4 after the 24 mandatory
+    # r2-stale rotations + this list had consumed the whole prefix; they sit
+    # immediately past the boundary (asserted below) so they lead the r5
+    # prefix, with tests/test_oracle_parity.py as their round-4 evidence.
     for changed in (
         "q90_kmeans_train",  # new in round 4
         "q91_frame_sample",
@@ -81,6 +85,14 @@ def test_verify_order_is_the_registry_iteration_order():
         "q84_stratified_sample",
     ):
         assert changed in names[:50], changed
+    # the late additions lead the post-prefix region (first in line for r5)
+    assert names[50:55] == [
+        "q110_pii_redaction",
+        "q111_chunk_dedup",
+        "q112_cooccurrence_lift",
+        "q113_length_buckets",
+        "q114_daily_anomalies",
+    ]
 
 
 def test_entry_smoke(spark):

@@ -185,37 +185,47 @@ def test_srp_bucket_cap_parity_when_cap_bites(spark, duck, monkeypatch):
 def test_chunk_dedup_invariants(spark):
     """Semantic invariants the DuckDB oracle can't express as one query:
     every kept chunk text is globally unique across the cleaned corpus,
-    the lowest-doc_id document survives untouched (its chunks are all
-    first occurrences), and clean_text is always a subsequence of the
-    original chunking."""
+    the lowest-doc_id document keeps exactly its own distinct chunks (no
+    earlier doc exists to steal them), and clean_text is always a
+    subsequence of the original chunking."""
     from pyspark.sql import functions as F
 
+    from nsq2kinesis_spark.operators.llm_dedup import DEDUP_CHUNK_TOKENS as C
+
+    def chunk_col():
+        toks = F.split(F.col("text"), " ")
+        n_chunks = F.floor((F.size(toks) + (C - 1)) / C).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * C + 1, C), " "),
+        )
+
     df = QUERIES["q111_chunk_dedup"].builder(spark, SF_CORRECTNESS).cache()
+    d = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
     try:
         rows = df.collect()
         by_id = {r["doc_id"]: r for r in rows}
         total_chunks = sum(r["n_chunks"] for r in rows)
         total_kept = sum(r["n_kept"] for r in rows)
         assert total_kept < total_chunks  # dedup actually removed something
-        # doc 0 (first in the keep order) is untouched
-        assert by_id[0]["n_kept"] == by_id[0]["n_chunks"]
+        # the lowest doc_id keeps one occurrence of each of its own distinct
+        # chunks — derived from the data, not assumed (intra-doc repeats
+        # after the first are removed even in the first document)
+        first_id = min(by_id)
+        first_doc = d.filter(F.col("doc_id") == first_id).select(
+            F.explode(chunk_col()).alias("chunk")
+        )
+        assert by_id[first_id]["n_kept"] == first_doc.distinct().count()
         # kept counts bound: 0 <= n_kept <= n_chunks, and clean_text token
-        # count == n_kept * chunk size except a short final chunk
+        # count is at most n_kept full chunks (final chunk may be short)
         for r in rows:
             assert 0 <= r["n_kept"] <= r["n_chunks"]
             n_tokens = len(r["clean_text"].split(" ")) if r["clean_text"] else 0
-            assert n_tokens <= r["n_kept"] * 10
+            assert n_tokens <= r["n_kept"] * C
         # global uniqueness, checked exactly: the number of distinct chunk
         # texts in the corpus equals the number of kept chunks
-        d = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
-        toks = F.split(F.col("text"), " ")
-        n_chunks = F.floor((F.size(toks) + 9) / 10).cast("int")
-        chunk_arr = F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
-        )
         n_distinct = (
-            d.select(F.explode(chunk_arr).alias("chunk")).distinct().count()
+            d.select(F.explode(chunk_col()).alias("chunk")).distinct().count()
         )
         assert n_distinct == total_kept
     finally:
