@@ -674,3 +674,80 @@ def q113_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("bucket") * F.count("*"))
         ).alias("waste_frac"),
     )
+
+
+# -- q115: weighted dataset-mixture sampling ----------------------------------
+
+# Mixture weight per source, derived deterministically from the source name
+# (sources are "srcN"): weight = N % 3 + 1 in {1,2,3}. Integer weights keep
+# every quota computation exact.
+MIX_WEIGHT_MOD = 3
+
+
+@query(
+    "q115_dataset_mixture",
+    oracle=f"""
+    WITH w AS (
+      SELECT source,
+             CAST(REGEXP_EXTRACT(source, '[0-9]+') AS BIGINT) % {MIX_WEIGHT_MOD} + 1
+               AS w,
+             CAST(COUNT(*) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT MIN(avail // w) AS t FROM w
+    ), q AS (
+      SELECT source, w * (SELECT t FROM t) AS quota FROM w
+    ), ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+    FROM ranked r JOIN q USING (source) WHERE r.rk <= q.quota
+    """,
+    tags=("llm", "pipeline", "mixture"),
+)
+def q115_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pile-style dataset mixture assembly: given integer mixture weights
+    per source, select the LARGEST corpus that realizes the exact weight
+    ratios within each source's availability — T = min(avail_i / w_i)
+    mixture units, quota_i = w_i * T documents — and draw each source's
+    quota as a deterministic uniform sample-without-replacement (rank by
+    md5(doc_id): a fixed random permutation both engines reproduce).
+    Everything before the draw is exact integer arithmetic on a
+    |sources|-row aggregate.
+
+    Shape: source-keyed count agg (tiny) -> one-row min scalar, both
+    broadcast back -> per-source hash-rank window -> filter rk <= quota.
+    The window partitions by source, so a giant source concentrates on one
+    task; the at-scale variant replaces the exact rank with q84's
+    hash-threshold filter (keep if md5 < quota/avail scaled into hash
+    space — map-side, no window) at the cost of ±binomial jitter around
+    the quota. The exact-rank form is kept here because quotas are part
+    of the declared semantics and the oracle must reproduce them."""
+    d = t(spark, sf_dir, "documents")
+    w = (
+        F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("long")
+        % MIX_WEIGHT_MOD
+        + 1
+    )
+    counts = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("avail")
+    ).withColumn("w", w)
+    tmin = counts.agg(
+        F.min(F.floor(F.col("avail") / F.col("w"))).alias("t")
+    )
+    quotas = counts.crossJoin(F.broadcast(tmin)).select(
+        "source", (F.col("w") * F.col("t")).alias("quota")
+    )
+    rank_w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(rank_w).cast("long").alias("rk")
+    )
+    return ranked.join(F.broadcast(quotas), "source").filter(
+        F.col("rk") <= F.col("quota")
+    ).select("doc_id", "source", "rk")

@@ -49,7 +49,7 @@ def test_verify_order_is_the_registry_iteration_order():
     )
     got_head = [n.split("_")[0] for n in names[: len(stale_r2)]]
     assert sorted(got_head) == sorted(stale_r2), got_head
-    assert len(names) == 99
+    assert len(names) == 100
     # Queries whose code (or loader path) changed EARLY in round 4 also sit
     # inside the driver's 50-entry budget for fresh rows. Exception, by
     # design: q110-q114 were added late in round 4 after the 24 mandatory
@@ -86,12 +86,13 @@ def test_verify_order_is_the_registry_iteration_order():
     ):
         assert changed in names[:50], changed
     # the late additions lead the post-prefix region (first in line for r5)
-    assert names[50:55] == [
+    assert names[50:56] == [
         "q110_pii_redaction",
         "q111_chunk_dedup",
         "q112_cooccurrence_lift",
         "q113_length_buckets",
         "q114_daily_anomalies",
+        "q115_dataset_mixture",
     ]
 
 

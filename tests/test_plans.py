@@ -740,3 +740,14 @@ def test_q114_anomalies_no_window_broadcast_stats(spark):
     assert "Window" not in plan, plan
     assert has_broadcast_join(df), plan
     assert plan.lower().count("parquet") <= 2 or plan.count("FileScan") <= 2, plan
+
+
+def test_q115_mixture_quota_joins_broadcast(spark):
+    # the availability counts, the T scalar, and the quota table are all
+    # |sources|-sized and must ride broadcasts; the only corpus-keyed work
+    # is the per-source hash-rank window (one exchange on source)
+    df = build("q115_dataset_mixture")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "pythonudf" not in plan.lower(), plan
