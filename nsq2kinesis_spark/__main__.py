@@ -7,10 +7,14 @@ pipeline: NSQ DataSource → forwarding transforms → KinesisSink, with
 SIGINT/SIGTERM stopping the query cleanly (main.go:128-140's signal
 handler + consumer drain).
 
-Without boto3 (not in this image) use ``--spool-dir`` for a filesystem
-PutRecords endpoint — the same sink code path, byte-exact KPL records.
-With boto3 available, ``--kinesis-endpoint``/AWS env wiring applies and
-``--test`` creates the stream first (main.go:92-97).
+Sink selection: ``--spool-dir`` writes a filesystem PutRecords endpoint
+(same sink code path, byte-exact KPL records); ``--kinesis-endpoint``
+wires boto3 with test-mode static creds (reference main.go:84-92) or,
+when boto3 is absent, the stdlib SigV4 HTTP client
+(streaming/kinesis_http.py) speaking the same kinesalite wire protocol;
+``--test`` creates the stream first (main.go:92-97). Both real-protocol
+clients are driven e2e against a live signature-verifying local endpoint
+in tests/test_kinesis_http.py.
 """
 
 from __future__ import annotations
@@ -117,18 +121,37 @@ def make_client_factory(args: argparse.Namespace):
 
     endpoint = args.kinesis_endpoint
 
-    def boto3_factory():
+    def real_endpoint_factory():
         try:
-            import boto3  # optional dependency, absent in this image
-        except ImportError as exc:  # pragma: no cover - env without boto3
-            raise SystemExit(
-                "boto3 is required for a real Kinesis endpoint; "
-                "use --spool-dir for a local run"
-            ) from exc
-        kwargs = {"endpoint_url": endpoint} if endpoint else {}
-        return boto3.client("kinesis", **kwargs)
+            import boto3  # optional dependency
+        except ImportError:
+            if endpoint:
+                # kinesalite-style custom endpoint (reference test mode,
+                # main.go:80-97): the stdlib SigV4 client speaks the same
+                # wire protocol, so no boto3 is needed for it
+                from .streaming.kinesis_http import HttpKinesisClient
 
-    return boto3_factory
+                return HttpKinesisClient(endpoint_url=endpoint)
+            raise SystemExit(
+                "boto3 is required for the default AWS Kinesis endpoint; "
+                "use --kinesis-endpoint for a kinesalite-style endpoint or "
+                "--spool-dir for a local run"
+            ) from None
+        if endpoint:
+            # custom endpoint = reference test mode (main.go:84-92): static
+            # credentials + pinned region, overridable via the standard env
+            return boto3.client(
+                "kinesis",
+                endpoint_url=endpoint,
+                region_name=os.environ.get("AWS_REGION", "us-east-1"),
+                aws_access_key_id=os.environ.get("AWS_ACCESS_KEY_ID", "test"),
+                aws_secret_access_key=os.environ.get(
+                    "AWS_SECRET_ACCESS_KEY", "test"
+                ),
+            )
+        return boto3.client("kinesis")
+
+    return real_endpoint_factory
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -1,0 +1,172 @@
+"""Pure-stdlib HTTP client for the Kinesis JSON wire protocol (SigV4).
+
+The reference's only untestable-without-AWS seam is its real-endpoint test
+mode: docker-compose runs a kinesalite container and main.go points the AWS
+SDK at it with static credentials (/root/reference/docker-compose.yml:1-13,
+main.go:80-97). This image has neither boto3 nor docker, so that seam stayed
+import-gated and unexecuted through round 3. This module closes it with the
+actual wire protocol in stdlib only (urllib/hmac/hashlib/base64): Kinesis is
+plain ``application/x-amz-json-1.1`` POSTs with an ``X-Amz-Target:
+Kinesis_20131202.<Op>`` header and an AWS Signature Version 4 Authorization
+header — both fully public specifications. kinesalite (and real Kinesis)
+accept exactly these requests, so the CLI's ``--kinesis-endpoint`` path now
+runs without boto3, and ``tests/test_kinesis_http.py`` drives it end-to-end
+against a live local HTTP endpoint that re-verifies every signature.
+
+Scale note: the client is a plain picklable dataclass holding only strings —
+each executor task constructs its own connection state per call (PutRecords
+is stateless HTTP), so the sink's parallelism story is unchanged from the
+boto3 path.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime
+import hashlib
+import hmac
+import json
+from dataclasses import dataclass
+from typing import Any
+
+SERVICE = "kinesis"
+ALGORITHM = "AWS4-HMAC-SHA256"
+CONTENT_TYPE = "application/x-amz-json-1.1"
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode("utf-8"), hashlib.sha256).digest()
+
+
+def signing_key(secret_key: str, datestamp: str, region: str) -> bytes:
+    """AWS SigV4 key derivation chain (public spec, summarized in
+    SNIPPETS.md's AWS signing references)."""
+    k = _hmac(("AWS4" + secret_key).encode("utf-8"), datestamp)
+    k = _hmac(k, region)
+    k = _hmac(k, SERVICE)
+    return _hmac(k, "aws4_request")
+
+
+def sign_request(
+    *,
+    host: str,
+    target: str,
+    body: bytes,
+    region: str,
+    access_key: str,
+    secret_key: str,
+    amz_date: str,
+) -> dict[str, str]:
+    """Build the signed header set for one Kinesis POST.
+
+    ``amz_date`` is the caller-supplied ``YYYYMMDDTHHMMSSZ`` timestamp so the
+    function is a pure deterministic map (tests pin golden vectors; the live
+    client stamps UTC now). Returns every header the request must carry,
+    including Authorization.
+    """
+    datestamp = amz_date[:8]
+    payload_hash = hashlib.sha256(body).hexdigest()
+    # Canonical request: POST to "/", no query string; headers in
+    # lexicographic order, lowercase names, trimmed values.
+    headers = {
+        "content-type": CONTENT_TYPE,
+        "host": host,
+        "x-amz-date": amz_date,
+        "x-amz-target": target,
+    }
+    signed_headers = ";".join(sorted(headers))
+    canonical_headers = "".join(f"{k}:{headers[k]}\n" for k in sorted(headers))
+    canonical_request = "\n".join(
+        ["POST", "/", "", canonical_headers, signed_headers, payload_hash]
+    )
+    credential_scope = f"{datestamp}/{region}/{SERVICE}/aws4_request"
+    string_to_sign = "\n".join(
+        [
+            ALGORITHM,
+            amz_date,
+            credential_scope,
+            hashlib.sha256(canonical_request.encode("utf-8")).hexdigest(),
+        ]
+    )
+    signature = hmac.new(
+        signing_key(secret_key, datestamp, region),
+        string_to_sign.encode("utf-8"),
+        hashlib.sha256,
+    ).hexdigest()
+    authorization = (
+        f"{ALGORITHM} Credential={access_key}/{credential_scope}, "
+        f"SignedHeaders={signed_headers}, Signature={signature}"
+    )
+    return {
+        "Content-Type": CONTENT_TYPE,
+        "X-Amz-Date": amz_date,
+        "X-Amz-Target": target,
+        "Authorization": authorization,
+    }
+
+
+@dataclass
+class HttpKinesisClient:
+    """boto3-shaped Kinesis client over stdlib HTTP (kinesalite test mode).
+
+    Implements the two operations the reference's test mode uses
+    (main.go:84-97): CreateStream and PutRecords. Same call/return shapes as
+    ``boto3.client("kinesis")`` for the subset the sink consumes, so
+    ``send_entries``/``KinesisSink`` run unchanged against it.
+    """
+
+    endpoint_url: str  # e.g. "http://127.0.0.1:4567"
+    region: str = "us-east-1"
+    access_key: str = "test"
+    secret_key: str = "test"
+    timeout_s: float = 10.0
+
+    def _call(self, op: str, payload: dict[str, Any]) -> dict[str, Any]:
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        body = json.dumps(payload).encode("utf-8")
+        host = urllib.parse.urlparse(self.endpoint_url).netloc
+        amz_date = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y%m%dT%H%M%SZ"
+        )
+        headers = sign_request(
+            host=host,
+            target=f"Kinesis_20131202.{op}",
+            body=body,
+            region=self.region,
+            access_key=self.access_key,
+            secret_key=self.secret_key,
+            amz_date=amz_date,
+        )
+        req = urllib.request.Request(
+            self.endpoint_url + "/", data=body, headers=headers, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                raw = resp.read()
+        except urllib.error.HTTPError as exc:  # surface the service error body
+            detail = exc.read().decode("utf-8", "replace")
+            raise RuntimeError(f"{op} failed: HTTP {exc.code} {detail}") from exc
+        return json.loads(raw) if raw else {}
+
+    def create_stream(self, StreamName: str, ShardCount: int = 1) -> dict[str, Any]:
+        return self._call(
+            "CreateStream", {"StreamName": StreamName, "ShardCount": ShardCount}
+        )
+
+    def put_records(
+        self, StreamName: str, Records: list[dict[str, Any]]
+    ) -> dict[str, Any]:
+        payload = {
+            "StreamName": StreamName,
+            "Records": [
+                {
+                    "Data": base64.b64encode(bytes(r["Data"])).decode("ascii"),
+                    "PartitionKey": r["PartitionKey"],
+                }
+                for r in Records
+            ],
+        }
+        return self._call("PutRecords", payload)

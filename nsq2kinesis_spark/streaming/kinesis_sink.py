@@ -15,7 +15,8 @@ kinesis_writer.go:52-130) on Spark's execution model:
   counted (kinesis_writer.go:167-170).
 
 The Kinesis client is injected (``client_factory``) so tests run against an
-in-memory fake; production wires boto3 (import-gated — not in this image).
+in-memory fake; production wires boto3 or the stdlib SigV4 HTTP client
+(kinesis_http.py) — both exercised live in tests/test_kinesis_http.py.
 At 100 TB scale each executor task packs and sends its own partition
 concurrently; no state or data flows through the driver beyond metrics.
 """

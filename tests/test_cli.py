@@ -73,10 +73,11 @@ def test_reader_options_from_flags():
 
 
 def test_boto3_factory_wiring(monkeypatch):
-    """The real-Kinesis branch (boto3 absent from this image) executed via
-    an injected stand-in module: the factory must build a kinesis client
-    with the endpoint override exactly as boto3's public API takes it —
-    this was the one forwarding-path seam no test had ever run."""
+    """The real-Kinesis branch executed via an injected stand-in module:
+    a custom endpoint is reference TEST MODE (main.go:84-92), so the
+    factory must configure boto3 with the endpoint override PLUS static
+    test credentials and a pinned region (env-overridable) — the live
+    boto3-against-endpoint run is tests/test_kinesis_http.py."""
     import types
 
     from nsq2kinesis_spark.__main__ import make_client_factory
@@ -85,13 +86,25 @@ def test_boto3_factory_wiring(monkeypatch):
     fake = types.ModuleType("boto3")
     fake.client = lambda svc, **kw: (calls.append((svc, kw)), "CLIENT")[-1]
     monkeypatch.setitem(sys.modules, "boto3", fake)
+    for var in ("AWS_REGION", "AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY"):
+        monkeypatch.delenv(var, raising=False)
 
     args = build_arg_parser().parse_args(
         ["--topic", "t", "--stream", "s", "--checkpoint-dir", "c",
          "--kinesis-endpoint", "http://localhost:4567"]
     )
     assert make_client_factory(args)() == "CLIENT"
-    assert calls == [("kinesis", {"endpoint_url": "http://localhost:4567"})]
+    assert calls == [
+        (
+            "kinesis",
+            {
+                "endpoint_url": "http://localhost:4567",
+                "region_name": "us-east-1",
+                "aws_access_key_id": "test",
+                "aws_secret_access_key": "test",
+            },
+        )
+    ]
 
     # no endpoint override → default client, no kwargs (real AWS wiring)
     calls.clear()

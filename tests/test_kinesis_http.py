@@ -1,0 +1,159 @@
+"""The real-endpoint seam, finally executed: the stdlib SigV4 HTTP client
+drives a live kinesalite-shaped local endpoint through the sink's actual
+retry path, with the endpoint re-verifying every signature from the raw
+wire bytes (tests/fake_kinesis_http.py). Mirrors the reference's manual
+docker-compose + kinesalite test mode (main.go:80-97) without boto3/docker.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nsq2kinesis_spark.streaming.kinesis_http import HttpKinesisClient, sign_request
+from nsq2kinesis_spark.streaming.kinesis_sink import send_entries
+from nsq2kinesis_spark.streaming.kpl import KplAggregator, deaggregate
+
+from .fake_kinesis_http import FakeKinesisHTTP
+
+
+def test_sigv4_golden_vector():
+    """Signing is a pure function; pin an exact Authorization string so any
+    canonicalization drift (header order, hashing, key chain) is caught
+    without a network."""
+    headers = sign_request(
+        host="127.0.0.1:4567",
+        target="Kinesis_20131202.PutRecords",
+        body=b'{"StreamName":"s","Records":[]}',
+        region="us-east-1",
+        access_key="test",
+        secret_key="test",
+        amz_date="20260101T000000Z",
+    )
+    assert headers["Authorization"] == (
+        "AWS4-HMAC-SHA256 Credential=test/20260101/us-east-1/kinesis/aws4_request, "
+        "SignedHeaders=content-type;host;x-amz-date;x-amz-target, "
+        "Signature=6efa4d12cfeaeec4a6b74124ffd26f91039b40a1870846e6e6f8a2837651842b"
+    )
+
+
+def test_sigv4_matches_botocore_independent_implementation():
+    """Cross-check against botocore's SigV4Auth (present in this image even
+    though boto3 itself is not): sign the identical request with both
+    implementations and require identical Authorization headers. botocore
+    stamps its own X-Amz-Date; we read it back and feed the same instant to
+    our signer, so the comparison is exact without clock freezing."""
+    botocore_auth = pytest.importorskip("botocore.auth")
+    from botocore.awsrequest import AWSRequest
+    from botocore.credentials import Credentials
+
+    body = b'{"StreamName":"events","Records":[]}'
+    req = AWSRequest(
+        method="POST",
+        url="http://127.0.0.1:4567/",
+        data=body,
+        headers={
+            "Content-Type": "application/x-amz-json-1.1",
+            "X-Amz-Target": "Kinesis_20131202.PutRecords",
+        },
+    )
+    botocore_auth.SigV4Auth(
+        Credentials("test", "test"), "kinesis", "us-east-1"
+    ).add_auth(req)
+    ours = sign_request(
+        host="127.0.0.1:4567",
+        target="Kinesis_20131202.PutRecords",
+        body=body,
+        region="us-east-1",
+        access_key="test",
+        secret_key="test",
+        amz_date=req.headers["X-Amz-Date"],
+    )
+    assert ours["Authorization"] == req.headers["Authorization"]
+
+
+def _pack(payloads: list[bytes]):
+    agg = KplAggregator()
+    for p in payloads:
+        agg.put(p)
+    return agg.drain()
+
+
+@pytest.mark.slow
+def test_http_endpoint_end_to_end_with_retry():
+    # ~1.3 kB payloads so the packer emits several aggregated entries and
+    # the injected failures hit distinct slots of one PutRecords call
+    payloads = [f"msg-{i:04d}".encode() * 150 for i in range(200)]
+    entries = _pack(payloads)
+    assert len(entries) >= 3
+    # fail two slots of the first call; the sink must selectively resend
+    with FakeKinesisHTTP(fail_plan={0: {0, 1}}) as srv:
+        client = HttpKinesisClient(endpoint_url=srv.endpoint_url)
+        client.create_stream(StreamName="events", ShardCount=1)
+        n_calls, n_retried = send_entries(
+            client, "events", entries, sleep=lambda _: None
+        )
+        assert srv.created_streams == ["events"]
+        assert srv.auth_failures == [], srv.auth_failures
+        assert n_calls == 2 and n_retried == 2  # one resend call, two slots
+        # byte-exact delivery: deaggregate everything the endpoint stored
+        got = [
+            data
+            for _, frame in ((pk, d) for pk, d in srv.records)
+            for _, data in deaggregate(frame)
+        ]
+        assert sorted(got) == sorted(payloads)
+
+
+@pytest.mark.slow
+def test_http_endpoint_rejects_bad_secret():
+    with FakeKinesisHTTP(secret_key="other") as srv:
+        client = HttpKinesisClient(endpoint_url=srv.endpoint_url)
+        with pytest.raises(RuntimeError, match="HTTP 403"):
+            client.create_stream(StreamName="events")
+        assert srv.auth_failures, "endpoint must have rejected the signature"
+
+
+@pytest.mark.slow
+def test_boto3_client_against_live_endpoint():
+    """The reference's kinesalite recipe (docker-compose.yml + main.go test
+    mode), executed fully in-image: the REAL boto3 client, configured by the
+    CLI factory with static creds + custom endpoint, delivers through
+    send_entries to the live endpoint, which verifies boto3's own SigV4
+    signatures (incl. the amz-sdk-* headers boto3 signs)."""
+    import argparse
+
+    pytest.importorskip("boto3")
+    from nsq2kinesis_spark.__main__ import make_client_factory
+
+    payloads = [f"b3-{i:04d}".encode() * 150 for i in range(100)]
+    entries = _pack(payloads)
+    with FakeKinesisHTTP(fail_plan={0: {0}}) as srv:
+        args = argparse.Namespace(spool_dir=None, kinesis_endpoint=srv.endpoint_url)
+        client = make_client_factory(args)()
+        client.create_stream(StreamName="events", ShardCount=1)
+        n_calls, n_retried = send_entries(
+            client, "events", entries, sleep=lambda _: None
+        )
+        assert srv.auth_failures == [], srv.auth_failures
+        assert srv.created_streams == ["events"]
+        assert n_calls == 2 and n_retried == 1
+        got = [
+            data for _, frame in srv.records for _, data in deaggregate(frame)
+        ]
+        assert sorted(got) == sorted(payloads)
+
+
+def test_cli_factory_falls_back_to_http_client_without_boto3(monkeypatch):
+    """--kinesis-endpoint in a boto3-less image must wire the stdlib HTTP
+    client instead of refusing to run (boto3 IS present here, so simulate
+    its absence)."""
+    import argparse
+    import sys
+
+    from nsq2kinesis_spark.__main__ import make_client_factory
+
+    monkeypatch.setitem(sys.modules, "boto3", None)  # import boto3 -> ImportError
+    args = argparse.Namespace(spool_dir=None, kinesis_endpoint="http://127.0.0.1:1")
+    client = make_client_factory(args)()
+    assert isinstance(client, HttpKinesisClient)
+    assert client.endpoint_url == "http://127.0.0.1:1"
