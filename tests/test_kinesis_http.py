@@ -37,8 +37,8 @@ def test_sigv4_golden_vector():
 
 
 def test_sigv4_matches_botocore_independent_implementation():
-    """Cross-check against botocore's SigV4Auth (present in this image even
-    though boto3 itself is not): sign the identical request with both
+    """Cross-check against botocore's SigV4Auth (an independent
+    implementation): sign the identical request with both
     implementations and require identical Authorization headers. botocore
     stamps its own X-Amz-Date; we read it back and feed the same instant to
     our signer, so the comparison is exact without clock freezing."""
@@ -97,9 +97,7 @@ def test_http_endpoint_end_to_end_with_retry():
         assert n_calls == 2 and n_retried == 2  # one resend call, two slots
         # byte-exact delivery: deaggregate everything the endpoint stored
         got = [
-            data
-            for _, frame in ((pk, d) for pk, d in srv.records)
-            for _, data in deaggregate(frame)
+            data for _, frame in srv.records for _, data in deaggregate(frame)
         ]
         assert sorted(got) == sorted(payloads)
 
@@ -157,3 +155,55 @@ def test_cli_factory_falls_back_to_http_client_without_boto3(monkeypatch):
     client = make_client_factory(args)()
     assert isinstance(client, HttpKinesisClient)
     assert client.endpoint_url == "http://127.0.0.1:1"
+
+
+def test_sigv4_property_matches_botocore():
+    """Fuzz the signer against botocore's independent SigV4 implementation:
+    for ANY body bytes and operation name, both must produce the identical
+    Authorization header (same canonicalization, key chain, and hashing) —
+    the property the single golden vector can't give."""
+    botocore_auth = pytest.importorskip("botocore.auth")
+    from botocore.awsrequest import AWSRequest
+    from botocore.credentials import Credentials
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        body=st.binary(min_size=0, max_size=4_000),
+        op=st.sampled_from(
+            ["PutRecords", "CreateStream", "DescribeStream", "ListShards"]
+        ),
+        region=st.sampled_from(["us-east-1", "eu-central-1", "ap-southeast-2"]),
+        secret=st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=40,
+        ),
+    )
+    def check(body: bytes, op: str, region: str, secret: str) -> None:
+        target = f"Kinesis_20131202.{op}"
+        req = AWSRequest(
+            method="POST",
+            url="http://127.0.0.1:4567/",
+            data=body,
+            headers={
+                "Content-Type": "application/x-amz-json-1.1",
+                "X-Amz-Target": target,
+            },
+        )
+        botocore_auth.SigV4Auth(
+            Credentials("AKID", secret), "kinesis", region
+        ).add_auth(req)
+        ours = sign_request(
+            host="127.0.0.1:4567",
+            target=target,
+            body=body,
+            region=region,
+            access_key="AKID",
+            secret_key=secret,
+            amz_date=req.headers["X-Amz-Date"],
+        )
+        assert ours["Authorization"] == req.headers["Authorization"]
+
+    check()
