@@ -490,3 +490,41 @@ def q114_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(F.col("z")) > ANOMALY_Z)
     )
+
+
+# -- q116: approximate percentile sketch ---------------------------------------
+
+QSKETCH_ACCURACY = 1000  # relative rank error <= 1/accuracy
+
+
+@query(
+    "q116_approx_percentile",
+    oracle=None,  # GK quantile-sketch estimates are Spark-specific; the
+    # exact companions carry the value check and tests/test_sketch_gates.py
+    # enforces the rank-error contract
+    tags=("agg", "approx", "percentile"),
+)
+def q116_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (percentile_approx, Greenwald-Khanna style) next to
+    the exact percentile — completing the sketch family (q16 HLL distinct,
+    q96 Misra-Gries heavy hitters). This is the 100 TB percentile path:
+    the sketch is bounded-size and MERGEABLE, so partials combine map-side
+    and per-group state is O(accuracy) instead of the per-group
+    sort/materialization exact percentile_cont needs (q17/q108 stay exact
+    because their groups are day- or flag-sized; an unbounded group at
+    full scale needs the sketch). Rows-only checked; the rank-error
+    contract (<= 1/{accuracy} relative rank) is asserted against the
+    exact values in tests/test_sketch_gates.py."""
+    e = t(spark, sf_dir, "events")
+    c = cents(F.col("value"))
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.percentile(c, 0.5).alias("exact_p50_cents"),
+        F.percentile_approx(c, 0.5, QSKETCH_ACCURACY)
+        .cast("long")
+        .alias("approx_p50_cents"),
+        F.percentile(c, 0.9).alias("exact_p90_cents"),
+        F.percentile_approx(c, 0.9, QSKETCH_ACCURACY)
+        .cast("long")
+        .alias("approx_p90_cents"),
+    )

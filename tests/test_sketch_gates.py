@@ -1,0 +1,64 @@
+"""Accuracy gates for the rows-only sketch aggregates: the oracle can't
+value-check engine-specific sketches (q16 HLL++, q116 GK quantiles), so
+these tests enforce each sketch's published error contract against the
+exact companion values the same query row carries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nsq2kinesis_spark.operators.aggregates import QSKETCH_ACCURACY
+from nsq2kinesis_spark.operators.relational import cents
+from nsq2kinesis_spark.registry import all_queries
+from nsq2kinesis_spark.tables import table as t
+
+from .conftest import SF_CORRECTNESS
+
+QUERIES = all_queries()
+
+
+def test_q16_hll_relative_error_gate(spark):
+    """approx_count_distinct at rsd=0.01 — gate at 5 standard deviations."""
+    rows = QUERIES["q16_approx_distinct"].builder(spark, SF_CORRECTNESS).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["approx_parts"] - r["exact_parts"]) / max(1, r["exact_parts"])
+        assert rel <= 0.05, (r["exact_parts"], r["approx_parts"])
+
+
+def test_q116_quantile_sketch_rank_error_gate(spark):
+    """percentile_approx guarantees relative rank error <= 1/accuracy: the
+    estimate must be an input value whose rank lies within n/accuracy of
+    the target rank — equivalently, it must sit between the EXACT
+    percentiles at q -/+ eps (eps = 2/accuracy, doubled for slack plus
+    the interpolation difference at tiny n)."""
+    rows = (
+        QUERIES["q116_approx_percentile"].builder(spark, SF_CORRECTNESS).collect()
+    )
+    assert rows
+    eps = 2.0 / QSKETCH_ACCURACY
+    e = t(spark, SF_CORRECTNESS, "events")
+    c = cents(F.col("value"))
+    for q, exact_col, approx_col in (
+        (0.5, "exact_p50_cents", "approx_p50_cents"),
+        (0.9, "exact_p90_cents", "approx_p90_cents"),
+    ):
+        lo_q, hi_q = max(0.0, q - eps), min(1.0, q + eps)
+        bounds = {
+            r["event_type"]: (r["lo"], r["hi"])
+            for r in e.groupBy("event_type")
+            .agg(
+                F.percentile(c, lo_q).alias("lo"),
+                F.percentile(c, hi_q).alias("hi"),
+            )
+            .collect()
+        }
+        for r in rows:
+            lo, hi = bounds[r["event_type"]]
+            assert lo - 1 <= r[approx_col] <= hi + 1, (
+                r["event_type"],
+                q,
+                r[approx_col],
+                (lo, hi),
+            )
