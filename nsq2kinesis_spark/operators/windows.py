@@ -413,3 +413,59 @@ def q107_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(PATH_TOP_K)
     )
+
+
+# -- q117: SCD-2 dimension build (validity intervals) --------------------------
+
+
+@query(
+    "q117_scd2_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), starts AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER w AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           CAST(CASE WHEN LEAD(valid_from) OVER w IS NULL THEN 1 ELSE 0 END
+                AS INTEGER) AS is_current
+    FROM starts
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+    tags=("window", "scd2", "events"),
+)
+def q117_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse each user's event
+    stream into versioned validity intervals — a row per maximal run of
+    one event_type with [valid_from, valid_to) bounds, a per-user version
+    number, and an is_current flag (open interval). The warehouse
+    dimension-build op q103's run SUMMARY doesn't provide: this
+    materializes the interval table an as-of join (q28) would probe.
+
+    Shape: one exchange on user_id total — the change-detection lag, the
+    post-filter version numbering, and the valid_to lead all ride the same
+    user-keyed partitioning (later windows only re-sort locally). Change
+    detection before the second window shrinks it to runs (#changes <<
+    #events on real streams). Ties broken by event_id everywhere so both
+    engines walk identical sequences."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_type", F.lag("event_type").over(w_seq))
+    starts = seq.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    w_v = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return starts.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_v).alias("valid_to"),
+        F.row_number().over(w_v).cast("long").alias("version"),
+        F.lead("valid_from").over(w_v).isNull().cast("int").alias("is_current"),
+    )

@@ -751,3 +751,12 @@ def test_q115_mixture_quota_joins_broadcast(spark):
     assert has_broadcast_join(df), plan
     assert "CartesianProduct" not in plan, plan
     assert "pythonudf" not in plan.lower(), plan
+
+
+def test_q117_scd2_single_user_exchange(spark):
+    # lag change-detection, version numbering, and the valid_to lead all
+    # ride ONE user-keyed exchange (later windows only re-sort locally)
+    df = build("q117_scd2_intervals")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert n_shuffles(df) == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
