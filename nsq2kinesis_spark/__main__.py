@@ -51,7 +51,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--kinesis-endpoint",
         default=_env_default("KINESIS_ENDPOINT"),
-        help="Kinesis endpoint override (env KINESIS_ENDPOINT; needs boto3)",
+        help="Kinesis endpoint override (env KINESIS_ENDPOINT; boto3 when "
+        "installed, stdlib SigV4 client otherwise)",
     )
     p.add_argument(
         "--spool-dir",
@@ -121,35 +122,50 @@ def make_client_factory(args: argparse.Namespace):
 
     endpoint = args.kinesis_endpoint
 
+    # Static test credentials apply only in TEST MODE, exactly like the
+    # reference (main.go:84-92 injects static creds iff *testMode); outside
+    # test mode boto3's ambient chain (env/profile/instance role) stays in
+    # charge, so pointing --kinesis-endpoint at a real VPC endpoint keeps
+    # real credentials.
+    test_mode = getattr(args, "test", False)
+    region = os.environ.get(
+        "AWS_REGION", os.environ.get("AWS_DEFAULT_REGION", "us-east-1")
+    )
+    access_key = os.environ.get("AWS_ACCESS_KEY_ID", "test")
+    secret_key = os.environ.get("AWS_SECRET_ACCESS_KEY", "test")
+
     def real_endpoint_factory():
         try:
             import boto3  # optional dependency
         except ImportError:
             if endpoint:
-                # kinesalite-style custom endpoint (reference test mode,
-                # main.go:80-97): the stdlib SigV4 client speaks the same
-                # wire protocol, so no boto3 is needed for it
+                # kinesalite-style custom endpoint: the stdlib SigV4 client
+                # speaks the same wire protocol, so no boto3 is needed. It
+                # has no ambient credential chain — env creds or the static
+                # test pair are all there is.
                 from .streaming.kinesis_http import HttpKinesisClient
 
-                return HttpKinesisClient(endpoint_url=endpoint)
+                return HttpKinesisClient(
+                    endpoint_url=endpoint,
+                    region=region,
+                    access_key=access_key,
+                    secret_key=secret_key,
+                )
             raise SystemExit(
                 "boto3 is required for the default AWS Kinesis endpoint; "
                 "use --kinesis-endpoint for a kinesalite-style endpoint or "
                 "--spool-dir for a local run"
             ) from None
-        if endpoint:
-            # custom endpoint = reference test mode (main.go:84-92): static
-            # credentials + pinned region, overridable via the standard env
+        if endpoint and test_mode:
             return boto3.client(
                 "kinesis",
                 endpoint_url=endpoint,
-                region_name=os.environ.get("AWS_REGION", "us-east-1"),
-                aws_access_key_id=os.environ.get("AWS_ACCESS_KEY_ID", "test"),
-                aws_secret_access_key=os.environ.get(
-                    "AWS_SECRET_ACCESS_KEY", "test"
-                ),
+                region_name=region,
+                aws_access_key_id=access_key,
+                aws_secret_access_key=secret_key,
             )
-        return boto3.client("kinesis")
+        kwargs = {"endpoint_url": endpoint} if endpoint else {}
+        return boto3.client("kinesis", **kwargs)
 
     return real_endpoint_factory
 

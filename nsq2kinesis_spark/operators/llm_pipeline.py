@@ -736,12 +736,14 @@ def q115_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = d.groupBy("source").agg(
         F.count("*").cast("long").alias("avail")
     ).withColumn("w", w)
-    tmin = counts.agg(
-        F.min(F.floor(F.col("avail") / F.col("w"))).alias("t")
-    )
-    quotas = counts.crossJoin(F.broadcast(tmin)).select(
-        "source", (F.col("w") * F.col("t")).alias("quota")
-    )
+    # T = min over the |sources|-row aggregate, taken as an unpartitioned
+    # window over that tiny frame so the quota derives inside the SAME
+    # subtree — a separate agg + crossJoin would recompute the counts
+    # branch and cost a third corpus scan. avail DIV w keeps the unit
+    # count exact integer arithmetic (floor(double-div) can round at
+    # magnitudes where the quotient's double is off by one ulp).
+    t_units = F.min(F.expr("avail DIV w")).over(Window.partitionBy())
+    quotas = counts.select("source", (F.col("w") * t_units).alias("quota"))
     rank_w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )

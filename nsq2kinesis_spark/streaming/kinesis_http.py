@@ -140,8 +140,14 @@ class HttpKinesisClient:
             secret_key=self.secret_key,
             amz_date=amz_date,
         )
+        # normalize the path to exactly "/" — a trailing slash in the
+        # configured endpoint would otherwise post to "//", which SigV4
+        # canonicalizes differently from the "/" the signature covers
         req = urllib.request.Request(
-            self.endpoint_url + "/", data=body, headers=headers, method="POST"
+            self.endpoint_url.rstrip("/") + "/",
+            data=body,
+            headers=headers,
+            method="POST",
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:

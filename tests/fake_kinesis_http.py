@@ -109,7 +109,14 @@ class FakeKinesisHTTP:
         import hmac as hmac_mod
         import re
 
-        from nsq2kinesis_spark.streaming.kinesis_http import signing_key
+        # independent key derivation (deliberately NOT imported from the
+        # production module, so a chain-order/service-string bug there
+        # cannot self-verify)
+        def derive(secret: str, datestamp: str, region: str, service: str) -> bytes:
+            k = ("AWS4" + secret).encode()
+            for part in (datestamp, region, service, "aws4_request"):
+                k = hmac_mod.new(k, part.encode(), hashlib.sha256).digest()
+            return k
 
         m = re.match(
             r"AWS4-HMAC-SHA256 Credential=([^/]+)/(\d{8})/([^/]+)/([^/]+)/aws4_request, "
@@ -145,7 +152,7 @@ class FakeKinesisHTTP:
             ]
         )
         expect = hmac_mod.new(
-            signing_key(self.secret_key, datestamp, region),
+            derive(self.secret_key, datestamp, region, service),
             string_to_sign.encode(),
             hashlib.sha256,
         ).hexdigest()

@@ -86,12 +86,18 @@ def test_boto3_factory_wiring(monkeypatch):
     fake = types.ModuleType("boto3")
     fake.client = lambda svc, **kw: (calls.append((svc, kw)), "CLIENT")[-1]
     monkeypatch.setitem(sys.modules, "boto3", fake)
-    for var in ("AWS_REGION", "AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY"):
+    for var in (
+        "AWS_REGION",
+        "AWS_DEFAULT_REGION",
+        "AWS_ACCESS_KEY_ID",
+        "AWS_SECRET_ACCESS_KEY",
+    ):
         monkeypatch.delenv(var, raising=False)
 
+    # test mode (reference main.go:84-92): static creds + pinned region
     args = build_arg_parser().parse_args(
         ["--topic", "t", "--stream", "s", "--checkpoint-dir", "c",
-         "--kinesis-endpoint", "http://localhost:4567"]
+         "--kinesis-endpoint", "http://localhost:4567", "--test"]
     )
     assert make_client_factory(args)() == "CLIENT"
     assert calls == [
@@ -105,6 +111,14 @@ def test_boto3_factory_wiring(monkeypatch):
             },
         )
     ]
+    # outside test mode the ambient boto3 credential chain stays in charge
+    calls.clear()
+    args = build_arg_parser().parse_args(
+        ["--topic", "t", "--stream", "s", "--checkpoint-dir", "c",
+         "--kinesis-endpoint", "http://localhost:4567"]
+    )
+    assert make_client_factory(args)() == "CLIENT"
+    assert calls == [("kinesis", {"endpoint_url": "http://localhost:4567"})]
 
     # no endpoint override → default client, no kwargs (real AWS wiring)
     calls.clear()

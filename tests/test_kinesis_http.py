@@ -87,7 +87,8 @@ def test_http_endpoint_end_to_end_with_retry():
     assert len(entries) >= 3
     # fail two slots of the first call; the sink must selectively resend
     with FakeKinesisHTTP(fail_plan={0: {0, 1}}) as srv:
-        client = HttpKinesisClient(endpoint_url=srv.endpoint_url)
+        # trailing slash on purpose: the client must normalize to "/"
+        client = HttpKinesisClient(endpoint_url=srv.endpoint_url + "/")
         client.create_stream(StreamName="events", ShardCount=1)
         n_calls, n_retried = send_entries(
             client, "events", entries, sleep=lambda _: None
@@ -112,21 +113,35 @@ def test_http_endpoint_rejects_bad_secret():
 
 
 @pytest.mark.slow
-def test_boto3_client_against_live_endpoint():
+def test_boto3_client_against_live_endpoint(monkeypatch):
     """The reference's kinesalite recipe (docker-compose.yml + main.go test
     mode), executed fully in-image: the REAL boto3 client, configured by the
-    CLI factory with static creds + custom endpoint, delivers through
-    send_entries to the live endpoint, which verifies boto3's own SigV4
-    signatures (incl. the amz-sdk-* headers boto3 signs)."""
+    CLI factory in TEST MODE (static creds + custom endpoint), delivers
+    through send_entries to the live endpoint, which verifies boto3's own
+    SigV4 signatures (incl. the amz-sdk-* headers boto3 signs)."""
     import argparse
 
     pytest.importorskip("boto3")
     from nsq2kinesis_spark.__main__ import make_client_factory
 
+    # a developer machine may export real AWS credentials; the endpoint
+    # only knows the static test pair
+    for var in (
+        "AWS_REGION",
+        "AWS_DEFAULT_REGION",
+        "AWS_ACCESS_KEY_ID",
+        "AWS_SECRET_ACCESS_KEY",
+        "AWS_SESSION_TOKEN",
+        "AWS_PROFILE",
+    ):
+        monkeypatch.delenv(var, raising=False)
     payloads = [f"b3-{i:04d}".encode() * 150 for i in range(100)]
     entries = _pack(payloads)
     with FakeKinesisHTTP(fail_plan={0: {0}}) as srv:
-        args = argparse.Namespace(spool_dir=None, kinesis_endpoint=srv.endpoint_url)
+        # trailing slash on purpose: the client must normalize to "/"
+        args = argparse.Namespace(
+            spool_dir=None, kinesis_endpoint=srv.endpoint_url + "/", test=True
+        )
         client = make_client_factory(args)()
         client.create_stream(StreamName="events", ShardCount=1)
         n_calls, n_retried = send_entries(

@@ -745,12 +745,15 @@ def test_q114_anomalies_no_window_broadcast_stats(spark):
 def test_q115_mixture_quota_joins_broadcast(spark):
     # the availability counts, the T scalar, and the quota table are all
     # |sources|-sized and must ride broadcasts; the only corpus-keyed work
-    # is the per-source hash-rank window (one exchange on source)
+    # is the per-source hash-rank window (one exchange on source); the
+    # corpus scans exactly twice (rank branch + counts branch — the T
+    # window derives inside the counts subtree, never a third scan)
     df = build("q115_dataset_mixture")(spark, SF_CORRECTNESS)
     plan = physical_plan(df)
     assert has_broadcast_join(df), plan
     assert "CartesianProduct" not in plan, plan
     assert "pythonudf" not in plan.lower(), plan
+    assert plan.count("FileScan") <= 2 or plan.count("Scan parquet") <= 2, plan
 
 
 def test_q117_scd2_single_user_exchange(spark):
