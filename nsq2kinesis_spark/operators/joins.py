@@ -447,3 +447,66 @@ def q105_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the difference between a checkable operator and a flaky one."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("nsq2k_q105_orders")
     return spark.sql(_Q105_SQL.format(orders="nsq2k_q105_orders"))
+
+
+# -- q118: fuzzy (edit-distance) record linkage with blocking ------------------
+
+FUZZY_BLOCK_LEN = 16  # chars of shared prefix that define a block
+FUZZY_MAX_DIST = 1  # Levenshtein threshold for a match
+
+
+@query(
+    "q118_fuzzy_match",
+    oracle=f"""
+    WITH b AS (
+      SELECT c_custkey, c_name, SUBSTR(c_name, 1, {FUZZY_BLOCK_LEN}) AS blk
+      FROM customer
+    )
+    SELECT a.c_custkey AS custkey_a, x.c_custkey AS custkey_b,
+           a.c_name AS name_a, x.c_name AS name_b,
+           CAST(LEVENSHTEIN(a.c_name, x.c_name) AS INTEGER) AS dist
+    FROM b a JOIN b x
+      ON a.blk = x.blk AND a.c_custkey < x.c_custkey
+    WHERE LEVENSHTEIN(a.c_name, x.c_name) <= {FUZZY_MAX_DIST}
+    """,
+    tags=("join", "fuzzy", "linkage"),
+)
+def q118_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: find name pairs within Levenshtein distance
+    {FUZZY_MAX_DIST}, the data-cleaning join that completes the dedup
+    modality set (exact q60, set-overlap q75/q76, bit-signature q77/q78,
+    vector q80/q81, chunk q111 — and now character-level edit distance).
+
+    The scale problem is that edit distance admits no hash: a naive
+    formulation is an O(n^2) cross join running a dynamic program per
+    pair. The standard answer is BLOCKING — an equi key that any
+    near-match pair must share (here a {FUZZY_BLOCK_LEN}-char prefix; real
+    linkage uses phonetic codes or sorted n-gram keys the same way) —
+    which turns the plan into a hash self-join on the block key with the
+    quadratic Levenshtein confined inside bounded blocks. Both engines
+    compute classic unit-cost Levenshtein over code points, so the
+    integer distances (and the threshold filter) agree exactly."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.substring("c_name", 1, FUZZY_BLOCK_LEN).alias("blk"),
+    )
+    a = c.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        "blk",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("custkey_a", "custkey_b", "name_a", "name_b", "dist")
+    )

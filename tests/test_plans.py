@@ -763,3 +763,15 @@ def test_q117_scd2_single_user_exchange(spark):
     plan = physical_plan(df)
     assert n_shuffles(df) == 1, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_q118_fuzzy_join_blocked_not_cartesian(spark):
+    # edit distance admits no hash, so the join MUST carry the equi block
+    # key (hash/merge join) with Levenshtein as a post-filter — a
+    # cross/nested-loop product over customers is the scale failure mode
+    df = build("q118_fuzzy_match")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "pythonudf" not in plan.lower(), plan
