@@ -158,7 +158,50 @@ def q81_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q82_ann_ivf", oracle=None, tags=("llm", "similarity", "ann"))
+@query(
+    "q82_ann_ivf",
+    # The probe is approximate ONLY versus exhaustive search (recall vs q80
+    # is gated in tests); the algorithm itself is deterministic — fixed
+    # centroid subset, rounded cosines, total-order tiebreaks — so the
+    # oracle replicates it step for step, the same treatment q81's
+    # quantizer got. Rows-only is now reserved for genuinely
+    # non-reproducible sketches (HLL, MinHash banding, GK).
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+      WHERE vec_id % {IVF_CENTROID_STEP} = 0
+    ), assigned AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {duck_cosine_sql("e.embedding", "c.ce", DIM)} DESC,
+                          c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), queries AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ), probes AS (
+      SELECT query_id, qe, cent_id AS cell FROM (
+        SELECT q.query_id, q.qe, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {duck_cosine_sql("q.qe", "c.ce", DIM)} DESC,
+                          c.cent_id) AS crn
+        FROM queries q CROSS JOIN cents c
+      ) WHERE crn <= {IVF_PROBES}
+    )
+    SELECT query_id, vec_id, sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT p.query_id, a.vec_id,
+             {duck_cosine_sql("p.qe", "a.embedding", DIM)} AS sim,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id
+               ORDER BY {duck_cosine_sql("p.qe", "a.embedding", DIM)} DESC,
+                        a.vec_id) AS rn
+      FROM probes p JOIN assigned a ON p.cell = a.cell
+      WHERE a.vec_id <> p.query_id
+    ) WHERE rn <= {TOP_K}
+    """,
+    tags=("llm", "similarity", "ann"),
+)
 def q82_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbor:
 
@@ -169,9 +212,11 @@ def q82_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
        one corpus scan);
     3. probe: each query searches only its IVF_PROBES nearest cells.
 
-    Rows-only check (recall vs q80 is measured in tests, not the oracle):
-    approximate by construction. The plan is the 100 TB shape: corpus
-    co-partitioned by cell id, probe prunes partitions.
+    Value-checked against a DuckDB oracle replicating the probe exactly
+    (round-4 upgrade from rows-only — every step is deterministic, so
+    "approximate" only describes recall vs q80's exhaustive search, which
+    tests/test_llm_dedup.py gates separately). The plan is the 100 TB
+    shape: corpus co-partitioned by cell id, probe prunes partitions.
     """
     e = t(spark, sf_dir, "embeddings")
     cents = e.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0).select(

@@ -25,7 +25,6 @@ def test_contract_shapes():
         "q116_approx_percentile",
         "q16_approx_distinct",
         "q76_neardup_minhash_lsh",
-        "q82_ann_ivf",
     ]
 
 
