@@ -103,6 +103,15 @@ def load_all_modules() -> None:
 # old into the head, demote the freshest-verified untouched modules to the
 # tail. tests/test_contract.py asserts this list is a permutation of the
 # registry and that the stale-rotation prefix holds.
+#
+# ROUND-5 ROTATION PLAN (write this order at the start of r5): the tail
+# blocks below carry round-3 rows only, so by r5 they are two rounds stale
+# and MUST lead — q20–q29, q40–q46, q80/q81, q28/q63/q66, q01–q17,
+# q83/q85/q87/q88/q89 (43 queries). The post-prefix additions q110–q118
+# (local-parity evidence only in r4) fill the remaining 7 prefix slots in
+# their current order; q82 joins them if its new oracle row doesn't land in
+# r4. Everything r4-fresh (the 24 r2-stale rotations + q90–q109 + the
+# dedup family) demotes to the tail.
 VERIFY_ORDER: tuple[str, ...] = (
     # -- stale since round 2: aggregates --
     "q18_multi_distinct",
