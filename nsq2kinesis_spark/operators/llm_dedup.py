@@ -680,14 +680,16 @@ def q111_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (q60/q75) this rewrites documents rather than dropping them.
 
     Shape: one codegen'd chunker projection (transform over sequence — no
-    Python), one chunk-keyed exchange for the first-occurrence ranking,
-    one doc-keyed exchange to reassemble. At 100 TB the chunk key is the
-    natural shard: occurrences of one chunk text co-locate, every other
-    step is map-side. The reassembly carries (pos, chunk) structs through
-    collect_list and sorts per doc — per-doc state is document-sized, not
-    corpus-sized. Production variant would rank on xxhash64(chunk) to
-    shrink the shuffle key; the text key is kept here so the oracle can
-    reproduce values exactly."""
+    Python), then the first-occurrence keeper per chunk as a
+    min(struct(doc_id, pos)) AGGREGATE — not a window row_number: the
+    aggregate partial-combines map-side, so a boilerplate chunk repeated
+    millions of times corpus-wide collapses to one row per input
+    partition before the wire, and the chunk-keyed keeper JOIN that marks
+    survivors is AQE-skew-splittable, which a window sort over the same
+    hot key is not. One doc-keyed exchange reassembles survivors in
+    original order (per-doc state is document-sized). Production variant
+    would key on xxhash64(chunk) to shrink the shuffle key; the text key
+    is kept here so the oracle can reproduce values exactly."""
     d = t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n_chunks = F.floor(
@@ -700,16 +702,20 @@ def q111_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     chunks = d.select("doc_id", F.posexplode(chunk_arr).alias("pos", "chunk"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
-    ranked = chunks.withColumn("rn", F.row_number().over(w))
-    kept = F.array_sort(
-        F.collect_list(F.when(F.col("rn") == 1, F.struct("pos", "chunk")))
+    keepers = chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("keeper")
     )
-    return ranked.groupBy("doc_id").agg(
+    marked = chunks.join(keepers, "chunk").withColumn(
+        "is_first", F.struct("doc_id", "pos") == F.col("keeper")
+    )
+    kept = F.array_sort(
+        F.collect_list(F.when(F.col("is_first"), F.struct("pos", "chunk")))
+    )
+    return marked.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_chunks"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
         F.array_join(
             F.transform(kept, lambda s: s.getField("chunk")), " "
         ).alias("clean_text"),

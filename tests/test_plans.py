@@ -701,12 +701,16 @@ def test_q110_pii_redaction_map_only_scan(spark):
     assert "pythonudf" not in plan.lower(), plan
 
 
-def test_q111_chunk_dedup_two_keyed_exchanges(spark):
-    # chunk-keyed first-occurrence ranking + doc-keyed reassembly — the
-    # chunker itself (transform over sequence) must stay in the scan stage
+def test_q111_chunk_dedup_aggregate_not_window(spark):
+    # first-occurrence keeper is a map-side-combinable min(struct)
+    # AGGREGATE + chunk-keyed join (AQE-skew-splittable on a hot
+    # boilerplate chunk) — NEVER a window sort over the chunk key; the
+    # chunker (transform over sequence) stays in the scan stage, and the
+    # exchanges are chunk-agg / chunk-join / doc-reassembly only
     df = build("q111_chunk_dedup")(spark, SF_CORRECTNESS)
     plan = physical_plan(df)
-    assert n_shuffles(df) == 2, plan
+    assert "Window" not in plan, plan
+    assert n_shuffles(df) <= 3, plan
     assert "pythonudf" not in plan.lower(), plan
 
 
