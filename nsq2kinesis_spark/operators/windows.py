@@ -91,22 +91,39 @@ def q31_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q32_window_frames",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
-           SUM(l_quantity) OVER
-                (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
-           SUM(l_quantity) OVER
-                (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving3_qty
+           SUM(l_quantity) OVER w_run AS running_qty,
+           SUM(l_quantity) OVER w_mov AS moving3_qty
     FROM lineitem
+    WINDOW
+      w_run AS (PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_quantity
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_mov AS (PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_quantity
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
     tags=("window", "frame"),
 )
 def q32_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Framed aggregates: running sum + 3-row moving sum per supplier.
     Seed: the reference's running batch-size accounting
-    (kinesis_writer.go:57) is exactly a running-sum frame."""
+    (kinesis_writer.go:57) is exactly a running-sum frame.
+
+    The ORDER BY must be a TOTAL order: ROWS frames over tied rows are
+    tie-order-dependent, and the generator can emit two lineitems sharing
+    (suppkey, shipdate, orderkey, linenumber) with different quantities
+    (first seen at sf0.1 — one collision pair flips two running sums
+    between engines). l_partkey breaks the observed tie; l_quantity
+    guards the remainder (rows tied on ALL order columns contribute equal
+    values, so any residual tie is value-neutral for the frame sums)."""
     li = t(spark, sf_dir, "lineitem")
-    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    order = [
+        F.col("l_shipdate"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_partkey"),
+        F.col("l_quantity"),
+    ]
     base = Window.partitionBy("l_suppkey").orderBy(*order)
     return li.select(
         "l_suppkey",
