@@ -528,3 +528,77 @@ def q116_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("approx_p90_cents"),
     )
+
+
+# -- q119: per-key least-squares trend ----------------------------------------
+
+
+@query(
+    "q119_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           CAST(n_days * sxy - sx * sy AS DOUBLE)
+             / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n_days * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_days * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / n_days AS intercept
+    FROM m WHERE n_days > 1 AND n_days * sxx > sx * sx
+    """,
+    tags=("agg", "regression", "timeseries", "events"),
+)
+def q119_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type volume trend: ordinary-least-squares slope/intercept
+    of daily event count against epoch day — the grow/shrink panel next to
+    q114's anomaly flags. Same exactness discipline as q114: never
+    regr_slope (engine-internal accumulation order), but the four raw
+    moments (Σx, Σy, Σxy, Σx²) as exact 128-bit integers, combined by an
+    identical literal expression tree whose every floating-point step is
+    correctly rounded — slope and intercept reproduce bit-identically.
+    Shape: day-keyed partial agg -> type-keyed moment rollup
+    (|event_types| rows) -> map-side arithmetic; one scan, no window."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("y"))
+    x = F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long")
+    wide = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = daily.select("event_type", x.alias("x"), "y").groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(wide(F.col("x"))).alias("sx"),
+        F.sum(wide(F.col("y"))).alias("sy"),
+        F.sum(wide(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(wide(F.col("x")) * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n_days")
+    return (
+        m.filter(
+            (F.col("n_days") > 1)
+            & (F.col("n_days") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        )
+        .select(
+            "event_type",
+            "n_days",
+            slope.alias("slope"),
+            intercept.alias("intercept"),
+        )
+    )

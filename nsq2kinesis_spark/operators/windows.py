@@ -486,3 +486,63 @@ def q117_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_v).cast("long").alias("version"),
         F.lead("valid_from").over(w_v).isNull().cast("int").alias("is_current"),
     )
+
+
+# -- q120: Gini concentration of daily volume ----------------------------------
+
+
+@query(
+    "q120_volume_gini",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), ranked AS (
+      SELECT event_type, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY n, day) AS BIGINT) AS i
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(n) AS BIGINT) AS total,
+           CAST(2 * SUM(CAST(i AS HUGEINT) * n)
+                - (COUNT(*) + 1) * SUM(CAST(n AS HUGEINT)) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(CAST(n AS HUGEINT)) AS DOUBLE) AS gini
+    FROM ranked GROUP BY event_type
+    HAVING SUM(n) > 0
+    """,
+    tags=("window", "gini", "events"),
+)
+def q120_volume_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration of an event type's volume across days — the Gini
+    index from the rank-sum identity G = (2·Σ i·x_(i) − (n+1)·Σx)/(n·Σx)
+    over ascending-sorted daily counts (0 = perfectly even across days,
+    →1 = all volume on one day). Burstiness is a data-quality signal a
+    training-event pipeline watches next to q114/q119. The ORDER BY (n,
+    day) is total, and every term stays an exact 128-bit integer until
+    the single final division, so the index is bit-identical across
+    engines. Shape: day-keyed agg -> per-type ranking window over
+    day-count-sized partitions -> type-keyed rollup."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("n", "day")
+    wide = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ranked = daily.withColumn("i", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("n").cast("long").alias("total"),
+            (
+                (
+                    2 * F.sum(wide(F.col("i")) * F.col("n"))
+                    - (F.count("*") + 1) * F.sum(wide(F.col("n")))
+                ).cast("double")
+                / (F.count("*") * F.sum(wide(F.col("n")))).cast("double")
+            ).alias("gini"),
+        )
+        .filter(F.col("total") > 0)
+    )

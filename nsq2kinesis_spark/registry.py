@@ -74,7 +74,7 @@ def load_all_modules() -> None:
 
 # Explicit verification priority: the order external correctness harnesses
 # iterate ``queries()``. Some harnesses budget a fixed prefix (the driver
-# checks the first 50 of these 103), so this list is a documented rotation
+# checks the first 50 of these 105), so this list is a documented rotation
 # schedule, not engine semantics:
 #
 #   1. least-recently-verified queries first — the 24 queries whose last
@@ -107,10 +107,11 @@ def load_all_modules() -> None:
 # ROUND-5 ROTATION PLAN (write this order at the start of r5): the tail
 # blocks below carry round-3 rows only, so by r5 they are two rounds stale
 # and MUST lead — q20–q29, q40–q46, q80/q81, q28/q63/q66, q01–q17,
-# q83/q85/q87/q88/q89 (43 queries). The post-prefix additions q110–q118
-# (local-parity evidence only in r4) fill the remaining 7 prefix slots in
-# their current order; q82 joins them if its new oracle row doesn't land in
-# r4. Everything r4-fresh (the 24 r2-stale rotations + q90–q109 + the
+# q83/q85/q87/q88/q89 (43 queries). The post-prefix additions q110–q120
+# (local-parity evidence only in r4) take the remaining prefix slots in
+# their current order — 43 + the first 7 of them fill the 50; the rest (and
+# q82, if its new oracle row doesn't land in r4) lead the post-prefix
+# region. Everything r4-fresh (the 24 r2-stale rotations + q90–q109 + the
 # dedup family) demotes to the tail.
 VERIFY_ORDER: tuple[str, ...] = (
     # -- stale since round 2: aggregates --
@@ -190,6 +191,8 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q116_approx_percentile",
     "q117_scd2_intervals",
     "q118_fuzzy_match",
+    "q119_daily_trend",
+    "q120_volume_gini",
     # -- tail: fresh round-3 rows, code untouched in round 4 --
     "q20_join_inner_broadcast",
     "q21_join_shuffle_3way",
