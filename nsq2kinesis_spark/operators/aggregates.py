@@ -602,3 +602,102 @@ def q119_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             intercept.alias("intercept"),
         )
     )
+
+
+# -- q121: A/B experiment readout (two-proportion z-test) ----------------------
+
+
+@query(
+    "q121_ab_test",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+      FROM events GROUP BY user_id
+    ), v AS (
+      SELECT CAST(SUM(CASE WHEN variant = 'A' AND exposed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 'A' AND exposed = 1 AND purchased = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN variant = 'B' AND exposed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN variant = 'B' AND exposed = 1 AND purchased = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+      FROM flags
+    )
+    SELECT n_a, conv_a, CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+           n_b, conv_b, CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+           (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) AS z
+    FROM v WHERE n_a > 0 AND n_b > 0
+      AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+    """,
+    tags=("agg", "experiment", "events"),
+)
+def q121_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: assign users to variants by identity hash
+    (user_id parity here; a salted-bucket split like q85 in production),
+    measure view->purchase conversion per variant, and report the pooled
+    two-proportion z statistic. Every input to the floating-point section
+    is an exact BIGINT count and the expression tree is written
+    identically in both engines (divide/subtract/multiply/sqrt — each
+    correctly rounded), so even z reproduces bit-identically; the guard
+    row keeps the pooled variance strictly positive rather than leaning
+    on engine-specific inf/nan rendering. Shape: one user-keyed agg
+    (flags ride the exchange), one global rollup via conditional sums —
+    two exchanges total, the second over per-user rows only."""
+    e = t(spark, sf_dir, "events")
+    flags = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("exposed"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchased"
+        ),
+    )
+    va = F.col("user_id") % 2 == 0
+    v = flags.agg(
+        F.sum(F.when(va & (F.col("exposed") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(
+            F.when(va & (F.col("exposed") == 1) & (F.col("purchased") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(~va & (F.col("exposed") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(
+            F.when(~va & (F.col("exposed") == 1) & (F.col("purchased") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (
+            F.lit(1).cast("double") / F.col("n_a")
+            + F.lit(1).cast("double") / F.col("n_b")
+        )
+    )
+    return v.filter(
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b"))
+    ).select(
+        "n_a",
+        "conv_a",
+        rate_a.alias("rate_a"),
+        "n_b",
+        "conv_b",
+        rate_b.alias("rate_b"),
+        z.alias("z"),
+    )
