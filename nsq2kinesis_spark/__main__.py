@@ -141,15 +141,28 @@ def make_client_factory(args: argparse.Namespace):
             if endpoint:
                 # kinesalite-style custom endpoint: the stdlib SigV4 client
                 # speaks the same wire protocol, so no boto3 is needed. It
-                # has no ambient credential chain — env creds or the static
-                # test pair are all there is.
+                # has no ambient credential chain, so the same test-mode
+                # policy applies: static test creds only under --test;
+                # otherwise real env credentials are REQUIRED — silently
+                # signing as "test" against a verifying endpoint would
+                # surface as an opaque 403 at the first mid-stream call.
                 from .streaming.kinesis_http import HttpKinesisClient
 
+                env_creds = "AWS_ACCESS_KEY_ID" in os.environ and (
+                    "AWS_SECRET_ACCESS_KEY" in os.environ
+                )
+                if not test_mode and not env_creds:
+                    raise SystemExit(
+                        "no boto3 and no AWS credentials in the environment; "
+                        "set AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY, or use "
+                        "--test for static test credentials, or --spool-dir"
+                    ) from None
                 return HttpKinesisClient(
                     endpoint_url=endpoint,
                     region=region,
                     access_key=access_key,
                     secret_key=secret_key,
+                    session_token=os.environ.get("AWS_SESSION_TOKEN"),
                 )
             raise SystemExit(
                 "boto3 is required for the default AWS Kinesis endpoint; "

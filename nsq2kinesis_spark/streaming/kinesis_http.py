@@ -56,13 +56,16 @@ def sign_request(
     access_key: str,
     secret_key: str,
     amz_date: str,
+    session_token: str | None = None,
 ) -> dict[str, str]:
     """Build the signed header set for one Kinesis POST.
 
     ``amz_date`` is the caller-supplied ``YYYYMMDDTHHMMSSZ`` timestamp so the
     function is a pure deterministic map (tests pin golden vectors; the live
     client stamps UTC now). Returns every header the request must carry,
-    including Authorization.
+    including Authorization. STS temporary credentials pass
+    ``session_token``, which is carried AND signed as
+    ``x-amz-security-token`` (the SigV4 rule for token-bearing requests).
     """
     datestamp = amz_date[:8]
     payload_hash = hashlib.sha256(body).hexdigest()
@@ -74,6 +77,8 @@ def sign_request(
         "x-amz-date": amz_date,
         "x-amz-target": target,
     }
+    if session_token:
+        headers["x-amz-security-token"] = session_token
     signed_headers = ";".join(sorted(headers))
     canonical_headers = "".join(f"{k}:{headers[k]}\n" for k in sorted(headers))
     canonical_request = "\n".join(
@@ -97,12 +102,15 @@ def sign_request(
         f"{ALGORITHM} Credential={access_key}/{credential_scope}, "
         f"SignedHeaders={signed_headers}, Signature={signature}"
     )
-    return {
+    out = {
         "Content-Type": CONTENT_TYPE,
         "X-Amz-Date": amz_date,
         "X-Amz-Target": target,
         "Authorization": authorization,
     }
+    if session_token:
+        out["X-Amz-Security-Token"] = session_token
+    return out
 
 
 @dataclass
@@ -119,6 +127,7 @@ class HttpKinesisClient:
     region: str = "us-east-1"
     access_key: str = "test"
     secret_key: str = "test"
+    session_token: str | None = None  # STS temporary credentials
     timeout_s: float = 10.0
 
     def _call(self, op: str, payload: dict[str, Any]) -> dict[str, Any]:
@@ -139,6 +148,7 @@ class HttpKinesisClient:
             access_key=self.access_key,
             secret_key=self.secret_key,
             amz_date=amz_date,
+            session_token=self.session_token,
         )
         # normalize the path to exactly "/" — a trailing slash in the
         # configured endpoint would otherwise post to "//", which SigV4

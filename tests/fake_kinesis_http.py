@@ -128,6 +128,11 @@ class FakeKinesisHTTP:
         access_key, datestamp, region, service, signed, signature = m.groups()
         if access_key != self.access_key:
             return f"unknown access key {access_key!r}"
+        # pin the service string: deriving the key from the client-declared
+        # scope would let a wrong SERVICE constant in the production module
+        # self-verify (real Kinesis rejects a non-"kinesis" scope)
+        if service != "kinesis":
+            return f"wrong credential-scope service {service!r}"
         signed_list = signed.split(";")
         canonical_headers = "".join(
             f"{h}:{(headers.get(h) or '').strip()}\n" for h in signed_list

@@ -166,10 +166,21 @@ def test_cli_factory_falls_back_to_http_client_without_boto3(monkeypatch):
     from nsq2kinesis_spark.__main__ import make_client_factory
 
     monkeypatch.setitem(sys.modules, "boto3", None)  # import boto3 -> ImportError
-    args = argparse.Namespace(spool_dir=None, kinesis_endpoint="http://127.0.0.1:1")
+    args = argparse.Namespace(
+        spool_dir=None, kinesis_endpoint="http://127.0.0.1:1", test=True
+    )
     client = make_client_factory(args)()
     assert isinstance(client, HttpKinesisClient)
     assert client.endpoint_url == "http://127.0.0.1:1"
+    # outside test mode, missing env credentials must refuse upfront with a
+    # clear error instead of silently signing as "test"
+    for var in ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY"):
+        monkeypatch.delenv(var, raising=False)
+    args = argparse.Namespace(
+        spool_dir=None, kinesis_endpoint="http://127.0.0.1:1", test=False
+    )
+    with pytest.raises(SystemExit, match="no AWS credentials"):
+        make_client_factory(args)()
 
 
 def test_sigv4_property_matches_botocore():
@@ -222,3 +233,29 @@ def test_sigv4_property_matches_botocore():
         assert ours["Authorization"] == req.headers["Authorization"]
 
     check()
+
+
+@pytest.mark.slow
+def test_session_token_is_carried_and_signed():
+    """STS temporary credentials: the x-amz-security-token header must be
+    both sent and included in the signed header set — the live endpoint
+    verifies the signature over exactly the declared SignedHeaders."""
+    with FakeKinesisHTTP() as srv:
+        client = HttpKinesisClient(
+            endpoint_url=srv.endpoint_url, session_token="tok-123"
+        )
+        client.create_stream(StreamName="events")
+        assert srv.auth_failures == [], srv.auth_failures
+        assert srv.created_streams == ["events"]
+    headers = sign_request(
+        host="h",
+        target="Kinesis_20131202.PutRecords",
+        body=b"{}",
+        region="us-east-1",
+        access_key="test",
+        secret_key="test",
+        amz_date="20260101T000000Z",
+        session_token="tok-123",
+    )
+    assert headers["X-Amz-Security-Token"] == "tok-123"
+    assert "x-amz-security-token" in headers["Authorization"]

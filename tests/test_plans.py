@@ -757,7 +757,7 @@ def test_q115_mixture_quota_joins_broadcast(spark):
     assert has_broadcast_join(df), plan
     assert "CartesianProduct" not in plan, plan
     assert "pythonudf" not in plan.lower(), plan
-    assert plan.count("FileScan") <= 2 or plan.count("Scan parquet") <= 2, plan
+    assert plan.count("FileScan") <= 2, plan
 
 
 def test_q117_scd2_single_user_exchange(spark):
