@@ -510,3 +510,85 @@ def q118_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= FUZZY_MAX_DIST)
         .select("custkey_a", "custkey_b", "name_a", "name_b", "dist")
     )
+
+
+# -- q122: market-basket co-purchase pairs ------------------------------------
+
+BASKET_TOP_K = 50
+
+
+@query(
+    "q122_copurchase",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), cx AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM items
+      GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ), no AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem
+    )
+    SELECT part_a, part_b, n_orders, x.c AS c_a, y.c AS c_b,
+           CAST(n_orders * (SELECT n FROM no) AS DOUBLE) / (x.c * y.c) AS lift
+    FROM pairs JOIN cx x ON part_a = x.l_partkey JOIN cx y ON part_b = y.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b LIMIT {BASKET_TOP_K}
+    """,
+    tags=("join", "basket", "cooccurrence"),
+)
+def q122_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: the top co-purchased part pairs with their
+    association lift — q112's pair-mining shape applied to the FACT table,
+    where the scale argument is different: the quadratic fanout is bounded
+    by ORDER SIZE (a handful of items), not by a df-capped vocabulary, so
+    the order-keyed self-join is linear-ish in line items at any corpus
+    size. Shape: distinct (order, part) projection -> order-keyed equi
+    self-join -> pair-keyed partial agg -> part-frequency attachment via
+    broadcast (|parts|-sized) -> lift as one exact-integer-ratio division
+    -> TakeOrderedAndProject top-{BASKET_TOP_K} under a total-order
+    tiebreak (count DESC, then both part keys)."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    cx = items.groupBy("l_partkey").agg(F.count("*").cast("long").alias("c"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    no = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    return (
+        pairs.join(
+            F.broadcast(cx.withColumnRenamed("l_partkey", "part_a")), "part_a"
+        )
+        .withColumnRenamed("c", "c_a")
+        .join(
+            F.broadcast(
+                cx.withColumnRenamed("l_partkey", "part_b").withColumnRenamed(
+                    "c", "c_b"
+                )
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(no))
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders",
+            "c_a",
+            "c_b",
+            (
+                (F.col("n_orders") * F.col("n")).cast("double")
+                / (F.col("c_a") * F.col("c_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+    )

@@ -779,3 +779,15 @@ def test_q118_fuzzy_join_blocked_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "pythonudf" not in plan.lower(), plan
+
+
+def test_q122_basket_pairs_hash_join_topk(spark):
+    # the pair join keys on order id (hash join, fanout bounded by order
+    # size); part frequencies attach via broadcast; top-k is per-partition
+    # heads, never a global range sort
+    df = build("q122_copurchase")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_join(df), plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
