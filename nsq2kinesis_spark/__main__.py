@@ -133,42 +133,61 @@ def make_client_factory(args: argparse.Namespace):
     )
     access_key = os.environ.get("AWS_ACCESS_KEY_ID", "test")
     secret_key = os.environ.get("AWS_SECRET_ACCESS_KEY", "test")
+    session_token = os.environ.get("AWS_SESSION_TOKEN")
 
-    def real_endpoint_factory():
-        try:
-            import boto3  # optional dependency
-        except ImportError:
-            if endpoint:
-                # kinesalite-style custom endpoint: the stdlib SigV4 client
-                # speaks the same wire protocol, so no boto3 is needed. It
-                # has no ambient credential chain, so the same test-mode
-                # policy applies: static test creds only under --test;
-                # otherwise real env credentials are REQUIRED — silently
-                # signing as "test" against a verifying endpoint would
-                # surface as an opaque 403 at the first mid-stream call.
-                from .streaming.kinesis_http import HttpKinesisClient
+    # Detect boto3 EAGERLY (factory construction runs in the driver at CLI
+    # startup), so misconfiguration refuses before the streaming query
+    # starts consuming — raising inside the factory would surface as a
+    # failed query after the source is already running. The closures still
+    # re-import boto3 themselves: capturing the module object would make
+    # the factory unpicklable for executor-side construction.
+    try:
+        import boto3 as _boto3_probe  # noqa: F401  (presence check only)
 
-                env_creds = "AWS_ACCESS_KEY_ID" in os.environ and (
-                    "AWS_SECRET_ACCESS_KEY" in os.environ
-                )
-                if not test_mode and not env_creds:
-                    raise SystemExit(
-                        "no boto3 and no AWS credentials in the environment; "
-                        "set AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY, or use "
-                        "--test for static test credentials, or --spool-dir"
-                    ) from None
-                return HttpKinesisClient(
-                    endpoint_url=endpoint,
-                    region=region,
-                    access_key=access_key,
-                    secret_key=secret_key,
-                    session_token=os.environ.get("AWS_SESSION_TOKEN"),
-                )
+        have_boto3 = True
+    except ImportError:
+        have_boto3 = False
+
+    if not have_boto3:
+        if not endpoint:
             raise SystemExit(
                 "boto3 is required for the default AWS Kinesis endpoint; "
                 "use --kinesis-endpoint for a kinesalite-style endpoint or "
                 "--spool-dir for a local run"
-            ) from None
+            )
+        # kinesalite-style custom endpoint: the stdlib SigV4 client speaks
+        # the same wire protocol, so no boto3 is needed. It has no ambient
+        # credential chain, so the same test-mode policy applies: static
+        # test creds only under --test; otherwise real env credentials are
+        # REQUIRED — silently signing as "test" against a verifying
+        # endpoint would surface as an opaque 403 mid-stream.
+        env_creds = (
+            "AWS_ACCESS_KEY_ID" in os.environ
+            and "AWS_SECRET_ACCESS_KEY" in os.environ
+        )
+        if not test_mode and not env_creds:
+            raise SystemExit(
+                "no boto3 and no AWS credentials in the environment; "
+                "set AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY, or use "
+                "--test for static test credentials, or --spool-dir"
+            )
+
+        def http_factory():
+            from .streaming.kinesis_http import HttpKinesisClient
+
+            return HttpKinesisClient(
+                endpoint_url=endpoint,
+                region=region,
+                access_key=access_key,
+                secret_key=secret_key,
+                session_token=session_token,
+            )
+
+        return http_factory
+
+    def real_endpoint_factory():
+        import boto3  # re-import keeps the closure picklable
+
         if endpoint and test_mode:
             return boto3.client(
                 "kinesis",

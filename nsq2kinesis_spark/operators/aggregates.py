@@ -647,13 +647,19 @@ def q121_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (flags ride the exchange), one global rollup via conditional sums —
     two exchanges total, the second over per-user rows only."""
     e = t(spark, sf_dir, "events")
+    # variant as an explicit CASE mirroring the oracle's ELSE branch: a
+    # NULL user_id lands in 'B' in BOTH engines (a bare boolean user_id%2=0
+    # predicate would be NULL-valued in Spark and silently drop the user
+    # from both variants, diverging from SQL CASE semantics)
     flags = e.groupBy("user_id").agg(
         F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("exposed"),
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "purchased"
         ),
+    ).withColumn(
+        "variant", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
     )
-    va = F.col("user_id") % 2 == 0
+    va = F.col("variant") == "A"
     v = flags.agg(
         F.sum(F.when(va & (F.col("exposed") == 1), 1).otherwise(0))
         .cast("long")

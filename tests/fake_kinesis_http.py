@@ -128,11 +128,14 @@ class FakeKinesisHTTP:
         access_key, datestamp, region, service, signed, signature = m.groups()
         if access_key != self.access_key:
             return f"unknown access key {access_key!r}"
-        # pin the service string: deriving the key from the client-declared
-        # scope would let a wrong SERVICE constant in the production module
-        # self-verify (real Kinesis rejects a non-"kinesis" scope)
+        # pin the service AND region strings: deriving the key from the
+        # client-declared scope would let a wrong SERVICE constant or a
+        # mis-plumbed region in the production module self-verify (real
+        # Kinesis rejects a wrong scope with SignatureDoesNotMatch)
         if service != "kinesis":
             return f"wrong credential-scope service {service!r}"
+        if region != self.region:
+            return f"wrong credential-scope region {region!r}"
         signed_list = signed.split(";")
         canonical_headers = "".join(
             f"{h}:{(headers.get(h) or '').strip()}\n" for h in signed_list

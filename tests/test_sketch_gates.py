@@ -62,3 +62,45 @@ def test_q116_quantile_sketch_rank_error_gate(spark):
                 r[approx_col],
                 (lo, hi),
             )
+
+
+def test_q121_null_user_matches_oracle(spark, duck, tmp_path):
+    """NULL user_id must land in variant 'B' in BOTH engines (the oracle's
+    CASE ELSE branch) — the shipped fixtures carry no NULLs, so this pins
+    the divergence a bare boolean split predicate would introduce."""
+    import shutil
+
+    import duckdb as _duck
+
+    from nsq2kinesis_spark.registry import all_queries
+
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf}/{name}.parquet")
+    con = _duck.connect()
+    # the NULL user is exposed but never converts: it must appear in
+    # variant B's denominator (oracle CASE ELSE) in both engines, and its
+    # non-conversion keeps the guard row alive (at sf0.001 every real user
+    # converts, which would otherwise filter the single output row)
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/events.parquet'
+          UNION ALL
+          SELECT 999001, TIMESTAMP '2024-01-01 00:00:00', NULL, 'view', 1.0, '{{}}'
+        ) TO '{sf}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    q = all_queries()["q121_ab_test"]
+    sdf = q.builder(spark, sf)
+    srow = {c: str(v) for c, v in sdf.collect()[0].asDict().items()}
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    res = con.execute(q.oracle)
+    cols = [d[0] for d in res.description]
+    drow = {c: str(v) for c, v in zip(cols, res.fetchone())}
+    assert srow == drow
