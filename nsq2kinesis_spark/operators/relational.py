@@ -387,3 +387,111 @@ def q95_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim_day.alias("dim_day"),
         zorder_key(dim_user, dim_day).cast("long").alias("zkey"),
     )
+
+
+# -- q123: data-quality rule report -------------------------------------------
+
+
+@query(
+    "q123_dq_report",
+    oracle="""
+    SELECT 'orders_nonneg_total' AS rule,
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_checked
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST(COUNT(*) AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'events_user_not_null',
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents_nonempty_text',
+           CAST(SUM(CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'part_pk_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT p_partkey) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM part
+    UNION ALL
+    SELECT 'lineitem_qty_in_range',
+           CAST(SUM(CASE WHEN l_quantity <= 0 OR l_quantity > 100 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    """,
+    tags=("relational", "quality", "validation"),
+)
+def q123_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report (the Deequ/Great-Expectations
+    pattern): a battery of table constraints — non-negativity, referential
+    integrity, null checks, emptiness, key uniqueness, range bounds — each
+    evaluated as a scan + aggregate and unioned into one (rule,
+    n_violations, n_checked) result. Every rule is a map-side-combinable
+    count, the FK rule is a keyed anti join (AQE-splittable), and the
+    branches are independent scans Spark schedules concurrently — the
+    shape a 100 TB nightly validation job wants (one pass per table,
+    no row-level materialization of violations; a triage variant would
+    add a per-rule violation sample via WindowGroupLimit)."""
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    events = t(spark, sf_dir, "events")
+    documents = t(spark, sf_dir, "documents")
+    part = t(spark, sf_dir, "part")
+
+    def rule(name: str, df: DataFrame, violation) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.sum(F.when(violation, 1).otherwise(0)).cast("long").alias(
+                "n_violations"
+            ),
+            F.count("*").cast("long").alias("n_checked"),
+        )
+
+    n_li = lineitem.agg(F.count("*").cast("long").alias("n_checked"))
+    fk = (
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("n_violations"))
+        .select(F.lit("lineitem_fk_orders").alias("rule"), "n_violations")
+        .crossJoin(F.broadcast(n_li))
+    )
+    pk = part.agg(
+        F.lit("part_pk_unique").alias("rule"),
+        (F.count("*") - F.countDistinct("p_partkey")).cast("long").alias(
+            "n_violations"
+        ),
+        F.count("*").cast("long").alias("n_checked"),
+    )
+    return (
+        rule("orders_nonneg_total", orders, F.col("o_totalprice") < 0)
+        .unionByName(fk)
+        .unionByName(rule("events_user_not_null", events, F.col("user_id").isNull()))
+        .unionByName(
+            rule(
+                "documents_nonempty_text",
+                documents,
+                F.col("text").isNull() | (F.length("text") == 0),
+            )
+        )
+        .unionByName(pk)
+        .unionByName(
+            rule(
+                "lineitem_qty_in_range",
+                lineitem,
+                (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 100),
+            )
+        )
+    )

@@ -74,7 +74,7 @@ def load_all_modules() -> None:
 
 # Explicit verification priority: the order external correctness harnesses
 # iterate ``queries()``. Some harnesses budget a fixed prefix (the driver
-# checks the first 50 of these 107), so this list is a documented rotation
+# checks the first 50 of these 108), so this list is a documented rotation
 # schedule, not engine semantics:
 #
 #   1. least-recently-verified queries first — the 24 queries whose last
@@ -107,7 +107,7 @@ def load_all_modules() -> None:
 # ROUND-5 ROTATION PLAN (write this order at the start of r5): the tail
 # blocks below carry round-3 rows only, so by r5 they are two rounds stale
 # and MUST lead — q20–q29, q40–q46, q80/q81, q28/q63/q66, q01–q17,
-# q83/q85/q87/q88/q89 (43 queries). The post-prefix additions q110–q122
+# q83/q85/q87/q88/q89 (43 queries). The post-prefix additions q110–q123
 # (local-parity evidence only in r4) take the remaining prefix slots in
 # their current order — 43 + the first 7 of them fill the 50; the rest (and
 # q82, if its new oracle row doesn't land in r4) lead the post-prefix
@@ -195,6 +195,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q120_volume_gini",
     "q121_ab_test",
     "q122_copurchase",
+    "q123_dq_report",
     # -- tail: fresh round-3 rows, code untouched in round 4 --
     "q20_join_inner_broadcast",
     "q21_join_shuffle_3way",

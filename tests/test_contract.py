@@ -49,7 +49,7 @@ def test_verify_order_is_the_registry_iteration_order():
     )
     got_head = [n.split("_")[0] for n in names[: len(stale_r2)]]
     assert sorted(got_head) == sorted(stale_r2), got_head
-    assert len(names) == 107
+    assert len(names) == 108
     # Queries whose code (or loader path) changed EARLY in round 4 also sit
     # inside the driver's 50-entry budget for fresh rows. Exception, by
     # design: q110-q114 were added late in round 4 after the 24 mandatory
@@ -86,7 +86,7 @@ def test_verify_order_is_the_registry_iteration_order():
     ):
         assert changed in names[:50], changed
     # the late additions lead the post-prefix region (first in line for r5)
-    assert names[50:63] == [
+    assert names[50:64] == [
         "q110_pii_redaction",
         "q111_chunk_dedup",
         "q112_cooccurrence_lift",
@@ -100,6 +100,7 @@ def test_verify_order_is_the_registry_iteration_order():
         "q120_volume_gini",
         "q121_ab_test",
         "q122_copurchase",
+        "q123_dq_report",
     ]
 
 
