@@ -75,81 +75,138 @@ def load_all_modules() -> None:
 # Explicit verification priority: the order external correctness harnesses
 # iterate ``queries()``. Some harnesses budget a fixed prefix (the driver
 # checks the first 50 of these 108), so this list is a documented rotation
-# schedule, not engine semantics:
+# schedule, not engine semantics. Rotation rule: no query may go two
+# consecutive rounds without a fresh driver row — promote anything whose
+# last fresh row is two rounds old into the head, demote the
+# freshest-verified untouched modules to the tail.
 #
-#   1. least-recently-verified queries first — the 24 queries whose last
-#      fresh oracle row is from round 2 (q18/q19, q30-q35, q50-q54,
-#      q61/q62/q64/q65, q70-q74, q76, q79) lead the round-4 order;
-#   2. then queries whose implementation changed this round — q86 (shard
-#      count parameterized), events-table consumers (the loader now casts
-#      TIMESTAMP_NTZ ts -> TIMESTAMP: q60; q28/q63/q66 cede their slots —
-#      the cast path is re-proven by the 10+ other events consumers in
-#      the prefix and their own code is untouched since their fresh r3
-#      rows), q84 (llm_text.py round-4 edits), and q75/q77/q78 (pair
-#      machinery + packed-lane SimHash votes) — plus the twenty NEW round-4
-#      queries needing first oracle rows (q90 kmeans, q91 frame sample,
-#      q92/q93 media feature/resize, q94 binned range join, q95 z-order,
-#      q96 Misra-Gries, q97 corpus build, q98 SRP-LSH, q99 source cap,
-#      q100 tf-idf, q101 funnel, q102 incremental dedup, q103 islands,
-#      q104 rolling active users, q105 scalar subquery, q106 behavioral
-#      similarity, q107 event paths, q108 daily value bands, q109 retention cohorts);
-#   3. then the rest of the prefix (relational/aggregate core); the tail
-#      holds the freshest-verified untouched blocks (joins and scalars
-#      fresh-green in round 3, the round-3 llm-pipeline additions,
-#      similarity, and the aggregates displaced by the new queries).
+# ROUND-5 ORDER (this round):
+#   1. the 44 queries whose last fresh driver row is from round 3 — by the
+#      rotation rule they MUST lead: the join suite q20-q29, the scalar
+#      batteries q40-q46, the vector trio q80-q82 (q82's r4-upgraded value
+#      oracle gets its first driver row here), the remaining streaming
+#      twins q63/q66, the relational/aggregate core q01-q17, and the
+#      r3 llm-pipeline block q83/q85/q87-q89;
+#   2. six of the fourteen late-round-4 additions that have only local
+#      parity evidence (never a driver row): q115 and q118 first because
+#      their code changes THIS round (q118's pigeonhole blocking fix,
+#      q115's hash-threshold variant), then q110-q113 in number order;
+#   3. ---- 50-query prefix boundary ----
+#   4. immediately past the boundary: q106 (code changes this round — the
+#      hot-day fanout bound — so its fresh r4 row predates the change;
+#      local parity re-proves it), then the eight remaining never-driver-
+#      checked late additions (q114, q116, q117, q119-q123) and any new
+#      round-5 queries, all first in line for the r6 prefix;
+#   5. tail: everything with a fresh round-4 row and untouched code.
 #
-# Rotation rule for future rounds: no query may go two consecutive rounds
-# without a fresh row — promote anything whose last fresh row is two rounds
-# old into the head, demote the freshest-verified untouched modules to the
-# tail. tests/test_contract.py asserts this list is a permutation of the
-# registry and that the stale-rotation prefix holds.
-#
-# ROUND-5 ROTATION PLAN (write this order at the start of r5): the tail
-# blocks below carry round-3 rows only, so by r5 they are two rounds stale
-# and MUST lead — q20–q29, q40–q46, q80/q81, q28/q63/q66, q01–q17,
-# q83/q85/q87/q88/q89 (43 queries). The post-prefix additions q110–q123
-# (local-parity evidence only in r4) take the remaining prefix slots in
-# their current order — 43 + the first 7 of them fill the 50; the rest (and
-# q82, if its new oracle row doesn't land in r4) lead the post-prefix
-# region. Everything r4-fresh (the 24 r2-stale rotations + q90–q109 + the
-# dedup family) demotes to the tail.
+# ROUND-6 ROTATION PLAN (write this order at the start of r6): the r6
+# prefix must take (a) the post-boundary head below — q106 + q114/q116/
+# q117/q119-q123 + all new r5 queries — for first/re-verification, and
+# (b) everything in today's tail whose only fresh row is r4 would become
+# two rounds stale by r7, so the r4-heavy tail blocks (q18/q19, q30-q35,
+# q50-q54, q61/q62/q64/q65, q70-q74/q79, q76, q60/q84/q86, q90-q105/
+# q107-q109, q75/q77/q78) fill the remaining slots, least-recently-listed
+# first; today's 50-prefix (fresh r5 rows) demotes to the tail.
 VERIFY_ORDER: tuple[str, ...] = (
-    # -- stale since round 2: aggregates --
+    # -- stale since round 3: join suite --
+    "q20_join_inner_broadcast",
+    "q21_join_shuffle_3way",
+    "q22_join_left_outer",
+    "q23_join_right_outer",
+    "q24_join_full_outer",
+    "q25_join_semi",
+    "q26_join_anti",
+    "q27_join_theta",
+    "q28_join_asof",
+    "q29_exists_subquery",
+    # -- stale since round 3: scalar batteries --
+    "q40_string_battery",
+    "q41_date_battery",
+    "q42_math_battery",
+    "q43_conditional_battery",
+    "q44_json_battery",
+    "q45_array_battery",
+    "q46_hash_battery",
+    # -- stale since round 3: vector similarity (q82's upgraded value
+    # -- oracle gets its FIRST driver row here) --
+    "q80_cosine_topk",
+    "q81_cosine_neardup",
+    "q82_ann_ivf",
+    # -- stale since round 3: remaining streaming twins --
+    "q63_session_window",
+    "q66_time_rollup",
+    # -- stale since round 3: relational/aggregate core --
+    "q01_pricing_summary",
+    "q02_project_compute",
+    "q03_filter_battery",
+    "q04_sort_limit",
+    "q05_union_all",
+    "q06_intersect",
+    "q07_except",
+    "q08_distinct",
+    "q09_set_ops_all",
+    "q10_agg_global",
+    "q11_rollup",
+    "q12_cube",
+    "q13_grouping_sets",
+    "q14_collect_pack",
+    "q15_pivot",
+    "q16_approx_distinct",
+    "q17_percentiles",
+    # -- stale since round 3: llm-pipeline block --
+    "q83_decontamination",
+    "q85_train_split",
+    "q87_repetition",
+    "q88_quality_gate",
+    "q89_dedup_components",
+    # -- first driver rows; q115/q118 lead because their code changes in
+    # -- round 5 (hash-threshold variant; pigeonhole blocking fix) --
+    "q115_dataset_mixture",
+    "q118_fuzzy_match",
+    "q110_pii_redaction",
+    "q111_chunk_dedup",
+    "q112_cooccurrence_lift",
+    "q113_length_buckets",
+    # ---- 50-query prefix boundary (driver budget) ----
+    # -- post-boundary head: code changed in round 5 / never driver-checked;
+    # -- leads the r6 prefix per the plan above --
+    "q106_user_similarity",
+    "q114_daily_anomalies",
+    "q116_approx_percentile",
+    "q117_scd2_intervals",
+    "q119_daily_trend",
+    "q120_volume_gini",
+    "q121_ab_test",
+    "q122_copurchase",
+    "q123_dq_report",
+    # -- tail: fresh round-4 rows, code untouched in round 5 --
     "q18_multi_distinct",
     "q19_agg_filter_clause",
-    # -- stale since round 2: windows --
     "q30_window_rank",
     "q31_window_analytic",
     "q32_window_frames",
     "q33_topk_per_group",
     "q34_window_distribution",
     "q35_window_range_frame",
-    # -- stale since round 2: UDF surface --
     "q50_pandas_udf_tokenize",
     "q51_apply_in_pandas_median",
     "q52_udtf_bigrams",
     "q53_python_udf_crc",
     "q54_multimodal_decode",
-    # -- stale since round 2: streaming twins --
     "q61_tumbling_window",
     "q62_sliding_window",
     "q64_oversize_filter",
     "q65_partition_key",
-    # -- stale since round 2: text analysis --
     "q70_text_stats",
     "q71_lang_id",
     "q72_fingerprint",
     "q73_token_count_bpe",
     "q74_multimodal_meta",
     "q79_vocab_topk",
-    # -- stale since round 2: minhash (rows-only; recall gate in tests) --
     "q76_neardup_minhash_lsh",
-    # -- code changed in round 4: q86 shard-count knob; events loader cast
-    # -- (TIMESTAMP_NTZ -> TIMESTAMP) touches every events consumer --
     "q86_sequence_packing",
     "q60_dedup_exact",
     "q84_stratified_sample",
-    # -- new in round 4: first oracle rows --
     "q90_kmeans_train",
     "q91_frame_sample",
     "q92_media_features",
@@ -166,81 +223,12 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q103_gaps_islands",
     "q104_rolling_active_users",
     "q105_scalar_subquery",
-    "q106_user_similarity",
     "q107_event_paths",
     "q108_daily_value_bands",
     "q109_retention_cohorts",
-    # -- remaining prefix: the dedup family whose code changed in round 4
-    # -- (4e8be4a rewrote q75's pair unpacking/join hints; packed-lane
-    # -- votes rewrote q77/q78). The whole relational core q01-q17
-    # -- (fresh-green in round 3, untouched) sits in the tail. --
     "q75_neardup_jaccard",
     "q77_simhash",
     "q78_simhash_pairs",
-    # ---- 50-query prefix boundary (driver budget) ----
-    # -- added late in round 4, after the 50-entry prefix was already fully
-    # -- claimed by the mandatory r2-stale rotation + the earlier r4 work;
-    # -- they sit first past the boundary so they lead the r5 prefix, and
-    # -- tests/test_oracle_parity.py proves them locally this round --
-    "q110_pii_redaction",
-    "q111_chunk_dedup",
-    "q112_cooccurrence_lift",
-    "q113_length_buckets",
-    "q114_daily_anomalies",
-    "q115_dataset_mixture",
-    "q116_approx_percentile",
-    "q117_scd2_intervals",
-    "q118_fuzzy_match",
-    "q119_daily_trend",
-    "q120_volume_gini",
-    "q121_ab_test",
-    "q122_copurchase",
-    "q123_dq_report",
-    # -- tail: fresh round-3 rows, code untouched in round 4 --
-    "q20_join_inner_broadcast",
-    "q21_join_shuffle_3way",
-    "q22_join_left_outer",
-    "q23_join_right_outer",
-    "q24_join_full_outer",
-    "q25_join_semi",
-    "q26_join_anti",
-    "q27_join_theta",
-    "q29_exists_subquery",
-    "q40_string_battery",
-    "q41_date_battery",
-    "q42_math_battery",
-    "q43_conditional_battery",
-    "q44_json_battery",
-    "q45_array_battery",
-    "q46_hash_battery",
-    "q80_cosine_topk",
-    "q81_cosine_neardup",
-    "q82_ann_ivf",
-    "q28_join_asof",
-    "q63_session_window",
-    "q66_time_rollup",
-    "q04_sort_limit",
-    "q01_pricing_summary",
-    "q02_project_compute",
-    "q03_filter_battery",
-    "q05_union_all",
-    "q06_intersect",
-    "q07_except",
-    "q08_distinct",
-    "q10_agg_global",
-    "q09_set_ops_all",
-    "q11_rollup",
-    "q12_cube",
-    "q13_grouping_sets",
-    "q14_collect_pack",
-    "q15_pivot",
-    "q16_approx_distinct",
-    "q17_percentiles",
-    "q83_decontamination",
-    "q85_train_split",
-    "q87_repetition",
-    "q88_quality_gate",
-    "q89_dedup_components",
 )
 
 

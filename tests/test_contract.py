@@ -31,71 +31,48 @@ def test_contract_shapes():
 def test_verify_order_is_the_registry_iteration_order():
     """VERIFY_ORDER is the single source of truth for the order external
     harnesses iterate queries(): it must be a permutation of the registry,
-    and the round-4 rotation must hold — the 24 queries whose last fresh
-    correctness row is from round 2 lead, so a harness that budgets a
-    50-query prefix re-verifies them before anything fresher."""
+    and the round-5 rotation must hold — the 44 queries whose last fresh
+    driver row is from round 3 lead (the rotation rule forbids two
+    consecutive rounds without a fresh row), followed by six of the
+    never-driver-checked late-r4 additions, so a harness that budgets a
+    50-query prefix re-verifies exactly the stalest evidence first."""
     from nsq2kinesis_spark.registry import VERIFY_ORDER, all_queries
 
     names = list(all_queries())
     assert names == list(VERIFY_ORDER), "queries() must iterate in VERIFY_ORDER"
     assert len(set(VERIFY_ORDER)) == len(VERIFY_ORDER), "duplicates in VERIFY_ORDER"
-    stale_r2 = (
-        ["q18", "q19"]
-        + [f"q{n}" for n in range(30, 36)]
-        + [f"q{n}" for n in range(50, 55)]
-        + ["q61", "q62", "q64", "q65"]
-        + [f"q{n}" for n in range(70, 75)]
-        + ["q76", "q79"]
+    stale_r3 = (
+        [f"q{n:02d}" for n in range(1, 18)]
+        + [f"q{n}" for n in range(20, 30)]
+        + [f"q{n}" for n in range(40, 47)]
+        + ["q80", "q81", "q82"]
+        + ["q63", "q66"]
+        + ["q83", "q85", "q87", "q88", "q89"]
     )
-    got_head = [n.split("_")[0] for n in names[: len(stale_r2)]]
-    assert sorted(got_head) == sorted(stale_r2), got_head
+    assert len(stale_r3) == 44
+    got_head = [n.split("_")[0] for n in names[: len(stale_r3)]]
+    assert sorted(got_head) == sorted(stale_r3), got_head
     assert len(names) == 108
-    # Queries whose code (or loader path) changed EARLY in round 4 also sit
-    # inside the driver's 50-entry budget for fresh rows. Exception, by
-    # design: q110-q114 were added late in round 4 after the 24 mandatory
-    # r2-stale rotations + this list had consumed the whole prefix; they sit
-    # immediately past the boundary (asserted below) so they lead the r5
-    # prefix, with tests/test_oracle_parity.py as their round-4 evidence.
-    for changed in (
-        "q90_kmeans_train",  # new in round 4
-        "q91_frame_sample",
-        "q92_media_features",
-        "q93_media_resize",
-        "q94_range_join_binned",
-        "q95_zorder_key",
-        "q96_heavy_hitters_mg",
-        "q97_corpus_build",
-        "q98_srp_lsh_pairs",
-        "q99_source_cap",
-        "q100_tfidf_topterms",
-        "q101_event_funnel",
-        "q102_incremental_dedup",
-        "q103_gaps_islands",
-        "q104_rolling_active_users",
-        "q105_scalar_subquery",
-        "q106_user_similarity",
-        "q107_event_paths",
-        "q108_daily_value_bands",
-        "q109_retention_cohorts",
-        "q75_neardup_jaccard",  # pair unpacking/join-hint rewrite (4e8be4a)
-        "q77_simhash",  # packed-lane vote rewrite
-        "q78_simhash_pairs",
-        "q86_sequence_packing",  # shard-count knob
-        "q60_dedup_exact",  # events loader NTZ cast
-        "q84_stratified_sample",
-    ):
-        assert changed in names[:50], changed
-    # the late additions lead the post-prefix region (first in line for r5)
-    assert names[50:64] == [
+    # The six remaining prefix slots go to late-r4 additions that have never
+    # had a driver row; q115/q118 lead because their code changed in round 5
+    # (hash-threshold mixture variant; pigeonhole blocking fix), so their
+    # fresh rows verify the NEW code.
+    assert names[44:50] == [
+        "q115_dataset_mixture",
+        "q118_fuzzy_match",
         "q110_pii_redaction",
         "q111_chunk_dedup",
         "q112_cooccurrence_lift",
         "q113_length_buckets",
+    ]
+    # Post-prefix head: q106 (round-5 fanout-bound change; its fresh r4 row
+    # predates the change, local parity re-proves it) + the eight remaining
+    # never-driver-checked additions — first in line for the r6 prefix.
+    assert names[50:59] == [
+        "q106_user_similarity",
         "q114_daily_anomalies",
-        "q115_dataset_mixture",
         "q116_approx_percentile",
         "q117_scd2_intervals",
-        "q118_fuzzy_match",
         "q119_daily_trend",
         "q120_volume_gini",
         "q121_ab_test",
