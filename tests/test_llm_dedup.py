@@ -6,6 +6,8 @@ probabilistic results.
 
 from __future__ import annotations
 
+import pytest
+
 from nsq2kinesis_spark.registry import all_queries
 
 from .conftest import SF_CORRECTNESS
@@ -257,3 +259,57 @@ def test_pii_redaction_leaves_no_pii_behind(spark):
         F.sum("n_emails").alias("e"), F.sum("n_ips").alias("i"), F.sum("n_longnums").alias("n")
     ).collect()[0]
     assert tot["e"] > 0 and tot["i"] > 0 and tot["n"] > 0
+
+
+def _q118_unblocked_pairs(spark, sf_dir):
+    """Ground truth for q118: the O(n^2) cross join the blocking exists to
+    avoid — every (a < b) customer pair within Levenshtein distance 1."""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.tables import table
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = c.select(
+        F.col("c_custkey").alias("custkey_a"), F.col("c_name").alias("name_a")
+    )
+    b = c.select(
+        F.col("c_custkey").alias("custkey_b"), F.col("c_name").alias("name_b")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .filter(F.levenshtein(F.col("name_a"), F.col("name_b")) <= 1)
+        .select("custkey_a", "custkey_b")
+    )
+
+
+def _assert_q118_lossless(spark, sf_dir):
+    got = {
+        (r.custkey_a, r.custkey_b)
+        for r in QUERIES["q118_fuzzy_match"].builder(spark, sf_dir).collect()
+    }
+    truth = {
+        (r.custkey_a, r.custkey_b)
+        for r in _q118_unblocked_pairs(spark, sf_dir).collect()
+    }
+    missed = truth - got
+    extra = got - truth
+    assert truth, "ground truth empty — test data regressed"
+    assert not missed, f"blocking lost {len(missed)}/{len(truth)} true pairs"
+    assert not extra, f"blocking invented {len(extra)} pairs"
+
+
+def test_q118_blocking_is_lossless(spark):
+    """The round-4 prefix block missed 31% of true distance-1 pairs; the
+    symmetric-delete replacement must find EXACTLY the unblocked join's
+    pairs (the q94 losslessness standard)."""
+    from .conftest import SF_SMOKE
+
+    _assert_q118_lossless(spark, SF_SMOKE)
+
+
+@pytest.mark.slow
+def test_q118_blocking_is_lossless_at_sf001(spark):
+    """Same zero-missed-pairs assertion at sf0.01 — the scale where the
+    old prefix block measurably lost 6,000 of 19,500 true pairs."""
+    _assert_q118_lossless(spark, SF_CORRECTNESS)
