@@ -557,6 +557,73 @@ def q98_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- q106: behavioral (time-series) similarity search --------------------------
 
 SIM_TOP_K = 3
+# Bucket count for the triangle-salted day self-join: a hot day's quadratic
+# work is split across B*(B+1)/2 join keys, bounding any single task at
+# ~(2*n_day/B)^2 candidates instead of n_day^2.
+Q106_DAY_BUCKETS = 8
+# "widen": norms/dots accumulate in decimal(38,0) — exact to ~1e38, no
+# capacity assumption about the data. "strict": int64 accumulation with a
+# loud raise at the |per-day cents| >= 1e8 envelope (the pre-round-5
+# behavior, for deployments that want overflow to be an error not a wider
+# type). Both modes produce bit-identical sims for in-envelope data (the
+# decimal->double cast is exact below 2^53).
+Q106_ENVELOPE = "widen"
+
+
+def salted_day_dots(uv: DataFrame, widen: bool) -> DataFrame:
+    """The (user, day, cents) inverted-index self-join, salted for hot days.
+
+    Triangle scheme: each row gets bucket g = hash(user) mod B and is
+    replicated to the B unordered bucket-pair keys {(min(g,j), max(g,j))};
+    a pair (u, v) meets under exactly one key once the residual predicate
+    pins (lo, hi) = (min(gu,gv), max(gu,gv)) — so every coincident-day
+    product is counted exactly once (test_q106_salted_dots_exact) while
+    the per-key candidate count drops from n_day^2 to ~(2*n_day/B)^2
+    (test_q106_salting_bounds_hot_day_fanout). Replication is xB on the
+    already day-aggregated index, not on raw events."""
+    B = Q106_DAY_BUCKETS
+    g = F.pmod(F.xxhash64(F.col("user_id")), F.lit(B)).cast("int")
+    uvb = uv.withColumn("g", g).withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
+    )
+    keyed = uvb.select(
+        "user_id",
+        "day",
+        "cents",
+        "g",
+        F.least("g", "j").alias("lo"),
+        F.greatest("g", "j").alias("hi"),
+    )
+    a = keyed.select(
+        F.col("user_id").alias("ua"),
+        "day",
+        F.col("cents").alias("ca"),
+        F.col("g").alias("ga"),
+        "lo",
+        "hi",
+    )
+    b = keyed.select(
+        F.col("user_id").alias("ub"),
+        "day",
+        F.col("cents").alias("cb"),
+        F.col("g").alias("gb"),
+        "lo",
+        "hi",
+    )
+    ca, cb = F.col("ca"), F.col("cb")
+    if widen:
+        ca = ca.cast("decimal(19,0)")
+        cb = cb.cast("decimal(19,0)")
+    return (
+        a.join(b, ["day", "lo", "hi"])
+        .filter(F.col("ua") != F.col("ub"))
+        .filter(
+            (F.least("ga", "gb") == F.col("lo"))
+            & (F.greatest("ga", "gb") == F.col("hi"))
+        )
+        .groupBy("ua", "ub")
+        .agg(F.sum(ca * cb).alias("dot"))
+    )
 
 
 @query(
@@ -600,42 +667,45 @@ def q106_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-day fanout is (users active that day)^2, bounded by the
       activity profile rather than the user count;
     - norms are a per-user aggregate of squared cents;
-    - all sums are exact BIGINT arithmetic, so the only float ops are
+    - all sums are exact integer arithmetic, so the only float ops are
       one sqrt and one division per pair (both correctly-rounded IEEE),
       making the rounded similarity bit-identical across engines. The
-      exactness claim has an explicit capacity envelope: per-day cents
-      are guarded below 10^8 (|value| < $1M/day), which keeps every
-      product <= 10^16 and the int64 norm/dot sums exact for ~920
-      active days per user — beyond that, Spark's non-ANSI int64 would
-      wrap silently while DuckDB promotes to int128, so the guard
-      raises loudly instead (same move as the SimHash vote-overflow
-      guard); widen to decimal(38,0) if a deployment needs more;
-    - top-k per user via the rank-filter idiom (WindowGroupLimit).
-
-    At web scale the day key is replaced by (day, bucket) salting or an
-    SRP signature (q98) to bound hot-day fanout — the join shape stays
-    identical."""
+      default "widen" envelope mode accumulates norms/dots in
+      decimal(38,0) (DuckDB's HUGEINT twin) — exact to ~1e38 with no
+      dollar-magnitude assumption baked into an analytic operator; past
+      1e38 Spark's non-ANSI decimal yields NULL (the pair silently
+      drops) while DuckDB raises — a documented, unreachable-in-practice
+      divergence mode. Q106_ENVELOPE="strict" keeps the round-4
+      behavior: int64 sums guarded by a loud raise at |per-day cents|
+      >= 1e8 (products <= 1e16, exact for ~920 active days/user), for
+      deployments that want overflow to be an error, not a wider type.
+      Both modes are bit-identical in-envelope (decimal->double casts
+      are exact below 2^53) — tests/test_skew.py exercises both;
+    - the day self-join is SALTED (salted_day_dots above): triangle
+      bucket-pair keys bound a hot day's fanout at ~(2*n_day/B)^2 per
+      key instead of n_day^2, closing the one quadratic-straggler risk
+      this operator had at 100x scale. Pure physical change — the
+      oracle is untouched because the result set is provably identical;
+    - top-k per user via the rank-filter idiom (WindowGroupLimit)."""
     e = t(spark, sf_dir, "events")
+    widen = Q106_ENVELOPE != "strict"
     raw_cents = F.sum(F.round(F.col("value") * 100, 0).cast("long"))
-    guarded = F.when(F.abs(raw_cents) < F.lit(100_000_000), raw_cents).otherwise(
-        F.raise_error(
-            F.lit("q106 cents magnitude exceeds the int64-exactness envelope")
-        ).cast("long")
-    )
+    if widen:
+        cents = raw_cents
+    else:
+        cents = F.when(
+            F.abs(raw_cents) < F.lit(100_000_000), raw_cents
+        ).otherwise(
+            F.raise_error(
+                F.lit("q106 cents magnitude exceeds the int64-exactness envelope")
+            ).cast("long")
+        )
     uv = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        guarded.alias("cents")
+        cents.alias("cents")
     )
-    norms = uv.groupBy("user_id").agg(
-        F.sum(F.col("cents") * F.col("cents")).alias("nrm")
-    )
-    a = uv.select(F.col("user_id").alias("ua"), "day", F.col("cents").alias("ca"))
-    b = uv.select(F.col("user_id").alias("ub"), "day", F.col("cents").alias("cb"))
-    dots = (
-        a.join(b, "day")
-        .filter(F.col("ua") != F.col("ub"))
-        .groupBy("ua", "ub")
-        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
-    )
+    nc = F.col("cents").cast("decimal(19,0)") if widen else F.col("cents")
+    norms = uv.groupBy("user_id").agg(F.sum(nc * nc).alias("nrm"))
+    dots = salted_day_dots(uv, widen)
     na = norms.select(F.col("user_id").alias("ua"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("user_id").alias("ub"), F.col("nrm").alias("nb"))
     sims = (

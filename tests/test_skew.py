@@ -37,3 +37,103 @@ def test_salt_spreads_hot_key(spark):
     hot = spark.range(10_000).select(F.lit(1).alias("k"), F.col("id"))
     n_distinct = with_salt(hot, 16).select(SALT_COL).distinct().count()
     assert n_distinct > 8  # the hot key now spans most of the 16 sub-keys
+
+
+def _planted_hot_day(spark, n_users=96):
+    """One hot day shared by every user (the q106 straggler scenario) plus
+    a second quiet day for a handful of them."""
+    rows = [(u, "2024-01-01", (u % 7) + 1) for u in range(n_users)]
+    rows += [(u, "2024-01-02", u + 1) for u in range(5)]
+    return spark.createDataFrame(
+        rows, "user_id long, day string, cents long"
+    ).withColumn("day", F.to_date("day"))
+
+
+def test_q106_salted_dots_exact(spark):
+    """The triangle-salted day self-join must return EXACTLY the plain
+    join's dot products — salting is a physical change only."""
+    from nsq2kinesis_spark.operators.similarity import salted_day_dots
+
+    uv = _planted_hot_day(spark)
+    a = uv.select(F.col("user_id").alias("ua"), "day", F.col("cents").alias("ca"))
+    b = uv.select(F.col("user_id").alias("ub"), "day", F.col("cents").alias("cb"))
+    plain = (
+        a.join(b, "day")
+        .filter(F.col("ua") != F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    for widen in (False, True):
+        got = sorted(
+            (r.ua, r.ub, int(r.dot))
+            for r in salted_day_dots(uv, widen=widen).collect()
+        )
+        assert got == sorted(
+            (r.ua, r.ub, int(r.dot)) for r in plain.collect()
+        ), f"widen={widen}"
+
+
+def test_q106_salting_bounds_hot_day_fanout(spark):
+    """Under a planted hot day (n users all active), no single join key may
+    carry the full n^2 candidate product: the triangle scheme caps each
+    (day, lo, hi) key's A-side rows at ~2n/B, so per-key candidate work is
+    ~(2n/B)^2 << n^2."""
+    from nsq2kinesis_spark.operators.similarity import (
+        Q106_DAY_BUCKETS as B,
+        salted_day_dots,
+    )
+
+    n = 96
+    uv = _planted_hot_day(spark, n_users=n)
+    # reconstruct the exploded key frame exactly as salted_day_dots builds it
+    g = F.pmod(F.xxhash64(F.col("user_id")), F.lit(B)).cast("int")
+    keyed = (
+        uv.withColumn("g", g)
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .select(
+            "day",
+            F.least("g", "j").alias("lo"),
+            F.greatest("g", "j").alias("hi"),
+        )
+    )
+    per_key = keyed.groupBy("day", "lo", "hi").count()
+    worst = max(r["count"] for r in per_key.collect())
+    # per-key side size is bounded by the two buckets meeting there; with a
+    # fair hash that's ~2n/B (allow 2x slack for hash imbalance), so the
+    # worst per-key candidate count is (worst)^2 ≈ (2n/B)^2, far below n^2
+    assert worst <= 4 * n // B, f"hot-day key carries {worst} rows (n={n}, B={B})"
+    # and the salted join still computes every hot-day pair
+    assert salted_day_dots(uv, widen=True).count() == n * (n - 1)
+
+
+def test_q106_envelope_modes(spark, tmp_path, monkeypatch):
+    """Out-of-envelope data (> $1M/day of per-user cents): strict mode must
+    raise loudly; the default widen mode must return the exact decimal
+    result — the documented decimal(38,0) fallback is automatic, not a
+    code edit."""
+    import pytest as _pytest
+
+    from nsq2kinesis_spark.operators import similarity as sim
+
+    # two users, one shared day, each summing to 2e9 cents ($20M) — far past
+    # the strict int64 envelope's 1e8 guard but trivially exact in decimal
+    rows = [
+        (i, "2024-03-0%d 00:00:00" % (1 + i % 2), u, "purchase", 1e7, "{}")
+        for i in range(800)
+        for u in (1, 2)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+
+    build = sim.q106_user_similarity
+    monkeypatch.setattr(sim, "Q106_ENVELOPE", "strict")
+    with _pytest.raises(Exception, match="int64-exactness envelope"):
+        build(spark, sf_dir).collect()
+
+    monkeypatch.setattr(sim, "Q106_ENVELOPE", "widen")
+    out = {(r.user_id, r.other_id): r.sim for r in build(spark, sf_dir).collect()}
+    # identical daily profiles -> cosine exactly 1.0 for both directions
+    assert out == {(1, 2): 1.0, (2, 1): 1.0}
