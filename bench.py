@@ -27,6 +27,16 @@ quiet window, 118-158k under co-tenant load), so when two rounds' anchors
 differ, normalize their query totals by the anchor ratio before calling a
 delta real.
 
+Round-5 note on the dedup family: the r4 regression (q75 +26%, postings
++31% vs r3) was bisected to 4e8be4a's removal of the sizes-join broadcast
+hints; the hint is restored behind a corpus-size guard
+(llm_dedup.SIZES_BROADCAST_MAX_DOCS). Isolated A/B at sf0.1 (same JVM,
+min-of-3): family total 6.59 s unhinted -> 5.4-5.7 s hinted. Numbers
+measured INSIDE the full bench run remain ~15-20% higher across the board
+(postings 1.36 vs 1.06 isolated) — heap/codegen-cache state after the 14
+preceding queries plus tenancy, not plan differences; cross-round
+comparisons should use same-context numbers only.
+
 One declared exception: the df-capped shingle postings are the shared
 input artifact of the near-dup family — a real pipeline materializes them
 once and both the exact (q75) and LSH (q76) passes read the artifact, so
@@ -148,9 +158,15 @@ def forward_path_throughput(spark, n: int = 100_000) -> int:
     transformed = forwarding_transform(df, streaming=False)
     sink = KinesisSink(stream="bench", client_factory=FakeKinesisClient)
     sink(transformed, 0)  # warmup
-    start = time.perf_counter()
-    sink(transformed, 1)
-    return int(n / (time.perf_counter() - start))
+    # best-of-3 like every query timing: the single-shot r4 number moved
+    # -22% while the host anchor moved +12%, i.e. one sample can't separate
+    # a regression from GC/tenancy noise on this shared box
+    best = 0.0
+    for epoch in range(1, 4):
+        start = time.perf_counter()
+        sink(transformed, epoch)
+        best = max(best, n / (time.perf_counter() - start))
+    return int(best)
 
 
 def kpl_pack_throughput(n_records: int = 1000, body_bytes: int = 1000) -> int:
