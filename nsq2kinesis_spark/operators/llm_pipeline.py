@@ -753,3 +753,79 @@ def q115_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(quotas), "source").filter(
         F.col("rk") <= F.col("quota")
     ).select("doc_id", "source", "rk")
+
+
+# 2^60: the md5-prefix hash space both engines can represent exactly in
+# int64 (15 hex chars) — the unit for the q124 keep-threshold.
+_MIX_HASH_SPACE = 1 << 60
+
+
+@query(
+    "q124_dataset_mixture_hash",
+    oracle=f"""
+    WITH w AS (
+      SELECT source,
+             CAST(REGEXP_EXTRACT(source, '[0-9]+') AS BIGINT) % {MIX_WEIGHT_MOD} + 1
+               AS w,
+             CAST(COUNT(*) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT MIN(avail // w) AS t FROM w
+    ), q AS (
+      SELECT source, avail,
+             CAST((CAST(w * (SELECT t FROM t) AS HUGEINT) * {_MIX_HASH_SPACE})
+                  // avail AS BIGINT) AS cutoff
+      FROM w
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN q USING (source)
+    WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) < q.cutoff
+    """,
+    tags=("llm", "pipeline", "mixture", "sampling"),
+)
+def q124_dataset_mixture_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q115's dataset mixture at 100 TB: the hash-threshold draw.
+
+    q115's exact-quota draw ranks every document inside a per-source
+    window — correct, but a giant source serializes its sort on one task.
+    This variant IS the documented at-scale path, executable and fully
+    oracled: scale each source's keep probability quota/avail into the
+    2^60 md5-prefix space (cutoff = floor(quota * 2^60 / avail), exact
+    decimal/HUGEINT integer arithmetic) and keep a document iff
+    hash60(doc_id) < cutoff — a MAP-SIDE filter with no window, no sort,
+    no shuffle on the corpus scan. The achieved counts carry binomial
+    jitter around the quotas (sigma ~ sqrt(quota); asserted within 5
+    sigma by tests/test_sketch_gates.py) but the selected SET is fully
+    deterministic — both engines evaluate the same md5 comparison, so
+    unlike most sampling operators this one still gets an exact value
+    oracle, not a rows-only check.
+
+    Shape: tiny source-keyed agg -> integer cutoff per source ->
+    broadcast-join back -> codegen'd filter. The only shuffle anywhere is
+    the |sources|-row aggregate."""
+    d = t(spark, sf_dir, "documents")
+    w = (
+        F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("long")
+        % MIX_WEIGHT_MOD
+        + 1
+    )
+    counts = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("avail")
+    ).withColumn("w", w)
+    t_units = F.min(F.expr("avail DIV w")).over(Window.partitionBy())
+    cutoffs = counts.select(
+        "source",
+        ((F.col("w") * t_units).cast("decimal(38,0)") * F.lit(_MIX_HASH_SPACE))
+        .alias("_num"),
+        "avail",
+    ).select("source", F.expr("_num DIV avail").alias("cutoff"))
+    hash60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(cutoffs), "source")
+        .filter(hash60 < F.col("cutoff"))
+        .select("doc_id", "source")
+    )

@@ -179,6 +179,8 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q121_ab_test",
     "q122_copurchase",
     "q123_dq_report",
+    # -- new in round 5 --
+    "q124_dataset_mixture_hash",
     # -- tail: fresh round-4 rows, code untouched in round 5 --
     "q18_multi_distinct",
     "q19_agg_filter_clause",

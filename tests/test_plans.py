@@ -791,3 +791,22 @@ def test_q122_basket_pairs_hash_join_topk(spark):
     assert has_broadcast_join(df), plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_q124_hash_mixture_is_map_side(spark):
+    """The at-scale mixture draw must be window-free: the corpus scan
+    feeds a broadcast join + codegen filter, never a per-source sort —
+    that serialization is exactly what this variant replaces in q115."""
+    df = build("q124_dataset_mixture_hash")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    # exactly one Window — the unpartitioned min over the |sources|-row
+    # aggregate inside the broadcast branch, never over the corpus (q115's
+    # per-source rank window is precisely what must NOT appear here)
+    assert plan.count("Window") == 1, plan
+    assert "row_number" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert has_broadcast_join(df, plan), plan
+    # only the |sources|-row quota aggregate shuffles; the corpus-side
+    # scan->join->filter is shuffle-free
+    assert n_shuffles(df) <= 2, plan
+    assert "pythonudf" not in plan.lower(), plan

@@ -104,3 +104,38 @@ def test_q121_null_user_matches_oracle(spark, duck, tmp_path):
     cols = [d[0] for d in res.description]
     drow = {c: str(v) for c, v in zip(cols, res.fetchone())}
     assert srow == drow
+
+
+def test_q124_hash_mixture_quota_jitter_gate(spark):
+    """The hash-threshold draw must land each source's achieved count
+    within 5 binomial sigma of q115's exact quota (sigma^2 =
+    quota*(1-quota/avail)) — the declared tolerance that justifies calling
+    it q115's at-scale variant."""
+    exact = (
+        QUERIES["q115_dataset_mixture"]
+        .builder(spark, SF_CORRECTNESS)
+        .groupBy("source")
+        .agg(F.max("rk").alias("quota"))
+        .collect()
+    )
+    quotas = {r.source: r.quota for r in exact}
+    avail = {
+        r.source: r.n
+        for r in t(spark, SF_CORRECTNESS, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        r.source: r.n
+        for r in QUERIES["q124_dataset_mixture_hash"]
+        .builder(spark, SF_CORRECTNESS)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(quotas)
+    for src, q in quotas.items():
+        p = q / avail[src]
+        sigma = max(1.0, (q * (1 - p)) ** 0.5)
+        assert abs(got[src] - q) <= 5 * sigma, (src, q, got[src], sigma)
