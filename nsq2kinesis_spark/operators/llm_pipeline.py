@@ -722,11 +722,12 @@ def q115_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: source-keyed count agg (tiny) -> one-row min scalar, both
     broadcast back -> per-source hash-rank window -> filter rk <= quota.
     The window partitions by source, so a giant source concentrates on one
-    task; the at-scale variant replaces the exact rank with q84's
-    hash-threshold filter (keep if md5 < quota/avail scaled into hash
-    space — map-side, no window) at the cost of ±binomial jitter around
-    the quota. The exact-rank form is kept here because quotas are part
-    of the declared semantics and the oracle must reproduce them."""
+    task; q124 is that giant-source path, executable: the exact rank is
+    replaced with a hash-threshold filter (keep if md5 < quota/avail
+    scaled into hash space — map-side, no window) at the cost of
+    ±binomial jitter around the quota. The exact-rank form is kept here
+    because quotas are part of the declared semantics and the oracle
+    must reproduce them."""
     d = t(spark, sf_dir, "documents")
     w = (
         F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("long")
