@@ -171,6 +171,18 @@ def make_client_factory(args: argparse.Namespace):
                 "set AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY, or use "
                 "--test for static test credentials, or --spool-dir"
             )
+        # Same eager policy for the region: the credential-scope region is
+        # part of the signature, so a silently-defaulted us-east-1 against
+        # a regional endpoint signs fine locally and 403s opaquely
+        # mid-stream. Outside test mode the region must be explicit.
+        if not test_mode and not (
+            "AWS_REGION" in os.environ or "AWS_DEFAULT_REGION" in os.environ
+        ):
+            raise SystemExit(
+                "no boto3 and no AWS region in the environment; set "
+                "AWS_REGION (it is signed into the SigV4 credential scope), "
+                "or use --test / --spool-dir"
+            )
 
         def http_factory():
             from .streaming.kinesis_http import HttpKinesisClient

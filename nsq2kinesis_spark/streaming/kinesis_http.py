@@ -80,7 +80,15 @@ def sign_request(
     if session_token:
         headers["x-amz-security-token"] = session_token
     signed_headers = ";".join(sorted(headers))
-    canonical_headers = "".join(f"{k}:{headers[k]}\n" for k in sorted(headers))
+    # SigV4 "trimall": strip leading/trailing whitespace and collapse
+    # internal runs to one space. The fixed header set sent today never
+    # carries such whitespace, but any future signed header that does
+    # (some STS session tokens, added x-amz-* headers) would otherwise
+    # sign one string and send another.
+    trimall = lambda v: " ".join(v.split())  # noqa: E731
+    canonical_headers = "".join(
+        f"{k}:{trimall(headers[k])}\n" for k in sorted(headers)
+    )
     canonical_request = "\n".join(
         ["POST", "/", "", canonical_headers, signed_headers, payload_hash]
     )
@@ -136,7 +144,18 @@ class HttpKinesisClient:
         import urllib.request
 
         body = json.dumps(payload).encode("utf-8")
-        host = urllib.parse.urlparse(self.endpoint_url).netloc
+        parsed = urllib.parse.urlparse(self.endpoint_url)
+        if parsed.path not in ("", "/"):
+            # sign_request hard-codes canonical URI "/": an endpoint with a
+            # path component (reverse proxy, http://host/kinesis) would send
+            # to that path while the signature covers "/" — an opaque 403
+            # at request time. Fail eagerly with the actual reason instead.
+            raise ValueError(
+                "endpoint_url must not carry a path component "
+                f"(got {self.endpoint_url!r}); this client signs and posts "
+                "to the root path only"
+            )
+        host = parsed.netloc
         amz_date = datetime.datetime.now(datetime.timezone.utc).strftime(
             "%Y%m%dT%H%M%SZ"
         )

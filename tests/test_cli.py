@@ -200,3 +200,29 @@ def test_cli_end_to_end_sigterm_drain(tmp_path):
             proc.kill()
         log_fh.close()
         nsqd.stop()
+
+
+def test_http_client_path_requires_explicit_region(monkeypatch):
+    """boto3-less + real (non-test) endpoint: a silently-defaulted region
+    signs a wrong credential scope and 403s mid-stream, so the factory must
+    refuse eagerly when no AWS_REGION/AWS_DEFAULT_REGION is set — the same
+    policy as the missing-credentials check."""
+    from nsq2kinesis_spark.__main__ import make_client_factory
+
+    monkeypatch.setitem(sys.modules, "boto3", None)
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKID")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "SECRET")
+    monkeypatch.delenv("AWS_REGION", raising=False)
+    monkeypatch.delenv("AWS_DEFAULT_REGION", raising=False)
+    args = build_arg_parser().parse_args(
+        [
+            "--topic", "t", "--stream", "s", "--checkpoint-dir", "c",
+            "--kinesis-endpoint", "http://127.0.0.1:4567",
+        ]
+    )
+    with pytest.raises(SystemExit, match="region"):
+        make_client_factory(args)
+    # explicit region unblocks it
+    monkeypatch.setenv("AWS_REGION", "eu-west-1")
+    factory = make_client_factory(args)
+    assert factory().region == "eu-west-1"

@@ -259,3 +259,49 @@ def test_session_token_is_carried_and_signed():
     )
     assert headers["X-Amz-Security-Token"] == "tok-123"
     assert "x-amz-security-token" in headers["Authorization"]
+
+
+def test_sigv4_trimall_header_values_match_botocore():
+    """Signed header values carrying leading/trailing/internal whitespace
+    runs (some STS tokens do) must canonicalize per the spec's trimall
+    rule — cross-checked against botocore on a whitespace-heavy token."""
+    botocore_auth = pytest.importorskip("botocore.auth")
+    from botocore.awsrequest import AWSRequest
+    from botocore.credentials import Credentials
+
+    token = "  AQoDYXdzEJr  \t doubled   spaces  "
+    req = AWSRequest(
+        method="POST",
+        url="http://127.0.0.1:4567/",
+        data=b"{}",
+        headers={
+            "Content-Type": "application/x-amz-json-1.1",
+            "X-Amz-Target": "Kinesis_20131202.PutRecords",
+            "X-Amz-Security-Token": token,
+        },
+    )
+    botocore_auth.SigV4Auth(
+        Credentials("AKID", "SECRET"), "kinesis", "us-east-1"
+    ).add_auth(req)
+    ours = sign_request(
+        host="127.0.0.1:4567",
+        target="Kinesis_20131202.PutRecords",
+        body=b"{}",
+        region="us-east-1",
+        access_key="AKID",
+        secret_key="SECRET",
+        amz_date=req.headers["X-Amz-Date"],
+        session_token=token,
+    )
+    assert ours["Authorization"] == req.headers["Authorization"]
+
+
+def test_endpoint_with_path_component_is_rejected_eagerly():
+    """sign_request covers canonical URI "/" only; an endpoint URL with a
+    path (reverse-proxy style) would sign "/" but post elsewhere — an
+    opaque 403. The client must refuse upfront with the actual reason."""
+    from nsq2kinesis_spark.streaming.kinesis_http import HttpKinesisClient
+
+    client = HttpKinesisClient(endpoint_url="http://127.0.0.1:4567/kinesis")
+    with pytest.raises(ValueError, match="path component"):
+        client.create_stream(StreamName="s")
