@@ -137,3 +137,19 @@ def test_q106_envelope_modes(spark, tmp_path, monkeypatch):
     out = {(r.user_id, r.other_id): r.sim for r in build(spark, sf_dir).collect()}
     # identical daily profiles -> cosine exactly 1.0 for both directions
     assert out == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_decimal_moment_overflow_behavior(spark):
+    """Pin the documented q114/q119/q120 boundary semantics: Spark's
+    non-ANSI decimal(38,0) product overflows to NULL (so a > filter drops
+    the row silently) while in-range products stay exact — the behavior
+    the moment-arithmetic docstrings declare for the >1e38 regime DuckDB
+    would instead reject with a HUGEINT error."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal(10**19),), (Decimal(10**9),)], "v decimal(38,0)"
+    ).select((F.col("v") * F.col("v")).alias("sq"))
+    got = {r.sq for r in df.collect()}
+    assert None in got  # 1e38 overflows -> NULL, not an error
+    assert 10**18 in {int(x) for x in got if x is not None}
