@@ -453,14 +453,13 @@ def q114_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     type can exceed 3e9 total events, where sum_n^2 and n*sum_n2 blow
     past BIGINT (2^63) and would raise under ANSI arithmetic — the wide
     lanes stay exact to ~1e38, far beyond any reachable corpus, and cost
-    one 16-byte column per event type. Boundary behavior past ~1e38
-    DIFFERS by engine and is deliberately documented rather than guarded:
-    Spark's non-ANSI decimal overflow yields NULL (the > filter then
-    silently drops the row) while DuckDB's HUGEINT raises — reaching it
-    needs sum_n^2 > 1e38, i.e. >1e19 events of one type, beyond any
-    100 TB corpus by orders of magnitude
+    one 16-byte column per event type. Past ~1e38 BOTH engines fail
+    loudly — DuckDB's HUGEINT raises and Spark raises under ANSI
+    arithmetic, which pin_session_conf pins ON so a hostile session
+    can't flip it to non-ANSI NULL-and-silently-drop semantics
     (tests/test_skew.py::test_decimal_moment_overflow_behavior pins the
-    Spark side of that claim). Shape: day-keyed partial agg ->
+    raise; reaching it needs >1e19 events of one type, beyond any 100 TB
+    corpus by orders of magnitude). Shape: day-keyed partial agg ->
     type-keyed rollup (|event_types| rows, broadcast back) -> map-side
     scoring; no window over the event history, no second scan of the raw
     table."""

@@ -673,9 +673,9 @@ def q106_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
       default "widen" envelope mode accumulates norms/dots in
       decimal(38,0) (DuckDB's HUGEINT twin) — exact to ~1e38 with no
       dollar-magnitude assumption baked into an analytic operator; past
-      1e38 Spark's non-ANSI decimal yields NULL (the pair silently
-      drops) while DuckDB raises — a documented, unreachable-in-practice
-      divergence mode. Q106_ENVELOPE="strict" keeps the round-4
+      1e38 both engines raise (DuckDB HUGEINT overflow; Spark ANSI
+      arithmetic, pinned on by pin_session_conf) — loud, and
+      unreachable in practice. Q106_ENVELOPE="strict" keeps the round-4
       behavior: int64 sums guarded by a loud raise at |per-day cents|
       >= 1e8 (products <= 1e16, exact for ~920 active days/user), for
       deployments that want overflow to be an error, not a wider type.

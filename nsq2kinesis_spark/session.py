@@ -124,6 +124,12 @@ def pin_session_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Pin ANSI arithmetic ON (the Spark 4 default, but a hostile session
+    # could disable it): decimal(38,0) overflow in the wide-lane moment
+    # queries (q114/q119/q120, q106 widen mode) must RAISE like DuckDB's
+    # HUGEINT does — non-ANSI would return NULL and silently drop rows at
+    # the (unreachable) ~1e38 boundary.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     ship_package(spark)
     # events.parquet stores TIMESTAMP(NANOS): Spark has no nanosecond
     # timestamp type, so read as raw int64 nanos and truncate to micros in

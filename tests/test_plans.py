@@ -810,3 +810,53 @@ def test_q124_hash_mixture_is_map_side(spark):
     # scan->join->filter is shuffle-free
     assert n_shuffles(df) <= 2, plan
     assert "pythonudf" not in plan.lower(), plan
+
+
+def test_q119_trend_is_two_stage_agg_no_window(spark):
+    # OLS moments ride two keyed aggs over ONE scan — no per-type window
+    # over the event history, no join, map-side arithmetic at the end
+    df = build("q119_daily_trend")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert n_shuffles(df) <= 2, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_q120_gini_window_partitions_by_type(spark):
+    # the only window ranks day-counts INSIDE an event_type partition
+    # (day-count-sized, bounded); never a global rank/range sort
+    df = build("q120_volume_gini")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert plan.count("Window") == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_q121_ab_test_is_agg_only(spark):
+    # per-user flag agg -> global conditional rollup: no window, no join,
+    # one events scan
+    df = build("q121_ab_test")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_q123_dq_report_scans_and_anti_join_only(spark):
+    # every rule is a scan+agg; the FK rule is the single join and it must
+    # be an ANTI join (never a cartesian/nested-loop existence check);
+    # no window anywhere
+    df = build("q123_dq_report")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Anti" in plan, plan
+    # the one nested-loop allowed is the FK rule attaching its scalar
+    # lineitem count to the 1-row violation aggregate (1-row x 1-row) —
+    # the existence check itself must stay a hash anti join (above)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan

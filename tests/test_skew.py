@@ -140,16 +140,23 @@ def test_q106_envelope_modes(spark, tmp_path, monkeypatch):
 
 
 def test_decimal_moment_overflow_behavior(spark):
-    """Pin the documented q114/q119/q120 boundary semantics: Spark's
-    non-ANSI decimal(38,0) product overflows to NULL (so a > filter drops
-    the row silently) while in-range products stay exact — the behavior
-    the moment-arithmetic docstrings declare for the >1e38 regime DuckDB
-    would instead reject with a HUGEINT error."""
+    """Pin the documented q114/q119/q120/q106 boundary semantics: past
+    ~1e38 the decimal(38,0) wide lanes RAISE (ANSI arithmetic, pinned on
+    by pin_session_conf) — matching DuckDB's HUGEINT error, never a
+    silent non-ANSI NULL that a downstream filter would drop."""
     from decimal import Decimal
 
+    import pytest as _pytest
+
+    from nsq2kinesis_spark.session import pin_session_conf
+
+    pin_session_conf(spark)
     df = spark.createDataFrame(
         [(Decimal(10**19),), (Decimal(10**9),)], "v decimal(38,0)"
     ).select((F.col("v") * F.col("v")).alias("sq"))
-    got = {r.sq for r in df.collect()}
-    assert None in got  # 1e38 overflows -> NULL, not an error
-    assert 10**18 in {int(x) for x in got if x is not None}
+    with _pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        df.collect()
+    ok = spark.createDataFrame(
+        [(Decimal(10**9),)], "v decimal(38,0)"
+    ).select((F.col("v") * F.col("v")).alias("sq"))
+    assert [int(r.sq) for r in ok.collect()] == [10**18]
