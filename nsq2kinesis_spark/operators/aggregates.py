@@ -713,3 +713,63 @@ def q121_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate_b.alias("rate_b"),
         z.alias("z"),
     )
+
+
+# -- q125: per-user behavioral diversity (Gini-Simpson) ------------------------
+
+DIVERSITY_MIN_EVENTS = 3
+
+
+@query(
+    "q125_user_diversity",
+    oracle=f"""
+    WITH tc AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(n) * SUM(n) - SUM(n * n) AS DOUBLE)
+             / CAST(SUM(n) * SUM(n) AS DOUBLE) AS diversity
+    FROM tc GROUP BY user_id
+    HAVING SUM(n) >= {DIVERSITY_MIN_EVENTS}
+    """,
+    tags=("agg", "diversity", "events"),
+)
+def q125_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity as the Gini-Simpson index
+    1 - sum(p_i^2) = (N^2 - sum(n_i^2)) / N^2 over the user's event-type
+    mix — the bot/spam signal a training-data pipeline computes per author
+    (a "user" who only ever fires one event type is a degenerate source;
+    diversity 0). Shannon entropy is the textbook choice but needs log(),
+    whose libm rounding is engine-specific — Gini-Simpson measures the
+    same concentration as an EXACT rational: integer counts, one
+    correctly-rounded division, bit-identical across engines (the same
+    no-transcendentals discipline as q100's ratio-idf and q112's lift).
+
+    Shape: (user, type)-keyed partial agg -> user-keyed rollup of the
+    sum/sum-of-squares moments -> map-side arithmetic. Two bounded
+    shuffles, no window, no join; per-user state is |event_types|
+    rows — O(5) here, O(vocabulary) at worst."""
+    e = t(spark, sf_dir, "events")
+    tc = e.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    agg = tc.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_n2"),
+    )
+    nn = F.col("n_events") * F.col("n_events")
+    return (
+        agg.filter(F.col("n_events") >= DIVERSITY_MIN_EVENTS)
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            ((nn - F.col("sum_n2")).cast("double") / nn.cast("double")).alias(
+                "diversity"
+            ),
+        )
+    )

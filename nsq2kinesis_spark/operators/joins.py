@@ -621,3 +621,71 @@ def q122_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(BASKET_TOP_K)
     )
+
+
+# -- q127: audience-overlap Jaccard between event types ------------------------
+
+
+@query(
+    "q127_audience_overlap",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY event_type
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    """,
+    tags=("join", "overlap", "events"),
+)
+def q127_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: Jaccard of the
+    distinct-user sets of every type pair — the audience-similarity
+    matrix (q75's set-overlap pattern applied to behavioral segments
+    instead of shingles). Counts are exact integers; the one division is
+    correctly rounded, so jaccard is bit-identical across engines.
+
+    Scale shape: the quadratic is over EVENT TYPES, not users — the
+    distinct (user, type) projection joins itself on user_id, so per-user
+    fanout is (#types that user touches)^2, bounded by the type
+    vocabulary squared regardless of user count; the |types|-row size
+    table attaches by broadcast. One user-keyed shuffle for the distinct,
+    one for the self-join's pair agg."""
+    e = t(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

@@ -495,3 +495,72 @@ def q123_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# -- q126: CDC changelog compaction (upsert/delete apply) ----------------------
+
+CDC_DELETE_BELOW = 1.0  # rows with value < $1 are treated as tombstones
+
+
+@query(
+    "q126_cdc_apply",
+    oracle=f"""
+    WITH log AS (
+      SELECT user_id, event_type, ts, event_id,
+             {duck_cents("value")} AS cents,
+             CASE WHEN value < {CDC_DELETE_BELOW} THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id, event_type) AS BIGINT)
+               AS n_versions
+      FROM log
+    )
+    SELECT user_id, event_type, cents AS last_cents, ts AS last_ts, n_versions
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    tags=("relational", "cdc", "upsert", "events"),
+)
+def q126_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction — the merge-on-read half of a lakehouse CDC
+    apply: collapse a keyed changelog to its last-write-wins final state,
+    dropping keys whose latest entry is a delete tombstone. The changelog
+    here is the events stream keyed by (user_id, event_type), versioned
+    by (ts, event_id) — a TOTAL order, so ties can't make the winner
+    engine-dependent — with rows under ${CDC_DELETE_BELOW} acting as
+    tombstones (a deterministic op column derived from the data).
+
+    The 100 TB shape is the point: last-write-wins is computed as ONE
+    max_by aggregate over a lexicographic (ts, event_id) struct — a
+    map-side-combinable hash aggregate that partial-merges inside the
+    scan, AQE-splittable on skewed keys — deliberately NOT the window
+    rn=1 idiom (which shuffles every version of every hot key to one
+    task before discarding all but one row; same argument as q111's
+    min-struct keeper). The oracle states the same semantics in the
+    window form DuckDB optimizes fine at oracle scale. Tombstoned keys
+    keep costing their aggregate row until filtered — exactly how
+    Hudi/Iceberg merge-on-read compaction behaves before a rewrite."""
+    e = t(spark, sf_dir, "events")
+    last = F.max_by(
+        F.struct(
+            cents(F.col("value")).alias("cents"),
+            F.col("ts").alias("ts"),
+            (F.col("value") < CDC_DELETE_BELOW).alias("is_delete"),
+        ),
+        F.struct(F.col("ts"), F.col("event_id")),
+    )
+    out = e.groupBy("user_id", "event_type").agg(
+        last.alias("last"),
+        F.count("*").cast("long").alias("n_versions"),
+    )
+    return (
+        out.filter(~F.col("last.is_delete"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("last.cents").alias("last_cents"),
+            F.col("last.ts").alias("last_ts"),
+            "n_versions",
+        )
+    )

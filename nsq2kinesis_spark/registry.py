@@ -181,6 +181,9 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q123_dq_report",
     # -- new in round 5 --
     "q124_dataset_mixture_hash",
+    "q125_user_diversity",
+    "q126_cdc_apply",
+    "q127_audience_overlap",
     # -- tail: fresh round-4 rows, code untouched in round 5 --
     "q18_multi_distinct",
     "q19_agg_filter_clause",

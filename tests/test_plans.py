@@ -860,3 +860,39 @@ def test_q123_dq_report_scans_and_anti_join_only(spark):
     # the existence check itself must stay a hash anti join (above)
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_q125_diversity_two_aggs_no_window(spark):
+    # Gini-Simpson moments: (user,type) agg -> user rollup, map-side
+    # arithmetic — no window, no join, one scan
+    df = build("q125_user_diversity")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert n_shuffles(df) <= 2, plan
+
+
+def test_q126_cdc_apply_is_one_aggregate_not_window(spark):
+    # last-write-wins MUST be the map-side-combinable max_by aggregate —
+    # a window rn=1 formulation shuffles every version of every hot key
+    # to one task first (the scale trap this operator exists to avoid)
+    df = build("q126_cdc_apply")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "max_by" in plan, plan
+    assert "Join" not in plan, plan
+    assert n_shuffles(df) == 1, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_q127_overlap_joins_on_user_sizes_broadcast(spark):
+    # pair generation is a user-keyed equi self-join (per-user fanout
+    # bounded by |types|^2); the |types|-row size table attaches via
+    # broadcast; never a cartesian product
+    df = build("q127_audience_overlap")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert has_broadcast_join(df, plan), plan
+    assert "Window" not in plan, plan
