@@ -5,6 +5,7 @@ equivalence (SURVEY.md §5 adopted strategy)."""
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 
@@ -337,6 +338,87 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     bv, bb = split(ev)
     expected = sorted((r.view_id, r.buy_id) for r in bv.join(bb, cond).collect())
     assert got == expected and len(expected) > 0
+
+
+@pytest.mark.slow
+@pytest.mark.timeout(180)
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream join — the semantically hard variant: an
+    unmatched left row may only be emitted (null-padded) once the
+    watermark proves no matching right row can still arrive, so the
+    result needs TWO micro-batch passes (matches in the first, outer
+    nulls after the watermark advances past the join window). Feeding the
+    files in two batches with a far-future heartbeat row in the second
+    advances the watermark deterministically; the final result must equal
+    the batch LEFT join minus the heartbeat."""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    src_dir = tmp_path / "ev_louter_stream"
+    os.makedirs(src_dir)
+    ev.write.parquet(str(src_dir / "b0"))
+    # heartbeat: one far-future view advancing the watermark past every
+    # real event's join window
+    hb_ts = ev.agg(F.max("ts")).collect()[0][0]
+    spark.createDataFrame(
+        [(10**9, hb_ts, 10**9, "view", 0.0, "{}")],
+        ev.schema,
+    ).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 30 DAYS")
+    ).write.parquet(str(src_dir / "b1"))
+
+    def split(df):
+        views = df.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        return views, buys
+
+    cond = (
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir / "b*"))
+    )
+    sv, sb = split(stream)
+    joined = sv.withWatermark("v_ts", "1 minute").join(
+        sb.withWatermark("b_ts", "1 minute"), cond, "left_outer"
+    )
+    name = f"sslo_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(150)
+    got = sorted(
+        (r.view_id, r.buy_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r.view_id != 10**9  # drop the heartbeat row itself
+    )
+    bv, bb = split(ev)
+    expected = sorted(
+        (r.view_id, r.buy_id)
+        for r in bv.join(bb, cond, "left_outer").collect()
+    )
+    assert got == expected and len(expected) > 0
+    # the outer semantics actually fired: some views have no purchase
+    assert any(b is None for _, b in got)
 
 
 # --- partitioned sink mode (reference partitioned.go stub, implemented) -----
