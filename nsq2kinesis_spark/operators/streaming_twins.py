@@ -353,3 +353,63 @@ def q109_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r1").cast("long").alias("retained_d1"),
         F.sum("r7").cast("long").alias("retained_d7"),
     )
+
+
+# -- q128: calendar gap fill ---------------------------------------------------
+
+
+@query(
+    "q128_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), bounds AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+      GROUP BY event_type
+    ), cal AS (
+      SELECT event_type, CAST(u.g AS DATE) AS day
+      FROM bounds, UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS u(g)
+    )
+    SELECT c.event_type, c.day,
+           COALESCE(d.n, 0) AS n,
+           CAST(d.n IS NULL AS INTEGER) AS is_filled
+    FROM cal c LEFT JOIN daily d
+      ON c.event_type = d.event_type AND c.day = d.day
+    """,
+    tags=("timeseries", "gapfill", "events"),
+)
+def q128_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap fill: densify each event type's daily series over its
+    own [min_day, max_day] span, zero-filling absent days — the step every
+    downstream time-series op (q114's z-scores, q119's OLS trend, q120's
+    Gini) silently assumes and dashboards require (a missing day IS a
+    zero-volume observation; aggregating only observed days biases every
+    statistic upward).
+
+    Shape: the dense calendar is generated FROM THE AGGREGATE, never the
+    raw table — day-keyed partial agg (|types|x|days| rows), per-type
+    min/max bounds (|types| rows), sequence-explode of the span, then a
+    left join back to the daily counts. Everything after the first agg is
+    dimension-sized regardless of event volume; at 100 TB the explode
+    emits |types| x |span_days| rows — thousands, not billions."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    return (
+        cal.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.col("n").isNull().cast("int").alias("is_filled"),
+        )
+    )

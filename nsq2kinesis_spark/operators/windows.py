@@ -546,3 +546,52 @@ def q120_volume_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total") > 0)
     )
+
+
+# -- q129: cumulative-distinct growth curve ------------------------------------
+
+
+@query(
+    "q129_growth_curve",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+    ), daily_new AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_day GROUP BY day
+    )
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily_new
+    """,
+    tags=("window", "growth", "distinct", "events"),
+)
+def q129_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time — the product growth curve:
+    for every day, how many distinct users have EVER been seen up to and
+    including it.
+
+    The naive formulation (COUNT(DISTINCT user) OVER (ORDER BY day)) is
+    unsupported by Spark and unboundedly stateful anywhere: the window
+    would carry every user id ever seen. The exact decomposition: a
+    cumulative distinct count only grows when a user appears for the
+    FIRST time, so reduce each user to min(day) (one keyed agg), count
+    first-appearances per day (|days| rows), and run the cumulative sum
+    over that dimension-sized frame. The only window is an unpartitioned
+    ROWS cumsum over |days| rows — thousands at any corpus size — the
+    same aggregate-then-tiny-window shape as q104's rolling actives.
+    ORDER BY day is total (daily_new has one row per day)."""
+    e = t(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily_new = first_day.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.select(
+        "day", "n_new", F.sum("n_new").over(w).cast("long").alias("cum_users")
+    )

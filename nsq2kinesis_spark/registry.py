@@ -184,6 +184,8 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q125_user_diversity",
     "q126_cdc_apply",
     "q127_audience_overlap",
+    "q128_gap_fill",
+    "q129_growth_curve",
     # -- tail: fresh round-4 rows, code untouched in round 5 --
     "q18_multi_distinct",
     "q19_agg_filter_clause",

@@ -896,3 +896,28 @@ def test_q127_overlap_joins_on_user_sizes_broadcast(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert has_broadcast_join(df, plan), plan
     assert "Window" not in plan, plan
+
+
+def test_q128_gap_fill_calendar_from_aggregate(spark):
+    # the dense calendar explodes from the |types|-row bounds aggregate,
+    # never from the raw scan; one events scan feeds both join sides
+    df = build("q128_gap_fill")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("FileScan") <= 2, plan  # daily + bounds branches
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_q129_growth_curve_window_is_days_sized(spark):
+    # cumulative distinct = first-touch agg + cumsum over |days| rows:
+    # the single-partition window input must be the daily_new aggregate,
+    # never the raw events (distinct-over-window is the unbounded-state
+    # trap this decomposition avoids)
+    df = build("q129_growth_curve")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert plan.count("Window") == 1, plan
+    assert plan.count("FileScan") == 1, plan
+    # two keyed aggs (user first-day, per-day count) + the SinglePartition
+    # exchange feeding the tiny cumsum
+    assert n_shuffles(df) <= 3, plan
