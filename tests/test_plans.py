@@ -921,3 +921,38 @@ def test_q129_growth_curve_window_is_days_sized(spark):
     # two keyed aggs (user first-day, per-day count) + the SinglePartition
     # exchange feeding the tiny cumsum
     assert n_shuffles(df) <= 3, plan
+
+
+def test_runtime_bloom_filter_injects_on_fact_fact_join(spark):
+    """100 TB readiness check for Spark's runtime row-level filtering: a
+    selective dimension-side predicate on a fact-fact shuffle join must be
+    convertible into an injected bloom filter on the probe side's scan
+    (semi-join pushdown at runtime) — at cluster scale the default
+    thresholds (10 GB application-side scan) trigger this automatically;
+    locally the thresholds are forced to prove the engine's plans are
+    SHAPED so the optimization can fire (an expression the optimizer
+    can't see through — e.g. a udf-wrapped key — would silently lose
+    it)."""
+    from nsq2kinesis_spark.tables import table
+
+    with _conf_override(
+        spark,
+        {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        li = table(spark, SF_CORRECTNESS, "lineitem")
+        o = table(spark, SF_CORRECTNESS, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = physical_plan(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
