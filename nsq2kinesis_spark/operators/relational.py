@@ -546,7 +546,13 @@ def q126_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             cents(F.col("value")).alias("cents"),
             F.col("ts").alias("ts"),
-            (F.col("value") < CDC_DELETE_BELOW).alias("is_delete"),
+            # NULL value is an UPSERT carrying NULL cents, never a
+            # tombstone — mirrors the oracle's CASE ELSE 'U' (a bare
+            # `value < x` predicate is NULL for NULL input, and ~NULL
+            # would silently drop the key; the q121 NULL-variant lesson)
+            F.coalesce(
+                F.col("value") < F.lit(CDC_DELETE_BELOW), F.lit(False)
+            ).alias("is_delete"),
         ),
         F.struct(F.col("ts"), F.col("event_id")),
     )

@@ -560,7 +560,7 @@ def q120_volume_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_day GROUP BY day
     )
     SELECT day, n_new,
-           CAST(SUM(n_new) OVER (ORDER BY day
+           CAST(SUM(n_new) OVER (ORDER BY day NULLS LAST
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS cum_users
     FROM daily_new
@@ -581,15 +581,20 @@ def q129_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     over that dimension-sized frame. The only window is an unpartitioned
     ROWS cumsum over |days| rows — thousands at any corpus size — the
     same aggregate-then-tiny-window shape as q104's rolling actives.
-    ORDER BY day is total (daily_new has one row per day)."""
+    ORDER BY day is total (daily_new has one row per day), with NULLS
+    LAST pinned explicitly — the engines' opposite NULL-ordering
+    defaults are a parity trap on NULL-timestamp events."""
     e = t(spark, sf_dir, "events")
     first_day = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
     daily_new = first_day.groupBy("day").agg(
         F.count("*").cast("long").alias("n_new")
     )
+    # NULLS LAST pinned on BOTH twins: Spark defaults NULLS FIRST and
+    # DuckDB NULLS LAST, so an unpinned order diverges on any NULL-ts
+    # event (every row's cumsum would differ, not just the NULL row)
     w = (
         Window.partitionBy()
-        .orderBy("day")
+        .orderBy(F.asc_nulls_last("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return daily_new.select(

@@ -139,3 +139,70 @@ def test_q124_hash_mixture_quota_jitter_gate(spark):
         p = q / avail[src]
         sigma = max(1.0, (q * (1 - p)) ** 0.5)
         assert abs(got[src] - q) <= 5 * sigma, (src, q, got[src], sigma)
+
+
+def _null_variant_fixture(tmp_path, extra_rows_sql):
+    """Copy sf0.001 with extra hand-planted event rows (the shipped
+    fixtures carry no NULLs, so NULL-semantics parity needs its own
+    data) — returns (sf_dir, duckdb connection with views)."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/events.parquet'
+          UNION ALL {extra_rows_sql}
+        ) TO '{sf_dir}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    return sf_dir, con
+
+
+def _assert_null_variant_parity(spark, name, sf_dir, con):
+    q = QUERIES[name]
+    srows = sorted(
+        tuple(str(v) for v in r) for r in q.builder(spark, sf_dir).collect()
+    )
+    drows = sorted(
+        tuple(str(v) for v in row) for row in con.execute(q.oracle).fetchall()
+    )
+    assert srows == drows
+
+
+def test_q126_null_value_is_upsert_not_tombstone(spark, tmp_path):
+    """A key whose last-write winner carries NULL value must survive as an
+    upsert with NULL last_cents in BOTH engines (oracle CASE ELSE 'U') —
+    a bare `value < x` predicate is NULL for NULL input and ~NULL would
+    silently drop the key on the Spark side only."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999001, TIMESTAMP '2030-01-01 00:00:00', 888001, "
+        "'purchase', NULL, '{}'",
+    )
+    _assert_null_variant_parity(spark, "q126_cdc_apply", sf_dir, con)
+
+
+def test_q129_null_day_ordering_matches_oracle(spark, tmp_path):
+    """A NULL-ts event creates a NULL first-day row; the cumsum's ORDER BY
+    must place it identically in both engines (NULLS LAST pinned — Spark
+    defaults NULLS FIRST, DuckDB NULLS LAST, and an unpinned order shifts
+    EVERY day's cum_users, not just the NULL row's)."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999002, NULL, 888002, 'view', 1.0, '{}'",
+    )
+    _assert_null_variant_parity(spark, "q129_growth_curve", sf_dir, con)
