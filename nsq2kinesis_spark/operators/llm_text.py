@@ -664,3 +664,83 @@ def q112_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("lift").desc(), "tok_a", "tok_b"
     ).limit(LIFT_TOP_K)
+
+
+# -- q130: overlapping sliding-window chunker (RAG ingestion) ------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@query(
+    "q130_rag_chunker",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS words,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ), nc AS (
+      SELECT doc_id, words, n,
+             CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                  ELSE 1 + (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                           // {CHUNK_STRIDE}
+             END AS n_chunks
+      FROM d
+    )
+    SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+           ARRAY_TO_STRING(words[u.i * {CHUNK_STRIDE} + 1 :
+                                 u.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')
+             AS chunk_text,
+           CAST(LEAST({CHUNK_TOKENS}, n - u.i * {CHUNK_STRIDE}) AS BIGINT)
+             AS n_tokens
+    FROM nc, UNNEST(RANGE(0, n_chunks)) AS u(i)
+    """,
+    tags=("llm", "text", "chunking", "rag"),
+)
+def q130_rag_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunker — the RAG-ingestion primitive:
+    split every document into {CHUNK_TOKENS}-token chunks advancing by
+    {CHUNK_STRIDE} tokens (a {CHUNK_TOKENS}-{CHUNK_STRIDE}-token overlap
+    so no semantic unit is cut without appearing whole in a neighbor).
+    Distinct from q111's disjoint chunks: q111 partitions for DEDUP,
+    this one overlaps for RETRIEVAL, and the two chunkers deliberately
+    share nothing (different budgets, different boundary semantics).
+
+    The chunk count is exact integer arithmetic (1 + ceil((n - chunk) /
+    stride) via the add-and-floor-divide identity, computed identically
+    in both engines), short docs emit exactly one chunk, and the final
+    chunk is allowed to be short (n - i*stride tokens) rather than
+    re-anchored — re-anchoring ("last chunk ends at n") is the other
+    standard convention and would duplicate tail content at a different
+    offset; pick one and state it.
+
+    Scale shape: one narrow scan -> per-row sequence explode (fanout
+    n/stride ≈ 2x the token count in CHARACTERS of extra rows, bounded
+    and predictable) -> slice + join per chunk, all inside whole-stage
+    codegen. Zero shuffles, zero joins, no Python."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    n = F.size("words").cast("long")
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1).cast("long")).otherwise(
+        1
+        + F.floor(
+            (n - CHUNK_TOKENS + CHUNK_STRIDE - 1) / F.lit(CHUNK_STRIDE)
+        ).cast("long")
+    )
+    chunked = d.select(
+        "doc_id",
+        "words",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.slice(F.col("words"), (start + 1).cast("int"), CHUNK_TOKENS), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(CHUNK_TOKENS).cast("long"), F.col("n") - start)
+        .alias("n_tokens"),
+    )

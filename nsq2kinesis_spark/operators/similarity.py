@@ -724,3 +724,68 @@ def q106_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= SIM_TOP_K)
     )
+
+
+# -- q131: hard-negative mining ------------------------------------------------
+
+HARDNEG_K = 3
+
+
+@query(
+    "q131_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe, label AS ql
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), pairs AS (
+      SELECT query_id, e.vec_id, e.label,
+             {duck_cosine_sql("qe", "e.embedding", DIM)} AS sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.label <> ql
+    )
+    SELECT query_id, vec_id, label, sim, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+      FROM pairs
+    ) WHERE rn <= {HARDNEG_K}
+    """,
+    tags=("llm", "similarity", "contrastive"),
+)
+def q131_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (query) vector, the top-{HARDNEG_K} most-similar vectors carrying a
+    DIFFERENT label — the pairs that teach an embedding model the most
+    (easy negatives are already far away; hard ones sit just across the
+    decision boundary). The mirror image of retrieval: q80 ranks
+    same-anything neighbors, this ranks nearest WRONG-label neighbors.
+
+    Shape: q80's broadcast-anchors corpus scan with the label inequality
+    pushed into the join condition (the corpus side is filtered before
+    ranking, not after — at 100 TB that's the difference between ranking
+    N and ranking N*(1-1/|labels|) rows... identical asymptotically, but
+    the filter rides the broadcast join's generated code for free), then
+    the rank-filter top-k (WindowGroupLimit: each task keeps k rows per
+    anchor before the window sort). Rounded cosine + vec_id tiebreak
+    keep the boundary rows engine-independent."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(e, F.col("label") != F.col("ql"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine_rounded(F.col("qe"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= HARDNEG_K)
+        .select("query_id", "vec_id", "label", "sim", "rn")
+    )

@@ -186,6 +186,8 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q127_audience_overlap",
     "q128_gap_fill",
     "q129_growth_curve",
+    "q130_rag_chunker",
+    "q131_hard_negatives",
     # -- tail: fresh round-4 rows, code untouched in round 5 --
     "q18_multi_distinct",
     "q19_agg_filter_clause",

@@ -956,3 +956,25 @@ def test_runtime_bloom_filter_injects_on_fact_fact_join(spark):
         plan = physical_plan(j)
         assert "might_contain" in plan, plan
         assert "bloom_filter_agg" in plan, plan
+
+
+def test_q130_chunker_is_narrow_explode(spark):
+    # the RAG chunker must stay a pure scan -> sequence-explode -> slice
+    # projection: zero shuffles, zero joins, no Python stage
+    df = build("q130_rag_chunker")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert n_shuffles(df) == 0, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "pythonudf" not in plan.lower(), plan
+
+
+def test_q131_hard_negatives_broadcast_rank_filter(spark):
+    # anchors broadcast over one corpus scan; wrong-label filter rides the
+    # join; top-k activates WindowGroupLimit so tasks keep k rows per
+    # anchor before the window sort
+    df = build("q131_hard_negatives")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df, plan), plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
