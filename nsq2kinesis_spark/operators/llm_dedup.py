@@ -210,10 +210,12 @@ def _corpus_is_dimension_sized(spark: SparkSession, sf_dir: str) -> bool:
     return n <= SIZES_BROADCAST_MAX_DOCS
 
 
-def _exact_pairs(
+def _pair_overlaps(
     spark: SparkSession, sh: DataFrame, broadcast_sizes: bool = False
 ) -> DataFrame:
-    """All-pairs Jaccard over the df-capped postings.
+    """All-pairs overlap counts over the df-capped postings — the shared
+    candidate table (doc_a, doc_b, n_common, n_a, n_b) that q75 scores as
+    Jaccard and q132 scores as containment.
 
     Inverted-index pattern without a self-join: group postings by shingle,
     emit each group's doc-pair combinations from the collected (sorted) doc
@@ -247,9 +249,27 @@ def _exact_pairs(
             "doc_a",
             "doc_b",
             "n_common",
-            (F.col("n_common") * F.lit(1.0) / (F.col("na.n") + F.col("nb.n") - F.col("n_common"))).alias(
-                "jaccard"
-            ),
+            F.col("na.n").alias("n_a"),
+            F.col("nb.n").alias("n_b"),
+        )
+    )
+
+
+def _exact_pairs(
+    spark: SparkSession, sh: DataFrame, broadcast_sizes: bool = False
+) -> DataFrame:
+    """Jaccard scoring + threshold over the shared overlap table."""
+    p = _pair_overlaps(spark, sh, broadcast_sizes)
+    return (
+        p.select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common")
+                * F.lit(1.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_T)
     )
@@ -767,4 +787,63 @@ def q111_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(kept, lambda s: s.getField("chunk")), " "
         ).alias("clean_text"),
+    )
+
+
+# -- q132: containment (excerpt) detection -------------------------------------
+
+# threshold 0.8 held as an exact rational so the filter never touches a
+# double: keep iff n_common * DEN >= min(n_a, n_b) * NUM
+CONTAIN_NUM, CONTAIN_DEN = 4, 5
+
+
+@query(
+    "q132_containment",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_CTES},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common, na.n AS n_a, nb.n AS n_b,
+           n_common * 1.0 / LEAST(na.n, nb.n) AS containment
+    FROM pairs
+    JOIN sizes na ON doc_a = na.doc_id
+    JOIN sizes nb ON doc_b = nb.doc_id
+    WHERE n_common * {CONTAIN_DEN} >= LEAST(na.n, nb.n) * {CONTAIN_NUM}
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def q132_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: CONTAINMENT |A∩B| / min(|A|,|B|) >= 0.8 — the
+    excerpt/quote detector Jaccard structurally misses. A 100-shingle doc
+    fully embedded in a 10,000-shingle doc has Jaccard ~0.01 (q75 never
+    sees it) but containment 1.0; corpus curation needs exactly this
+    signal to catch boilerplate wrappers, quoted articles, and
+    page-within-site duplication.
+
+    Cost: FREE given q75 — both score the same shared overlap table
+    (_pair_overlaps over the df-capped postings; same two shuffles, same
+    size joins), only the final scoring expression differs, and the
+    threshold compares cross-multiplied integers so no double appears in
+    the filter. The df cap bounds candidate generation exactly as in
+    q75; a contained excerpt shares the rare shingles of its source, so
+    capping hot shingles does not break the signal."""
+    p = _pair_overlaps(
+        spark,
+        shared_postings(spark, sf_dir),
+        broadcast_sizes=_corpus_is_dimension_sized(spark, sf_dir),
+    )
+    small = F.least("n_a", "n_b")
+    return (
+        p.filter(F.col("n_common") * CONTAIN_DEN >= small * CONTAIN_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (F.col("n_common") * F.lit(1.0) / small).alias("containment"),
+        )
     )

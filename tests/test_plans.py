@@ -978,3 +978,15 @@ def test_q131_hard_negatives_broadcast_rank_filter(spark):
     assert has_broadcast_join(df, plan), plan
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q132_containment_shares_q75_plan_shape(spark):
+    # containment scores the same shared overlap table as q75: equi join
+    # on the shingle hash, packed-pair agg, size joins — never a cross
+    # product, no window, no Python
+    df = build("q132_containment")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "pythonudf" not in plan.lower(), plan
