@@ -102,6 +102,41 @@ def shared_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_RAW_POSTINGS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def raw_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED distinct (doc_id, shingle-hash) postings, persisted and
+    memoized per (session, sf_dir) — the shared upstream of the df-capped
+    family artifact (_shingle_postings) and the prefix-filtered join
+    (q133), which must see every token.
+
+    Shingles are hashed to 64-bit longs AT THE SOURCE: every downstream
+    shuffle/group/set-intersect then moves and compares 8-byte primitives
+    instead of ~25-char strings (~3x smaller shuffle payload, primitive
+    hash-agg). Collision probability at any per-shard shingle cardinality
+    that fits one engine is << 1e-9 (64-bit birthday bound); the DuckDB
+    oracles keep counting distinct shingle STRINGS, so the parity gate
+    itself proves no collision affected results on the test corpus."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _RAW_POSTINGS_MEMO.get(key)
+    if df is None:
+        d = t(spark, sf_dir, "documents").select("doc_id", "text")
+        par = spark.sparkContext.defaultParallelism
+        if d.rdd.getNumPartitions() < par:
+            d = d.repartition(par)
+        df = (
+            d.select("doc_id", F.split("text", " ").alias("words"))
+            .select(
+                "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle_str")
+            )
+            .select("doc_id", F.xxhash64("shingle_str").alias("shingle"))
+            .persist()
+        )
+        _RAW_POSTINGS_MEMO[key] = df
+    return df
+
+
 def _shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) postings: distinct word trigrams, df-capped,
     persisted.
@@ -126,23 +161,7 @@ def _shingle_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash signatures, and verification docsets. On a cluster these are
     the two natural checkpoints of a dedup pipeline.
     """
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
-    # Shingles are hashed to 64-bit longs AT THE SOURCE: every downstream
-    # shuffle/group/set-intersect then moves and compares 8-byte primitives
-    # instead of ~25-char strings (~3× smaller shuffle payload, primitive
-    # hash-agg). Collision probability at any per-shard shingle cardinality
-    # that fits one engine is ≪ 1e-9 (64-bit birthday bound); the DuckDB
-    # oracles keep counting distinct shingle STRINGS, so the parity gate
-    # itself proves no collision affected results on the test corpus.
-    sh_all = (
-        d.select("doc_id", F.split("text", " ").alias("words"))
-        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle_str"))
-        .select("doc_id", F.xxhash64("shingle_str").alias("shingle"))
-        .persist()
-    )
+    sh_all = raw_postings(spark, sf_dir)
     hot = (
         sh_all.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -845,5 +864,128 @@ def q132_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             (F.col("n_common") * F.lit(1.0) / small).alias("containment"),
+        )
+    )
+
+
+# -- q133: prefix-filtered set-similarity join (AllPairs/PPJoin) ---------------
+
+# Jaccard threshold held as an exact rational (1/2): prefix lengths and the
+# verify filter both stay in integer arithmetic.
+PP_T_NUM, PP_T_DEN = 1, 2
+
+
+@query(
+    "q133_ppjoin",
+    # The oracle is the UNFILTERED ground truth — a plain uncapped
+    # all-pairs Jaccard join — so a green row does not merely prove the
+    # engines agree: it proves the prefix filter lost nothing.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents
+    ), sh_all AS (
+      SELECT doc_id, UNNEST(CASE WHEN LEN(words) >= 3 THEN
+          LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(words) - 2),
+            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+          ELSE [] END) AS shingle
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh_all GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh_all a JOIN sh_all b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common, na.n AS n_a, nb.n AS n_b,
+           n_common * 1.0 / (na.n + nb.n - n_common) AS jaccard
+    FROM pairs
+    JOIN sizes na ON doc_a = na.doc_id
+    JOIN sizes nb ON doc_b = nb.doc_id
+    WHERE n_common * {PP_T_DEN} >= {PP_T_NUM} * (na.n + nb.n - n_common)
+    """,
+    tags=("llm", "dedup", "neardup", "ppjoin"),
+)
+def q133_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING (the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07; Chaudhuri et al.
+    ICDE'06) — all document pairs with shingle Jaccard >= 1/2, WITHOUT
+    q75's df cap and therefore with its exactness independent of any
+    frequency cutoff.
+
+    The pruning lemma: order the token universe by ascending document
+    frequency (rarest first; df then token as the total-order key). If
+    J(A,B) >= t then |A∩B| >= ceil(t·max(|A|,|B|)), and two ordered sets
+    with overlap >= a must collide inside their first (n - a + 1) tokens
+    — so each doc only indexes its first n - ceil(t·n) + 1 rarest tokens
+    (the PREFIX), and any qualifying pair shares a prefix token. With
+    t = 1/2 each doc indexes ~half its tokens, but the pruning power is
+    not the prefix length: it is that prefixes hold the RAREST tokens,
+    whose posting lists are short — candidate generation touches no hot
+    token at all (q75 must CAP hot tokens and document the semantics
+    change; prefix filtering sidesteps them exactly).
+
+    Plan: postings -> df join (token-keyed; the df side is vocab-sized,
+    AQE broadcasts locally, shuffles at 100 TB) -> per-doc sort_array of
+    (df, token) structs -> slice the prefix -> packed-pair emission per
+    prefix token (the q75 machinery) -> DISTINCT candidates -> one
+    docset join verifies exact intersection and applies the threshold as
+    cross-multiplied integers. Verification cost is |candidates|, which
+    test_q133_prefix_pruning_bites shows is a fraction of the all-pairs
+    candidate set."""
+    sh = raw_postings(spark, sf_dir)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("toks"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    # prefix length p = n - ceil(t*n) + 1, exact integers:
+    # ceil(n*NUM/DEN) = (n*NUM + DEN - 1) DIV DEN
+    p = (
+        F.col("n")
+        - F.expr(f"(n * {PP_T_NUM} + {PP_T_DEN} - 1) DIV {PP_T_DEN}")
+        + 1
+    ).cast("int")
+    prefix = ordered.select(
+        "doc_id",
+        F.explode(F.slice("toks", F.lit(1), p)).alias("ptok"),
+    ).select("doc_id", F.col("ptok.shingle").alias("shingle"))
+    candidates = _unpack_pairs(
+        prefix.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_PAIR_PACKED)).alias("pk"))
+        .distinct()
+    )
+    docsets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sset"),
+        F.count("*").cast("long").alias("n"),
+    )
+    da, db = docsets.alias("da"), docsets.alias("db")
+    inter = F.size(F.array_intersect(F.col("da.sset"), F.col("db.sset"))).cast(
+        "long"
+    )
+    union = F.col("da.n") + F.col("db.n") - inter
+    return (
+        candidates.join(da, F.col("doc_a") == F.col("da.doc_id"))
+        .join(db, F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_common"),
+            F.col("da.n").alias("n_a"),
+            F.col("db.n").alias("n_b"),
+            (inter * F.lit(1.0) / union).alias("jaccard"),
+        )
+        .filter(
+            F.col("n_common") * PP_T_DEN
+            >= PP_T_NUM * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
         )
     )

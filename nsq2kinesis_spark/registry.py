@@ -189,6 +189,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q130_rag_chunker",
     "q131_hard_negatives",
     "q132_containment",
+    "q133_ppjoin",
     # -- tail: fresh round-4 rows, code untouched in round 5 --
     "q18_multi_distinct",
     "q19_agg_filter_clause",

@@ -313,3 +313,61 @@ def test_q118_blocking_is_lossless_at_sf001(spark):
     """Same zero-missed-pairs assertion at sf0.01 — the scale where the
     old prefix block measurably lost 6,000 of 19,500 true pairs."""
     _assert_q118_lossless(spark, SF_CORRECTNESS)
+
+
+def test_q133_prefix_pruning_bites(spark):
+    """The prefix filter must generate strictly fewer candidate pairs than
+    the naive any-shared-token inverted index (the all-pairs baseline its
+    lemma prunes), while the oracle-parity gate separately proves it
+    still finds EVERY qualifying pair (the oracle is the unfiltered
+    ground truth). This pins the 'filter actually prunes' half."""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.operators.llm_dedup import raw_postings
+
+    sh = raw_postings(spark, SF_CORRECTNESS)
+    # naive candidate count: pairs sharing ANY token
+    naive = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    # prefix candidate count: reproduce q133's candidate stage
+    from nsq2kinesis_spark.operators.llm_dedup import (
+        PP_T_DEN,
+        PP_T_NUM,
+        _PAIR_PACKED,
+        _unpack_pairs,
+    )
+
+    dfreq = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("toks"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    p = (
+        F.col("n")
+        - F.expr(f"(n * {PP_T_NUM} + {PP_T_DEN} - 1) DIV {PP_T_DEN}")
+        + 1
+    ).cast("int")
+    prefix = ordered.select(
+        "doc_id", F.explode(F.slice("toks", F.lit(1), p)).alias("ptok")
+    ).select("doc_id", F.col("ptok.shingle").alias("shingle"))
+    cands = _unpack_pairs(
+        prefix.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_PAIR_PACKED)).alias("pk"))
+        .distinct()
+    ).count()
+    assert cands < naive // 2, (cands, naive)
+    assert cands > 0

@@ -990,3 +990,14 @@ def test_q132_containment_shares_q75_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" not in plan, plan
     assert "pythonudf" not in plan.lower(), plan
+
+
+def test_q133_ppjoin_no_cartesian_no_python(spark):
+    # prefix filtering must keep everything as equi joins on the token
+    # hash / doc id: no cross product, no Python stage, no corpus window
+    df = build("q133_ppjoin")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "pythonudf" not in plan.lower(), plan
