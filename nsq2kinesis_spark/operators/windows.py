@@ -600,3 +600,90 @@ def q129_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_new.select(
         "day", "n_new", F.sum("n_new").over(w).cast("long").alias("cum_users")
     )
+
+
+# -- q134: fact resolution against the SCD-2 dimension -------------------------
+
+
+@query(
+    "q134_scd2_resolve",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events WHERE event_type <> 'purchase'
+    ), starts AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+    ), iv AS (
+      SELECT user_id, event_type AS state, valid_from,
+             LEAD(valid_from) OVER w AS valid_to,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+      FROM starts
+      WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           iv.state, iv.version
+    FROM events p JOIN iv
+      ON p.user_id = iv.user_id
+     AND iv.valid_from <= p.ts
+     AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("window", "scd2", "join", "events"),
+)
+def q134_scd2_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact resolution against the SCD-2 dimension — the
+    composition q117 exists FOR: every purchase event is attributed to
+    the behavioral state (the q117-style interval, built here from the
+    non-purchase events) the user was in at purchase time. This is the
+    warehouse-canonical fact-to-slowly-changing-dimension join: the
+    intervals partition each user's timeline, so every fact resolves to
+    AT MOST one row — no fanout, deterministic in both engines.
+
+    Shape: the interval build rides one user-keyed exchange (q117's
+    plan); the resolution is an equi hash join on user_id with the
+    half-open interval test [valid_from, valid_to) as a residual
+    predicate — per-user candidate fanout is (purchases x states) per
+    user, bounded by per-user activity exactly like the q94 binned range
+    join's argument, never by table size. Facts that precede the user's
+    first state (or belong to users with no non-purchase history) drop
+    out of the inner join by declared semantics."""
+    e = t(spark, sf_dir, "events")
+    nonp = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = nonp.withColumn("prev_type", F.lag("event_type").over(w_seq))
+    starts = seq.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        "event_id",
+    )
+    w_v = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    iv = starts.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w_v).alias("valid_to"),
+        F.row_number().over(w_v).cast("long").alias("version"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    return (
+        p.join(iv, "user_id")
+        .filter(
+            (F.col("valid_from") <= F.col("purchase_ts"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("purchase_ts") < F.col("valid_to"))
+            )
+        )
+        .select("event_id", "user_id", "purchase_ts", "state", "version")
+    )

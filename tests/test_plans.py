@@ -1001,3 +1001,15 @@ def test_q133_ppjoin_no_cartesian_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" not in plan, plan
     assert "pythonudf" not in plan.lower(), plan
+
+
+def test_q134_scd2_resolve_hash_join_with_residual(spark):
+    # fact-to-SCD resolution: equi hash join on user_id with the interval
+    # test as residual — never a nested-loop/cross product; the interval
+    # build's windows all ride user-keyed exchanges (no range sort)
+    df = build("q134_scd2_resolve")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
