@@ -773,3 +773,72 @@ def q125_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- q135: median absolute deviation (robust volume anomalies) -----------------
+
+MAD_K = 3.0  # flag days with |n - median| > MAD_K * MAD (non-vacuous at every test SF)
+
+
+@query(
+    "q135_daily_mad",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), med AS (
+      SELECT event_type, QUANTILE_CONT(n, 0.5) AS med_n FROM daily
+      GROUP BY event_type
+    ), dev AS (
+      SELECT d.event_type, d.day, d.n, m.med_n, ABS(d.n - m.med_n) AS dev
+      FROM daily d JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, QUANTILE_CONT(dev, 0.5) AS mad_n FROM dev
+      GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n, d.med_n, m.mad_n
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad_n > 0 AND ABS(d.n - d.med_n) > {MAD_K} * m.mad_n
+    """,
+    tags=("agg", "robust", "anomaly", "events"),
+)
+def q135_daily_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume anomalies via MEDIAN ABSOLUTE DEVIATION: flag
+    (event_type, day) cells where |n - median| > {MAD_K} x MAD. The
+    robust counterpart of q114's z-scores — a single extreme day
+    inflates the mean AND the stddev (masking itself and flagging normal
+    days); the median and MAD ignore it, which is why monitoring
+    pipelines run both.
+
+    Exactness without sketches: daily counts are integers, so the median
+    interpolates as (a+b)/2 — exact in binary (halves). The deviations
+    are then integers-or-halves, and their median interpolates to
+    quarters — still exactly representable, so both engines compute
+    bit-identical med/MAD and the threshold filter is safe (the same
+    argument chain as q17's cents percentiles; no rounding needed
+    anywhere). Shape: day-keyed partial agg -> two per-type exact
+    percentile aggs over day-count-sized groups (bounded state: |span|
+    days per type) with the tiny med/mad frames broadcast back -> map
+    filter. mad = 0 groups (constant series) are excluded rather than
+    divided by."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n", 0.5).alias("med_n")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med_n"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", 0.5).alias("mad_n")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad_n") > 0)
+            & (F.abs(F.col("n") - F.col("med_n")) > MAD_K * F.col("mad_n"))
+        )
+        .select("event_type", "day", "n", "med_n", "mad_n")
+    )

@@ -191,6 +191,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q132_containment",
     "q133_ppjoin",
     "q134_scd2_resolve",
+    "q135_daily_mad",
     # -- tail: fresh round-4 rows, code untouched in round 5 --
     "q18_multi_distinct",
     "q19_agg_filter_clause",

@@ -1013,3 +1013,14 @@ def test_q134_scd2_resolve_hash_join_with_residual(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_q135_mad_aggregate_only_with_broadcast_backjoins(spark):
+    # two exact percentile aggs over day-sized groups; the tiny med/mad
+    # frames attach by broadcast; no window, no range sort
+    df = build("q135_daily_mad")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert has_broadcast_join(df, plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
