@@ -413,3 +413,124 @@ def q128_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().cast("int").alias("is_filled"),
         )
     )
+
+
+# -- q136: linear interpolation over the dense calendar ------------------------
+
+
+INTERP_MIN_VALUE = 250  # the sparse high-value series (dense series have no gaps)
+
+
+@query(
+    "q136_interpolate",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE value > {INTERP_MIN_VALUE}
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), bounds AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+      GROUP BY event_type
+    ), cal AS (
+      SELECT event_type, CAST(u.g AS DATE) AS day
+      FROM bounds, UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS u(g)
+    ), joined AS (
+      SELECT c.event_type, c.day, d.n
+      FROM cal c LEFT JOIN daily d
+        ON c.event_type = d.event_type AND c.day = d.day
+    ), bracketed AS (
+      SELECT event_type, day, n,
+             LAST_VALUE(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+             LAST_VALUE(CASE WHEN n IS NOT NULL THEN n END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_n,
+             FIRST_VALUE(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day,
+             FIRST_VALUE(CASE WHEN n IS NOT NULL THEN n END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_n
+      FROM joined
+    )
+    SELECT event_type, day,
+           CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                ELSE (prev_n * (next_day - day) + next_n * (day - prev_day))
+                     * 1.0 / (next_day - prev_day)
+           END AS n_filled,
+           CAST(n IS NULL AS INTEGER) AS is_interpolated
+    FROM bracketed
+    """,
+    tags=("timeseries", "interpolation", "events"),
+)
+def q136_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample-and-interpolate: densify each type's HIGH-VALUE daily
+    series (value > INTERP_MIN_VALUE — a genuinely sparse series; the
+    all-events series is gap-free on this corpus, which would leave the
+    interpolation arm vacuously untested) and LINEARLY INTERPOLATE
+    missing days between their
+    bracketing observations — the time-series preparation step for
+    models that can't take zero-filled gaps at face value (q128's
+    zero-fill says "nothing happened"; interpolation says "we didn't
+    look"; which is correct depends on whether absence of data is
+    absence of activity, so the engine offers both).
+
+    The brackets come from two IGNORE NULLS running extremes per
+    partition — last non-null (day, n) before, first after — so each gap
+    row finds its neighbors in ONE pass over the dense calendar, no
+    self-join on inequality (the naive bracketing join is quadratic in
+    gap length). Interior days always have both brackets (the span ends
+    are observed by construction), so no NULL arms survive. The
+    interpolation weights are integer day differences; one division
+    makes the result bit-identical across engines. All windows ride the
+    |types|x|span| dense frame — dimension-sized at any event volume,
+    same scale argument as q128."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("value") > INTERP_MIN_VALUE)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    joined = cal.join(daily, ["event_type", "day"], "left")
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("n").isNotNull(), F.col("day"))
+    obs_n = F.when(F.col("n").isNotNull(), F.col("n"))
+    b = joined.select(
+        "event_type",
+        "day",
+        "n",
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("prev_day"),
+        F.last(obs_n, ignorenulls=True).over(w_back).alias("prev_n"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("next_day"),
+        F.first(obs_n, ignorenulls=True).over(w_fwd).alias("next_n"),
+    )
+    span = F.datediff("next_day", "prev_day")
+    interp = (
+        F.col("prev_n") * F.datediff("next_day", F.col("day"))
+        + F.col("next_n") * F.datediff(F.col("day"), "prev_day")
+    ) * F.lit(1.0) / span
+    return b.select(
+        "event_type",
+        "day",
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
+        .otherwise(interp)
+        .alias("n_filled"),
+        F.col("n").isNull().cast("int").alias("is_interpolated"),
+    )

