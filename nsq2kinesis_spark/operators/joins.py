@@ -529,8 +529,14 @@ def q118_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("name_b"),
         "k",
     )
+    # SORT-MERGE pinned: Catalyst's size estimate for an EXPLODE output
+    # is its child's size, so it wrongly broadcasts the x(len+1) exploded
+    # key side (measured 6.7 s vs 1.7 s SMJ at sf0.1 — the same
+    # misestimate q106's salted join hit). At 100 TB a broadcast of the
+    # exploded corpus would OOM outright, so the hint is also the only
+    # correct-at-scale strategy.
     return (
-        a.join(b, "k")
+        a.join(b.hint("merge"), "k")
         .filter(F.col("custkey_a") < F.col("custkey_b"))
         .withColumn(
             "dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
