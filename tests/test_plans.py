@@ -585,6 +585,10 @@ def test_q106_sparse_similarity_is_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+    # the salted day join must stay SORT-MERGE: Catalyst sizes the
+    # exploded sides at their child's size and would otherwise broadcast
+    # a multi-million-row relation (the round-5 7x pathology)
+    assert "SortMergeJoin" in plan, plan
 
 
 def test_compaction_restores_file_layout(spark, tmp_path):
@@ -777,7 +781,11 @@ def test_q118_fuzzy_join_blocked_not_cartesian(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    # must be the pinned sort-merge — a BroadcastHashJoin here means the
+    # x(len+1) exploded key side got broadcast off its pre-explode size
+    # estimate (4x slower at sf0.1, OOM at scale)
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
     assert "pythonudf" not in plan.lower(), plan
 
 
