@@ -842,3 +842,48 @@ def q135_daily_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "day", "n", "med_n", "mad_n")
     )
+
+
+# -- q137: mergeable-sketch rollup (hourly HLL -> daily) -----------------------
+
+
+@query(
+    "q137_hll_rollup",
+    oracle=None,  # Datasketches HLL binaries are Spark-specific; the exact
+    # companion column carries the value check and
+    # tests/test_sketch_gates.py gates the estimate's error contract
+    tags=("agg", "approx", "sketch", "rollup"),
+)
+def q137_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical 100 TB distinct-count rollup: build an HLL sketch
+    per (day, hour) cell, then produce the DAILY distinct-user count by
+    MERGING the hourly sketches — never rescanning the events. q16 shows
+    the sketch as a drop-in aggregate; this shows the property that
+    makes sketches the scale answer: MERGEABILITY. A real deployment
+    materializes the fine-grained sketch table once (hours here;
+    typically per partition/file) and answers every coarser rollup —
+    day, week, arbitrary ad-hoc ranges — by cheap unions over tiny
+    binaries, where exact distinct would re-shuffle the raw corpus per
+    query. Spark's Datasketches HLL (hll_sketch_agg / hll_union_agg)
+    keeps partials map-side-combinable at BOTH levels.
+
+    Rows-only checked (sketch binaries are engine-specific); each row
+    carries the exact count computed independently, and the sketch gate
+    asserts the default-precision (lgK=12) relative error at 5 sigma
+    (~0.81%/sqrt-ish envelope) in tests/test_sketch_gates.py."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hour")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = hourly.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("approx_users"),
+        F.count("*").cast("long").alias("n_hours"),
+    )
+    exact = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return merged.join(exact, "day").select(
+        "day", "n_hours", "exact_users", "approx_users"
+    )

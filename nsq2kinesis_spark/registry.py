@@ -193,6 +193,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q134_scd2_resolve",
     "q135_daily_mad",
     "q136_interpolate",
+    "q137_hll_rollup",
     # -- tail: fresh round-4 rows, code untouched in round 5 --
     "q18_multi_distinct",
     "q19_agg_filter_clause",

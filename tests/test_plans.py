@@ -1046,3 +1046,14 @@ def test_q136_interpolation_arm_actually_fires(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_q137_sketch_rollup_two_aggs_no_rescan(spark):
+    # the daily estimate comes from MERGING hourly sketches — the merge
+    # branch scans events once (the exact companion adds its own scan);
+    # both aggregation levels are partial+final hash aggregates
+    df = build("q137_hll_rollup")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert plan.count("FileScan") == 2, plan  # sketch branch + exact companion
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan

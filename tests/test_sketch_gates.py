@@ -206,3 +206,15 @@ def test_q129_null_day_ordering_matches_oracle(spark, tmp_path):
         "SELECT 999002, NULL, 888002, 'view', 1.0, '{}'",
     )
     _assert_null_variant_parity(spark, "q129_growth_curve", sf_dir, con)
+
+
+def test_q137_merged_hll_error_gate(spark):
+    """The hourly->daily sketch MERGE must estimate within the HLL error
+    envelope of the exact per-day distinct count (lgK=12 -> rse ~1.04/64
+    ~ 1.6%; gate at 5 sigma = 8%), proving union loses no accuracy vs a
+    single-pass sketch."""
+    rows = QUERIES["q137_hll_rollup"].builder(spark, SF_CORRECTNESS).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r.approx_users - r.exact_users) / max(1, r.exact_users)
+        assert rel <= 0.08, (r.day, r.exact_users, r.approx_users)
