@@ -570,3 +570,102 @@ def q126_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_versions",
         )
     )
+
+
+# -- q138: snapshot diff (changelog generation) --------------------------------
+
+SNAP_T1 = "2024-01-15 00:00:00"
+SNAP_T2 = "2024-01-30 00:00:00"
+
+_SNAP_SQL = f"""
+      SELECT user_id, event_type, cents FROM (
+        SELECT user_id, event_type, {duck_cents("value")} AS cents,
+               CASE WHEN value < {CDC_DELETE_BELOW} THEN 'D' ELSE 'U' END AS op,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{{cut}}'
+      ) WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@query(
+    "q138_snapshot_diff",
+    oracle=f"""
+    WITH s1 AS ({_SNAP_SQL.format(cut=SNAP_T1)}),
+    s2 AS ({_SNAP_SQL.format(cut=SNAP_T2)})
+    SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+           COALESCE(s1.event_type, s2.event_type) AS event_type,
+           CASE WHEN s1.user_id IS NULL THEN 'I'
+                WHEN s2.user_id IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           s1.cents AS old_cents, s2.cents AS new_cents
+    FROM s1 FULL OUTER JOIN s2
+      ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type
+    WHERE s1.user_id IS NULL OR s2.user_id IS NULL OR s1.cents <> s2.cents
+    """,
+    tags=("relational", "cdc", "diff", "events"),
+)
+def q138_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — q126's inverse: given the table state as of two
+    points in time, GENERATE the changelog between them (insert / update
+    / delete rows with old and new values). This is how a lakehouse
+    backfills CDC for a table that never had one, and how incremental
+    consumers catch up after an outage: diff two snapshots instead of
+    replaying history.
+
+    Each snapshot is the q126 compaction cut at its timestamp (last
+    write wins under the total (ts, event_id) order; tombstoned keys are
+    absent — so a key that was live at T1 and tombstoned by T2 correctly
+    surfaces as a DELETE). The diff is one full-outer hash join on the
+    key with null-arm classification, and unchanged keys are filtered
+    out so the output is the minimal changelog. Both snapshots are
+    max_by aggregates (map-side combinable, no window — the q126 scale
+    argument twice over); at 100 TB the two snapshot scans share the
+    partition layout, and the join shuffles |keys| rows, not history."""
+    e = t(spark, sf_dir, "events")
+
+    def snapshot(cut: str) -> DataFrame:
+        last = F.max_by(
+            F.struct(
+                cents(F.col("value")).alias("cents"),
+                F.coalesce(
+                    F.col("value") < F.lit(CDC_DELETE_BELOW), F.lit(False)
+                ).alias("is_delete"),
+            ),
+            F.struct(F.col("ts"), F.col("event_id")),
+        )
+        return (
+            e.filter(F.col("ts") < F.lit(cut).cast("timestamp"))
+            .groupBy("user_id", "event_type")
+            .agg(last.alias("last"))
+            .filter(~F.col("last.is_delete"))
+            .select("user_id", "event_type", F.col("last.cents").alias("cents"))
+        )
+
+    s1 = snapshot(SNAP_T1).alias("s1")
+    s2 = snapshot(SNAP_T2).alias("s2")
+    joined = s1.join(
+        s2,
+        (F.col("s1.user_id") == F.col("s2.user_id"))
+        & (F.col("s1.event_type") == F.col("s2.event_type")),
+        "full_outer",
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("s1.user_id"), F.col("s2.user_id")).alias("user_id"),
+            F.coalesce(F.col("s1.event_type"), F.col("s2.event_type")).alias(
+                "event_type"
+            ),
+            F.when(F.col("s1.user_id").isNull(), "I")
+            .when(F.col("s2.user_id").isNull(), "D")
+            .otherwise("U")
+            .alias("op"),
+            F.col("s1.cents").alias("old_cents"),
+            F.col("s2.cents").alias("new_cents"),
+        )
+        .filter(
+            F.col("old_cents").isNull()
+            | F.col("new_cents").isNull()
+            | (F.col("old_cents") != F.col("new_cents"))
+        )
+    )

@@ -194,6 +194,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q135_daily_mad",
     "q136_interpolate",
     "q137_hll_rollup",
+    "q138_snapshot_diff",
     # -- tail: fresh round-4 rows, code untouched in round 5 --
     "q18_multi_distinct",
     "q19_agg_filter_clause",

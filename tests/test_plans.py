@@ -1057,3 +1057,19 @@ def test_q137_sketch_rollup_two_aggs_no_rescan(spark):
     assert plan.count("FileScan") == 2, plan  # sketch branch + exact companion
     assert "Window" not in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_q138_snapshot_diff_aggs_plus_full_outer(spark):
+    # both snapshots are window-free max_by compactions; the diff is one
+    # full-outer HASH join on the key (never nested-loop), minimal output
+    df = build("q138_snapshot_diff")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("max_by") >= 2, plan
+    # at sf0.01 all three change kinds must actually occur (non-vacuous
+    # classification arms)
+    ops = {r.op for r in df.collect()}
+    assert ops == {"I", "U", "D"}, ops
