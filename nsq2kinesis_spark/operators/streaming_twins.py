@@ -534,3 +534,78 @@ def q136_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_filled"),
         F.col("n").isNull().cast("int").alias("is_interpolated"),
     )
+
+
+# -- q139: conversion-latency percentiles per cohort ---------------------------
+
+
+@query(
+    "q139_conversion_latency",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), fp AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT CAST(fv.first_view AS DATE) AS cohort,
+             CAST(FLOOR(EPOCH(fp.first_purchase)) - FLOOR(EPOCH(fv.first_view))
+                  AS BIGINT) AS secs
+      FROM fv JOIN fp ON fv.user_id = fp.user_id
+    )
+    SELECT cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           QUANTILE_CONT(secs, 0.25) AS p25_secs,
+           QUANTILE_CONT(secs, 0.5)  AS p50_secs,
+           QUANTILE_CONT(secs, 0.75) AS p75_secs
+    FROM lat GROUP BY cohort
+    """,
+    tags=("funnel", "percentile", "events"),
+)
+def q139_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for every user who purchased at or
+    after their first view, the seconds from first view to first
+    qualifying purchase, summarized as exact quartiles per first-view-day
+    cohort — the "how long does conversion take" panel that q101's
+    conversion COUNTS can't answer.
+
+    Exactness: timestamps reduce to FLOOR(EPOCH()) integer seconds (the
+    q35/q41 idiom — DuckDB's CAST rounds sub-second timestamps, Spark's
+    unix_timestamp floors, so the floor is pinned on both sides);
+    latencies are integer differences, and percentile_cont over integers
+    interpolates to exactly-representable quarters (the q17/q135
+    argument). Shape: two keyed min-aggregates (the purchase side
+    pre-filtered by a user-keyed join against first views — at most one
+    row per user each), one user-keyed join, then day-grouped exact
+    percentiles over cohort-sized groups. No window over raw events."""
+    e = t(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = fv.join(fp, "user_id").select(
+        F.to_date("first_view").alias("cohort"),
+        (
+            F.floor(F.unix_timestamp("first_purchase"))
+            - F.floor(F.unix_timestamp("first_view"))
+        )
+        .cast("long")
+        .alias("secs"),
+    )
+    return lat.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.percentile("secs", 0.25).alias("p25_secs"),
+        F.percentile("secs", 0.5).alias("p50_secs"),
+        F.percentile("secs", 0.75).alias("p75_secs"),
+    )

@@ -195,6 +195,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q136_interpolate",
     "q137_hll_rollup",
     "q138_snapshot_diff",
+    "q139_conversion_latency",
     # -- tail: fresh round-4 rows, code untouched in round 5 --
     "q18_multi_distinct",
     "q19_agg_filter_clause",

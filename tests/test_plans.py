@@ -1073,3 +1073,15 @@ def test_q138_snapshot_diff_aggs_plus_full_outer(spark):
     # classification arms)
     ops = {r.op for r in df.collect()}
     assert ops == {"I", "U", "D"}, ops
+
+
+def test_q139_latency_no_window_over_events(spark):
+    # first-touch mins + one user-keyed join + cohort percentiles: no
+    # window over raw events, no cartesian, no range sort
+    df = build("q139_conversion_latency")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    rows = df.collect()
+    assert rows and all(r.n_converted > 0 for r in rows)
