@@ -421,6 +421,77 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
     assert any(b is None for _, b in got)
 
 
+@pytest.mark.slow
+@pytest.mark.timeout(120)
+def test_streaming_cdc_compaction_matches_batch(spark, tmp_path):
+    """The q126 CDC compaction run INCREMENTALLY: the same max_by
+    last-write-wins aggregate as a streaming query over the event files
+    (complete mode) must converge to exactly the batch compaction of the
+    same data — the property that lets a deployment keep the compacted
+    state continuously current instead of re-running the batch job.
+    (At scale the memory-sink complete mode becomes a keyed state store
+    with update mode; the aggregate itself — map-side-combinable max_by
+    — is unchanged.)"""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.operators.relational import CDC_DELETE_BELOW
+    from nsq2kinesis_spark.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    src_dir = tmp_path / "cdc_stream"
+    ev.write.parquet(str(src_dir))
+    # plant one tombstone WINNER (latest row for its key, value < $1) so
+    # the delete arm is exercised deterministically — the shipped sf0.001
+    # slice happens to have no key whose last write is a tombstone
+    hb_ts = ev.agg(F.max("ts")).collect()[0][0]
+    tomb = spark.createDataFrame(
+        [(999111, hb_ts, 1, "purchase", 0.25, "{}")], ev.schema
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+    tomb.write.mode("append").parquet(str(src_dir))
+    ev = spark.read.parquet(str(src_dir))
+
+    def compact(df):
+        last = F.max_by(
+            F.struct(
+                F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+                F.coalesce(
+                    F.col("value") < F.lit(CDC_DELETE_BELOW), F.lit(False)
+                ).alias("is_delete"),
+            ),
+            F.struct(F.col("ts"), F.col("event_id")),
+        )
+        return (
+            df.groupBy("user_id", "event_type")
+            .agg(last.alias("last"), F.count("*").cast("long").alias("n"))
+            .select(
+                "user_id",
+                "event_type",
+                F.col("last.cents").alias("cents"),
+                F.col("last.is_delete").alias("is_delete"),
+                "n",
+            )
+        )
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src_dir))
+    name = f"cdc_{uuid.uuid4().hex[:8]}"
+    q = (
+        compact(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+    expected = sorted(map(tuple, compact(ev).collect()))
+    assert got == expected and len(expected) > 0
+    # tombstones exist in the data, so the delete arm is exercised
+    assert any(r[3] for r in expected)
+
+
 # --- partitioned sink mode (reference partitioned.go stub, implemented) -----
 
 
