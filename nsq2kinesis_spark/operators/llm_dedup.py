@@ -875,6 +875,41 @@ def q132_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 PP_T_NUM, PP_T_DEN = 1, 2
 
 
+def pp_candidates(sh: DataFrame) -> DataFrame:
+    """q133's candidate generator, shared with its pruning test so the
+    test always measures the SHIPPED pipeline: rarest-first prefix per
+    doc (length n - ceil(t*n) + 1, exact integer arithmetic), packed-pair
+    emission per prefix token, DISTINCT pairs."""
+    dfreq = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("toks"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    # ceil(n*NUM/DEN) = (n*NUM + DEN - 1) DIV DEN
+    p = (
+        F.col("n")
+        - F.expr(f"(n * {PP_T_NUM} + {PP_T_DEN} - 1) DIV {PP_T_DEN}")
+        + 1
+    ).cast("int")
+    prefix = ordered.select(
+        "doc_id",
+        F.explode(F.slice("toks", F.lit(1), p)).alias("ptok"),
+    ).select("doc_id", F.col("ptok.shingle").alias("shingle"))
+    return _unpack_pairs(
+        prefix.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_PAIR_PACKED)).alias("pk"))
+        .distinct()
+    )
+
+
 @query(
     "q133_ppjoin",
     # The oracle is the UNFILTERED ground truth — a plain uncapped
@@ -935,35 +970,7 @@ def q133_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_q133_prefix_pruning_bites shows is a fraction of the all-pairs
     candidate set."""
     sh = raw_postings(spark, sf_dir)
-    dfreq = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
-    ordered = (
-        sh.join(dfreq, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
-            ).alias("toks"),
-            F.count("*").cast("long").alias("n"),
-        )
-    )
-    # prefix length p = n - ceil(t*n) + 1, exact integers:
-    # ceil(n*NUM/DEN) = (n*NUM + DEN - 1) DIV DEN
-    p = (
-        F.col("n")
-        - F.expr(f"(n * {PP_T_NUM} + {PP_T_DEN} - 1) DIV {PP_T_DEN}")
-        + 1
-    ).cast("int")
-    prefix = ordered.select(
-        "doc_id",
-        F.explode(F.slice("toks", F.lit(1), p)).alias("ptok"),
-    ).select("doc_id", F.col("ptok.shingle").alias("shingle"))
-    candidates = _unpack_pairs(
-        prefix.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
-        .select(F.explode(F.expr(_PAIR_PACKED)).alias("pk"))
-        .distinct()
-    )
+    candidates = pp_candidates(sh)
     docsets = sh.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("sset"),
         F.count("*").cast("long").alias("n"),

@@ -601,7 +601,8 @@ _SNAP_SQL = f"""
            s1.cents AS old_cents, s2.cents AS new_cents
     FROM s1 FULL OUTER JOIN s2
       ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type
-    WHERE s1.user_id IS NULL OR s2.user_id IS NULL OR s1.cents <> s2.cents
+    WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+       OR s1.cents IS DISTINCT FROM s2.cents
     """,
     tags=("relational", "cdc", "diff", "events"),
 )
@@ -663,9 +664,14 @@ def q138_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s1.cents").alias("old_cents"),
             F.col("s2.cents").alias("new_cents"),
         )
+        # null-SAFE change test: a present row can legitimately carry NULL
+        # cents (the q126 NULL-value upsert), so a bare `old <> new` would
+        # NULL out and silently drop (oracle) or spuriously keep (Spark)
+        # such keys — IS DISTINCT FROM / eqNullSafe on both twins makes
+        # NULL->value a 'U' and NULL->NULL unchanged in both engines;
+        # I/D rows (op != 'U') pass unconditionally
         .filter(
-            F.col("old_cents").isNull()
-            | F.col("new_cents").isNull()
-            | (F.col("old_cents") != F.col("new_cents"))
+            (F.col("op") != "U")
+            | ~F.col("old_cents").eqNullSafe(F.col("new_cents"))
         )
     )

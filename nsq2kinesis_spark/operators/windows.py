@@ -612,7 +612,7 @@ def q129_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_type
-      FROM events WHERE event_type <> 'purchase'
+      FROM events WHERE event_type <> 'purchase' AND ts IS NOT NULL
     ), starts AS (
       SELECT user_id, event_type, ts AS valid_from, event_id
       FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
@@ -651,8 +651,14 @@ def q134_scd2_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     first state (or belong to users with no non-purchase history) drop
     out of the inner join by declared semantics."""
     e = t(spark, sf_dir, "events")
-    nonp = e.filter(F.col("event_type") != "purchase").select(
-        "user_id", "event_type", "ts", "event_id"
+    # NULL-ts events are excluded on BOTH twins: an interval anchored at
+    # an unknown time is meaningless, and an unpinned ORDER BY ts would
+    # place the NULL row opposite ways in the two engines (the q129
+    # NULLS-ordering trap), shifting every downstream version number
+    nonp = (
+        e.filter(F.col("event_type") != "purchase")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
     )
     w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = nonp.withColumn("prev_type", F.lag("event_type").over(w_seq))

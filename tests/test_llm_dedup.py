@@ -335,39 +335,10 @@ def test_q133_prefix_pruning_bites(spark):
         .distinct()
         .count()
     )
-    # prefix candidate count: reproduce q133's candidate stage
-    from nsq2kinesis_spark.operators.llm_dedup import (
-        PP_T_DEN,
-        PP_T_NUM,
-        _PAIR_PACKED,
-        _unpack_pairs,
-    )
+    # prefix candidate count: the SHIPPED candidate stage (shared helper,
+    # so this test can never drift from what q133 actually runs)
+    from nsq2kinesis_spark.operators.llm_dedup import pp_candidates
 
-    dfreq = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
-    ordered = (
-        sh.join(dfreq, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
-            ).alias("toks"),
-            F.count("*").cast("long").alias("n"),
-        )
-    )
-    p = (
-        F.col("n")
-        - F.expr(f"(n * {PP_T_NUM} + {PP_T_DEN} - 1) DIV {PP_T_DEN}")
-        + 1
-    ).cast("int")
-    prefix = ordered.select(
-        "doc_id", F.explode(F.slice("toks", F.lit(1), p)).alias("ptok")
-    ).select("doc_id", F.col("ptok.shingle").alias("shingle"))
-    cands = _unpack_pairs(
-        prefix.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
-        .select(F.explode(F.expr(_PAIR_PACKED)).alias("pk"))
-        .distinct()
-    ).count()
+    cands = pp_candidates(sh).count()
     assert cands < naive // 2, (cands, naive)
     assert cands > 0

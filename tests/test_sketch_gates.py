@@ -218,3 +218,39 @@ def test_q137_merged_hll_error_gate(spark):
     for r in rows:
         rel = abs(r.approx_users - r.exact_users) / max(1, r.exact_users)
         assert rel <= 0.08, (r.day, r.exact_users, r.approx_users)
+
+
+def test_q138_null_cents_change_matches_oracle(spark, tmp_path):
+    """A key whose T1-winner carries NULL value and whose T2-winner is
+    non-NULL must diff as 'U' in BOTH engines — the bare <> comparison
+    would NULL out and drop it in DuckDB while Spark kept it (or vice
+    versa); IS DISTINCT FROM / eqNullSafe is pinned on both twins. A
+    NULL->NULL key must NOT appear."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        # null-then-value inside (T1, T2): winner at T1 is NULL cents,
+        # winner at T2 is 777 cents -> 'U'; plus a NULL->NULL key that
+        # must stay absent from the diff
+        "SELECT 999010, TIMESTAMP '2024-01-10 00:00:00', 888010, 'view', NULL, '{}' "
+        "UNION ALL SELECT 999011, TIMESTAMP '2024-01-20 00:00:00', 888010, 'view', 7.77, '{}' "
+        "UNION ALL SELECT 999012, TIMESTAMP '2024-01-10 00:00:00', 888011, 'click', NULL, '{}'",
+    )
+    _assert_null_variant_parity(spark, "q138_snapshot_diff", sf_dir, con)
+    rows = QUERIES["q138_snapshot_diff"].builder(spark, sf_dir).collect()
+    mine = {(r.user_id, r.event_type): r for r in rows}
+    assert mine[(888010, "view")].op == "U"
+    assert mine[(888010, "view")].old_cents is None
+    assert (888011, "click") not in mine  # NULL -> NULL is unchanged
+
+
+def test_q134_null_ts_excluded_matches_oracle(spark, tmp_path):
+    """NULL-ts events must be excluded from the interval build in BOTH
+    engines — an unpinned ORDER BY ts would place the NULL row opposite
+    ways (Spark NULLS FIRST, DuckDB NULLS LAST) and shift every state
+    boundary and version number downstream."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999020, NULL, 888020, 'view', 1.0, '{}' "
+        "UNION ALL SELECT 999021, NULL, 0, 'click', 1.0, '{}'",
+    )
+    _assert_null_variant_parity(spark, "q134_scd2_resolve", sf_dir, con)

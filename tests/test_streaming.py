@@ -434,7 +434,7 @@ def test_streaming_cdc_compaction_matches_batch(spark, tmp_path):
     — is unchanged.)"""
     from pyspark.sql import functions as F
 
-    from nsq2kinesis_spark.operators.relational import CDC_DELETE_BELOW
+    from nsq2kinesis_spark.operators.relational import CDC_DELETE_BELOW, cents
     from nsq2kinesis_spark.tables import table
 
     ev = table(spark, "/root/testdata/sf0.001", "events")
@@ -453,7 +453,7 @@ def test_streaming_cdc_compaction_matches_batch(spark, tmp_path):
     def compact(df):
         last = F.max_by(
             F.struct(
-                F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+                cents(F.col("value")).alias("cents"),
                 F.coalesce(
                     F.col("value") < F.lit(CDC_DELETE_BELOW), F.lit(False)
                 ).alias("is_delete"),
