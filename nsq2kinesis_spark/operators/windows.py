@@ -693,3 +693,90 @@ def q134_scd2_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "purchase_ts", "state", "version")
     )
+
+
+# -- q140: top-k per group with an OTHERS remainder row ------------------------
+
+TOPK_OTHERS_K = 3
+
+
+@query(
+    "q140_topk_others",
+    oracle=f"""
+    WITH totals AS (
+      SELECT event_type, user_id,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY cents DESC, user_id) AS rk
+      FROM totals
+    ), top AS (
+      SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id,
+             cents, CAST(1 AS BIGINT) AS n_users
+      FROM ranked WHERE rk <= {TOPK_OTHERS_K}
+    ), tt AS (
+      SELECT event_type, SUM(cents) AS all_cents,
+             CAST(COUNT(*) AS BIGINT) AS all_users
+      FROM totals GROUP BY event_type
+    )
+    SELECT * FROM top
+    UNION ALL
+    SELECT t.event_type, CAST(0 AS BIGINT) AS rk,
+           CAST(-1 AS BIGINT) AS user_id,
+           CAST(t.all_cents - s.top_cents AS BIGINT) AS cents,
+           t.all_users - {TOPK_OTHERS_K} AS n_users
+    FROM tt t JOIN (
+      SELECT event_type, SUM(cents) AS top_cents FROM top GROUP BY event_type
+    ) s USING (event_type)
+    WHERE t.all_users > {TOPK_OTHERS_K}
+    """,
+    tags=("window", "topk", "report", "events"),
+)
+def q140_topk_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reporting staple: per event type, the top-{TOPK_OTHERS_K}
+    users by exact total cents PLUS one 'OTHERS' row (rk=0, user_id=-1)
+    folding everyone else — so the rows of each group sum to the group
+    total and a dashboard pie has no missing slice.
+
+    The scale point is what is NOT computed: the naive form ranks every
+    user (full per-type sort) to know who is 'other'. Here OTHERS comes
+    by SUBTRACTION — type-level totals are a map-side aggregate, the
+    top-k rows come from the rank window whose rk <= k filter activates
+    WindowGroupLimit (each task keeps k rows per type before the sort),
+    and others_cents = all_cents - top_cents. No full ranking is ever
+    materialized; the window's post-pushdown input is O(k x tasks) rows
+    per type. Total-order tiebreak (cents DESC, user_id) keeps the
+    boundary row engine-independent."""
+    e = t(spark, sf_dir, "events")
+    totals = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cents").desc(), "user_id"
+    )
+    top = (
+        totals.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOPK_OTHERS_K)
+        .select(
+            "event_type", "rk", "user_id", "cents",
+            F.lit(1).cast("long").alias("n_users"),
+        )
+    )
+    tt = totals.groupBy("event_type").agg(
+        F.sum("cents").alias("all_cents"),
+        F.count("*").cast("long").alias("all_users"),
+    )
+    top_sums = top.groupBy("event_type").agg(F.sum("cents").alias("top_cents"))
+    others = (
+        tt.join(top_sums, "event_type")
+        .filter(F.col("all_users") > TOPK_OTHERS_K)
+        .select(
+            "event_type",
+            F.lit(0).cast("long").alias("rk"),
+            F.lit(-1).cast("long").alias("user_id"),
+            (F.col("all_cents") - F.col("top_cents")).cast("long").alias("cents"),
+            (F.col("all_users") - TOPK_OTHERS_K).alias("n_users"),
+        )
+    )
+    return top.unionAll(others)

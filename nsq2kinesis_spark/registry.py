@@ -196,6 +196,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q137_hll_rollup",
     "q138_snapshot_diff",
     "q139_conversion_latency",
+    "q140_topk_others",
     # -- tail: fresh round-4 rows, code untouched in round 5 --
     "q18_multi_distinct",
     "q19_agg_filter_clause",

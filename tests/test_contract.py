@@ -53,7 +53,7 @@ def test_verify_order_is_the_registry_iteration_order():
     assert len(stale_r3) == 44
     got_head = [n.split("_")[0] for n in names[: len(stale_r3)]]
     assert sorted(got_head) == sorted(stale_r3), got_head
-    assert len(names) == 124
+    assert len(names) == 125
     # The six remaining prefix slots go to late-r4 additions that have never
     # had a driver row; q115/q118 lead because their code changed in round 5
     # (hash-threshold mixture variant; pigeonhole blocking fix), so their

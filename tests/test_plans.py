@@ -1085,3 +1085,31 @@ def test_q139_latency_no_window_over_events(spark):
     assert "rangepartitioning" not in plan.lower(), plan
     rows = df.collect()
     assert rows and all(r.n_converted > 0 for r in rows)
+
+
+def test_q140_topk_others_windowgrouplimit_no_full_rank(spark):
+    # the OTHERS row must come by subtraction, not a full ranking: the
+    # only window carries the rk<=k filter (WindowGroupLimit pushdown),
+    # and the group sums are plain hash aggregates
+    df = build("q140_topk_others")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
+    # invariant: per type, top rows + others == group total
+    from collections import defaultdict
+
+    sums, totals = defaultdict(int), defaultdict(int)
+    for r in df.collect():
+        sums[r.event_type] += r.cents
+    from nsq2kinesis_spark.tables import table
+    from pyspark.sql import functions as F2
+
+    for r in (
+        table(spark, SF_CORRECTNESS, "events")
+        .groupBy("event_type")
+        .agg(F2.sum(F2.round(F2.col("value") * 100, 0).cast("long")).alias("c"))
+        .collect()
+    ):
+        totals[r.event_type] = r.c
+    assert sums == totals
