@@ -709,7 +709,7 @@ TOPK_OTHERS_K = 3
       FROM events GROUP BY event_type, user_id
     ), ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
-                                   ORDER BY cents DESC, user_id) AS rk
+                                   ORDER BY cents DESC, user_id NULLS LAST) AS rk
       FROM totals
     ), top AS (
       SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id,
@@ -752,8 +752,12 @@ def q140_topk_others(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = e.groupBy("event_type", "user_id").agg(
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
     )
+    # NULLS LAST pinned on the tiebreak: a NULL-user row tying on cents
+    # with a real user would otherwise rank first in Spark and last in
+    # DuckDB (the engines' opposite ASC defaults), flipping the top-k
+    # boundary
     w = Window.partitionBy("event_type").orderBy(
-        F.col("cents").desc(), "user_id"
+        F.col("cents").desc(), F.asc_nulls_last("user_id")
     )
     top = (
         totals.withColumn("rk", F.row_number().over(w).cast("long"))

@@ -254,3 +254,18 @@ def test_q134_null_ts_excluded_matches_oracle(spark, tmp_path):
         "UNION ALL SELECT 999021, NULL, 0, 'click', 1.0, '{}'",
     )
     _assert_null_variant_parity(spark, "q134_scd2_resolve", sf_dir, con)
+
+
+def test_q140_null_user_tiebreak_matches_oracle(spark, tmp_path):
+    """A NULL-user aggregate row that TIES on cents with a real user must
+    rank identically in both engines (NULLS LAST pinned on the tiebreak —
+    Spark's ASC default is NULLS FIRST, DuckDB's NULLS LAST, and the tie
+    sits exactly on the top-k boundary here)."""
+    # craft: NULL user and user 888030 both total exactly 999999 cents in
+    # a fresh event type, landing ranks 1-2 of that type
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999030, TIMESTAMP '2024-01-05 00:00:00', NULL, 'signup', 9999.99, '{}' "
+        "UNION ALL SELECT 999031, TIMESTAMP '2024-01-05 00:00:00', 888030, 'signup', 9999.99, '{}'",
+    )
+    _assert_null_variant_parity(spark, "q140_topk_others", sf_dir, con)
