@@ -24,7 +24,7 @@ from ..tables import table as t
     SELECT user_id, event_type, event_id, ts, value
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                   ORDER BY ts, event_id) AS rn
+                                   ORDER BY ts NULLS LAST, event_id NULLS LAST) AS rn
       FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
     ) WHERE rn = 1
     """,
@@ -40,7 +40,7 @@ def q60_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the dedup key + WindowGroupLimit (no full sort materialization).
     """
     ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -245,10 +245,10 @@ FUNNEL_STAGES = ("view", "click", "purchase")
                OVER (PARTITION BY user_id ORDER BY rn
                      ROWS UNBOUNDED PRECEDING) AS seen_click
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS rn
+                                         ORDER BY ts NULLS LAST, event_id NULLS LAST) AS rn
             FROM (SELECT user_id, event_type, ts, event_id,
                          MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST
                                  ROWS UNBOUNDED PRECEDING) AS seen_view
                   FROM events))
     ), per_user AS (
@@ -283,7 +283,7 @@ def q101_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     seen_view = F.max(
@@ -334,10 +334,10 @@ def q101_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT user_id, event_type,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST)
                AS rn_all,
              ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts, event_id) AS rn_type
+                                ORDER BY ts NULLS LAST, event_id NULLS LAST) AS rn_type
       FROM events
     ), islands AS (
       SELECT user_id, event_type, rn_all - rn_type AS grp,
@@ -361,8 +361,8 @@ def q103_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing ever shuffles the fact twice. Ties broken by event_id —
     both engines walk identical sequences."""
     e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
-    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     seq = e.select(
         "user_id",
         "event_type",
@@ -390,7 +390,7 @@ PATH_TOP_K = 10
              LEAD(event_type, 1) OVER w AS t2,
              LEAD(event_type, 2) OVER w AS t3
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST)
     )
     SELECT CONCAT(t1, '>', t2, '>', t3) AS path, CAST(COUNT(*) AS BIGINT) AS n
     FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
@@ -412,7 +412,7 @@ def q107_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg and its separator — a null event_type would alias 'a>b' with a
     genuine 2-step path). Ties broken (count desc, path asc)."""
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     seq = e.select(
         F.col("event_type").alias("t1"),
         F.lead("event_type", 1).over(w).alias("t2"),
@@ -440,7 +440,7 @@ def q107_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT user_id, event_type, ts, event_id,
-             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST)
                AS prev_type
       FROM events
     ), starts AS (
@@ -453,7 +453,7 @@ def q107_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN LEAD(valid_from) OVER w IS NULL THEN 1 ELSE 0 END
                 AS INTEGER) AS is_current
     FROM starts
-    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from NULLS LAST, event_id NULLS LAST)
     """,
     tags=("window", "scd2", "events"),
 )
@@ -472,12 +472,14 @@ def q117_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     #events on real streams). Ties broken by event_id everywhere so both
     engines walk identical sequences."""
     e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
-    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_seq = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     seq = e.withColumn("prev_type", F.lag("event_type").over(w_seq))
     starts = seq.filter(
         F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
     ).select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
-    w_v = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    w_v = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("valid_from"), F.asc_nulls_last("event_id")
+    )
     return starts.select(
         "user_id",
         "event_type",
@@ -610,7 +612,7 @@ def q129_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT user_id, event_type, ts, event_id,
-             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST)
                AS prev_type
       FROM events WHERE event_type <> 'purchase' AND ts IS NOT NULL
     ), starts AS (
@@ -621,7 +623,7 @@ def q129_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAD(valid_from) OVER w AS valid_to,
              CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
       FROM starts
-      WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY valid_from NULLS LAST, event_id NULLS LAST)
     )
     SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
            iv.state, iv.version
@@ -660,7 +662,7 @@ def q134_scd2_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts").isNotNull())
         .select("user_id", "event_type", "ts", "event_id")
     )
-    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_seq = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     seq = nonp.withColumn("prev_type", F.lag("event_type").over(w_seq))
     starts = seq.filter(
         F.col("prev_type").isNull()
@@ -671,7 +673,9 @@ def q134_scd2_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         "event_id",
     )
-    w_v = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    w_v = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("valid_from"), F.asc_nulls_last("event_id")
+    )
     iv = starts.select(
         "user_id",
         "state",

@@ -269,3 +269,29 @@ def test_q140_null_user_tiebreak_matches_oracle(spark, tmp_path):
         "UNION ALL SELECT 999031, TIMESTAMP '2024-01-05 00:00:00', 888030, 'signup', 9999.99, '{}'",
     )
     _assert_null_variant_parity(spark, "q140_topk_others", sf_dir, con)
+
+
+import pytest as _pytest_mod
+
+
+@_pytest_mod.mark.parametrize(
+    "qname",
+    [
+        "q101_event_funnel",
+        "q103_gaps_islands",
+        "q107_event_paths",
+        "q117_scd2_intervals",
+        "q60_dedup_exact",
+    ],
+)
+def test_null_ts_ordering_matches_oracle(spark, tmp_path, qname):
+    """Every ts-ordered window in the events family now pins NULLS LAST on
+    both twins (Spark defaults NULLS FIRST, DuckDB NULLS LAST — the q129/
+    q140 trap class, closed wholesale in round 5): with a planted NULL-ts
+    event per user-stream, full results must still hash-match."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999040, NULL, 0, 'view', 1.0, '{}' "
+        "UNION ALL SELECT 999041, NULL, 1, 'purchase', 2.0, '{}'",
+    )
+    _assert_null_variant_parity(spark, qname, sf_dir, con)
