@@ -270,10 +270,10 @@ def q27_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, ts, event_id, event_type, value,
              LAST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_value,
              LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
       FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
     )
@@ -295,7 +295,7 @@ def q28_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     view_val = F.when(F.col("event_type") == "view", F.col("value"))

@@ -203,7 +203,7 @@ def q34_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_last_hour
     FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
-    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT) NULLS LAST
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     tags=("window", "range-frame", "time"),
@@ -217,7 +217,7 @@ def q35_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
+        .orderBy(F.asc_nulls_last(F.unix_timestamp("ts")))
         .rangeBetween(-3600, Window.currentRow)
     )
     return ev.select(

@@ -282,6 +282,8 @@ import pytest as _pytest_mod
         "q107_event_paths",
         "q117_scd2_intervals",
         "q60_dedup_exact",
+        "q28_join_asof",
+        "q35_window_range_frame",
     ],
 )
 def test_null_ts_ordering_matches_oracle(spark, tmp_path, qname):
