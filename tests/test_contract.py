@@ -32,54 +32,40 @@ def test_contract_shapes():
 def test_verify_order_is_the_registry_iteration_order():
     """VERIFY_ORDER is the single source of truth for the order external
     harnesses iterate queries(): it must be a permutation of the registry,
-    and the round-5 rotation must hold — the 44 queries whose last fresh
-    driver row is from round 3 lead (the rotation rule forbids two
-    consecutive rounds without a fresh row), followed by six of the
-    never-driver-checked late-r4 additions, so a harness that budgets a
-    50-query prefix re-verifies exactly the stalest evidence first."""
+    and the round-6 rotation (amended rule, registry.py) must hold —
+    code-changed and never-driver-checked queries lead the 50-prefix,
+    untouched queries age at most 3 rounds backed by the local 3-SF parity
+    sweep, and rows-only queries sit at the permanent tail."""
     from nsq2kinesis_spark.registry import VERIFY_ORDER, all_queries
 
     names = list(all_queries())
     assert names == list(VERIFY_ORDER), "queries() must iterate in VERIFY_ORDER"
     assert len(set(VERIFY_ORDER)) == len(VERIFY_ORDER), "duplicates in VERIFY_ORDER"
-    stale_r3 = (
-        [f"q{n:02d}" for n in range(1, 18)]
-        + [f"q{n}" for n in range(20, 30)]
-        + [f"q{n}" for n in range(40, 47)]
-        + ["q80", "q81", "q82"]
-        + ["q63", "q66"]
-        + ["q83", "q85", "q87", "q88", "q89"]
-    )
-    assert len(stale_r3) == 44
-    got_head = [n.split("_")[0] for n in names[: len(stale_r3)]]
-    assert sorted(got_head) == sorted(stale_r3), got_head
     assert len(names) == 125
-    # The six remaining prefix slots go to late-r4 additions that have never
-    # had a driver row; q115/q118 lead because their code changed in round 5
-    # (hash-threshold mixture variant; pigeonhole blocking fix), so their
-    # fresh rows verify the NEW code.
-    assert names[44:50] == [
-        "q115_dataset_mixture",
-        "q118_fuzzy_match",
-        "q110_pii_redaction",
-        "q111_chunk_dedup",
-        "q112_cooccurrence_lift",
-        "q113_length_buckets",
+    prefix = [n.split("_")[0] for n in names[:50]]
+    # Rule 1a: the 10 queries code-touched in round 5 after their last
+    # fresh driver row lead, q106 (the salted-self-join rewrite) first.
+    touched_r5 = ["q106", "q34", "q35", "q60", "q75",
+                  "q101", "q103", "q105", "q107", "q109"]
+    assert prefix[:10] == touched_r5
+    # Rule 1b: every value-oracled query that has never had a driver row is
+    # inside the prefix (q116/q137 are rows-only and excluded by rule 3).
+    never_checked = (
+        ["q114", "q117", "q119", "q120", "q121", "q122", "q123"]
+        + [f"q{n}" for n in range(124, 137)]
+        + ["q138", "q139", "q140"]
+    )
+    assert prefix[10:33] == never_checked
+    # Rule 2: remaining slots go to aging-r4 untouched queries, oldest
+    # listed first; the rest of the r4 block leads the post-boundary tail
+    # so it fronts the r7 prefix before turning 3 rounds stale.
+    assert prefix[33:50] == [
+        "q18", "q19", "q30", "q31", "q32", "q33", "q50", "q51", "q52",
+        "q53", "q54", "q61", "q62", "q64", "q65", "q70", "q71",
     ]
-    # Post-prefix head: q106 (round-5 fanout-bound change; its fresh r4 row
-    # predates the change, local parity re-proves it) + the eight remaining
-    # never-driver-checked additions — first in line for the r6 prefix.
-    assert names[50:59] == [
-        "q106_user_similarity",
-        "q114_daily_anomalies",
-        "q116_approx_percentile",
-        "q117_scd2_intervals",
-        "q119_daily_trend",
-        "q120_volume_gini",
-        "q121_ab_test",
-        "q122_copurchase",
-        "q123_dq_report",
-    ]
+    # Rule 3: rows-only queries occupy the permanent tail — never a prefix
+    # slot while their code is untouched.
+    assert [n.split("_")[0] for n in names[-4:]] == ["q16", "q76", "q116", "q137"]
 
 
 def test_entry_smoke(spark):
