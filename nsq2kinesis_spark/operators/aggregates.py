@@ -751,17 +751,26 @@ def q125_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: (user, type)-keyed partial agg -> user-keyed rollup of the
     sum/sum-of-squares moments -> map-side arithmetic. Two bounded
     shuffles, no window, no join; per-user state is |event_types|
-    rows — O(5) here, O(vocabulary) at worst."""
+    rows — O(5) here, O(vocabulary) at worst.
+
+    Overflow envelope: the squared moments (n*n, sum_n2, N^2) accumulate
+    in decimal(38,0) — the twin of DuckDB's HUGEINT promotion for
+    SUM(BIGINT) products — so both engines stay exact to ~1e38 and raise
+    identically past it (ANSI pinned), the same wide lane q114/q106 use.
+    int64 moments would diverge at n_events > ~3e9 per user: Spark would
+    raise under ANSI while the HUGEINT oracle stayed exact."""
     e = t(spark, sf_dir, "events")
     tc = e.groupBy("user_id", "event_type").agg(
         F.count("*").cast("long").alias("n")
     )
+    wide_n = F.col("n").cast("decimal(38,0)")
     agg = tc.groupBy("user_id").agg(
         F.sum("n").cast("long").alias("n_events"),
         F.count("*").cast("long").alias("n_types"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_n2"),
+        F.sum(wide_n * wide_n).alias("sum_n2"),
     )
-    nn = F.col("n_events") * F.col("n_events")
+    wide_total = F.col("n_events").cast("decimal(38,0)")
+    nn = wide_total * wide_total
     return (
         agg.filter(F.col("n_events") >= DIVERSITY_MIN_EVENTS)
         .select(
@@ -870,8 +879,15 @@ def q137_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only checked (sketch binaries are engine-specific); each row
     carries the exact count computed independently, and the sketch gate
     asserts the default-precision (lgK=12) relative error at 5 sigma
-    (~0.81%/sqrt-ish envelope) in tests/test_sketch_gates.py."""
-    e = t(spark, sf_dir, "events")
+    (~0.81%/sqrt-ish envelope) in tests/test_sketch_gates.py.
+
+    NULL-ts policy (mirrors q134's explicit statement): events with a
+    NULL timestamp are EXCLUDED up front — without the filter a NULL ts
+    forms a phantom (NULL day, NULL hour) bucket that both inflates
+    n_hours and then silently drops its whole population at the inner
+    join on day; with it, both the sketch and the exact companion see
+    the identical datable sub-corpus."""
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hourly = e.groupBy(
         F.to_date("ts").alias("day"), F.hour("ts").alias("hour")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))

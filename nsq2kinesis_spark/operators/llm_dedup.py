@@ -209,13 +209,18 @@ _CORPUS_SIZE_MEMO: dict[str, int] = {}
 
 
 def _corpus_is_dimension_sized(spark: SparkSession, sf_dir: str) -> bool:
-    """Row count of the documents table, from the parquet footer when the
+    """Row count of the documents table, from parquet footers when the
     primary format is present (true O(1)-to-driver: pyarrow reads file
-    metadata, no Spark job) with a one-time memoized Spark count as the
-    fallback for alternate serving formats. Decides the sizes-join
-    broadcast hint."""
+    metadata only, no Spark job) — covering BOTH the single-file layout
+    the driver's testdata ships and the directory-of-part-files layout
+    ``df.write.parquet`` produces (sum of per-part footer counts), so the
+    probe never launches a Spark job inside a caller's timed region for
+    either parquet shape. A one-time memoized Spark count remains the
+    fallback for genuinely alternate serving formats. Decides the
+    sizes-join broadcast hint."""
     n = _CORPUS_SIZE_MEMO.get(sf_dir)
     if n is None:
+        import glob
         import os
 
         path = os.path.join(sf_dir, "documents.parquet")
@@ -223,6 +228,13 @@ def _corpus_is_dimension_sized(spark: SparkSession, sf_dir: str) -> bool:
             import pyarrow.parquet as pq
 
             n = pq.ParquetFile(path).metadata.num_rows
+        elif os.path.isdir(path):
+            import pyarrow.parquet as pq
+
+            n = sum(
+                pq.ParquetFile(p).metadata.num_rows
+                for p in glob.glob(os.path.join(path, "*.parquet"))
+            )
         else:
             n = t(spark, sf_dir, "documents").count()
         _CORPUS_SIZE_MEMO[sf_dir] = n

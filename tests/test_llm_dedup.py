@@ -315,12 +315,18 @@ def test_q118_blocking_is_lossless_at_sf001(spark):
     _assert_q118_lossless(spark, SF_CORRECTNESS)
 
 
+@pytest.mark.slow
 def test_q133_prefix_pruning_bites(spark):
     """The prefix filter must generate strictly fewer candidate pairs than
     the naive any-shared-token inverted index (the all-pairs baseline its
     lemma prunes), while the oracle-parity gate separately proves it
     still finds EVERY qualifying pair (the oracle is the unfiltered
-    ground truth). This pins the 'filter actually prunes' half."""
+    ground truth). This pins the 'filter actually prunes' half.
+
+    Marked slow: the naive baseline is BY CONSTRUCTION an uncapped
+    any-shared-token self-join — quadratic in the hottest posting list —
+    so it stays out of the default lane where a grown fixture corpus
+    would make it the suite's first quadratic blowup."""
     from pyspark.sql import functions as F
 
     from nsq2kinesis_spark.operators.llm_dedup import raw_postings
@@ -342,3 +348,29 @@ def test_q133_prefix_pruning_bites(spark):
     cands = pp_candidates(sh).count()
     assert cands < naive // 2, (cands, naive)
     assert cands > 0
+
+
+def test_corpus_size_probe_reads_directory_footers(spark, tmp_path):
+    """The sizes-broadcast guard must learn the corpus row count from
+    parquet FOOTERS for both layouts the engine serves — the driver's
+    single-file testdata AND the directory-of-part-files layout
+    ``df.write.parquet`` produces — without launching a Spark job (the
+    fallback count would otherwise land inside the first caller's timed
+    region and confound the dedup-family bench samples)."""
+    from nsq2kinesis_spark.operators.llm_dedup import (
+        _CORPUS_SIZE_MEMO,
+        _corpus_is_dimension_sized,
+    )
+    from nsq2kinesis_spark.tables import table
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    n_expected = docs.count()
+    sf_dir = str(tmp_path)
+    docs.repartition(3).write.parquet(f"{sf_dir}/documents.parquet")
+
+    before = sorted(spark.sparkContext.statusTracker().getJobIdsForGroup())
+    assert _corpus_is_dimension_sized(spark, sf_dir) is True
+    assert _CORPUS_SIZE_MEMO[sf_dir] == n_expected
+    # footer path: no Spark job may have run during the probe
+    after = sorted(spark.sparkContext.statusTracker().getJobIdsForGroup())
+    assert before == after, "directory probe launched a Spark job"
