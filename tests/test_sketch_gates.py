@@ -297,3 +297,96 @@ def test_null_ts_ordering_matches_oracle(spark, tmp_path, qname):
         "UNION ALL SELECT 999041, NULL, 1, 'purchase', 2.0, '{}'",
     )
     _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def test_q126_null_ts_in_version_struct_matches_oracle(spark, tmp_path):
+    """The max_by NULL-ts corner (the aggregate-ordered analog of the
+    window NULLS LAST class closed in round 5): q126's last-write-wins
+    orders by a (ts, event_id) STRUCT inside max_by, where Spark's struct
+    comparison treats a NULL field as smallest, while the oracle's
+    ROW_NUMBER orders ts DESC under DuckDB's NULLS LAST default. Both
+    must resolve identically for (a) a key where a NULL-ts TOMBSTONE
+    competes with an older real-ts upsert — NULL losing means the key
+    SURVIVES; NULL winning would delete it in one engine only — and
+    (b) a key whose rows are ALL NULL-ts, where the winner falls through
+    to the event_id tiebreak."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        # (a) real-ts upsert + NULL-ts tombstone on the same fresh key:
+        # the NULL-ts row must LOSE in both engines (value 0.5 < delete
+        # threshold would tombstone the key if it won)
+        "SELECT 999050, TIMESTAMP '2024-01-10 00:00:00', 888050, 'view', 5.00, '{}' "
+        "UNION ALL SELECT 999051, NULL, 888050, 'view', 0.50, '{}' "
+        # (b) all-NULL-ts key: winner decided purely by event_id DESC
+        # (999053 wins with 7.77; if the LOWER event_id won, last_cents
+        # would read 3.33 instead)
+        "UNION ALL SELECT 999052, NULL, 888051, 'click', 3.33, '{}' "
+        "UNION ALL SELECT 999053, NULL, 888051, 'click', 7.77, '{}'",
+    )
+    _assert_null_variant_parity(spark, "q126_cdc_apply", sf_dir, con)
+    rows = QUERIES["q126_cdc_apply"].builder(spark, sf_dir).collect()
+    mine = {(r.user_id, r.event_type): r for r in rows}
+    assert mine[(888050, "view")].last_cents == 500  # NULL-ts tombstone lost
+    assert mine[(888051, "click")].last_cents == 777  # event_id tiebreak
+
+
+def test_q138_null_ts_rows_invisible_to_snapshots(spark, tmp_path):
+    """q138's snapshots cut on `ts < T`; a NULL ts fails the predicate in
+    both engines, so NULL-ts rows — even ones that would be the key's
+    last-write winner — must be invisible to BOTH snapshots and produce
+    no diff row. Planted: a fresh key whose only in-window row is at T1
+    (so it diffs as absent->absent: no row) plus a NULL-ts row that,
+    were it admitted, would flip the key to an INSERT."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999060, NULL, 888060, 'view', 9.99, '{}' "
+        # and a key live at T1, tombstoned by a NULL-ts delete that must
+        # NOT apply: the key stays identical in s1 and s2 -> filtered out
+        "UNION ALL SELECT 999061, TIMESTAMP '2024-01-10 00:00:00', 888061, 'click', 5.00, '{}' "
+        "UNION ALL SELECT 999062, NULL, 888061, 'click', 0.10, '{}'",
+    )
+    _assert_null_variant_parity(spark, "q138_snapshot_diff", sf_dir, con)
+    rows = QUERIES["q138_snapshot_diff"].builder(spark, sf_dir).collect()
+    keys = {(r.user_id, r.event_type) for r in rows}
+    assert (888060, "view") not in keys
+    assert (888061, "click") not in keys
+
+
+def test_q136_null_ts_outside_series_bounds_matches_oracle(spark, tmp_path):
+    """NULL-ts events entering q136's bounds aggs: a NULL day groups into
+    a phantom (type, NULL) daily row that min/max skip and the calendar
+    equi-join can never match — in both engines. A type whose ONLY
+    qualifying row is NULL-ts yields NULL bounds and an empty (dropped)
+    calendar arm rather than a crash or a phantom series."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        # NULL-ts high-value row for an existing type
+        "SELECT 999070, NULL, 888070, 'view', 999.0, '{}' "
+        # fresh type whose only high-value row is NULL-ts
+        "UNION ALL SELECT 999071, NULL, 888071, 'ghost_type', 999.0, '{}'",
+    )
+    _assert_null_variant_parity(spark, "q136_interpolate", sf_dir, con)
+    rows = QUERIES["q136_interpolate"].builder(spark, sf_dir).collect()
+    assert not any(r.event_type == "ghost_type" for r in rows)
+    assert not any(r.day is None for r in rows)
+
+
+def test_q139_null_ts_excluded_from_min_aggs_matches_oracle(spark, tmp_path):
+    """NULL-ts events entering q139's first-view/first-purchase MIN aggs:
+    MIN skips NULLs in both engines, and a user whose only view is
+    NULL-ts gets first_view = NULL, which then fails the `ts >=
+    first_view` purchase predicate in both — the user converts nowhere.
+    A NULL-ts purchase likewise drops from the qualifying set without
+    disturbing the user's real first purchase."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        # user whose ONLY view is NULL-ts, plus a real purchase after it
+        "SELECT 999080, NULL, 888080, 'view', 1.0, '{}' "
+        "UNION ALL SELECT 999081, TIMESTAMP '2024-01-12 00:00:00', 888080, 'purchase', 2.0, '{}' "
+        # user with real view, a NULL-ts purchase, and a later real
+        # purchase: latency must come from the real one
+        "UNION ALL SELECT 999082, TIMESTAMP '2024-01-10 00:00:00', 888081, 'view', 1.0, '{}' "
+        "UNION ALL SELECT 999083, NULL, 888081, 'purchase', 2.0, '{}' "
+        "UNION ALL SELECT 999084, TIMESTAMP '2024-01-10 01:00:00', 888081, 'purchase', 2.0, '{}'",
+    )
+    _assert_null_variant_parity(spark, "q139_conversion_latency", sf_dir, con)
