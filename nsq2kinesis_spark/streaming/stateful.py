@@ -18,26 +18,27 @@ Two reference semantics that Spark's built-ins can't express directly:
 
 State shards by key across executors (the reference serialized everything
 through one mutex-guarded map, deduper.go:18 — the Spark form scales
-horizontally; at 100 TB switch the state store to RocksDB).
+horizontally; at 100 TB switch the state store to RocksDB — exercised in
+tests/test_stateful.py's RocksDB lane).
+
+applyInPandasWithState is deliberately the SINGLE custom-state path. A
+transformWithState backend (Spark 4's forward API: per-variable TTL,
+composable state types) was prototyped in rounds 3-5 but could never
+execute here — its state-server protocol is protobuf-framed and
+google.protobuf is absent from this image — and shipped-but-never-run
+code is a liability, so it was removed in round 6. Porting is mechanical
+when the dependency exists: the keep/refresh loop below moves into a
+StatefulProcessor.handleInputRows and eviction delegates to
+getValueState(..., ttlDurationMs) instead of the hasTimedOut branch.
 """
 
 from __future__ import annotations
 
-import sys as _sys
 from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-import pyspark.cloudpickle as _cloudpickle
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-# transformWithState ships the StatefulProcessor CLASS to a dedicated
-# Python driver worker that doesn't import user packages from disk —
-# pickle this module by value so the class travels inside the pickle
-# (same contract as sources/nsq.py's DataSource classes). The
-# applyInPandasWithState closures never needed this: cloudpickle
-# serializes closures by value already.
-_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 
 DEDUP_TTL_S = 240  # 2 × 120 s generations (reference main.go:113)
 
@@ -103,75 +104,6 @@ def generational_dedup(df, ttl_s: int = DEDUP_TTL_S):
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
-    )
-
-
-try:  # Spark 4 transformWithState API. Two gates: the API itself, and
-    # google.protobuf — the TWS state-server protocol is protobuf-framed
-    # (pyspark/sql/streaming/proto/StateMessage_pb2) and crashes the
-    # dedicated driver worker without it. protobuf is absent from this
-    # image, so the backend is import-gated exactly like the optional
-    # codec path in functions/multimodal.py: implementation + equivalence
-    # test ship now, the test runs wherever the dependency exists.
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-        TimerValues,
-    )
-
-    HAS_TRANSFORM_WITH_STATE = True
-except ImportError:  # pragma: no cover - protobuf not in this image
-    StatefulProcessor = object  # type: ignore[assignment,misc]
-    HAS_TRANSFORM_WITH_STATE = False
-
-
-class TtlDedupProcessor(StatefulProcessor):
-    """``transformWithState`` backend of the generational dedup — same
-    semantics as ``make_dedup_fn`` (keep iff unseen or last sighting
-    ≥ ttl_s ago in EVENT time; every sighting refreshes), but state
-    EVICTION is delegated to the state store's native TTL
-    (``getValueState(..., ttlDurationMs)``) instead of a hand-rolled
-    timeout branch — the store's TTL is precisely the reference's
-    generational Trim (deduper.go:42-47) done by the engine. This is the
-    forward API: per-state-variable TTL, composable state types, and
-    RocksDB-native expiry at scale."""
-
-    def __init__(self, ttl_s: int = DEDUP_TTL_S) -> None:
-        self.ttl_s = ttl_s
-
-    def init(self, handle: "StatefulProcessorHandle") -> None:
-        self._last = handle.getValueState(
-            "last_seen", DEDUP_STATE_SCHEMA, ttlDurationMs=self.ttl_s * 1000
-        )
-
-    def handleInputRows(self, key, rows, timerValues: "TimerValues"):
-        value = self._last.get() if self._last.exists() else None
-        last_seen = value[0] if value is not None else None
-        kept = []
-        for pdf in rows:
-            for row in pdf.sort_values("ts").itertuples(index=False):
-                ts_s = row.ts.timestamp()
-                if last_seen is None or (ts_s - last_seen) >= self.ttl_s:
-                    kept.append((row.body_hash, row.message_id, row.ts))
-                # never regress on late out-of-order records (see dedup_fn)
-                last_seen = ts_s if last_seen is None else max(last_seen, ts_s)
-        self._last.update((last_seen,))
-        if kept:
-            yield pd.DataFrame(kept, columns=["body_hash", "message_id", "ts"])
-
-    def close(self) -> None:
-        pass
-
-
-def generational_dedup_tws(df, ttl_s: int = DEDUP_TTL_S):
-    """generational_dedup on the transformWithState API (Spark 4) — drop-in
-    output-equivalent alternative to the applyInPandasWithState form."""
-    return df.groupBy("body_hash").transformWithStateInPandas(
-        statefulProcessor=TtlDedupProcessor(ttl_s),
-        outputStructType=DEDUP_OUTPUT_SCHEMA,
-        outputMode="append",
-        timeMode="ProcessingTime",
     )
 
 

@@ -79,14 +79,10 @@ def drain_and_stop(q, timeout_s: float = 80.0) -> None:
 
 
 def run_streaming_dedup(
-    spark, rows, tmp_path, n_files: int = 1, ttl_s: int | None = None, backend="apply"
+    spark, rows, tmp_path, n_files: int = 1, ttl_s: int | None = None
 ):
     """Feed rows through the generational dedup as a real streaming query
-    (file source, one micro-batch per file, memory sink). ``backend``
-    selects the applyInPandasWithState form ("apply") or the Spark 4
-    transformWithState form ("tws")."""
-    from nsq2kinesis_spark.streaming.stateful import generational_dedup_tws
-
+    (file source, one micro-batch per file, memory sink)."""
     src = tmp_path / f"src_{uuid.uuid4().hex[:8]}"
     src.mkdir()
     chunks = [rows[i::n_files] for i in range(n_files)] if n_files > 1 else [rows]
@@ -98,7 +94,7 @@ def run_streaming_dedup(
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
         str(src / "*")
     )
-    op = generational_dedup if backend == "apply" else generational_dedup_tws
+    op = generational_dedup
     out = op(stream) if ttl_s is None else op(stream, ttl_s=ttl_s)
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     q = (
@@ -142,30 +138,17 @@ def test_dedup_state_survives_across_microbatches(spark, tmp_path):
     assert got == ["c0_m0"]
 
 
-@pytest.mark.slow
-def test_dedup_transform_with_state_backend(spark, tmp_path):
-    """The transformWithState (Spark 4) backend produces the same survivors
-    as the applyInPandasWithState form on the whole DSL, including state
-    across micro-batches — eviction semantics are delegated to the state
-    store's native TTL there, so only the keep/refresh logic is ours."""
-    from nsq2kinesis_spark.streaming.stateful import HAS_TRANSFORM_WITH_STATE
+def test_no_transform_with_state_backend_ships():
+    """The transformWithState backend was REMOVED in round 6 (its
+    protobuf-framed state-server protocol can't run in this image, and
+    shipped code that has never executed is a liability — three rounds of
+    perpetual skips). applyInPandasWithState is the single custom-state
+    path; this pins that no dead TWS symbol quietly returns."""
+    from nsq2kinesis_spark.streaming import stateful
 
-    if not HAS_TRANSFORM_WITH_STATE:
-        pytest.skip(
-            "transformWithState needs google.protobuf (its state-server "
-            "protocol) — not in this image; backend is import-gated"
-        )
-    rows, expected = [], []
-    for idx, (ops, exp) in enumerate(DSL_CASES):
-        rows.extend(opstring_to_rows(ops, case_idx=idx))
-        expected.extend(f"c{idx}_{m}" for m in exp)
-    got = run_streaming_dedup(spark, rows, tmp_path, backend="tws")
-    assert got == sorted(expected)
-    # cross-micro-batch state, TWS backend
-    got2 = run_streaming_dedup(
-        spark, opstring_to_rows("a#a"), tmp_path, n_files=2, backend="tws"
-    )
-    assert got2 == ["c0_m0"]
+    assert not hasattr(stateful, "generational_dedup_tws")
+    assert not hasattr(stateful, "TtlDedupProcessor")
+    assert not hasattr(stateful, "HAS_TRANSFORM_WITH_STATE")
 
 
 @pytest.mark.slow
