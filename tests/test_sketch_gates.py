@@ -390,3 +390,26 @@ def test_q139_null_ts_excluded_from_min_aggs_matches_oracle(spark, tmp_path):
         "UNION ALL SELECT 999084, TIMESTAMP '2024-01-10 01:00:00', 888081, 'purchase', 2.0, '{}'",
     )
     _assert_null_variant_parity(spark, "q139_conversion_latency", sf_dir, con)
+
+
+def test_q141_table_rollup_error_gate(spark):
+    """The ad-hoc ISO-week rollup answered from the MATERIALIZED sketch
+    table alone must estimate within the same 5-sigma HLL envelope as
+    q137 (lgK=12 -> gate 8%) of the exact weekly distinct computed
+    independently from the raw events — proving the write/read round-trip
+    of the binary sketch column loses nothing."""
+    rows = QUERIES["q141_sketch_table_rollup"].builder(spark, SF_CORRECTNESS).collect()
+    assert rows
+    e = t(spark, SF_CORRECTNESS, "events").filter(F.col("ts").isNotNull())
+    exact = {
+        r.week: r.n
+        for r in e.groupBy(
+            F.weekofyear(F.to_date("ts")).alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {r.week for r in rows} == set(exact)
+    for r in rows:
+        rel = abs(r.approx_users - exact[r.week]) / max(1, exact[r.week])
+        assert rel <= 0.08, (r.week, exact[r.week], r.approx_users)
