@@ -204,7 +204,13 @@ class FakeNsqd(threading.Thread):
                                     cid,
                                 )
                     elif cmd == "CLS":
-                        conn.sendall(_frame(0, b"CLOSE_WAIT"))
+                        try:
+                            conn.sendall(_frame(0, b"CLOSE_WAIT"))
+                        except OSError:
+                            # client sent CLS and closed without reading the
+                            # ack — same as real nsqd seeing EPIPE on a
+                            # closing connection; nothing to clean up here
+                            pass
                         return
                 # deliver while this connection has RDY budget
                 while rdy > 0:
