@@ -116,7 +116,21 @@ def load_all_modules() -> None:
 #      q108, q77/q78;
 #   6. the 49 value-oracled queries with fresh round-5 rows, in their r5
 #      order;
-#   7. permanent tail (rule 3): q16, q76, q116, q137.
+#   7. permanent tail (rule 3): q16, q76, q116, q137, q141 (the round-6
+#      sketch-table addition — rows-only, so it lands here, not in the
+#      prefix).
+#
+# ROUND-7 ROTATION PLAN (write this order at the start of r7):
+#   a. any query whose code changed in round 6 after its driver row leads
+#      (rule 1; none expected — round 6 froze additions and its code
+#      changes all sit inside the r6 prefix or the rows-only tail);
+#   b. the 22 post-boundary r4-row queries (q72-q74/q79, q84/q86,
+#      q90-q100, q102/q104/q108, q77/q78) — their rows turn 3 rounds old
+#      at r7, the rule-2 ceiling, so they MUST take prefix slots;
+#   c. the remaining ~28 slots refresh the oldest r5-row queries in their
+#      listed order (q20-q29, q40-q46, q80-q82, q63/q66, then q01...);
+#      the rest of the r5 block may age to r8 under rule 2 provided the
+#      3-SF parity sweep runs green in r7.
 VERIFY_ORDER: tuple[str, ...] = (
     # -- rule 1: code changed in round 5 after the last fresh driver row --
     "q106_user_similarity",
