@@ -374,3 +374,53 @@ def test_corpus_size_probe_reads_directory_footers(spark, tmp_path):
     # footer path: no Spark job may have run during the probe
     after = sorted(spark.sparkContext.statusTracker().getJobIdsForGroup())
     assert before == after, "directory probe launched a Spark job"
+
+
+def test_q118_blocking_lossless_on_random_adversarial_corpus(spark, tmp_path):
+    """The symmetric-delete completeness proof is distribution-free; the
+    fixture tests only exercise the 'Customer#...' name shape. This runs
+    the SHIPPED q118 builder over a seeded random corpus engineered to be
+    adversarial for blocking schemes — a 2-letter alphabet at lengths
+    3-7, so distance-1 pairs are dense, many pairs share several deletion
+    keys (DISTINCT dedup path), and length-crossing insert/delete pairs
+    abound — and checks it against an O(n^2) pure-Python Levenshtein
+    ground truth."""
+    import random
+
+    rng = random.Random(20260814)
+    names = sorted({  # distinct names: identical strings are dist-0 noise
+        "".join(rng.choice("ab") for _ in range(rng.randint(3, 7)))
+        for _ in range(400)
+    })
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "c_custkey long, c_name string"
+    ).coalesce(1).write.parquet(f"{sf_dir}/customer.parquet")
+
+    def lev(s, t):
+        if len(s) < len(t):
+            s, t = t, s
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    truth = {
+        (i, j)
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    }
+    got = {
+        (r.custkey_a, r.custkey_b)
+        for r in QUERIES["q118_fuzzy_match"].builder(spark, sf_dir).collect()
+    }
+    assert truth, "random corpus produced no distance-1 pairs — tighten it"
+    assert got == truth, (
+        f"missed {len(truth - got)}, invented {len(got - truth)} "
+        f"of {len(truth)} true pairs"
+    )

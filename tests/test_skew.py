@@ -160,3 +160,44 @@ def test_decimal_moment_overflow_behavior(spark):
         [(Decimal(10**9),)], "v decimal(38,0)"
     ).select((F.col("v") * F.col("v")).alias("sq"))
     assert [int(r.sq) for r in ok.collect()] == [10**18]
+
+
+def test_q106_salted_dots_exact_on_random_corpus(spark):
+    """Triangle-salting exactness on a seeded RANDOM activity matrix (the
+    planted-hot-day test covers one adversarial shape): 150 users x 12
+    days with ~40% random fill, signed cents including zeros, and enough
+    users that every unordered bucket pair (lo, hi) — including the
+    g==j diagonal and hash-collision user pairs — actually carries
+    traffic. Salted dots must equal the plain join's bit-for-bit in both
+    envelope modes."""
+    import random
+
+    from nsq2kinesis_spark.operators.similarity import salted_day_dots
+
+    rng = random.Random(20260814)
+    rows = [
+        (u, f"2024-02-{d + 1:02d}", rng.randint(-500, 500))
+        for u in range(150)
+        for d in range(12)
+        if rng.random() < 0.4
+    ]
+    uv = spark.createDataFrame(
+        rows, "user_id long, day string, cents long"
+    ).withColumn("day", F.to_date("day"))
+    a = uv.select(F.col("user_id").alias("ua"), "day", F.col("cents").alias("ca"))
+    b = uv.select(F.col("user_id").alias("ub"), "day", F.col("cents").alias("cb"))
+    plain = sorted(
+        (r.ua, r.ub, int(r.dot))
+        for r in a.join(b, "day")
+        .filter(F.col("ua") != F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        .collect()
+    )
+    assert plain, "random fill produced no coincident-day pairs"
+    for widen in (False, True):
+        got = sorted(
+            (r.ua, r.ub, int(r.dot))
+            for r in salted_day_dots(uv, widen=widen).collect()
+        )
+        assert got == plain, f"widen={widen}"
