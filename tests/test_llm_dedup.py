@@ -424,3 +424,113 @@ def test_q118_blocking_lossless_on_random_adversarial_corpus(spark, tmp_path):
         f"missed {len(truth - got)}, invented {len(got - truth)} "
         f"of {len(truth)} true pairs"
     )
+
+
+def test_q133_ppjoin_exact_on_random_corpus(spark, tmp_path):
+    """The prefix-filtering lemma, checked distribution-free: the shipped
+    q133 builder over a seeded random corpus (150 random docs from a
+    30-token vocab plus 40 planted single-token mutations — so true
+    pairs exist at varied sizes, not just the fixtures' templated
+    near-dups) must return EXACTLY the Jaccard >= 1/2 pairs computed by
+    a brute-force Python ground truth over trigram-shingle sets. Unlike
+    the sf-parity rows this also varies doc lengths 5-15 and lets ties
+    in document frequency fall where they may (the lemma needs only a
+    CONSISTENT total order, which the (df, shingle) sort provides)."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        [rng.choice(vocab) for _ in range(rng.randint(5, 15))]
+        for _ in range(150)
+    ]
+    for _ in range(40):  # planted near-dups: copy + mutate one token
+        base = rng.choice(docs[:150])
+        mut = list(base)
+        mut[rng.randrange(len(mut))] = rng.choice(vocab)
+        docs.append(mut)
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, " ".join(d), "en", "rand", len(" ".join(d))) for i, d in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    shingles = [
+        {" ".join(d[i : i + 3]) for i in range(len(d) - 2)} for d in docs
+    ]
+    truth = set()
+    for i in range(len(docs)):
+        if not shingles[i]:
+            continue
+        for j in range(i + 1, len(docs)):
+            if not shingles[j]:
+                continue
+            inter = len(shingles[i] & shingles[j])
+            union = len(shingles[i] | shingles[j])
+            if inter * 2 >= union:
+                truth.add((i, j))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q133_ppjoin"].builder(spark, sf_dir).collect()
+    }
+    assert truth, "random corpus produced no qualifying pairs — tighten it"
+    assert got == truth, (
+        f"missed {len(truth - got)}, invented {len(got - truth)} "
+        f"of {len(truth)} true pairs"
+    )
+
+
+def test_q133_prefix_filter_immune_to_universal_hot_token(spark, tmp_path):
+    """The economic case for prefix filtering: a token present in EVERY
+    document makes the naive any-shared-token index quadratic (every doc
+    pair is a candidate), while rarest-first prefixes exclude the hot
+    token from indexing entirely — its df is maximal, so it sorts last
+    and never lands in any prefix once docs have enough rarer tokens.
+    200 docs sharing one universal trigram must produce candidates that
+    scale with the TRUE pair count, not n^2/2, and results must still be
+    exact vs brute force."""
+    import random
+
+    rng = random.Random(99)
+    # every doc starts with the same 5 tokens (=> 3 universal trigrams),
+    # then a per-doc distinct tail twice as long (rare tokens) — prefix
+    # length ~ n/2 stays inside the tail, so hot trigrams are never indexed
+    docs = []
+    for i in range(200):
+        tail = [f"d{i}_t{k}" for k in range(10)]
+        docs.append(["hot0", "hot1", "hot2", "hot3", "hot4"] + tail)
+    for _ in range(10):  # a few true near-dup pairs via tail copy
+        base = rng.randrange(200)
+        mut = list(docs[base])
+        mut[7] = "mutated"
+        docs.append(mut)
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, " ".join(d), "en", "rand", len(" ".join(d))) for i, d in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    from nsq2kinesis_spark.operators.llm_dedup import pp_candidates, raw_postings
+
+    n = len(docs)
+    cands = pp_candidates(raw_postings(spark, sf_dir)).count()
+    # naive any-shared-token candidates = every pair (universal trigrams)
+    assert cands < (n * (n - 1) // 2) // 20, (
+        f"{cands} candidates — the hot token leaked into prefixes"
+    )
+
+    shingles = [
+        {" ".join(d[i : i + 3]) for i in range(len(d) - 2)} for d in docs
+    ]
+    truth = {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if 2 * len(shingles[i] & shingles[j])
+        >= len(shingles[i] | shingles[j])
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q133_ppjoin"].builder(spark, sf_dir).collect()
+    }
+    assert truth and got == truth
