@@ -654,6 +654,80 @@ _DUCK_COMPONENTS = f"""
 """
 
 
+def min_label_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Min-label propagation over an undirected pair graph: returns
+    (doc_id, component) with component = min doc_id reachable from each
+    node. Factored out of q89 (round 6) so the iterative core is unit-
+    testable on synthetic graphs — chains, cycles, stars — independent of
+    the near-dup pair generator; semantics and plan are unchanged.
+
+    The driver loop only orchestrates (per-round work is joins and
+    aggregations on executors); the convergence probe collects a single
+    exact-decimal sum per round, never data. Labels only ever decrease,
+    so the exact sum strictly decreases iff anything changed
+    (decimal(38,0): overflow-proof at any node count). A graph whose
+    cluster diameter exceeds ``max_iters`` RAISES rather than returning
+    non-minimal labels — the correct escalation is the star-contraction
+    variant (Kiveris et al.), not a silently wrong answer.
+
+    Each round's labels are LOCAL-CHECKPOINTED, not merely persisted:
+    every iteration's plan embeds the previous one's, so an uncut
+    lineage grows multiplicatively with rounds and OOMs the driver on
+    plan bloat near ~15 iterations (found by the round-6 synthetic
+    chain-graph test — invisible on near-dup clusters, whose diameters
+    are 2-3). The checkpoint truncates lineage so each round plans
+    against materialized blocks, the standard discipline for EVERY
+    iterative DataFrame algorithm. On a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` —
+    localCheckpoint blocks die with a lost executor, acceptable here
+    because the loop re-raises and the job simply reruns."""
+    edges = (
+        pairs.union(pairs.select(pairs.columns[1], pairs.columns[0]))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+    converged = False
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "component")
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("component", F.coalesce("nbr", "component")).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        labels.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds "
+            "(cluster diameter exceeds the cap — switch to star contraction)"
+        )
+    return labels
+
+
 @query("q89_dedup_components", oracle=_DUCK_COMPONENTS, tags=("llm", "dedup", "graph"))
 def q89_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster connected components over the q75 near-dup pair
@@ -681,55 +755,7 @@ def q89_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared_postings(spark, sf_dir),
         broadcast_sizes=_corpus_is_dimension_sized(spark, sf_dir),
     ).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("src", "dst")
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
-        .persist()
-    )
-    # labels only ever decrease, so the exact sum strictly decreases iff
-    # anything changed (decimal(38,0): overflow-proof at any node count).
-    prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
-    converged = False
-    for _ in range(CC_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
-            .select(F.col("dst").alias("doc_id"), "component")
-            .groupBy("doc_id")
-            .agg(F.min("component").alias("nbr"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least("component", F.coalesce("nbr", "component")).alias("component"),
-            )
-            .persist()
-        )
-        cur_sum = new_labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    if not converged:
-        # raising beats silently returning non-minimal component ids: an
-        # adversarially chained graph (diameter > CC_MAX_ITERS) needs the
-        # star-contraction variant, not a wrong answer
-        labels.unpersist()
-        edges.unpersist()
-        raise RuntimeError(
-            f"label propagation did not converge in {CC_MAX_ITERS} rounds "
-            "(cluster diameter exceeds the cap — switch to star contraction)"
-        )
+    labels = min_label_components(pairs)
     sizes = labels.groupBy("component").agg(F.count("*").cast("long").alias("cluster_size"))
     return labels.join(sizes, "component").select(
         "doc_id",

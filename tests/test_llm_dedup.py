@@ -534,3 +534,65 @@ def test_q133_prefix_filter_immune_to_universal_hot_token(spark, tmp_path):
         for r in QUERIES["q133_ppjoin"].builder(spark, sf_dir).collect()
     }
     assert truth and got == truth
+
+
+def test_min_label_components_on_synthetic_graphs(spark):
+    """The iterative core of q89, now factored as min_label_components,
+    on graph shapes the near-dup fixtures never produce: a long chain
+    (max rounds = eccentricity of the min node — the convergence-probe
+    stress), a cycle, a star, and a seeded random graph, each checked
+    against a pure-Python union-find ground truth."""
+    import random
+
+    def uf_truth(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    from nsq2kinesis_spark.operators.llm_dedup import min_label_components
+
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(30)]          # diameter 30
+    cycle = [(100 + i, 100 + (i + 1) % 12) for i in range(12)]
+    star = [(200, 200 + i) for i in range(1, 20)]
+    rand = [
+        (300 + rng.randrange(40), 300 + rng.randrange(40)) for _ in range(60)
+    ]
+    rand = [(a, b) for a, b in rand if a != b]
+    edges = chain + cycle + star + rand
+    truth = uf_truth(edges)
+    got = {
+        r.doc_id: r.component
+        for r in min_label_components(
+            spark.createDataFrame(edges, "doc_a long, doc_b long")
+        ).collect()
+    }
+    assert got == truth
+
+
+def test_min_label_components_raises_past_diameter_cap(spark):
+    """A chain longer than max_iters must RAISE, not return non-minimal
+    labels — the documented escalation contract (switch to star
+    contraction), which the fixtures' tiny-diameter clusters can never
+    trigger."""
+    from nsq2kinesis_spark.operators.llm_dedup import min_label_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="star contraction"):
+        min_label_components(chain, max_iters=5)
+    # and the same graph converges fine with headroom
+    labels = min_label_components(chain, max_iters=15).collect()
+    assert all(r.component == 0 for r in labels)
