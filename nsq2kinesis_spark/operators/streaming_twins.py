@@ -54,7 +54,8 @@ def q60_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
-    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+          WHERE ts IS NOT NULL) events
     GROUP BY 1, 2
     """,
     tags=("streaming-twin", "window-agg"),
@@ -62,8 +63,15 @@ def q60_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q61_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window (seed: the reference's wall-clock
     batch flush cycle, kinesis_writer.go:142-147, re-expressed on event
-    time). F.window aligns to the epoch so window.start == date_trunc."""
-    ev = t(spark, sf_dir, "events")
+    time). F.window aligns to the epoch so window.start == date_trunc.
+
+    NULL-ts policy (pinned round 6): a record without event time cannot
+    enter a time window — Spark's F.window drops such rows by
+    construction (and the streaming form's watermark machinery could
+    never admit them), so the exclusion is EXPLICIT on both twins; an
+    unpinned oracle kept a phantom NULL bucket (caught by the planted
+    probe)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -80,7 +88,8 @@ def q61_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH buckets AS (
       SELECT e.*,
              TIME_BUCKET(INTERVAL '5 minutes', e.ts) - (k.k * INTERVAL '5 minutes') AS window_start
-      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+            WHERE ts IS NOT NULL) e
       CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
     )
     SELECT window_start,
@@ -94,8 +103,9 @@ def q61_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q62_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window: 10 min wide, 5 min slide — each event lands in 2
     windows (Spark Expand node; the oracle reproduces it with an explicit
-    2-way unnest)."""
-    ev = t(spark, sf_dir, "events")
+    2-way unnest). NULL-ts policy pinned on both twins (q61's argument:
+    no event time, no time window)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
@@ -115,7 +125,8 @@ def q62_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ts - INTERVAL '9999 hours')
                        > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
-      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+            WHERE ts IS NOT NULL) events
     ), numbered AS (
       SELECT user_id, ts,
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -134,8 +145,14 @@ def q63_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user via session_window — Spark
     merges adjacent events; end = last event + gap. Oracle rebuilds sessions
     with the lag/cumsum idiom. Streaming twin: same session_window on an
-    unbounded source with a watermark."""
-    ev = t(spark, sf_dir, "events")
+    unbounded source with a watermark.
+
+    NULL-ts policy pinned on both twins (q61's argument): Spark's
+    session_window drops NULL-ts rows by construction, while the
+    oracle's NULLS LAST lag ordering silently folded them into the
+    user's final session — the planted probe caught the off-by-one
+    n_events before the explicit exclusion."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").cast("long").alias("n_events"))

@@ -413,3 +413,40 @@ def test_q141_table_rollup_error_gate(spark):
     for r in rows:
         rel = abs(r.approx_users - exact[r.week]) / max(1, exact[r.week])
         assert rel <= 0.08, (r.week, exact[r.week], r.approx_users)
+
+
+@_pytest_mod.mark.parametrize(
+    "qname",
+    [
+        # the three that DIVERGED before round 6's pin: Spark's window/
+        # session_window drop NULL-ts rows by construction while the
+        # unpinned oracles kept a phantom NULL bucket (q61/q62) or folded
+        # the row into the user's last session (q63)
+        "q61_tumbling_window",
+        "q62_sliding_window",
+        "q63_session_window",
+        # the rest of the time-bucketed events family, locked in at their
+        # current (already-agreeing) NULL-ts behavior
+        "q66_time_rollup",
+        "q104_rolling_active_users",
+        "q108_daily_value_bands",
+        "q114_daily_anomalies",
+        "q119_daily_trend",
+        "q120_volume_gini",
+        "q128_gap_fill",
+        "q135_daily_mad",
+    ],
+)
+def test_null_ts_time_bucketing_matches_oracle(spark, tmp_path, qname):
+    """Every time-BUCKETED query in the events family (window aggs,
+    day-grouped aggs — the grouping analog of the ORDER BY class closed
+    in round 5 and the max_by class closed earlier this round): with
+    planted NULL-ts events, full results must still hash-match. For
+    q61-q63 the policy is explicit NULL-ts exclusion on both twins — no
+    event time, no time window."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999090, NULL, 0, 'view', 1.0, '{}' "
+        "UNION ALL SELECT 999091, NULL, 1, 'purchase', 500.0, '{}'",
+    )
+    _assert_null_variant_parity(spark, qname, sf_dir, con)
