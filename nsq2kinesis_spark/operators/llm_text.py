@@ -142,7 +142,10 @@ def q72_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            CAST(LEN(REGEXP_EXTRACT_ALL(text, '{BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
-           MD5(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(text, '{BPE_PATTERN}'), '|')) AS tokens_fp
+           CASE WHEN text IS NULL THEN NULL
+                ELSE MD5(COALESCE(
+                  ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(text, '{BPE_PATTERN}'), '|'), ''))
+           END AS tokens_fp
     FROM documents
     """,
     tags=("llm", "text", "tokenize"),
@@ -150,7 +153,13 @@ def q72_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q73_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting (whitespace-free pre-tokenizer). The
     md5-of-token-stream column proves both engines extracted identical
-    token sequences, not just equal counts."""
+    token sequences, not just equal counts.
+
+    NULL/empty contract (pinned round 6 by the planted-NULL probe): NULL
+    text propagates NULL count + NULL fingerprint on both twins; EMPTY
+    text is zero tokens with the fingerprint of the empty stream (Spark's
+    array_join([]) is '' while DuckDB's ARRAY_TO_STRING of an empty
+    extract is NULL — hence the oracle's COALESCE)."""
     d = t(spark, sf_dir, "documents")
     toks = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
     return d.select(
@@ -164,20 +173,20 @@ def q73_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q54_multimodal_decode",
     oracle="""
     SELECT doc_id,
-           CASE WHEN STRLEN(text) = 0 THEN 'empty'
+           CASE WHEN COALESCE(STRLEN(text), 0) = 0 THEN 'empty'
                 WHEN text LIKE 'GIF8%' THEN 'gif'
                 WHEN text LIKE 'BM%'   THEN 'bmp'
                 WHEN text LIKE 'RIFF%' THEN 'riff'
                 WHEN text LIKE 'ID3%'  THEN 'mp3'
                 ELSE 'unknown' END AS format,
-           CASE WHEN STRLEN(text) = 0 THEN NULL ELSE
+           CASE WHEN COALESCE(STRLEN(text), 0) = 0 THEN NULL ELSE
              CAST(16 + CAST(CONCAT('0x', SUBSTR(SHA256(text), 1, 2)) AS INT) % 240 AS INTEGER)
            END AS width,
-           CASE WHEN STRLEN(text) = 0 THEN NULL ELSE
+           CASE WHEN COALESCE(STRLEN(text), 0) = 0 THEN NULL ELSE
              CAST(16 + CAST(CONCAT('0x', SUBSTR(SHA256(text), 3, 2)) AS INT) % 240 AS INTEGER)
            END AS height,
-           CAST(STRLEN(text) AS BIGINT) AS n_bytes,
-           CASE WHEN STRLEN(text) = 0 THEN NULL ELSE MD5(text) END AS content_hash
+           CAST(COALESCE(STRLEN(text), 0) AS BIGINT) AS n_bytes,
+           CASE WHEN COALESCE(STRLEN(text), 0) = 0 THEN NULL ELSE MD5(text) END AS content_hash
     FROM documents
     """,
     tags=("llm", "multimodal", "mapInPandas"),
@@ -190,7 +199,14 @@ def q54_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     height) from the payload's sha256, which DuckDB recomputes exactly —
     proving the Python batch plumbing (schema, batching, null handling)
     produces bit-identical results to a SQL respecification. Swapping
-    fake_decode for a real codec keeps this plan and schema unchanged."""
+    fake_decode for a real codec keeps this plan and schema unchanged.
+
+    NULL contract (oracle pinned round 6): a NULL payload degrades like
+    an empty one — format 'empty', n_bytes 0, null dims/hash (the
+    multimodal module's degrade-never-kill rule); the oracle states it
+    via COALESCE(STRLEN, 0) so DuckDB's NULL STRLEN can't leak into the
+    hex-cast arm (it crashed the unpinned oracle: CONCAT('0x', NULL) is
+    '0x' in DuckDB)."""
     from ..functions.multimodal import extract_media_meta
 
     d = t(spark, sf_dir, "documents").select(
@@ -312,6 +328,7 @@ MAX_FRAMES = 8
       SELECT doc_id, text,
              LEAST({MAX_FRAMES}, GREATEST(1, STRLEN(text) // {FRAME_BYTES})) AS n_frames
       FROM documents
+      WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST(i.i AS INTEGER) AS frame_no,
@@ -332,7 +349,10 @@ def q91_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus is ASCII (asserted by q74's byte/char parity), so DuckDB's
     character SUBSTR reproduces the byte slices exactly; frames compare by
     length + md5 rather than raw bytes so both engines emit plain
-    strings/ints."""
+    strings/ints. NULL contract (oracle pinned round 6): a NULL payload
+    has no frames — frame_sample skips it, and the oracle now states the
+    same exclusion (DuckDB's lateral UNNEST over the NULL series emitted
+    a phantom all-NULL frame row before the pin)."""
     from ..functions.multimodal import frame_sample
 
     d = t(spark, sf_dir, "documents").select(
@@ -354,11 +374,11 @@ RESIZE_STRIDE = 4  # byte_resize keeps every 4th byte
     "q92_media_features",
     oracle="""
     SELECT doc_id,
-           CAST(STRLEN(text) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(STRLEN(text), 0) AS BIGINT) AS n_bytes,
            ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, STRLEN(text)),
                  i -> ORD(SUBSTR(text, i, 1)))) * 1.0 / STRLEN(text), 6) AS mean_byte,
-           CAST(LEN(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, STRLEN(text)),
-                 i -> SUBSTR(text, i, 1)))) AS INTEGER) AS n_distinct_bytes
+           CAST(COALESCE(LEN(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, STRLEN(text)),
+                 i -> SUBSTR(text, i, 1)))), 0) AS INTEGER) AS n_distinct_bytes
     FROM documents
     """,
     tags=("llm", "multimodal", "mapInPandas"),
@@ -370,7 +390,10 @@ def q92_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mean byte value and distinct-byte cardinality recompute exactly
     in SQL over the ASCII corpus. A real feature extractor (CLIP/wav2vec
     embedding) replaces the function body; schema, batching, and the
-    shuffle-free shape are what this pins."""
+    shuffle-free shape are what this pins. NULL contract (oracle pinned
+    round 6): byte_features degrades a NULL payload to (0 bytes, NULL
+    mean, 0 distinct) exactly like an empty one — the oracle COALESCEs
+    its NULL STRLEN arms to match."""
     from ..functions.multimodal import byte_features
 
     d = t(spark, sf_dir, "documents").select(
@@ -384,13 +407,15 @@ def q92_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH thumbs AS (
       SELECT doc_id,
-             ARRAY_TO_STRING(LIST_TRANSFORM(
-               GENERATE_SERIES(1, STRLEN(text), {RESIZE_STRIDE}),
-               i -> SUBSTR(text, i, 1)), '') AS thumb
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(
+                         GENERATE_SERIES(1, STRLEN(text), {RESIZE_STRIDE}),
+                         i -> SUBSTR(text, i, 1)), ''), '')
+             END AS thumb
       FROM documents
     )
     SELECT doc_id,
-           CAST(STRLEN(thumb) AS BIGINT) AS thumb_bytes,
+           CAST(COALESCE(STRLEN(thumb), 0) AS BIGINT) AS thumb_bytes,
            MD5(thumb) AS thumb_hash
     FROM thumbs
     """,
@@ -401,7 +426,10 @@ def q93_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     every-{RESIZE_STRIDE}th-byte downsample as the deterministic stand-in
     for a pixel resampler, oracle-checked byte-for-byte (thumb length +
     md5 against DuckDB's strided-character reconstruction). cv2/PIL
-    resize swaps in for the slice; the mapInPandas plumbing stays."""
+    resize swaps in for the slice; the mapInPandas plumbing stays.
+    NULL contract (oracle pinned round 6): NULL payload -> (0 bytes,
+    NULL hash); EMPTY payload -> the md5 of the empty thumb (DuckDB's
+    strided series over '' collapsed both to NULL before the pin)."""
     from ..functions.multimodal import byte_resize
 
     d = t(spark, sf_dir, "documents").select(

@@ -40,7 +40,10 @@ from .llm_text import BPE_PATTERN
     oracle=f"""
     SELECT doc_id,
            CAST(LEN(REGEXP_EXTRACT_ALL(text, '{BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
-           MD5(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(text, '{BPE_PATTERN}'), '|')) AS tokens_fp
+           CASE WHEN text IS NULL THEN NULL
+                ELSE MD5(COALESCE(
+                  ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(text, '{BPE_PATTERN}'), '|'), ''))
+           END AS tokens_fp
     FROM documents
     """,
     tags=("udf", "pandas_udf", "llm"),
@@ -51,17 +54,23 @@ def q50_pandas_udf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the same SQL, proving the UDF path is value-identical to the
     JVM regexp path. This is the template for tokenizers that outgrow
     regexp (real BPE merge tables, sentencepiece): batch in via Arrow,
-    pure-Python per batch, two output columns."""
+    pure-Python per batch, two output columns.
+
+    NULL contract (q73's, pinned round 6): NULL text propagates NULL
+    outputs — ``na_action="ignore"`` is the pandas-UDF idiom (a bare
+    ``map`` hands None to the lambda and the whole Arrow batch dies on
+    the TypeError: one NULL row must never kill a 10k-row batch)."""
     bpe = re.compile(BPE_PATTERN)
 
     @pandas_udf("int")
     def n_tokens(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda s: len(bpe.findall(s)))
+        return texts.map(lambda s: len(bpe.findall(s)), na_action="ignore")
 
     @pandas_udf("string")
     def tokens_fp(texts: pd.Series) -> pd.Series:
         return texts.map(
-            lambda s: hashlib.md5("|".join(bpe.findall(s)).encode()).hexdigest()
+            lambda s: hashlib.md5("|".join(bpe.findall(s)).encode()).hexdigest(),
+            na_action="ignore",
         )
 
     d = t(spark, sf_dir, "documents")
@@ -132,6 +141,11 @@ def q52_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, bigram string")
     class Bigrams:
         def eval(self, text: str):
+            if text is None:
+                # NULL text has no bigrams: emit nothing, matching the
+                # oracle's UNNEST over a NULL transform (round-6 pin — an
+                # unguarded .split crashed the whole UDTF batch)
+                return
             toks = text.split(" ")
             for i in range(len(toks) - 1):
                 yield i, toks[i] + " " + toks[i + 1]
@@ -159,11 +173,16 @@ def q53_python_udf_crc(spark: SparkSession, sf_dir: str) -> DataFrame:
     with built-ins (see oracle); in production this shape should be a
     pandas UDF (q50) or stay JVM-side entirely. zlib.crc32 import shows the
     arbitrary-Python escape hatch even though the oracle checks only the
-    SQL-expressible columns."""
+    SQL-expressible columns. NULL contract (round-6 pin): None in, None
+    out — the SQL twin's REVERSE(NULL)/LEN(NULL) propagation, which an
+    unguarded lambda instead turned into a task-killing TypeError."""
     _ = zlib.crc32  # the escape hatch a real deployment might use
 
-    rev = F.udf(lambda s: s[::-1], "string")
-    n_vowels = F.udf(lambda s: sum(1 for c in s if c in "aeiou"), "int")
+    rev = F.udf(lambda s: s[::-1] if s is not None else None, "string")
+    n_vowels = F.udf(
+        lambda s: sum(1 for c in s if c in "aeiou") if s is not None else None,
+        "int",
+    )
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",

@@ -122,16 +122,17 @@ def load_all_modules() -> None:
 #
 # ROUND-7 ROTATION PLAN (write this order at the start of r7):
 #   a. any query whose code changed in round 6 after its driver row leads
-#      (rule 1). Known so far: q89 (label-propagation loop factored into
-#      min_label_components + the iterative-lineage localCheckpoint fix;
-#      its fresh r5 row predates the change) and q63 (NULL-ts exclusion
-#      pinned on both twins after the planted probe caught the oracle
-#      folding NULL rows into the last session; fresh r5 row predates
-#      the pin). Both re-proven by this round's local 3-SF parity sweep.
-#      (Every other r6 code change — q61/q62 NULL-ts pins, q125
-#      widening, q137 NULL-ts filter, the corpus-probe directory path
-#      used by q75/q132 — lands on queries already inside the r6 prefix
-#      or the rows-only tail.);
+#      (rule 1). Known so far — all re-proven by this round's local 3-SF
+#      parity sweep + planted-NULL fixtures:
+#        q89  (label-propagation factored into min_label_components +
+#              the iterative-lineage localCheckpoint fix; r5 row predates),
+#        q63  (NULL-ts exclusion pinned on both twins; r5 row predates),
+#        q73/q91/q92/q93 (NULL/empty-payload contract pinned on their
+#              oracles per the planted-NULL probe; r4 rows predate).
+#      (Every other r6 code change — q61/q62 NULL-ts pins, q50/q52/q53
+#      NULL-safe UDFs, q54's oracle guard, q125 widening, q137 NULL-ts
+#      filter, the corpus-probe directory path used by q75/q132 — lands
+#      on queries already inside the r6 prefix or the rows-only tail.);
 #   b. the 22 post-boundary r4-row queries (q72-q74/q79, q84/q86,
 #      q90-q100, q102/q104/q108, q77/q78) — their rows turn 3 rounds old
 #      at r7, the rule-2 ceiling, so they MUST take prefix slots;

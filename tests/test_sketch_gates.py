@@ -450,3 +450,71 @@ def test_null_ts_time_bucketing_matches_oracle(spark, tmp_path, qname):
         "UNION ALL SELECT 999091, NULL, 1, 'purchase', 500.0, '{}'",
     )
     _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def _null_docs_fixture(tmp_path):
+    """Events-fixture analog for the documents/embeddings tables: copies
+    sf0.001 with planted NULL-text, NULL-lang/source, EMPTY-text document
+    rows and a NULL-embedding vector row — the payload corners a 100 TB
+    crawl corpus will certainly contain and the shipped fixtures don't."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in "region nation customer supplier part orders lineitem events".split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/documents.parquet'
+            UNION ALL SELECT 999001, NULL, 'en', 'src1', 0
+            UNION ALL SELECT 999002, 'alpha beta gamma delta epsilon', NULL, NULL, 30
+            UNION ALL SELECT 999003, '', 'en', 'src1', 0)
+            TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/embeddings.parquet'
+            UNION ALL SELECT 999001, NULL,
+              (SELECT label FROM '{src}/embeddings.parquet' LIMIT 1))
+            TO '{sf_dir}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    return sf_dir, con
+
+
+@_pytest_mod.mark.parametrize(
+    "qname",
+    [
+        # crashed or diverged before the round-6 NULL-contract pins:
+        "q50_pandas_udf_tokenize",  # pandas UDF died on None (na_action)
+        "q52_udtf_bigrams",  # UDTF died on None.split
+        "q53_python_udf_crc",  # row UDFs died on None slicing
+        "q54_multimodal_decode",  # oracle crashed: CONCAT('0x', NULL)='0x'
+        "q73_token_count_bpe",  # empty-stream fp: '' vs NULL ARRAY_TO_STRING
+        "q91_frame_sample",  # oracle emitted a phantom NULL frame row
+        "q92_media_features",  # degrade-to-(0,NULL,0) vs all-NULL oracle
+        "q93_media_resize",  # NULL/empty thumbs collapsed to NULL in oracle
+        # representative already-agreeing members, locked in:
+        "q70_text_stats",
+        "q72_fingerprint",
+        "q79_vocab_topk",
+        "q80_cosine_topk",
+        "q110_pii_redaction",
+        "q130_rag_chunker",
+        "q133_ppjoin",
+    ],
+)
+def test_null_payload_contract_matches_oracle(spark, tmp_path, qname):
+    """The text/media/vector family under planted NULL-text, NULL-lang,
+    EMPTY-text, and NULL-embedding rows: every oracled query must
+    hash-match its twin — the UDF paths must degrade per the multimodal
+    module's never-kill-the-batch rule instead of throwing, and the
+    oracles must state the same NULL contract the Python side implements."""
+    sf_dir, con = _null_docs_fixture(tmp_path)
+    _assert_null_variant_parity(spark, qname, sf_dir, con)
