@@ -99,16 +99,26 @@ def q51_apply_in_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch). Balances are converted to integer cents so the result is
     bit-exact; the lower median (sorted[(n-1)//2]) matches DuckDB's
     QUANTILE_DISC(0.5). One shuffle on the grouping key, then each group
-    streams through a single Arrow batch."""
+    streams through a single Arrow batch.
+
+    NULL contract (round-6 pin, matching the SQL aggregate semantics the
+    oracle states): COUNT(*) counts every row, SUM and QUANTILE skip
+    NULL balances, and an all-NULL group yields NULL sum/median — the
+    unguarded astype('int64') instead raised on the NaN a NULL balance
+    becomes in pandas, killing the whole group's task."""
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = (pdf["c_acctbal"] * 100).round().astype("int64").sort_values()
+        cents = (
+            (pdf["c_acctbal"].dropna() * 100).round().astype("int64").sort_values()
+        )
         return pd.DataFrame(
             {
                 "c_nationkey": [pdf["c_nationkey"].iloc[0]],
-                "n_customers": [len(cents)],
-                "sum_cents": [int(cents.sum())],
-                "median_cents": [int(cents.iloc[(len(cents) - 1) // 2])],
+                "n_customers": [len(pdf)],
+                "sum_cents": [int(cents.sum()) if len(cents) else None],
+                "median_cents": [
+                    int(cents.iloc[(len(cents) - 1) // 2]) if len(cents) else None
+                ],
             }
         )
 

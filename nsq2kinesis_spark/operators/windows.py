@@ -66,14 +66,21 @@ def q30_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            FIRST_VALUE(o_totalprice) OVER w AS first_price,
            o_totalprice - COALESCE(LAG(o_totalprice) OVER w, o_totalprice) AS delta_vs_prev
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST)
     """,
     tags=("window", "analytic"),
 )
 def q31_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic battery: lag/lead/first_value + delta vs previous order."""
+    """Analytic battery: lag/lead/first_value + delta vs previous order.
+    NULLS LAST pinned (round 6): a NULL o_orderdate under Spark's ASC
+    default sorts FIRST and becomes the partition's first_value (and
+    everyone's shifted lag neighbor) while DuckDB puts it last — the
+    date-ordered sibling of the q34 price-window divergence."""
     o = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey")
+    )
     prev = F.lag("o_totalprice").over(w)
     return o.select(
         "o_custkey",
@@ -96,10 +103,14 @@ def q31_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     WINDOW
       w_run AS (PARTITION BY l_suppkey
-                ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_quantity
+                ORDER BY l_shipdate NULLS LAST, l_orderkey NULLS LAST,
+                         l_linenumber NULLS LAST, l_partkey NULLS LAST,
+                         l_quantity NULLS LAST
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
       w_mov AS (PARTITION BY l_suppkey
-                ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_quantity
+                ORDER BY l_shipdate NULLS LAST, l_orderkey NULLS LAST,
+                         l_linenumber NULLS LAST, l_partkey NULLS LAST,
+                         l_quantity NULLS LAST
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
     tags=("window", "frame"),
@@ -117,12 +128,15 @@ def q32_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     guards the remainder (rows tied on ALL order columns contribute equal
     values, so any residual tie is value-neutral for the frame sums)."""
     li = t(spark, sf_dir, "lineitem")
+    # NULLS LAST pinned (round 6): the total-order argument above assumed
+    # non-null keys; a NULL l_shipdate would sort FIRST under Spark's ASC
+    # default and LAST in DuckDB, sliding every frame in its partition
     order = [
-        F.col("l_shipdate"),
-        F.col("l_orderkey"),
-        F.col("l_linenumber"),
-        F.col("l_partkey"),
-        F.col("l_quantity"),
+        F.asc_nulls_last("l_shipdate"),
+        F.asc_nulls_last("l_orderkey"),
+        F.asc_nulls_last("l_linenumber"),
+        F.asc_nulls_last("l_partkey"),
+        F.asc_nulls_last("l_quantity"),
     ]
     base = Window.partitionBy("l_suppkey").orderBy(*order)
     return li.select(
@@ -176,7 +190,8 @@ def q33_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            CUME_DIST() OVER w AS cume,
            CAST(NTILE(10) OVER w AS BIGINT) AS decile
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice NULLS LAST, o_orderkey NULLS LAST)
     """,
     tags=("window", "distribution"),
 )
@@ -184,9 +199,17 @@ def q34_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: percent_rank ((rank-1)/(n-1)) and
     cume_dist (rank/n) are exact small-integer ratios in double — engine
     order cannot perturb them under a total order (o_totalprice, o_orderkey
-    tie-break). Completes the ranking battery of q30."""
+    tie-break). Completes the ranking battery of q30.
+
+    NULLS LAST pinned (round 6 — the r5 pin closed the ts-ordered
+    windows; this is the same class on a PRICE-ordered window): a NULL
+    o_totalprice under Spark's ASC default sits FIRST and shifts every
+    rank in its partition by one, which moves EVERY row's pct_rank/cume,
+    not just the NULL row's."""
     o = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc_nulls_last("o_totalprice"), F.asc_nulls_last("o_orderkey")
+    )
     return o.select(
         "o_orderkey",
         "o_orderpriority",
@@ -502,7 +525,7 @@ def q117_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ranked AS (
       SELECT event_type, n,
              CAST(ROW_NUMBER() OVER (PARTITION BY event_type
-                                     ORDER BY n, day) AS BIGINT) AS i
+                                     ORDER BY n, day NULLS LAST) AS BIGINT) AS i
       FROM daily
     )
     SELECT event_type,
@@ -530,7 +553,11 @@ def q120_volume_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count("*").cast("long").alias("n")
     )
-    w = Window.partitionBy("event_type").orderBy("n", "day")
+    # day NULLS LAST pinned (round 6): the NULL-day bucket (NULL-ts
+    # events) must rank identically when tied on n with a real day
+    w = Window.partitionBy("event_type").orderBy(
+        "n", F.asc_nulls_last("day")
+    )
     wide = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     ranked = daily.withColumn("i", F.row_number().over(w).cast("long"))
     return (

@@ -518,3 +518,80 @@ def test_null_payload_contract_matches_oracle(spark, tmp_path, qname):
     oracles must state the same NULL contract the Python side implements."""
     sf_dir, con = _null_docs_fixture(tmp_path)
     _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def _null_tpch_fixture(tmp_path):
+    """Planted-NULL variant of the relational tables: NULL name/balance/
+    segment/nationkey customers, a fully-NULL order plus a NULL price in
+    an existing priority partition and a NULL date under an existing
+    customer, and lineitems with NULL measures/shipdate inside an
+    existing supplier partition — aimed squarely at window ORDER BY
+    columns and money aggregates."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in "region nation supplier part events documents embeddings".split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/customer.parquet'
+        UNION ALL SELECT 999901, NULL, NULL, NULL, NULL
+        UNION ALL SELECT 999902, 'Customer#999902', 3, NULL, 'BUILDING')
+        TO '{sf_dir}/customer.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/orders.parquet'
+        UNION ALL SELECT 999901, NULL, NULL, NULL, NULL, NULL
+        UNION ALL SELECT 999902, 999902, 'O', NULL, TIMESTAMP '2024-03-01', '1-URGENT'
+        UNION ALL SELECT 999903, 7, 'O', 123.45, NULL, '2-HIGH')
+        TO '{sf_dir}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/lineitem.parquet'
+        UNION ALL SELECT 999901, NULL, NULL, 1, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        UNION ALL SELECT 999902, 1, 1, 1, 5.0, NULL, 0.05, 0.02, 'N', 'O', TIMESTAMP '2024-03-02'
+        UNION ALL SELECT 999903, 2, 1, 2, NULL, 77.0, 0.01, 0.01, 'N', 'O', NULL)
+        TO '{sf_dir}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    return sf_dir, con
+
+
+@_pytest_mod.mark.parametrize(
+    "qname",
+    [
+        # diverged or crashed before the round-6 pins:
+        "q34_window_distribution",  # NULL price shifted EVERY pct_rank/cume
+        "q31_window_analytic",  # same class: NULL date as first_value
+        "q32_window_frames",  # same class: NULL keys sliding ROWS frames
+        "q51_apply_in_pandas_median",  # astype(int64) raised on NaN balance
+        # representative already-agreeing members, locked in:
+        "q01_pricing_summary",
+        "q10_agg_global",
+        "q17_percentiles",
+        "q22_join_left_outer",
+        "q24_join_full_outer",
+        "q30_window_rank",
+        "q33_topk_per_group",
+        "q43_conditional_battery",
+        "q105_scalar_subquery",
+        "q118_fuzzy_match",
+        "q122_copurchase",
+    ],
+)
+def test_null_tpch_rows_match_oracle(spark, tmp_path, qname):
+    """The relational/window/join family under planted NULLs in order
+    keys, money columns, and join keys: results must hash-match. The
+    window ORDER BY class (Spark ASC defaults NULLS FIRST, DuckDB NULLS
+    LAST) is now pinned on the price/date-ordered windows too, not just
+    the ts-ordered ones closed in round 5."""
+    sf_dir, con = _null_tpch_fixture(tmp_path)
+    _assert_null_variant_parity(spark, qname, sf_dir, con)
