@@ -505,19 +505,17 @@ CDC_DELETE_BELOW = 1.0  # rows with value < $1 are treated as tombstones
 @query(
     "q126_cdc_apply",
     oracle=f"""
-    WITH log AS (
-      SELECT user_id, event_type, ts, event_id,
-             {duck_cents("value")} AS cents,
-             CASE WHEN value < {CDC_DELETE_BELOW} THEN 'D' ELSE 'U' END AS op
-      FROM events
-    ), ranked AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                   ORDER BY ts DESC, event_id DESC) AS rn,
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             CASE WHEN value < {CDC_DELETE_BELOW} THEN 'D' ELSE 'U' END AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
              CAST(COUNT(*) OVER (PARTITION BY user_id, event_type) AS BIGINT)
                AS n_versions
-      FROM log
+      FROM events
     )
-    SELECT user_id, event_type, cents AS last_cents, ts AS last_ts, n_versions
+    SELECT user_id, event_type, {duck_cents("value")} AS last_cents,
+           ts AS last_ts, n_versions
     FROM ranked WHERE rn = 1 AND op <> 'D'
     """,
     tags=("relational", "cdc", "upsert", "events"),
@@ -540,7 +538,16 @@ def q126_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-struct keeper). The oracle states the same semantics in the
     window form DuckDB optimizes fine at oracle scale. Tombstoned keys
     keep costing their aggregate row until filtered — exactly how
-    Hudi/Iceberg merge-on-read compaction behaves before a rewrite."""
+    Hudi/Iceberg merge-on-read compaction behaves before a rewrite.
+
+    Garbage-value evaluation order (pinned round 6): the cents cast
+    raises loudly on NaN/Infinity (ANSI) — but only for rows it actually
+    materializes, and Spark's max_by never materializes a LOSING row's
+    value struct. The oracle therefore converts cents on the rn=1 winner
+    only (not in the pre-rank CTE), so a doomed NaN that loses the
+    last-write race is invisible to both engines identically, while a
+    NaN WINNER raises on both. q138's snapshot SQL gets the same
+    treatment; the NaN-loser planted test pins the agreement."""
     e = t(spark, sf_dir, "events")
     last = F.max_by(
         F.struct(
@@ -578,8 +585,8 @@ SNAP_T1 = "2024-01-15 00:00:00"
 SNAP_T2 = "2024-01-30 00:00:00"
 
 _SNAP_SQL = f"""
-      SELECT user_id, event_type, cents FROM (
-        SELECT user_id, event_type, {duck_cents("value")} AS cents,
+      SELECT user_id, event_type, {duck_cents("value")} AS cents FROM (
+        SELECT user_id, event_type, value,
                CASE WHEN value < {CDC_DELETE_BELOW} THEN 'D' ELSE 'U' END AS op,
                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                   ORDER BY ts DESC, event_id DESC) AS rn

@@ -172,7 +172,9 @@ def q43_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS prop_k,
            CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) % 10 AS prop_k_mod,
            CAST(JSON_EXTRACT_STRING(props, '$.missing') AS VARCHAR) AS prop_missing,
-           ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ',') AS prop_keys,
+           CASE WHEN props IS NULL THEN NULL
+                ELSE COALESCE(ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ','), '')
+           END AS prop_keys,
            CAST(LEN(json_keys(props)) AS INTEGER) AS n_props
     FROM events
     """,
@@ -182,7 +184,12 @@ def q44_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON/map battery over the events.props payload (seed: opaque bytes
     parsed on demand, proto/aggregation.proto:20). Uses from_json with both
     a StructType (schema'd parse, codegen) and a MapType (open schema →
-    map_keys/map_values), plus get_json_object (path probe)."""
+    map_keys/map_values), plus get_json_object (path probe).
+
+    Empty-object pin (round 6): for props = '{}' the key list is empty,
+    where Spark's array_join([]) is '' but DuckDB's ARRAY_TO_STRING of an
+    empty list is NULL — the oracle COALESCEs to '' (the q73 class), with
+    a NULL-props guard so true NULL still propagates on both twins."""
     ev = t(spark, sf_dir, "events")
     parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
     as_map = F.from_json("props", "map<string,string>")

@@ -128,7 +128,8 @@ def load_all_modules() -> None:
 #              the iterative-lineage localCheckpoint fix; r5 row predates),
 #        q63  (NULL-ts exclusion pinned on both twins; r5 row predates),
 #        q73/q91/q92/q93 (NULL/empty-payload contract pinned on their
-#              oracles per the planted-NULL probe; r4 rows predate).
+#              oracles per the planted-NULL probe; r4 rows predate),
+#        q44  (empty-JSON-object pin on its oracle; r5 row predates).
 #      (Every other r6 code change — q61/q62 NULL-ts pins, q50/q52/q53
 #      NULL-safe UDFs, q54's oracle guard, q125 widening, q137 NULL-ts
 #      filter, the corpus-probe directory path used by q75/q132 — lands

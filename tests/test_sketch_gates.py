@@ -595,3 +595,36 @@ def test_null_tpch_rows_match_oracle(spark, tmp_path, qname):
     the ts-ordered ones closed in round 5."""
     sf_dir, con = _null_tpch_fixture(tmp_path)
     _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def test_nan_inf_losers_invisible_to_cdc_twins(spark, tmp_path):
+    """Garbage-value evaluation order (the q126 docstring pin): a
+    NaN/Infinity value whose row LOSES the last-write race must be
+    invisible to both twins — Spark's max_by never materializes a losing
+    row's cents and the oracle now converts cents on the rn=1 winner
+    only (the pre-rank CTE form raised ConversionException in DuckDB
+    while Spark returned rows: a one-sided failure the gate would read
+    as corruption). Both engines must also still agree on q138's
+    snapshot diff with the garbage rows in-window."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        # losers: a real-ts row exists AFTER each garbage row on the
+        # same (user, type) key in the base fixture (events run to
+        # 2024-01-30; these sit mid-January)
+        "SELECT 999095, TIMESTAMP '2024-01-20 12:00:00', 5, 'view', CAST('NaN' AS DOUBLE), '{}' "
+        "UNION ALL SELECT 999096, TIMESTAMP '2024-01-20 13:00:00', 6, 'click', CAST('Infinity' AS DOUBLE), '{}'",
+    )
+    _assert_null_variant_parity(spark, "q126_cdc_apply", sf_dir, con)
+    _assert_null_variant_parity(spark, "q138_snapshot_diff", sf_dir, con)
+
+
+def test_q44_empty_json_object_matches_oracle(spark, tmp_path):
+    """props = '{}' (an empty JSON object — absent from the fixtures):
+    the sorted-keys join is '' in Spark and NULL via DuckDB's empty
+    ARRAY_TO_STRING; the oracle pins '' with a NULL-props guard."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999097, TIMESTAMP '2024-01-21 08:00:00', 7, 'view', 1.0, '{}' "
+        "UNION ALL SELECT 999098, TIMESTAMP '2024-01-21 09:00:00', 8, 'click', 2.0, NULL",
+    )
+    _assert_null_variant_parity(spark, "q44_json_battery", sf_dir, con)
