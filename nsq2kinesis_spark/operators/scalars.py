@@ -168,15 +168,27 @@ def q43_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q44_json_battery",
     oracle="""
+    WITH typed AS (
+      -- CASE, not AND: DuckDB does not short-circuit, so json_type must
+      -- never see a payload json_valid rejected
+      SELECT *, CASE WHEN json_valid(props) THEN json_type(props) = 'OBJECT'
+                     ELSE FALSE END AS is_obj
+      FROM events
+    )
     SELECT event_id,
-           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS prop_k,
-           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) % 10 AS prop_k_mod,
-           CAST(JSON_EXTRACT_STRING(props, '$.missing') AS VARCHAR) AS prop_missing,
-           CASE WHEN props IS NULL THEN NULL
-                ELSE COALESCE(ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ','), '')
+           TRY_CAST(CASE WHEN is_obj
+                    THEN JSON_EXTRACT_STRING(props, '$.k') END AS INTEGER) AS prop_k,
+           TRY_CAST(CASE WHEN is_obj
+                    THEN JSON_EXTRACT_STRING(props, '$.k') END AS INTEGER) % 10
+             AS prop_k_mod,
+           CASE WHEN json_valid(props)
+                THEN CAST(JSON_EXTRACT_STRING(props, '$.missing') AS VARCHAR)
+           END AS prop_missing,
+           CASE WHEN is_obj
+                THEN COALESCE(ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ','), '')
            END AS prop_keys,
-           CAST(LEN(json_keys(props)) AS INTEGER) AS n_props
-    FROM events
+           CASE WHEN is_obj THEN CAST(LEN(json_keys(props)) AS INTEGER) END AS n_props
+    FROM typed
     """,
     tags=("scalar", "json", "map"),
 )
@@ -186,10 +198,18 @@ def q44_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     a StructType (schema'd parse, codegen) and a MapType (open schema →
     map_keys/map_values), plus get_json_object (path probe).
 
-    Empty-object pin (round 6): for props = '{}' the key list is empty,
-    where Spark's array_join([]) is '' but DuckDB's ARRAY_TO_STRING of an
-    empty list is NULL — the oracle COALESCEs to '' (the q73 class), with
-    a NULL-props guard so true NULL still propagates on both twins."""
+    Garbage-payload pins (round 6, from the planted-JSON probe — a crawl
+    corpus WILL contain all of these):
+    - malformed JSON: Spark's PERMISSIVE from_json/get_json_object
+      degrade to NULL; DuckDB's json functions RAISE — the oracle now
+      guards every column on json_valid;
+    - valid-but-not-an-object ('[1,2,3]'): Spark's map/struct parse is
+      NULL; the oracle's json_type(props)='OBJECT' test mirrors it;
+    - non-numeric '$.k': Spark's typed struct field degrades to NULL;
+      the oracle uses TRY_CAST;
+    - empty object '{}': keys join to '' in Spark vs NULL via DuckDB's
+      empty ARRAY_TO_STRING (the q73 class) — COALESCE pins '';
+    - NULL props propagates NULL everywhere on both twins."""
     ev = t(spark, sf_dir, "events")
     parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
     as_map = F.from_json("props", "map<string,string>")

@@ -618,13 +618,21 @@ def test_nan_inf_losers_invisible_to_cdc_twins(spark, tmp_path):
     _assert_null_variant_parity(spark, "q138_snapshot_diff", sf_dir, con)
 
 
-def test_q44_empty_json_object_matches_oracle(spark, tmp_path):
-    """props = '{}' (an empty JSON object — absent from the fixtures):
-    the sorted-keys join is '' in Spark and NULL via DuckDB's empty
-    ARRAY_TO_STRING; the oracle pins '' with a NULL-props guard."""
+def test_q44_garbage_json_matches_oracle(spark, tmp_path):
+    """The q44 garbage-payload pins, end to end: empty object (keys join
+    to '' not NULL), NULL props (NULL everywhere), malformed JSON
+    (Spark PERMISSIVE NULLs vs DuckDB's raise — json_valid guard),
+    valid-but-not-an-object, and a non-numeric '$.k' (typed-field
+    degrade vs TRY_CAST). All five corners must hash-match."""
     sf_dir, con = _null_variant_fixture(
         tmp_path,
         "SELECT 999097, TIMESTAMP '2024-01-21 08:00:00', 7, 'view', 1.0, '{}' "
-        "UNION ALL SELECT 999098, TIMESTAMP '2024-01-21 09:00:00', 8, 'click', 2.0, NULL",
+        "UNION ALL SELECT 999098, TIMESTAMP '2024-01-21 09:00:00', 8, 'click', 2.0, NULL "
+        "UNION ALL SELECT 999100, TIMESTAMP '2024-01-21 10:00:00', 9, 'view', 1.0, 'not json at all' "
+        "UNION ALL SELECT 999101, TIMESTAMP '2024-01-21 11:00:00', 9, 'view', 1.0, '[1,2,3]' "
+        "UNION ALL SELECT 999102, TIMESTAMP '2024-01-21 12:00:00', 9, 'view', 1.0, "
+        "'{\"k\": \"xyz\"}' "
+        "UNION ALL SELECT 999103, TIMESTAMP '2024-01-21 13:00:00', 9, 'view', 1.0, "
+        "'{\"k\": 7, \"z\": {\"n\": 1}}'",
     )
     _assert_null_variant_parity(spark, "q44_json_battery", sf_dir, con)
