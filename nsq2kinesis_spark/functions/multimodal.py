@@ -290,12 +290,17 @@ def byte_resize(df: DataFrame, stride: int = 4) -> DataFrame:
                 if payload is None:
                     # same null contract as byte_features: keep the row
                     # with empty output rather than dropping the document
-                    rows.append((doc_id, 0, None))
+                    rows.append((doc_id, None, 0, None))
                     continue
                 thumb = bytes(payload)[::stride]
-                rows.append((doc_id, len(thumb), hashlib.md5(thumb).hexdigest()))
-            yield pd.DataFrame(rows, columns=["doc_id", "thumb_bytes", "thumb_hash"])
+                rows.append(
+                    (doc_id, thumb, len(thumb), hashlib.md5(thumb).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "thumb", "thumb_bytes", "thumb_hash"]
+            )
 
     return df.select("doc_id", "payload").mapInPandas(
-        resize_batches, "doc_id long, thumb_bytes long, thumb_hash string"
+        resize_batches,
+        "doc_id long, thumb binary, thumb_bytes long, thumb_hash string",
     )

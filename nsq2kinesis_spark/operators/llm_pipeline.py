@@ -296,7 +296,7 @@ def quality_flags(words_col: str = "words") -> dict:
       SELECT doc_id,
              LEN(words) AS n,
              LEN(LIST_DISTINCT(words)) AS nd,
-             LIST_SUM(LIST_TRANSFORM(words, x -> STRLEN(x))) AS sumlen,
+             LIST_SUM(LIST_TRANSFORM(words, x -> LENGTH(x))) AS sumlen,
              {_DUCK_STOP} AS stop,
              {_DUCK_TOP_COUNT} AS top
       FROM w
@@ -360,7 +360,7 @@ def _q97_oracle() -> str:
       SELECT doc_id, source, text, words,
              LEN(words) AS n,
              LEN(LIST_DISTINCT(words)) AS nd,
-             LIST_SUM(LIST_TRANSFORM(words, x -> STRLEN(x))) AS sumlen,
+             LIST_SUM(LIST_TRANSFORM(words, x -> LENGTH(x))) AS sumlen,
              {_DUCK_STOP} AS stop,
              {_DUCK_TOP_COUNT} AS top
       FROM w0

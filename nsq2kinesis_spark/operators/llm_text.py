@@ -48,7 +48,7 @@ def _duck_count_in(vocab: tuple[str, ...]) -> str:
            CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
            CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INTEGER) AS n_distinct_tokens,
            LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0 / LEN(STRING_SPLIT(text, ' ')) AS type_token_ratio,
-           LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), w -> STRLEN(w))) * 1.0
+           LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), w -> LENGTH(w))) * 1.0
              / LEN(STRING_SPLIT(text, ' ')) AS avg_token_len,
            {_duck_count_in(STOPWORDS["en"])} * 1.0 / LEN(STRING_SPLIT(text, ' ')) AS stopword_ratio
     FROM documents
@@ -220,7 +220,7 @@ def q54_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(STRLEN(text) AS BIGINT) AS payload_bytes,
-           HEX(ENCODE(SUBSTR(text, 1, 8))) AS head_hex,
+           SUBSTR(HEX(ENCODE(text)), 1, 16) AS head_hex,
            CASE WHEN STRLEN(text) >= 256 THEN 'large' ELSE 'small' END AS size_class
     FROM documents
     """,
@@ -325,16 +325,17 @@ MAX_FRAMES = 8
     "q91_frame_sample",
     oracle=f"""
     WITH f AS (
-      SELECT doc_id, text,
-             LEAST({MAX_FRAMES}, GREATEST(1, STRLEN(text) // {FRAME_BYTES})) AS n_frames
+      SELECT doc_id, HEX(ENCODE(text)) AS hx,
+             LEAST({MAX_FRAMES},
+                   GREATEST(1, OCTET_LENGTH(ENCODE(text)) // {FRAME_BYTES})) AS n_frames
       FROM documents
       WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST(i.i AS INTEGER) AS frame_no,
-           CAST(STRLEN(SUBSTR(text, i.i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS BIGINT)
-             AS n_bytes,
-           MD5(SUBSTR(text, i.i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_hash
+           CAST(LEN(SUBSTR(hx, i.i * {FRAME_BYTES} * 2 + 1, {FRAME_BYTES} * 2)) // 2
+                AS BIGINT) AS n_bytes,
+           SUBSTR(hx, i.i * {FRAME_BYTES} * 2 + 1, {FRAME_BYTES} * 2) AS frame_hex
     FROM f CROSS JOIN LATERAL (SELECT UNNEST(GENERATE_SERIES(0, n_frames - 1)) AS i) i
     """,
     tags=("llm", "multimodal", "mapInPandas"),
@@ -346,10 +347,12 @@ def q91_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Arrow-batched mapInPandas explode — the row-multiplying plumbing a
     video frame-extraction pipeline needs (the codec call itself would
     replace the slicer; schema/batching/fan-out are what this proves).
-    The corpus is ASCII (asserted by q74's byte/char parity), so DuckDB's
-    character SUBSTR reproduces the byte slices exactly; frames compare by
-    length + md5 rather than raw bytes so both engines emit plain
-    strings/ints. NULL contract (oracle pinned round 6): a NULL payload
+    Frames compare by length + HEX rather than raw bytes so both engines
+    emit plain strings/ints — and since round 6 the oracle slices the
+    HEX of the UTF-8 encoding (2 hex chars = 1 byte), so the comparison
+    is BYTE-faithful on any input, multibyte included (the earlier
+    character-SUBSTR oracle was only valid on the ASCII fixtures).
+    NULL contract (oracle pinned round 6): a NULL payload
     has no frames — frame_sample skips it, and the oracle now states the
     same exclusion (DuckDB's lateral UNNEST over the NULL series emitted
     a phantom all-NULL frame row before the pin)."""
@@ -363,7 +366,7 @@ def q91_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "frame_no",
         F.octet_length("frame").cast("long").alias("n_bytes"),
-        F.md5("frame").alias("frame_hash"),
+        F.hex("frame").alias("frame_hex"),
     )
 
 
@@ -373,13 +376,19 @@ RESIZE_STRIDE = 4  # byte_resize keeps every 4th byte
 @query(
     "q92_media_features",
     oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             OCTET_LENGTH(ENCODE(text)) AS nb,
+             LIST_TRANSFORM(GENERATE_SERIES(1, OCTET_LENGTH(ENCODE(text))),
+               i -> CAST(('0x' || SUBSTR(HEX(ENCODE(text)), 2 * i - 1, 2)) AS INTEGER))
+               AS bytes
+      FROM documents
+    )
     SELECT doc_id,
-           CAST(COALESCE(STRLEN(text), 0) AS BIGINT) AS n_bytes,
-           ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, STRLEN(text)),
-                 i -> ORD(SUBSTR(text, i, 1)))) * 1.0 / STRLEN(text), 6) AS mean_byte,
-           CAST(COALESCE(LEN(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, STRLEN(text)),
-                 i -> SUBSTR(text, i, 1)))), 0) AS INTEGER) AS n_distinct_bytes
-    FROM documents
+           CAST(COALESCE(nb, 0) AS BIGINT) AS n_bytes,
+           ROUND(LIST_SUM(bytes) * 1.0 / nb, 6) AS mean_byte,
+           CAST(COALESCE(LEN(LIST_DISTINCT(bytes)), 0) AS INTEGER) AS n_distinct_bytes
+    FROM b
     """,
     tags=("llm", "multimodal", "mapInPandas"),
 )
@@ -409,14 +418,14 @@ def q92_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CASE WHEN text IS NULL THEN NULL
                   ELSE COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(
-                         GENERATE_SERIES(1, STRLEN(text), {RESIZE_STRIDE}),
-                         i -> SUBSTR(text, i, 1)), ''), '')
-             END AS thumb
+                         GENERATE_SERIES(1, OCTET_LENGTH(ENCODE(text)), {RESIZE_STRIDE}),
+                         i -> SUBSTR(HEX(ENCODE(text)), 2 * i - 1, 2)), ''), '')
+             END AS thumb_hex
       FROM documents
     )
     SELECT doc_id,
-           CAST(COALESCE(STRLEN(thumb), 0) AS BIGINT) AS thumb_bytes,
-           MD5(thumb) AS thumb_hash
+           CAST(COALESCE(LEN(thumb_hex) // 2, 0) AS BIGINT) AS thumb_bytes,
+           thumb_hex
     FROM thumbs
     """,
     tags=("llm", "multimodal", "mapInPandas"),
@@ -427,15 +436,19 @@ def q93_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a pixel resampler, oracle-checked byte-for-byte (thumb length +
     md5 against DuckDB's strided-character reconstruction). cv2/PIL
     resize swaps in for the slice; the mapInPandas plumbing stays.
-    NULL contract (oracle pinned round 6): NULL payload -> (0 bytes,
-    NULL hash); EMPTY payload -> the md5 of the empty thumb (DuckDB's
-    strided series over '' collapsed both to NULL before the pin)."""
+    The thumb compares as HEX of its bytes — byte-faithful on multibyte
+    input since round 6 (the character-strided oracle was ASCII-only).
+    NULL contract: NULL payload -> (0 bytes, NULL hex); EMPTY payload ->
+    an empty hex string (DuckDB's strided series over '' collapsed both
+    to NULL before the pin)."""
     from ..functions.multimodal import byte_resize
 
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return byte_resize(d, stride=RESIZE_STRIDE)
+    return byte_resize(d, stride=RESIZE_STRIDE).select(
+        "doc_id", "thumb_bytes", F.hex("thumb").alias("thumb_hex")
+    )
 
 
 # -- q100: TF-IDF top terms per document --------------------------------------

@@ -127,9 +127,15 @@ def load_all_modules() -> None:
 #        q89  (label-propagation factored into min_label_components +
 #              the iterative-lineage localCheckpoint fix; r5 row predates),
 #        q63  (NULL-ts exclusion pinned on both twins; r5 row predates),
-#        q73/q91/q92/q93 (NULL/empty-payload contract pinned on their
-#              oracles per the planted-NULL probe; r4 rows predate),
-#        q44  (empty-JSON-object pin on its oracle; r5 row predates).
+#        q73/q91/q92/q93 (NULL/empty-payload contract + byte-faithful
+#              multibyte oracles; q91/q93 now compare frames/thumbs as
+#              HEX instead of md5; r4 rows predate),
+#        q70/q74 (byte/char semantics pinned per column class — token
+#              lengths are characters, payload columns are UTF-8 bytes;
+#              r4 rows predate),
+#        q44  (empty-JSON + garbage-JSON pins on its oracle; r5 row
+#              predates),
+#        q88  (oracle token length STRLEN->LENGTH; r5 row predates).
 #      (Every other r6 code change — q61/q62 NULL-ts pins, q50/q52/q53
 #      NULL-safe UDFs, q54's oracle guard, q125 widening, q137 NULL-ts
 #      filter, the corpus-probe directory path used by q75/q132 — lands

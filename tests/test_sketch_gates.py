@@ -636,3 +636,66 @@ def test_q44_garbage_json_matches_oracle(spark, tmp_path):
         "'{\"k\": 7, \"z\": {\"n\": 1}}'",
     )
     _assert_null_variant_parity(spark, "q44_json_battery", sf_dir, con)
+
+
+def _multibyte_docs_fixture(tmp_path):
+    """Planted multibyte documents (Latin diacritics, Greek, CJK, an
+    astral-plane emoji, a ligature) — the corpus shape the byte/char
+    distinction actually bites on; the shipped fixtures are pure ASCII."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    t1 = "héllo wörld héllo wörld καλημέρα κόσμε 日本語のテキスト です"
+    t2 = "ascii mixed with émojis 🙂 and ligatures ﬁne"
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/documents.parquet'
+        UNION ALL SELECT 999011, '{t1}', 'el', 'src1', {len(t1)}
+        UNION ALL SELECT 999012, '{t2}', 'en', 'src2', {len(t2)})
+        TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    return sf_dir, con
+
+
+@_pytest_mod.mark.parametrize(
+    "qname",
+    [
+        # diverged before the round-6 byte/char pins:
+        "q70_text_stats",  # token length: DuckDB STRLEN is BYTES -> LENGTH
+        "q88_quality_gate",  # same (mean-word-length flag flipped)
+        "q74_multimodal_meta",  # head_hex: 8 chars != 8 bytes
+        "q91_frame_sample",  # frames are BYTE slices; oracle now slices hex
+        "q92_media_features",  # byte stats vs ORD-of-codepoint
+        "q93_media_resize",  # strided bytes vs strided chars
+        # representative members locked in (md5 of whole strings hashes
+        # the UTF-8 encoding identically in both engines):
+        "q54_multimodal_decode",
+        "q64_oversize_filter",
+        "q72_fingerprint",
+        "q73_token_count_bpe",
+        "q79_vocab_topk",
+        "q133_ppjoin",
+    ],
+)
+def test_multibyte_text_matches_oracle(spark, tmp_path, qname):
+    """Byte/character semantics, pinned per column class: linguistics
+    (token lengths) count CHARACTERS on both twins; payload plumbing
+    (byte counts, magic headers, frame/thumb slices, byte statistics)
+    counts BYTES of the UTF-8 encoding on both — the oracles slice
+    HEX(ENCODE(text)) two chars per byte, so they are byte-faithful on
+    any input rather than only on the ASCII fixtures."""
+    sf_dir, con = _multibyte_docs_fixture(tmp_path)
+    _assert_null_variant_parity(spark, qname, sf_dir, con)
