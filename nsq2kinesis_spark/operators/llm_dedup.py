@@ -790,7 +790,7 @@ DEDUP_CHUNK_TOKENS = 10  # tokens per chunk (the "paragraph" unit)
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos),
+           COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos, chunk),
                     '') AS clean_text
     FROM ranked GROUP BY doc_id
     """,
@@ -814,7 +814,13 @@ def q111_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot key is not. One doc-keyed exchange reassembles survivors in
     original order (per-doc state is document-sized). Production variant
     would key on xxhash64(chunk) to shrink the shuffle key; the text key
-    is kept here so the oracle can reproduce values exactly."""
+    is kept here so the oracle can reproduce values exactly.
+
+    Duplicate-id robustness (round 6): if two physical rows share a
+    doc_id (broken upstream, but real), their chunks interleave in ONE
+    reassembled row; the (pos, chunk) sort — pinned on both twins, the
+    oracle's STRING_AGG included — keeps that interleaving total instead
+    of engine-dependent on the pos ties."""
     d = t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n_chunks = F.floor(

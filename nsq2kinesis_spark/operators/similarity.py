@@ -45,15 +45,32 @@ IVF_CENTROID_STEP = 101  # centroids = vec_id % 101 == 0 (deterministic)
 IVF_PROBES = 2
 
 
+# Declared-dimension contract (round 6): every vector operator consumes
+# only DIM-length embeddings; wrong-dimension rows (truncated uploads,
+# schema drift) are EXCLUDED up front on both twins. Without the guard
+# the engines disagree on garbage: Spark's positional embedding[i] under
+# ANSI raises on a short vector (q90), zip_with pads with NULLs so a
+# short vector gets an all-zero SRP signature and NULL sims (q98), while
+# DuckDB's list indexing silently yields NULL and computes partial dots.
+def emb_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings table under the declared-dimension contract."""
+    return t(spark, sf_dir, "embeddings").filter(F.size("embedding") == DIM)
+
+
+# The oracle-side twin: a derived table replacing every `embeddings`
+# reference, so both engines see the identical DIM-length sub-corpus.
+DUCK_EMB = f"(SELECT * FROM embeddings WHERE LEN(embedding) = {DIM})"
+
+
 @query(
     "q80_cosine_topk",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+      SELECT vec_id AS query_id, embedding AS qe FROM {DUCK_EMB} WHERE vec_id < {N_QUERIES}
     ), pairs AS (
       SELECT query_id, e.vec_id,
              {duck_cosine_sql("qe", "e.embedding", DIM)} AS sim
-      FROM q CROSS JOIN embeddings e
+      FROM q CROSS JOIN {DUCK_EMB} e
       WHERE e.vec_id <> query_id
     )
     SELECT query_id, vec_id, sim, rn FROM (
@@ -67,7 +84,7 @@ IVF_PROBES = 2
 def q80_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query set, scan the corpus
     once, rank per query. The exact baseline for ANN (q82)."""
-    e = t(spark, sf_dir, "embeddings")
+    e = emb_t(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -93,12 +110,12 @@ def q80_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q81_cosine_neardup",
     oracle=f"""
     WITH cents AS (
-      SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+      SELECT vec_id AS cent_id, embedding AS ce FROM {DUCK_EMB}
       WHERE vec_id % {IVF_CENTROID_STEP} = 0
     ), scored AS (
       SELECT e.vec_id, e.embedding, c.cent_id,
              {duck_cosine_sql("e.embedding", "c.ce", DIM)} AS csim
-      FROM embeddings e CROSS JOIN cents c
+      FROM {DUCK_EMB} e CROSS JOIN cents c
     ), cells AS (
       SELECT vec_id, embedding, cent_id AS cell FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -126,7 +143,7 @@ def q81_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine threshold then verifies candidates exactly. Cross-cell pairs
     are out of contract by construction — the oracle replicates the same
     quantizer, so the check is exact, not approximate."""
-    e = t(spark, sf_dir, "embeddings")
+    e = emb_t(spark, sf_dir)
     cents = e.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
@@ -168,7 +185,7 @@ def q81_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-reproducible sketches (HLL, MinHash banding, GK).
     oracle=f"""
     WITH cents AS (
-      SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+      SELECT vec_id AS cent_id, embedding AS ce FROM {DUCK_EMB}
       WHERE vec_id % {IVF_CENTROID_STEP} = 0
     ), assigned AS (
       SELECT vec_id, embedding, cent_id AS cell FROM (
@@ -176,10 +193,10 @@ def q81_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY {duck_cosine_sql("e.embedding", "c.ce", DIM)} DESC,
                           c.cent_id) AS rn
-        FROM embeddings e CROSS JOIN cents c
+        FROM {DUCK_EMB} e CROSS JOIN cents c
       ) WHERE rn = 1
     ), queries AS (
-      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      SELECT vec_id AS query_id, embedding AS qe FROM {DUCK_EMB}
       WHERE vec_id < {N_QUERIES}
     ), probes AS (
       SELECT query_id, qe, cent_id AS cell FROM (
@@ -218,7 +235,7 @@ def q82_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_dedup.py gates separately). The plan is the 100 TB
     shape: corpus co-partitioned by cell id, probe prunes partitions.
     """
-    e = t(spark, sf_dir, "embeddings")
+    e = emb_t(spark, sf_dir)
     cents = e.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
@@ -287,7 +304,7 @@ def _duck_kmeans_oracle() -> str:
     )
     sql = f"""
     WITH c0 AS (
-      SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+      SELECT vec_id AS cent_id, embedding AS ce FROM {DUCK_EMB}
       WHERE vec_id % {IVF_CENTROID_STEP} = 0
     )"""
     prev = "c0"
@@ -297,7 +314,7 @@ def _duck_kmeans_oracle() -> str:
       SELECT e.vec_id, e.embedding, c.cent_id,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                 ORDER BY {cos} DESC, c.cent_id) AS rn
-      FROM embeddings e CROSS JOIN {prev} c
+      FROM {DUCK_EMB} e CROSS JOIN {prev} c
     ),
     m{it} AS (
       SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_members,
@@ -336,7 +353,7 @@ def q90_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the q82 comparator. Centroids emit as fixed-scale decimal strings.
     Empty clusters drop out deterministically on both sides (no member
     rows → no group)."""
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = emb_t(spark, sf_dir).select("vec_id", "embedding")
     cents = e.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
@@ -428,7 +445,7 @@ def _duck_srp_oracle() -> str:
     ), vq AS (
       SELECT vec_id, d.d,
              CAST(FLOOR(CAST(embedding[d.d + 1] AS DOUBLE) * {SRP_QUANT}) AS BIGINT) AS q
-      FROM embeddings CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {DIM - 1})) AS d) d
+      FROM {DUCK_EMB} CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {DIM - 1})) AS d) d
     ), dots AS (
       SELECT v.vec_id, pl.p, SUM(pl.sgn * v.q) AS dot
       FROM vq v JOIN planes pl ON pl.d = v.d
@@ -453,8 +470,8 @@ def _duck_srp_oracle() -> str:
     SELECT c.vec_a, c.vec_b, c.n_bands,
            {duck_cosine_sql("ea.embedding", "eb.embedding", DIM)} AS sim
     FROM cand c
-    JOIN embeddings ea ON ea.vec_id = c.vec_a
-    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    JOIN {DUCK_EMB} ea ON ea.vec_id = c.vec_a
+    JOIN {DUCK_EMB} eb ON eb.vec_id = c.vec_b
     """
 
 
@@ -485,7 +502,7 @@ def q98_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rademacher signs), so unlike probabilistic-looking LSH this query is
     fully value-checked: candidates AND sims must match exactly.
     """
-    e = t(spark, sf_dir, "embeddings")
+    e = emb_t(spark, sf_dir)
     vq = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * F.lit(float(SRP_QUANT))).cast("long"),
@@ -741,11 +758,11 @@ HARDNEG_K = 3
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qe, label AS ql
-      FROM embeddings WHERE vec_id < {N_QUERIES}
+      FROM {DUCK_EMB} WHERE vec_id < {N_QUERIES}
     ), pairs AS (
       SELECT query_id, e.vec_id, e.label,
              {duck_cosine_sql("qe", "e.embedding", DIM)} AS sim
-      FROM q CROSS JOIN embeddings e
+      FROM q CROSS JOIN {DUCK_EMB} e
       WHERE e.label <> ql
     )
     SELECT query_id, vec_id, label, sim, rn FROM (
@@ -772,7 +789,7 @@ def q131_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank-filter top-k (WindowGroupLimit: each task keeps k rows per
     anchor before the window sort). Rounded cosine + vec_id tiebreak
     keep the boundary rows engine-independent."""
-    e = t(spark, sf_dir, "embeddings")
+    e = emb_t(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),

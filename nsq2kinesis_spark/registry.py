@@ -135,7 +135,11 @@ def load_all_modules() -> None:
 #              r4 rows predate),
 #        q44  (empty-JSON + garbage-JSON pins on its oracle; r5 row
 #              predates),
-#        q88  (oracle token length STRLEN->LENGTH; r5 row predates).
+#        q88  (oracle token length STRLEN->LENGTH; r5 row predates),
+#        q80/q81/q82/q90/q98 (declared-dimension contract: wrong-length
+#              embeddings excluded on both twins; r4/r5 rows predate),
+#        q111 (oracle STRING_AGG gains the chunk tiebreak for
+#              duplicate-doc_id interleavings; r5 row predates).
 #      (Every other r6 code change — q61/q62 NULL-ts pins, q50/q52/q53
 #      NULL-safe UDFs, q54's oracle guard, q125 widening, q137 NULL-ts
 #      filter, the corpus-probe directory path used by q75/q132 — lands

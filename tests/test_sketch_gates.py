@@ -699,3 +699,50 @@ def test_multibyte_text_matches_oracle(spark, tmp_path, qname):
     any input rather than only on the ASCII fixtures."""
     sf_dir, con = _multibyte_docs_fixture(tmp_path)
     _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def test_wrong_dim_embeddings_and_duplicate_doc_ids(spark, tmp_path):
+    """Two garbage-input contracts pinned in round 6: (a) the vector
+    family's declared-dimension rule — wrong-length embeddings (short,
+    empty, NULL) are excluded on both twins up front; before the guard,
+    Spark's ANSI positional indexing raised on q90 while DuckDB silently
+    computed partial dots, and q98's zip_with gave short vectors all-zero
+    signatures; (b) q111's chunk reassembly under a DUPLICATED doc_id —
+    the (pos, chunk) sort keeps the interleaving total on both twins."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in "region nation customer supplier part orders lineitem events".split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/embeddings.parquet'
+        UNION ALL SELECT 999010, [0.5, 0.5, 0.5]::DOUBLE[],
+          (SELECT label FROM '{src}/embeddings.parquet' LIMIT 1)
+        UNION ALL SELECT 999011, []::DOUBLE[],
+          (SELECT label FROM '{src}/embeddings.parquet' LIMIT 1)
+        UNION ALL SELECT 999012, NULL,
+          (SELECT label FROM '{src}/embeddings.parquet' LIMIT 1))
+        TO '{sf_dir}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/documents.parquet'
+        UNION ALL SELECT 17, 'duplicate doc id with different text entirely here',
+          'en', 'src1', 50)
+        TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    for qname in (
+        "q80_cosine_topk", "q81_cosine_neardup", "q82_ann_ivf",
+        "q90_kmeans_train", "q98_srp_lsh_pairs", "q131_hard_negatives",
+        "q111_chunk_dedup",
+    ):
+        _assert_null_variant_parity(spark, qname, sf_dir, con)
