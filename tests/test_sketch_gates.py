@@ -746,3 +746,36 @@ def test_wrong_dim_embeddings_and_duplicate_doc_ids(spark, tmp_path):
         "q111_chunk_dedup",
     ):
         _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def test_multibyte_names_match_oracle(spark, tmp_path):
+    """Unicode case-mapping/substring parity on the string battery and
+    the fuzzy-linkage deletion keys: planted customer names exercise
+    sharp-s, Greek capital/final sigma, CJK, and combining-free accents.
+    Probed clean in round 6 (both engines are Unicode-aware); this pins
+    it so a collation/ICU change in either engine surfaces."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation supplier part orders lineitem events documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/customer.parquet'
+        UNION ALL SELECT 999950, 'Müller, Þórður & 龍-ñandú ß', 3, 123.45, 'BUILDING'
+        UNION ALL SELECT 999951, 'ÉCLAIR époque  ΣΙΣΥΦΟΣ σίσυφος', 4, 200.0, 'AUTOMOBILE')
+        TO '{sf_dir}/customer.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    for qname in ("q40_string_battery", "q118_fuzzy_match"):
+        _assert_null_variant_parity(spark, qname, sf_dir, con)
