@@ -191,6 +191,12 @@ def test_nsq_to_kinesis_end_to_end(spark, tmp_path):
     from nsq2kinesis_spark.sources.nsq import NsqDataSource
 
     bodies = {f"{i:016d}": f"body-{i}".encode() for i in range(20)}
+    # genuinely BINARY payloads (the reference's bodies are opaque bytes,
+    # proto/aggregation.proto:20): invalid UTF-8, NULs, every high bit —
+    # the whole dedup/pack/spool path must round-trip them byte-exact,
+    # never decode them
+    bodies["9000000000000001"] = b"\x00\xff\xfe\x80binary\x00payload\x9c\xd8"
+    bodies["9000000000000002"] = bytes(range(256))
     oversize_id = "9999999999999991"
     messages = list(bodies.items()) + [(oversize_id, b"z" * ((1 << 20) + 1))]
     nsqd = FakeNsqd(messages, deliver_twice={"0000000000000003", "0000000000000007"})
