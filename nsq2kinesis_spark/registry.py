@@ -107,12 +107,14 @@ def load_all_modules() -> None:
 #      q114, q117, q119-q123;
 #   3. the 16 value-oracled round-5 additions, also never driver-checked:
 #      q124-q136, q138-q140;
-#   4. 17 aging-r4 queries (last fresh row round 4, untouched) in their
-#      previously listed order: q18/q19, q30-q33, q50-q54, q61/q62,
-#      q64/q65, q70/q71;
+#   4. 17 r4-row queries whose code was ALSO touched during round 6
+#      (rules 1 and 2 coincide — the fresh row verifies both the aged
+#      evidence and the new pins): q31/q32, q50-q54, q61/q62, q70,
+#      q73/q74, q90-q93, q98;
 #   ---- 50-query prefix boundary ----
-#   5. the remaining r4-row untouched queries (first in line for the r7
-#      prefix under rule 2): q72-q74/q79, q84/q86, q90-q100, q102/q104/
+#   5. the r4-row UNTOUCHED queries (rule 2: first in line for the r7
+#      prefix — their rows turn 3 rounds old there): q18/q19, q30, q33,
+#      q64/q65, q71/q72, q79, q84/q86, q94-q97, q99/q100, q102/q104/
 #      q108, q77/q78;
 #   6. the 49 value-oracled queries with fresh round-5 rows, in their r5
 #      order;
@@ -121,36 +123,34 @@ def load_all_modules() -> None:
 #      prefix).
 #
 # ROUND-7 ROTATION PLAN (write this order at the start of r7):
-#   a. any query whose code changed in round 6 after its driver row leads
-#      (rule 1). Known so far — all re-proven by this round's local 3-SF
-#      parity sweep + planted-NULL fixtures:
+#   a. any query whose code changed in round 6 AFTER its last driver row
+#      leads (rule 1). The r4-row touched queries (q70, q73/q74, q90-q93,
+#      q98 — NULL/multibyte-contract pins, byte-faithful HEX oracles,
+#      declared-dimension guards) were pulled INTO the r6 prefix above,
+#      so they get fresh rows this round; the remaining r6-touched
+#      queries hold r5 rows and lead r7:
 #        q89  (label-propagation factored into min_label_components +
-#              the iterative-lineage localCheckpoint fix; r5 row predates),
-#        q63  (NULL-ts exclusion pinned on both twins; r5 row predates),
-#        q73/q91/q92/q93 (NULL/empty-payload contract + byte-faithful
-#              multibyte oracles; q91/q93 now compare frames/thumbs as
-#              HEX instead of md5; r4 rows predate),
-#        q70/q74 (byte/char semantics pinned per column class — token
-#              lengths are characters, payload columns are UTF-8 bytes;
-#              r4 rows predate),
-#        q44  (empty-JSON + garbage-JSON pins on its oracle; r5 row
-#              predates),
-#        q88  (oracle token length STRLEN->LENGTH; r5 row predates),
-#        q80/q81/q82/q90/q98 (declared-dimension contract: wrong-length
-#              embeddings excluded on both twins; r4/r5 rows predate),
-#        q111 (oracle STRING_AGG gains the chunk tiebreak for
-#              duplicate-doc_id interleavings; r5 row predates).
-#      (Every other r6 code change — q61/q62 NULL-ts pins, q50/q52/q53
-#      NULL-safe UDFs, q54's oracle guard, q125 widening, q137 NULL-ts
-#      filter, the corpus-probe directory path used by q75/q132 — lands
-#      on queries already inside the r6 prefix or the rows-only tail.);
-#   b. the 22 post-boundary r4-row queries (q72-q74/q79, q84/q86,
-#      q90-q100, q102/q104/q108, q77/q78) — their rows turn 3 rounds old
-#      at r7, the rule-2 ceiling, so they MUST take prefix slots;
-#   c. the remaining ~28 slots refresh the oldest r5-row queries in their
-#      listed order (q20-q29, q40-q46, q80-q82, q63/q66, then q01...);
-#      the rest of the r5 block may age to r8 under rule 2 provided the
-#      3-SF parity sweep runs green in r7.
+#              the iterative-lineage localCheckpoint fix),
+#        q63  (NULL-ts exclusion pinned on both twins),
+#        q44  (empty-JSON + garbage-JSON pins on its oracle),
+#        q88  (oracle token length STRLEN->LENGTH),
+#        q80/q81/q82 (declared-dimension contract),
+#        q111 (oracle STRING_AGG chunk tiebreak for duplicate doc_ids).
+#      All re-proven by this round's local 3-SF parity sweep +
+#      planted-garbage fixtures. (Every other r6 code change — q61/q62
+#      NULL-ts pins, q50/q52/q53 NULL-safe UDFs, q54's oracle guard,
+#      q31/q32/q34/q120 window NULLS LAST, q51's NULL-safe median,
+#      q125 widening, q126/q138 winner-lazy cents, q137 NULL-ts filter,
+#      the corpus-probe directory path used by q75/q132 — lands on
+#      queries already inside the r6 prefix or the rows-only tail.);
+#   b. the 22 post-boundary r4-row untouched queries (q18/q19, q30, q33,
+#      q64/q65, q71/q72, q79, q84/q86, q94-q97, q99/q100, q102/q104/
+#      q108, q77/q78) — their rows turn 3 rounds old at r7, the rule-2
+#      ceiling, so they MUST take prefix slots;
+#   c. the remaining ~20 slots refresh the oldest r5-row queries in their
+#      listed order (q20-q29, q40-q46, q66, then q01...); the rest of
+#      the r5 block may age to r8 under rule 2 provided the 3-SF parity
+#      sweep runs green in r7.
 VERIFY_ORDER: tuple[str, ...] = (
     # -- rule 1: code changed in round 5 after the last fresh driver row --
     "q106_user_similarity",
@@ -188,13 +188,12 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q138_snapshot_diff",
     "q139_conversion_latency",
     "q140_topk_others",
-    # -- rule 2: last fresh row round 4, untouched — oldest listed first --
-    "q18_multi_distinct",
-    "q19_agg_filter_clause",
-    "q30_window_rank",
+    # -- rule 1/2 intersection: r4-row queries ALSO code-touched during
+    # -- round 6 (NULL/multibyte-contract pins, window NULLS LAST,
+    # -- NULL-safe UDFs, declared-dimension guards) — a fresh row here
+    # -- verifies both the aged evidence AND the new code --
     "q31_window_analytic",
     "q32_window_frames",
-    "q33_topk_per_group",
     "q50_pandas_udf_tokenize",
     "q51_apply_in_pandas_median",
     "q52_udtf_bigrams",
@@ -202,28 +201,32 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q54_multimodal_decode",
     "q61_tumbling_window",
     "q62_sliding_window",
-    "q64_oversize_filter",
-    "q65_partition_key",
     "q70_text_stats",
-    "q71_lang_id",
-    # ---- 50-query prefix boundary (driver budget) ----
-    # -- rule 2 continued: remaining r4-row untouched queries — lead the
-    # -- r7 prefix (their rows turn 3 rounds old by r7) --
-    "q72_fingerprint",
     "q73_token_count_bpe",
     "q74_multimodal_meta",
-    "q79_vocab_topk",
-    "q84_stratified_sample",
-    "q86_sequence_packing",
     "q90_kmeans_train",
     "q91_frame_sample",
     "q92_media_features",
     "q93_media_resize",
+    "q98_srp_lsh_pairs",
+    # ---- 50-query prefix boundary (driver budget) ----
+    # -- rule 2: r4-row untouched queries — their rows turn 3 rounds old
+    # -- by r7, so they MUST lead the r7 prefix --
+    "q18_multi_distinct",
+    "q19_agg_filter_clause",
+    "q30_window_rank",
+    "q33_topk_per_group",
+    "q64_oversize_filter",
+    "q65_partition_key",
+    "q71_lang_id",
+    "q72_fingerprint",
+    "q79_vocab_topk",
+    "q84_stratified_sample",
+    "q86_sequence_packing",
     "q94_range_join_binned",
     "q95_zorder_key",
     "q96_heavy_hitters_mg",
     "q97_corpus_build",
-    "q98_srp_lsh_pairs",
     "q99_source_cap",
     "q100_tfidf_topterms",
     "q102_incremental_dedup",

@@ -57,12 +57,18 @@ def test_verify_order_is_the_registry_iteration_order():
         + ["q138", "q139", "q140"]
     )
     assert prefix[10:33] == never_checked
-    # Rule 2: remaining slots go to aging-r4 untouched queries, oldest
-    # listed first; the rest of the r4 block leads the post-boundary tail
-    # so it fronts the r7 prefix before turning 3 rounds stale.
+    # Rules 1+2 coinciding: the remaining slots go to r4-row queries that
+    # were ALSO code-touched during round 6 (window NULLS LAST pins,
+    # NULL-safe UDFs, NULL/multibyte payload contracts, declared-dimension
+    # guards) — each fresh row verifies both the aged evidence and the new
+    # code. The r4-row UNTOUCHED queries lead the post-boundary tail so
+    # they front the r7 prefix before turning 3 rounds stale.
     assert prefix[33:50] == [
-        "q18", "q19", "q30", "q31", "q32", "q33", "q50", "q51", "q52",
-        "q53", "q54", "q61", "q62", "q64", "q65", "q70", "q71",
+        "q31", "q32", "q50", "q51", "q52", "q53", "q54", "q61", "q62",
+        "q70", "q73", "q74", "q90", "q91", "q92", "q93", "q98",
+    ]
+    assert [n.split("_")[0] for n in names[50:57]] == [
+        "q18", "q19", "q30", "q33", "q64", "q65", "q71",
     ]
     # Rule 3: rows-only queries occupy the permanent tail — never a prefix
     # slot (their driver row can only say rows>0; the pytest accuracy
