@@ -21,7 +21,7 @@ from nsq2kinesis_spark.plans.explain import (
 )
 from nsq2kinesis_spark.registry import all_queries
 
-from .conftest import SF_CORRECTNESS
+from .conftest import SF_CORRECTNESS, SF_SMOKE
 
 QUERIES = all_queries()
 
@@ -1128,3 +1128,31 @@ def test_q141_rollup_reads_only_the_sketch_table(spark):
     assert "hll_union_agg" in plan, plan
     rows = df.collect()
     assert rows and all(r.approx_users > 0 and r.n_cells >= r.n_days for r in rows)
+
+
+@pytest.mark.slow
+def test_no_query_plans_a_cartesian_product(spark):
+    """Registry-wide join-strategy invariant (round 6): NO query may ever
+    plan a CartesianProduct — the strategy that turns two large sides
+    into |A|x|B| work with no key at all — and BroadcastNestedLoopJoin
+    (the crossJoin form) is allowed only for the declared whitelist,
+    where the broadcast side is provably scalar- or dimension-sized
+    (query sets, centroid tables, corpus-total scalars). A new query
+    that accidentally cross-joins two corpus-sized sides trips this
+    before it ever meets real data."""
+    BNLJ_OK = {
+        # broadcast side is a <=N_QUERIES query set or centroid table
+        "q80_cosine_topk", "q81_cosine_neardup", "q82_ann_ivf",
+        "q90_kmeans_train", "q131_hard_negatives",
+        # broadcast side is a one-row corpus total / threshold scalar
+        "q95_zorder_key", "q96_heavy_hitters_mg", "q100_tfidf_topterms",
+        "q112_cooccurrence_lift", "q122_copurchase", "q123_dq_report",
+    }
+    offenders = {}
+    for name, q in all_queries().items():
+        plan = physical_plan(q.builder(spark, SF_SMOKE))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            offenders[name] = "undeclared BroadcastNestedLoopJoin"
+    assert not offenders, offenders
