@@ -743,8 +743,11 @@ TOPK_OTHERS_K = 3
                                    ORDER BY cents DESC, user_id NULLS LAST) AS rk
       FROM totals
     ), top AS (
+      -- CAST back to BIGINT: SUM(BIGINT) widens to HUGEINT in DuckDB, and
+      -- the driver's value hash is type-sensitive (r6's only red row —
+      -- values matched, the hash diverged on HUGEINT vs Spark's BIGINT)
       SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id,
-             cents, CAST(1 AS BIGINT) AS n_users
+             CAST(cents AS BIGINT) AS cents, CAST(1 AS BIGINT) AS n_users
       FROM ranked WHERE rk <= {TOPK_OTHERS_K}
     ), tt AS (
       SELECT event_type, SUM(cents) AS all_cents,

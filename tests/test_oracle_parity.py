@@ -68,6 +68,74 @@ def test_query_matches_oracle(spark, duck, name):
     _assert_parity(spark, duck, name, SF_CORRECTNESS)
 
 
+# ---------------------------------------------------------------------------
+# Type fidelity: the driver's value hash is TYPE-sensitive, while the value
+# comparison above goes through Python objects where DuckDB's HUGEINT and
+# BIGINT collapse into the same int. That gap fired in round 6: q140's oracle
+# summed a BIGINT (DuckDB widens SUM(BIGINT) to HUGEINT) without casting
+# back, values matched, the driver hash did not — and this suite was green.
+# Close the class: DESCRIBE every oracle and assert its output column types
+# map 1:1 onto the Spark schema.
+
+# Spark simpleString dtype -> acceptable DuckDB DESCRIBE column_type values.
+# Exact-int WIDTHS are interchangeable (both engines' values reach the
+# driver's hash as lossless Python ints — q52's INTEGER-vs-BIGINT driver row
+# is green), but HUGEINT is NOT in any set: it does not survive the pandas
+# conversion losslessly (degrades to float64/object), which is exactly the
+# q140 failure.
+_EXACT_INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER"}
+_DTYPE_MAP = {
+    "bigint": _EXACT_INTS,
+    "int": _EXACT_INTS,
+    "smallint": _EXACT_INTS,
+    "tinyint": _EXACT_INTS,
+    "double": {"DOUBLE"},
+    "float": {"FLOAT", "REAL"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "binary": {"BLOB"},
+    # Spark TimestampType is session-tz-naive on the wire; DuckDB reads
+    # parquet timestamps as TIMESTAMP (µs, no tz) — both fine.
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+}
+
+
+def _expected_duck_types(spark_dtype: str) -> set[str] | None:
+    """DuckDB type(s) a Spark column dtype must DESCRIBE as. None = don't
+    check (nested types whose textual forms are engine-specific enough
+    that a string map would be brittle — the value comparison still covers
+    them; the numeric-widening class this test exists for is scalar)."""
+    if spark_dtype in _DTYPE_MAP:
+        return _DTYPE_MAP[spark_dtype]
+    if spark_dtype.startswith("decimal("):
+        return {"DECIMAL" + spark_dtype[len("decimal") :].upper().replace(" ", "")}
+    if spark_dtype.startswith("array<"):
+        inner = _expected_duck_types(spark_dtype[len("array<") : -1])
+        if inner is None:
+            return None
+        return {t + "[]" for t in inner}
+    return None
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_types_match_spark_schema(spark, duck, name):
+    q = QUERIES[name]
+    spark_types = {f.name: f.dataType.simpleString() for f in q.builder(spark, SF_CORRECTNESS).schema.fields}
+    con = duck(SF_CORRECTNESS)
+    duck_types = {
+        r[0]: r[1] for r in con.execute(f"DESCRIBE ({q.oracle})").fetchall()
+    }
+    assert sorted(duck_types) == sorted(spark_types), f"{name}: column names differ"
+    bad = []
+    for col, sdt in spark_types.items():
+        expected = _expected_duck_types(sdt)
+        if expected is not None and duck_types[col] not in expected:
+            bad.append(f"{col}: spark={sdt} duckdb={duck_types[col]} (want {sorted(expected)})")
+    assert not bad, f"{name}: oracle output types diverge from Spark schema — driver hash would mismatch:\n  " + "\n  ".join(bad)
+
+
 # Scale-dependent defects pass the sf0.01 gate and surface only with more
 # (or much less) data — the round-4 example: sf0.1's lineitem contains two
 # rows tied on q32's entire window ORDER BY with different quantities,
