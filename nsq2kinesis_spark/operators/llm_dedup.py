@@ -231,10 +231,19 @@ def _corpus_is_dimension_sized(spark: SparkSession, sf_dir: str) -> bool:
         elif os.path.isdir(path):
             import pyarrow.parquet as pq
 
-            n = sum(
-                pq.ParquetFile(p).metadata.num_rows
-                for p in glob.glob(os.path.join(path, "*.parquet"))
+            # recursive: partitionBy() layouts nest part files in
+            # key=value subdirectories, which a top-level glob would
+            # undercount to 0 — silently classifying a corpus-sized
+            # table as dimension-sized and broadcasting it
+            parts = glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
             )
+            if parts:
+                n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+            else:
+                # directory with no part files visible (e.g. only
+                # _SUCCESS, or an alternate extension): trust Spark
+                n = t(spark, sf_dir, "documents").count()
         else:
             n = t(spark, sf_dir, "documents").count()
         _CORPUS_SIZE_MEMO[sf_dir] = n

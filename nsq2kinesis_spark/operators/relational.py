@@ -540,18 +540,23 @@ def q126_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep costing their aggregate row until filtered — exactly how
     Hudi/Iceberg merge-on-read compaction behaves before a rewrite.
 
-    Garbage-value evaluation order (pinned round 6): the cents cast
-    raises loudly on NaN/Infinity (ANSI) — but only for rows it actually
-    materializes, and Spark's max_by never materializes a LOSING row's
-    value struct. The oracle therefore converts cents on the rn=1 winner
-    only (not in the pre-rank CTE), so a doomed NaN that loses the
-    last-write race is invisible to both engines identically, while a
-    NaN WINNER raises on both. q138's snapshot SQL gets the same
-    treatment; the NaN-loser planted test pins the agreement."""
+    Garbage-value evaluation order (pinned round 6, HARDENED round 7):
+    the cents cast raises loudly on NaN/Infinity (ANSI) — but max_by
+    evaluates its value struct for every row that LEADS the running max
+    at update time (the first row of each map-side partial, any interim
+    leader), not just the final winner. Converting cents inside the
+    struct therefore made the raise dependent on SCAN ORDER: a NaN row
+    appended before its superseding correction — the natural CDC order —
+    would raise in Spark while the oracle (cents on the rn=1 winner
+    only) returns cleanly. The struct now carries the RAW double and
+    cents is applied after the groupBy, so conversion is provably
+    winner-only, mirroring the oracle exactly. q138's snapshots get the
+    same treatment; the planted tests pin BOTH garbage orders (NaN
+    preceding and following its correction)."""
     e = t(spark, sf_dir, "events")
     last = F.max_by(
         F.struct(
-            cents(F.col("value")).alias("cents"),
+            F.col("value").alias("value"),
             F.col("ts").alias("ts"),
             # NULL value is an UPSERT carrying NULL cents, never a
             # tombstone — mirrors the oracle's CASE ELSE 'U' (a bare
@@ -572,7 +577,7 @@ def q126_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_type",
-            F.col("last.cents").alias("last_cents"),
+            cents(F.col("last.value")).alias("last_cents"),
             F.col("last.ts").alias("last_ts"),
             "n_versions",
         )
@@ -633,9 +638,11 @@ def q138_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
 
     def snapshot(cut: str) -> DataFrame:
+        # raw value in the struct, cents() post-agg: winner-only
+        # conversion regardless of scan order (see q126's docstring)
         last = F.max_by(
             F.struct(
-                cents(F.col("value")).alias("cents"),
+                F.col("value").alias("value"),
                 F.coalesce(
                     F.col("value") < F.lit(CDC_DELETE_BELOW), F.lit(False)
                 ).alias("is_delete"),
@@ -647,7 +654,11 @@ def q138_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id", "event_type")
             .agg(last.alias("last"))
             .filter(~F.col("last.is_delete"))
-            .select("user_id", "event_type", F.col("last.cents").alias("cents"))
+            .select(
+                "user_id",
+                "event_type",
+                cents(F.col("last.value")).alias("cents"),
+            )
         )
 
     s1 = snapshot(SNAP_T1).alias("s1")

@@ -176,9 +176,17 @@ def q43_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_id,
+           -- the k-type guard mirrors Spark's typed struct field EXACTLY:
+           -- from_json(IntegerType) accepts only raw integer JSON tokens
+           -- (NULL for 12.5 / "12" / true / 1e2), while a bare TRY_CAST of
+           -- the extracted STRING would round fractionals (12.5 -> 13) and
+           -- parse quoted numbers — so only BIGINT/UBIGINT-typed values
+           -- reach the cast (overflow past INT32 is NULL on both engines)
            TRY_CAST(CASE WHEN is_obj
+                    AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
                     THEN JSON_EXTRACT_STRING(props, '$.k') END AS INTEGER) AS prop_k,
            TRY_CAST(CASE WHEN is_obj
+                    AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
                     THEN JSON_EXTRACT_STRING(props, '$.k') END AS INTEGER) % 10
              AS prop_k_mod,
            CASE WHEN json_valid(props)

@@ -376,6 +376,49 @@ def test_corpus_size_probe_reads_directory_footers(spark, tmp_path):
     assert before == after, "directory probe launched a Spark job"
 
 
+def test_corpus_size_probe_handles_partitioned_and_empty_layouts(spark, tmp_path):
+    """Round-7 hardening: a ``partitionBy()`` layout nests part files in
+    key=value subdirectories — a top-level glob undercounts it to 0 and
+    silently classifies a corpus-sized table as dimension-sized (the
+    broadcast-a-100TB-table failure). The probe must recurse; and a
+    directory with no part files at all (only _SUCCESS) must fall back
+    to the Spark count rather than report 0."""
+    from nsq2kinesis_spark.operators.llm_dedup import (
+        _CORPUS_SIZE_MEMO,
+        _corpus_is_dimension_sized,
+    )
+    from nsq2kinesis_spark.tables import table
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    n_expected = docs.count()
+
+    part_dir = str(tmp_path / "partitioned")
+    (tmp_path / "partitioned").mkdir()
+    docs.write.partitionBy("lang").parquet(f"{part_dir}/documents.parquet")
+    assert _corpus_is_dimension_sized(spark, part_dir) is True
+    assert _CORPUS_SIZE_MEMO[part_dir] == n_expected
+
+    # footer-only directory (no data files): must NOT memoize 0
+    empty_dir = str(tmp_path / "footerless")
+    (tmp_path / "footerless").mkdir()
+    (tmp_path / "footerless" / "documents.parquet").mkdir()
+    (tmp_path / "footerless" / "documents.parquet" / "_SUCCESS").touch()
+    import shutil
+
+    for name in ("region nation customer supplier part orders lineitem "
+                 "events embeddings").split():
+        shutil.copy(f"{SF_CORRECTNESS}/{name}.parquet",
+                    f"{empty_dir}/{name}.parquet")
+    try:
+        n = _corpus_is_dimension_sized(spark, empty_dir)
+    except Exception:
+        # an empty parquet dir may legitimately fail the Spark read;
+        # the contract is only that it never silently memoizes 0
+        n = None
+    assert _CORPUS_SIZE_MEMO.get(empty_dir, None) != 0, (
+        "footerless directory memoized a zero corpus size", n)
+
+
 def test_q118_blocking_lossless_on_random_adversarial_corpus(spark, tmp_path):
     """The symmetric-delete completeness proof is distribution-free; the
     fixture tests only exercise the 'Customer#...' name shape. This runs

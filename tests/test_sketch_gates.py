@@ -393,26 +393,55 @@ def test_q139_null_ts_excluded_from_min_aggs_matches_oracle(spark, tmp_path):
 
 
 def test_q141_table_rollup_error_gate(spark):
-    """The ad-hoc ISO-week rollup answered from the MATERIALIZED sketch
+    """The ad-hoc week rollup answered from the MATERIALIZED sketch
     table alone must estimate within the same 5-sigma HLL envelope as
     q137 (lgK=12 -> gate 8%) of the exact weekly distinct computed
     independently from the raw events — proving the write/read round-trip
-    of the binary sketch column loses nothing."""
+    of the binary sketch column loses nothing. Keyed on the week's
+    Monday DATE (date_trunc), not the bare ISO week number, so week-N
+    cells from different years can never merge (round-7 fix)."""
     rows = QUERIES["q141_sketch_table_rollup"].builder(spark, SF_CORRECTNESS).collect()
     assert rows
     e = t(spark, SF_CORRECTNESS, "events").filter(F.col("ts").isNotNull())
     exact = {
-        r.week: r.n
+        r.week_start: r.n
         for r in e.groupBy(
-            F.weekofyear(F.to_date("ts")).alias("week")
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week_start")
         )
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert {r.week for r in rows} == set(exact)
+    assert {r.week_start for r in rows} == set(exact)
     for r in rows:
-        rel = abs(r.approx_users - exact[r.week]) / max(1, exact[r.week])
-        assert rel <= 0.08, (r.week, exact[r.week], r.approx_users)
+        rel = abs(r.approx_users - exact[r.week_start]) / max(1, exact[r.week_start])
+        assert rel <= 0.08, (r.week_start, exact[r.week_start], r.approx_users)
+
+
+def test_q141_materialization_is_memoized_per_sf_dir(spark):
+    """Round-7 leak fix: repeated q141 invocations must reuse ONE
+    materialized sketch table per (process, sf_dir) — the prior
+    mkdtemp-per-invocation leaked a table per parity sweep / plan test /
+    driver round and re-ran the write job inside callers' timed regions."""
+    from nsq2kinesis_spark.operators.aggregates import _SKETCH_TABLE_MEMO
+
+    import os
+
+    build = QUERIES["q141_sketch_table_rollup"].builder
+    build(spark, SF_CORRECTNESS).collect()
+    path1 = _SKETCH_TABLE_MEMO[SF_CORRECTNESS]
+    listing = sorted(
+        (f, os.path.getmtime(os.path.join(path1, f)))
+        for f in os.listdir(path1)
+    )
+    df = build(spark, SF_CORRECTNESS)
+    assert _SKETCH_TABLE_MEMO[SF_CORRECTNESS] == path1, (
+        "second build materialized a NEW table dir (the leak)"
+    )
+    assert listing == sorted(
+        (f, os.path.getmtime(os.path.join(path1, f)))
+        for f in os.listdir(path1)
+    ), "second build rewrote the materialized table"
+    assert df.count() > 0
 
 
 @_pytest_mod.mark.parametrize(
@@ -618,12 +647,42 @@ def test_nan_inf_losers_invisible_to_cdc_twins(spark, tmp_path):
     _assert_null_variant_parity(spark, "q138_snapshot_diff", sf_dir, con)
 
 
+def test_nan_preceding_its_correction_invisible_to_cdc_twins(spark, tmp_path):
+    """The round-7 hardening of the test above: a NaN row that comes
+    FIRST in scan order for a brand-new key (the natural CDC append
+    order — garbage written, then corrected) necessarily LEADS max_by's
+    running max when it is scanned, so any conversion inside the value
+    struct is evaluated for it even though it loses the final race.
+    With cents() inside the struct (the round-6 form) Spark raised
+    CAST_INVALID_INPUT here while the oracle returned cleanly; the
+    struct now carries the raw double and cents is applied post-agg
+    (winner-only), so both twins must agree. The keys are new
+    (user 999777/999778) so the garbage row is the FIRST row of its
+    group — the strongest 'interim leader' case."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        # garbage FIRST, correction SECOND, on fresh keys
+        "SELECT 999200, TIMESTAMP '2024-01-10 08:00:00', 999777, 'view', CAST('NaN' AS DOUBLE), '{}' "
+        "UNION ALL SELECT 999201, TIMESTAMP '2024-01-11 08:00:00', 999777, 'view', 42.0, '{}' "
+        "UNION ALL SELECT 999202, TIMESTAMP '2024-01-10 09:00:00', 999778, 'click', CAST('Infinity' AS DOUBLE), '{}' "
+        "UNION ALL SELECT 999203, TIMESTAMP '2024-01-11 09:00:00', 999778, 'click', 7.5, '{}'",
+    )
+    _assert_null_variant_parity(spark, "q126_cdc_apply", sf_dir, con)
+    _assert_null_variant_parity(spark, "q138_snapshot_diff", sf_dir, con)
+
+
 def test_q44_garbage_json_matches_oracle(spark, tmp_path):
     """The q44 garbage-payload pins, end to end: empty object (keys join
     to '' not NULL), NULL props (NULL everywhere), malformed JSON
     (Spark PERMISSIVE NULLs vs DuckDB's raise — json_valid guard),
     valid-but-not-an-object, and a non-numeric '$.k' (typed-field
-    degrade vs TRY_CAST). All five corners must hash-match."""
+    degrade vs TRY_CAST). Round 7 adds the NUMERIC-but-not-integer
+    corners: fractional ({"k":12.5} — DuckDB's string->int cast ROUNDS
+    to 13 where Spark's IntegerType field degrades to NULL), quoted
+    number ("12" — DuckDB parses, Spark NULLs), scientific (1e2), and
+    boolean — all pinned by the oracle's json_type IN
+    ('BIGINT','UBIGINT') guard; a plain negative integer must still
+    convert on both. All corners must hash-match."""
     sf_dir, con = _null_variant_fixture(
         tmp_path,
         "SELECT 999097, TIMESTAMP '2024-01-21 08:00:00', 7, 'view', 1.0, '{}' "
@@ -633,7 +692,17 @@ def test_q44_garbage_json_matches_oracle(spark, tmp_path):
         "UNION ALL SELECT 999102, TIMESTAMP '2024-01-21 12:00:00', 9, 'view', 1.0, "
         "'{\"k\": \"xyz\"}' "
         "UNION ALL SELECT 999103, TIMESTAMP '2024-01-21 13:00:00', 9, 'view', 1.0, "
-        "'{\"k\": 7, \"z\": {\"n\": 1}}'",
+        "'{\"k\": 7, \"z\": {\"n\": 1}}' "
+        "UNION ALL SELECT 999104, TIMESTAMP '2024-01-21 14:00:00', 9, 'view', 1.0, "
+        "'{\"k\": 12.5}' "
+        "UNION ALL SELECT 999105, TIMESTAMP '2024-01-21 15:00:00', 9, 'view', 1.0, "
+        "'{\"k\": \"12\"}' "
+        "UNION ALL SELECT 999106, TIMESTAMP '2024-01-21 16:00:00', 9, 'view', 1.0, "
+        "'{\"k\": 1e2}' "
+        "UNION ALL SELECT 999107, TIMESTAMP '2024-01-21 17:00:00', 9, 'view', 1.0, "
+        "'{\"k\": true}' "
+        "UNION ALL SELECT 999108, TIMESTAMP '2024-01-21 18:00:00', 9, 'view', 1.0, "
+        "'{\"k\": -3}'",
     )
     _assert_null_variant_parity(spark, "q44_json_battery", sf_dir, con)
 
