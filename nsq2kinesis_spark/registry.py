@@ -98,120 +98,61 @@ def load_all_modules() -> None:
 # 121 value-oracled queries / 3 rounds ~= 40 <= remaining slots + head.
 # tests/test_contract.py pins the schedule.
 #
-# ROUND-6 ORDER (this round):
-#   1. the 10 queries whose code changed in round 5 AFTER their last fresh
-#      driver row (q106 salted self-join; q34/q35/q60/q101/q103/q107
-#      NULLS LAST pins; q75 sizes-broadcast guard; q105/q109 touched in
-#      the same sweeps) — rule 1 says they lead;
-#   2. the 7 value-oracled queries that have never had a driver row:
-#      q114, q117, q119-q123;
-#   3. the 16 value-oracled round-5 additions, also never driver-checked:
-#      q124-q136, q138-q140;
-#   4. 17 r4-row queries whose code was ALSO touched during round 6
-#      (rules 1 and 2 coincide — the fresh row verifies both the aged
-#      evidence and the new pins): q31/q32, q50-q54, q61/q62, q70,
-#      q73/q74, q90-q93, q98;
+# ROUND-7 ORDER (this round — executes the plan written at the end of r6):
+#   1. rule 1 (code changed since the last driver row) leads, q140 first:
+#      q140 (the only red driver row ever — oracle HUGEINT cents fixed,
+#      CAST back to BIGINT in the top CTE, 7f37b49), then the queries
+#      whose code changed in ROUND 7's advice sweep after their fresh r6
+#      rows — q126/q138 (winner-only cents: raw double in the max_by
+#      struct, cents() post-agg), q75/q132/q89 (recursive corpus-size
+#      probe for partitionBy layouts) — then the r6-touched queries still
+#      holding r5 rows: q44 (json_type integer guard, r7, on top of the
+#      r6 garbage-JSON pins), q63 (NULL-ts exclusion), q88 (oracle
+#      STRLEN->LENGTH), q80/q81/q82 (declared-dimension contract),
+#      q111 (STRING_AGG chunk tiebreak). 13 queries.
+#   2. rule 2 ceiling: ALL 22 r4-row untouched queries — their rows turn
+#      3 rounds old at r7, so they MUST take prefix slots: q18/q19, q30,
+#      q33, q64/q65, q71/q72, q79, q84/q86, q94-q97, q99/q100,
+#      q102/q104/q108, q77/q78.
+#   3. the remaining 15 slots refresh the oldest r5-row queries in their
+#      r6-listed order: q20-q29, q40-q43, q45 (q44 is already in rule 1).
 #   ---- 50-query prefix boundary ----
-#   5. the r4-row UNTOUCHED queries (rule 2: first in line for the r7
-#      prefix — their rows turn 3 rounds old there): q18/q19, q30, q33,
-#      q64/q65, q71/q72, q79, q84/q86, q94-q97, q99/q100, q102/q104/
-#      q108, q77/q78;
-#   6. the 49 value-oracled queries with fresh round-5 rows, in their r5
-#      order;
-#   7. permanent tail (rule 3): q16, q76, q116, q137, q141 (the round-6
-#      sketch-table addition — rows-only, so it lands here, not in the
-#      prefix).
+#   4. the rest of the r5-row block (q46, q66, q01-q15, q17, q83, q85,
+#      q87, q115, q118, q110, q112, q113 — 26 queries) ages to r8 under
+#      rule 2, backed by this round's green 3-SF parity sweep; they lead
+#      the post-boundary tail so they front the r8 prefix;
+#   5. the 45 queries with fresh r6 rows, in their r6 order;
+#   6. permanent tail (rule 3): q16, q76, q116, q137, q141 (q141's r7
+#      memoization/ISO-week change does NOT promote it — rows-only).
 #
-# ROUND-7 ROTATION PLAN (write this order at the start of r7):
-#   a. any query whose code changed in round 6 AFTER its last driver row
-#      leads (rule 1). The r4-row touched queries (q70, q73/q74, q90-q93,
-#      q98 — NULL/multibyte-contract pins, byte-faithful HEX oracles,
-#      declared-dimension guards) were pulled INTO the r6 prefix above,
-#      so they get fresh rows this round; the remaining r6-touched
-#      queries hold r5 rows and lead r7:
-#        q89  (label-propagation factored into min_label_components +
-#              the iterative-lineage localCheckpoint fix),
-#        q63  (NULL-ts exclusion pinned on both twins),
-#        q44  (empty-JSON + garbage-JSON pins on its oracle),
-#        q88  (oracle token length STRLEN->LENGTH),
-#        q80/q81/q82 (declared-dimension contract),
-#        q111 (oracle STRING_AGG chunk tiebreak for duplicate doc_ids).
-#      All re-proven by this round's local 3-SF parity sweep +
-#      planted-garbage fixtures. (Every other r6 code change — q61/q62
-#      NULL-ts pins, q50/q52/q53 NULL-safe UDFs, q54's oracle guard,
-#      q31/q32/q34/q120 window NULLS LAST, q51's NULL-safe median,
-#      q125 widening, q126/q138 winner-lazy cents, q137 NULL-ts filter,
-#      the corpus-probe directory path used by q75/q132 — lands on
-#      queries already inside the r6 prefix or the rows-only tail.);
-#   b. the 22 post-boundary r4-row untouched queries (q18/q19, q30, q33,
-#      q64/q65, q71/q72, q79, q84/q86, q94-q97, q99/q100, q102/q104/
-#      q108, q77/q78) — their rows turn 3 rounds old at r7, the rule-2
-#      ceiling, so they MUST take prefix slots;
-#   c. the remaining ~20 slots refresh the oldest r5-row queries in their
-#      listed order (q20-q29, q40-q46, q66, then q01...); the rest of
-#      the r5 block may age to r8 under rule 2 provided the 3-SF parity
-#      sweep runs green in r7.
+# ROUND-8 ROTATION PLAN (write this order at the start of r8):
+#   a. any query whose code changes in round 7 AFTER its latest driver
+#      row leads (rule 1);
+#   b. the 26 post-boundary r5-row queries (q46, q66, q01-q15, q17, q83,
+#      q85, q87, q115, q118, q110, q112, q113) — their rows turn 3 rounds
+#      old at r8, the rule-2 ceiling, so they MUST take prefix slots;
+#   c. remaining slots refresh the oldest r6-row queries in their listed
+#      order (q106, q34, q35, q60, q101, q103, q105, q107, q109, q114,
+#      q117, q119-q125, ...); the rest of the r6 block may age to r9
+#      under rule 2 provided the 3-SF parity sweep runs green in r8.
 VERIFY_ORDER: tuple[str, ...] = (
-    # -- rule 1: code changed in round 5 after the last fresh driver row --
-    "q106_user_similarity",
-    "q34_window_distribution",
-    "q35_window_range_frame",
-    "q60_dedup_exact",
-    "q75_neardup_jaccard",
-    "q101_event_funnel",
-    "q103_gaps_islands",
-    "q105_scalar_subquery",
-    "q107_event_paths",
-    "q109_retention_cohorts",
-    # -- rule 1: value-oracled, never had a driver row (late r4) --
-    "q114_daily_anomalies",
-    "q117_scd2_intervals",
-    "q119_daily_trend",
-    "q120_volume_gini",
-    "q121_ab_test",
-    "q122_copurchase",
-    "q123_dq_report",
-    # -- rule 1: value-oracled, never had a driver row (new in r5) --
-    "q124_dataset_mixture_hash",
-    "q125_user_diversity",
-    "q126_cdc_apply",
-    "q127_audience_overlap",
-    "q128_gap_fill",
-    "q129_growth_curve",
-    "q130_rag_chunker",
-    "q131_hard_negatives",
-    "q132_containment",
-    "q133_ppjoin",
-    "q134_scd2_resolve",
-    "q135_daily_mad",
-    "q136_interpolate",
-    "q138_snapshot_diff",
-    "q139_conversion_latency",
+    # -- rule 1: code changed since the last driver row; q140 first (the
+    # -- project's only red row — the r7 oracle fix must re-green it) --
     "q140_topk_others",
-    # -- rule 1/2 intersection: r4-row queries ALSO code-touched during
-    # -- round 6 (NULL/multibyte-contract pins, window NULLS LAST,
-    # -- NULL-safe UDFs, declared-dimension guards) — a fresh row here
-    # -- verifies both the aged evidence AND the new code --
-    "q31_window_analytic",
-    "q32_window_frames",
-    "q50_pandas_udf_tokenize",
-    "q51_apply_in_pandas_median",
-    "q52_udtf_bigrams",
-    "q53_python_udf_crc",
-    "q54_multimodal_decode",
-    "q61_tumbling_window",
-    "q62_sliding_window",
-    "q70_text_stats",
-    "q73_token_count_bpe",
-    "q74_multimodal_meta",
-    "q90_kmeans_train",
-    "q91_frame_sample",
-    "q92_media_features",
-    "q93_media_resize",
-    "q98_srp_lsh_pairs",
-    # ---- 50-query prefix boundary (driver budget) ----
-    # -- rule 2: r4-row untouched queries — their rows turn 3 rounds old
-    # -- by r7, so they MUST lead the r7 prefix --
+    "q126_cdc_apply",
+    "q138_snapshot_diff",
+    "q75_neardup_jaccard",
+    "q132_containment",
+    "q89_dedup_components",
+    "q44_json_battery",
+    "q63_session_window",
+    "q88_quality_gate",
+    "q80_cosine_topk",
+    "q81_cosine_neardup",
+    "q82_ann_ivf",
+    "q111_chunk_dedup",
+    # -- rule 2 ceiling: r4-row untouched queries — rows turn 3 rounds
+    # -- old this round, so they take prefix slots now --
     "q18_multi_distinct",
     "q19_agg_filter_clause",
     "q30_window_rank",
@@ -234,7 +175,8 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q108_daily_value_bands",
     "q77_simhash",
     "q78_simhash_pairs",
-    # -- fresh round-5 rows, untouched (r5 prefix demoted to tail) --
+    # -- rule 2 fill: oldest r5-row queries, least-recently-verified
+    # -- first (q44 already holds a rule-1 slot above) --
     "q20_join_inner_broadcast",
     "q21_join_shuffle_3way",
     "q22_join_left_outer",
@@ -249,13 +191,11 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q41_date_battery",
     "q42_math_battery",
     "q43_conditional_battery",
-    "q44_json_battery",
     "q45_array_battery",
+    # ---- 50-query prefix boundary (driver budget) ----
+    # -- r5-row queries aging to r8 under rule 2 (3-SF parity sweep green
+    # -- this round); they front the r8 prefix --
     "q46_hash_battery",
-    "q80_cosine_topk",
-    "q81_cosine_neardup",
-    "q82_ann_ivf",
-    "q63_session_window",
     "q66_time_rollup",
     "q01_pricing_summary",
     "q02_project_compute",
@@ -276,16 +216,60 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q83_decontamination",
     "q85_train_split",
     "q87_repetition",
-    "q88_quality_gate",
-    "q89_dedup_components",
     "q115_dataset_mixture",
     "q118_fuzzy_match",
     "q110_pii_redaction",
-    "q111_chunk_dedup",
     "q112_cooccurrence_lift",
     "q113_length_buckets",
-    # -- rule 3: rows-only by design — permanent tail, never burn a prefix
-    # -- slot (accuracy gates live in tests/test_sketch_gates.py) --
+    # -- fresh round-6 rows, untouched since, in their r6 order --
+    "q106_user_similarity",
+    "q34_window_distribution",
+    "q35_window_range_frame",
+    "q60_dedup_exact",
+    "q101_event_funnel",
+    "q103_gaps_islands",
+    "q105_scalar_subquery",
+    "q107_event_paths",
+    "q109_retention_cohorts",
+    "q114_daily_anomalies",
+    "q117_scd2_intervals",
+    "q119_daily_trend",
+    "q120_volume_gini",
+    "q121_ab_test",
+    "q122_copurchase",
+    "q123_dq_report",
+    "q124_dataset_mixture_hash",
+    "q125_user_diversity",
+    "q127_audience_overlap",
+    "q128_gap_fill",
+    "q129_growth_curve",
+    "q130_rag_chunker",
+    "q131_hard_negatives",
+    "q133_ppjoin",
+    "q134_scd2_resolve",
+    "q135_daily_mad",
+    "q136_interpolate",
+    "q139_conversion_latency",
+    "q31_window_analytic",
+    "q32_window_frames",
+    "q50_pandas_udf_tokenize",
+    "q51_apply_in_pandas_median",
+    "q52_udtf_bigrams",
+    "q53_python_udf_crc",
+    "q54_multimodal_decode",
+    "q61_tumbling_window",
+    "q62_sliding_window",
+    "q70_text_stats",
+    "q73_token_count_bpe",
+    "q74_multimodal_meta",
+    "q90_kmeans_train",
+    "q91_frame_sample",
+    "q92_media_features",
+    "q93_media_resize",
+    "q98_srp_lsh_pairs",
+    # -- rule 3: rows-only by design — permanent tail, never a prefix
+    # -- slot (accuracy gates live in tests/test_sketch_gates.py and
+    # -- tests/test_llm_dedup.py) --
     "q16_approx_distinct",
     "q76_neardup_minhash_lsh",
     "q116_approx_percentile",

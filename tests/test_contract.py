@@ -33,8 +33,8 @@ def test_contract_shapes():
 def test_verify_order_is_the_registry_iteration_order():
     """VERIFY_ORDER is the single source of truth for the order external
     harnesses iterate queries(): it must be a permutation of the registry,
-    and the round-6 rotation (amended rule, registry.py) must hold —
-    code-changed and never-driver-checked queries lead the 50-prefix,
+    and the round-7 rotation (amended rule, registry.py) must hold —
+    code-changed queries lead the 50-prefix (q140's oracle fix first),
     untouched queries age at most 3 rounds backed by the local 3-SF parity
     sweep, and rows-only queries sit at the permanent tail."""
     from nsq2kinesis_spark.registry import VERIFY_ORDER, all_queries
@@ -44,31 +44,30 @@ def test_verify_order_is_the_registry_iteration_order():
     assert len(set(VERIFY_ORDER)) == len(VERIFY_ORDER), "duplicates in VERIFY_ORDER"
     assert len(names) == 126
     prefix = [n.split("_")[0] for n in names[:50]]
-    # Rule 1a: the 10 queries code-touched in round 5 after their last
-    # fresh driver row lead, q106 (the salted-self-join rewrite) first.
-    touched_r5 = ["q106", "q34", "q35", "q60", "q75",
-                  "q101", "q103", "q105", "q107", "q109"]
-    assert prefix[:10] == touched_r5
-    # Rule 1b: every value-oracled query that has never had a driver row is
-    # inside the prefix (q116/q137 are rows-only and excluded by rule 3).
-    never_checked = (
-        ["q114", "q117", "q119", "q120", "q121", "q122", "q123"]
-        + [f"q{n}" for n in range(124, 137)]
-        + ["q138", "q139", "q140"]
-    )
-    assert prefix[10:33] == never_checked
-    # Rules 1+2 coinciding: the remaining slots go to r4-row queries that
-    # were ALSO code-touched during round 6 (window NULLS LAST pins,
-    # NULL-safe UDFs, NULL/multibyte payload contracts, declared-dimension
-    # guards) — each fresh row verifies both the aged evidence and the new
-    # code. The r4-row UNTOUCHED queries lead the post-boundary tail so
-    # they front the r7 prefix before turning 3 rounds stale.
-    assert prefix[33:50] == [
-        "q31", "q32", "q50", "q51", "q52", "q53", "q54", "q61", "q62",
-        "q70", "q73", "q74", "q90", "q91", "q92", "q93", "q98",
+    # Rule 1: code changed since the last driver row. q140 leads (the
+    # project's only red row ever — the r7 oracle fix must re-green it),
+    # then the r7 advice-sweep changes (q126/q138 winner-only cents,
+    # q75/q132/q89 recursive corpus probe, q44's json_type guard), then
+    # the r6-touched queries still holding r5 rows.
+    touched = ["q140", "q126", "q138", "q75", "q132", "q89",
+               "q44", "q63", "q88", "q80", "q81", "q82", "q111"]
+    assert prefix[:13] == touched
+    # Rule 2 ceiling: ALL 22 r4-row untouched queries — their rows turn
+    # 3 rounds old at r7, so they MUST take prefix slots this round.
+    aged_r4 = ["q18", "q19", "q30", "q33", "q64", "q65", "q71", "q72",
+               "q79", "q84", "q86", "q94", "q95", "q96", "q97", "q99",
+               "q100", "q102", "q104", "q108", "q77", "q78"]
+    assert prefix[13:35] == aged_r4
+    # Rule 2 fill: the 15 remaining slots refresh the oldest r5-row
+    # queries in their listed order (q44 already holds a rule-1 slot).
+    assert prefix[35:50] == [
+        "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28",
+        "q29", "q40", "q41", "q42", "q43", "q45",
     ]
+    # Post-boundary: the r5-row block that ages to r8 fronts the tail so
+    # it leads the r8 prefix (rule-2 ceiling there).
     assert [n.split("_")[0] for n in names[50:57]] == [
-        "q18", "q19", "q30", "q33", "q64", "q65", "q71",
+        "q46", "q66", "q01", "q02", "q03", "q04", "q05",
     ]
     # Rule 3: rows-only queries occupy the permanent tail — never a prefix
     # slot (their driver row can only say rows>0; the pytest accuracy
