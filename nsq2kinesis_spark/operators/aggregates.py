@@ -973,3 +973,94 @@ def q141_sketch_table_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("approx_users"),
     )
+
+
+# -- q142: incremental sketch-table maintenance (append-only delta) ------------
+
+# Incrementally-maintained sketch table per sf_dir — base build + delta
+# append happen once per process; see q142's docstring.
+_INCR_SKETCH_MEMO: dict[str, str] = {}
+
+
+@query(
+    "q142_sketch_incremental",
+    oracle=None,  # sketch binaries are engine-specific; the equality gate
+    # in tests/test_sketch_gates.py asserts incremental == rebuild per week
+    tags=("agg", "approx", "sketch", "rollup", "materialize", "incremental"),
+)
+def q142_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q141's missing half: INCREMENTAL MAINTENANCE of the materialized
+    sketch table. q141 builds the hourly-HLL table in one shot; a real
+    100 TB deployment never rebuilds it — each ingest/compaction cycle
+    aggregates ONLY the newly-arrived slice and APPENDS its cells, and
+    every downstream rollup must be unable to tell the difference.
+
+    This query stages exactly that and PROVES the equivalence in its own
+    output: the newest (day, hour) cell of events plays "this cycle's
+    ingest"; the base sketch table is built from everything before it;
+    the delta is aggregated alone (a job that scans one hour of data, not
+    the corpus — the entire economic point) and appended to the parquet
+    table without rewriting any base file. The ISO-week rollup is then
+    answered twice — from the incrementally-maintained table, and from a
+    ground-truth rebuild over all events — and each output row carries
+    both estimates plus a `matched` flag. Equality is EXACT, not
+    approximate: the hour cells partition the rows identically in both
+    builds, HLL register state is insertion-order-independent (max per
+    register), and sketch union is associative/commutative — so the same
+    cell set unions to the same registers and the same estimate. The gate
+    in tests/test_sketch_gates.py asserts every week matches.
+
+    NULL-ts policy follows q137/q141: un-datable events are excluded up
+    front. The one `.first()` is the O(1) newest-cell cutoff scalar
+    (documented driver scalar, same class as q89's convergence check).
+    Rows-only checked (sketch binaries are engine-specific)."""
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date("ts").alias("day"), F.hour("ts").alias("hour")
+        ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+
+    path = _INCR_SKETCH_MEMO.get(sf_dir)
+    if path is None:
+        import os
+        import tempfile
+
+        # O(1) cutoff scalar: the newest hour cell is this cycle's ingest
+        cut = (
+            e.select(
+                F.max(
+                    F.struct(F.to_date("ts").alias("day"), F.hour("ts").alias("hour"))
+                ).alias("m")
+            )
+            .select("m.day", "m.hour")
+            .first()
+        )
+        in_cut = (F.to_date("ts") == F.lit(cut.day)) & (
+            F.hour("ts") == F.lit(cut.hour)
+        )
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="nsq2k_incr_sketch_"),
+            "hourly_sketches.parquet",
+        )
+        hourly(e.filter(~in_cut)).write.parquet(path)
+        # the maintenance step: aggregate ONLY the delta hour and append —
+        # base files stay byte-identical on disk (append-only parquet)
+        hourly(e.filter(in_cut)).write.mode("append").parquet(path)
+        _INCR_SKETCH_MEMO[sf_dir] = path
+
+    def week_rollup(cells: DataFrame, out: str) -> DataFrame:
+        return cells.groupBy(
+            F.date_trunc("week", F.col("day")).cast("date").alias("week_start")
+        ).agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(out)
+        )
+
+    incr = week_rollup(spark.read.parquet(path), "approx_incremental")
+    rebuild = week_rollup(hourly(e), "approx_rebuild")
+    return incr.join(rebuild, "week_start").select(
+        "week_start",
+        "approx_incremental",
+        "approx_rebuild",
+        (F.col("approx_incremental") == F.col("approx_rebuild")).alias("matched"),
+    )

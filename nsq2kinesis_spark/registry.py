@@ -123,7 +123,10 @@ def load_all_modules() -> None:
 #      the post-boundary tail so they front the r8 prefix;
 #   5. the 45 queries with fresh r6 rows, in their r6 order;
 #   6. permanent tail (rule 3): q16, q76, q116, q137, q141 (q141's r7
-#      memoization/ISO-week change does NOT promote it — rows-only).
+#      memoization/ISO-week change does NOT promote it — rows-only), and
+#      q142 (NEW r7 — incremental sketch-table maintenance; rows-only,
+#      its incremental==rebuild equality gate lives in
+#      tests/test_sketch_gates.py).
 #
 # ROUND-8 ROTATION PLAN (write this order at the start of r8):
 #   a. any query whose code changes in round 7 AFTER its latest driver
@@ -275,6 +278,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q116_approx_percentile",
     "q137_hll_rollup",
     "q141_sketch_table_rollup",
+    "q142_sketch_incremental",
 )
 
 

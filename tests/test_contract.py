@@ -25,6 +25,7 @@ def test_contract_shapes():
         "q116_approx_percentile",
         "q137_hll_rollup",
         "q141_sketch_table_rollup",
+        "q142_sketch_incremental",
         "q16_approx_distinct",
         "q76_neardup_minhash_lsh",
     ]
@@ -42,7 +43,7 @@ def test_verify_order_is_the_registry_iteration_order():
     names = list(all_queries())
     assert names == list(VERIFY_ORDER), "queries() must iterate in VERIFY_ORDER"
     assert len(set(VERIFY_ORDER)) == len(VERIFY_ORDER), "duplicates in VERIFY_ORDER"
-    assert len(names) == 126
+    assert len(names) == 127
     prefix = [n.split("_")[0] for n in names[:50]]
     # Rule 1: code changed since the last driver row. q140 leads (the
     # project's only red row ever — the r7 oracle fix must re-green it),
@@ -72,8 +73,8 @@ def test_verify_order_is_the_registry_iteration_order():
     # Rule 3: rows-only queries occupy the permanent tail — never a prefix
     # slot (their driver row can only say rows>0; the pytest accuracy
     # gates carry the real evidence).
-    assert [n.split("_")[0] for n in names[-5:]] == [
-        "q16", "q76", "q116", "q137", "q141",
+    assert [n.split("_")[0] for n in names[-6:]] == [
+        "q16", "q76", "q116", "q137", "q141", "q142",
     ]
 
 

@@ -1130,6 +1130,20 @@ def test_q141_rollup_reads_only_the_sketch_table(spark):
     assert rows and all(r.approx_users > 0 and r.n_cells >= r.n_days for r in rows)
 
 
+def test_q142_incremental_plan_reads_table_once_events_once(spark):
+    """q142's returned plan joins the incrementally-maintained table's
+    rollup (scans ONLY the sketch parquet) with the ground-truth rebuild
+    (scans events exactly once): the incremental side must show the
+    materialized table and no second events scan — the delta-append
+    economics live in the materialization step, the returned comparison
+    must not quietly re-derive the incremental side from raw events."""
+    df = build("q142_sketch_incremental")(spark, SF_CORRECTNESS)
+    plan = physical_plan(df)
+    assert "nsq2k_incr_sketch_" in plan, plan
+    assert plan.count("events.parquet") == 1, plan
+    assert "hll_union_agg" in plan, plan
+
+
 @pytest.mark.slow
 def test_no_query_plans_a_cartesian_product(spark):
     """Registry-wide join-strategy invariant (round 6): NO query may ever

@@ -444,6 +444,70 @@ def test_q141_materialization_is_memoized_per_sf_dir(spark):
     assert df.count() > 0
 
 
+def test_q142_incremental_equals_rebuild(spark):
+    """The incrementally-maintained sketch table (base build + delta-hour
+    append) must answer the ISO-week rollup EXACTLY like a full rebuild:
+    the hour cells partition the rows identically in both builds, HLL
+    register state is insertion-order-independent, and union is
+    associative/commutative — so this is an equality gate, not an error
+    envelope. Every week row must carry matched=True."""
+    rows = QUERIES["q142_sketch_incremental"].builder(spark, SF_CORRECTNESS).collect()
+    assert rows
+    bad = [r for r in rows if not r.matched]
+    assert not bad, f"incremental != rebuild for weeks {bad}"
+    # and the estimates themselves sit in the same 5-sigma envelope as
+    # q141 vs the independently-computed exact weekly distincts
+    e = t(spark, SF_CORRECTNESS, "events").filter(F.col("ts").isNotNull())
+    exact = {
+        r.week_start: r.n
+        for r in e.groupBy(
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week_start")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {r.week_start for r in rows} == set(exact)
+    for r in rows:
+        rel = abs(r.approx_incremental - exact[r.week_start]) / max(
+            1, exact[r.week_start]
+        )
+        assert rel <= 0.08, (r.week_start, exact[r.week_start], r.approx_incremental)
+
+
+def test_q142_append_touches_only_the_delta_cell(spark):
+    """The maintenance step must be append-only: after the builder runs,
+    the materialized table holds exactly the full hourly cell set (no
+    duplicate or missing cells from the two-step build), and a second
+    invocation reuses the table without rewriting any file — the same
+    no-leak/no-rewrite contract as q141's memoization."""
+    import os
+
+    from nsq2kinesis_spark.operators.aggregates import _INCR_SKETCH_MEMO
+
+    build = QUERIES["q142_sketch_incremental"].builder
+    build(spark, SF_CORRECTNESS).collect()
+    path = _INCR_SKETCH_MEMO[SF_CORRECTNESS]
+    cells = spark.read.parquet(path).select("day", "hour").collect()
+    assert len(cells) == len(set((r.day, r.hour) for r in cells)), (
+        "append created duplicate hour cells"
+    )
+    e = t(spark, SF_CORRECTNESS, "events").filter(F.col("ts").isNotNull())
+    n_expected = (
+        e.select(F.to_date("ts").alias("day"), F.hour("ts").alias("hour"))
+        .distinct()
+        .count()
+    )
+    assert len(cells) == n_expected, "cell set differs from a full build"
+    listing = sorted(
+        (f, os.path.getmtime(os.path.join(path, f))) for f in os.listdir(path)
+    )
+    build(spark, SF_CORRECTNESS).collect()
+    assert _INCR_SKETCH_MEMO[SF_CORRECTNESS] == path
+    assert listing == sorted(
+        (f, os.path.getmtime(os.path.join(path, f))) for f in os.listdir(path)
+    ), "second invocation rewrote the materialized table"
+
+
 @_pytest_mod.mark.parametrize(
     "qname",
     [
