@@ -45,21 +45,44 @@ IVF_CENTROID_STEP = 101  # centroids = vec_id % 101 == 0 (deterministic)
 IVF_PROBES = 2
 
 
-# Declared-dimension contract (round 6): every vector operator consumes
-# only DIM-length embeddings; wrong-dimension rows (truncated uploads,
-# schema drift) are EXCLUDED up front on both twins. Without the guard
-# the engines disagree on garbage: Spark's positional embedding[i] under
-# ANSI raises on a short vector (q90), zip_with pads with NULLs so a
-# short vector gets an all-zero SRP signature and NULL sims (q98), while
-# DuckDB's list indexing silently yields NULL and computes partial dots.
+# Declared valid-vector contract (round 6: dimension; EXTENDED round 7:
+# finiteness + nonzero norm): every vector operator consumes only
+# DIM-length embeddings whose elements are all FINITE and not all zero.
+# Garbage rows are EXCLUDED up front on both twins, because the engines
+# disagree on every garbage class:
+#   - wrong dimension (round 6): Spark's positional embedding[i] under
+#     ANSI raises on a short vector (q90), zip_with pads with NULLs so a
+#     short vector gets an all-zero SRP signature and NULL sims (q98),
+#     while DuckDB's list indexing silently yields NULL / partial dots;
+#   - zero norm (round 7, planted-probe find): cosine divides by
+#     norm(a)*norm(b)=0 — Spark under ANSI raises DIVIDE_BY_ZERO (the
+#     probe crashed q80/q81/q82/q90/q131 outright), DuckDB returns NULL
+#     rows; a single zero vector (the signature of a failed embedding
+#     job) would abort a 100 TB scan;
+#   - NaN/±Inf elements (round 7): sims go NaN/±Inf with engine-specific
+#     rank placement, and q98's signature packing overflows a BIGINT on
+#     the Inf lane under ANSI.
+# try_divide/NULL-tolerance is the wrong fix: it silently ranks garbage;
+# the contract names it and drops it, mirroring the dimension rule.
+_FINITE = lambda x: ~F.isnan(x) & (F.abs(x) != F.lit(float("inf")))  # noqa: E731
+
+
 def emb_t(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings table under the declared-dimension contract."""
-    return t(spark, sf_dir, "embeddings").filter(F.size("embedding") == DIM)
+    """Embeddings table under the declared valid-vector contract."""
+    return t(spark, sf_dir, "embeddings").filter(
+        (F.size("embedding") == DIM)
+        & F.forall("embedding", _FINITE)
+        & F.exists("embedding", lambda x: x != F.lit(0.0))
+    )
 
 
 # The oracle-side twin: a derived table replacing every `embeddings`
-# reference, so both engines see the identical DIM-length sub-corpus.
-DUCK_EMB = f"(SELECT * FROM embeddings WHERE LEN(embedding) = {DIM})"
+# reference, so both engines see the identical valid sub-corpus.
+DUCK_EMB = (
+    f"(SELECT * FROM embeddings WHERE LEN(embedding) = {DIM}"
+    " AND list_bool_and(list_transform(embedding, x -> isfinite(x)))"
+    " AND list_bool_or(list_transform(embedding, x -> x <> 0)))"
+)
 
 
 @query(

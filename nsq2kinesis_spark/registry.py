@@ -130,7 +130,12 @@ def load_all_modules() -> None:
 #
 # ROUND-8 ROTATION PLAN (write this order at the start of r8):
 #   a. any query whose code changes in round 7 AFTER its latest driver
-#      row leads (rule 1);
+#      row leads (rule 1). Ledger so far: q90, q98, q131 — the round-7
+#      valid-vector contract (emb_t/DUCK_EMB finiteness + nonzero-norm,
+#      similarity.py) changed them after their fresh r6 rows; they sit
+#      outside the committed r7 prefix, so they MUST lead the r8 prefix.
+#      (q80/q81/q82 got the same change but already hold r7 rule-1
+#      slots, so their r7 rows cover it.);
 #   b. the 26 post-boundary r5-row queries (q46, q66, q01-q15, q17, q83,
 #      q85, q87, q115, q118, q110, q112, q113) — their rows turn 3 rounds
 #      old at r8, the rule-2 ceiling, so they MUST take prefix slots;

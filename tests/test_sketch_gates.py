@@ -835,12 +835,18 @@ def test_multibyte_text_matches_oracle(spark, tmp_path, qname):
 
 
 def test_wrong_dim_embeddings_and_duplicate_doc_ids(spark, tmp_path):
-    """Two garbage-input contracts pinned in round 6: (a) the vector
-    family's declared-dimension rule — wrong-length embeddings (short,
-    empty, NULL) are excluded on both twins up front; before the guard,
-    Spark's ANSI positional indexing raised on q90 while DuckDB silently
-    computed partial dots, and q98's zip_with gave short vectors all-zero
-    signatures; (b) q111's chunk reassembly under a DUPLICATED doc_id —
+    """Garbage-input contracts on the vector family, pinned round 6 and
+    EXTENDED round 7: (a) the declared-dimension rule — wrong-length
+    embeddings (short, empty, NULL) are excluded on both twins up front;
+    before the guard, Spark's ANSI positional indexing raised on q90
+    while DuckDB silently computed partial dots, and q98's zip_with gave
+    short vectors all-zero signatures; (b) round 7's valid-vector
+    extension — a DIM-length ZERO vector (norm 0, the signature of a
+    failed embedding job) crashed q80/q81/q82/q90/q131 outright under
+    ANSI (DIVIDE_BY_ZERO in the cosine) while DuckDB returned NULL rows,
+    and NaN/±Inf elements overflowed q98's BIGINT signature packing —
+    finiteness + nonzero-norm are now part of the declared contract on
+    both twins; (c) q111's chunk reassembly under a DUPLICATED doc_id —
     the (pos, chunk) sort keeps the interleaving total on both twins."""
     import shutil
 
@@ -852,14 +858,19 @@ def test_wrong_dim_embeddings_and_duplicate_doc_ids(spark, tmp_path):
     for name in "region nation customer supplier part orders lineitem events".split():
         shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
     con = _duck.connect()
+    lbl = f"(SELECT label FROM '{src}/embeddings.parquet' LIMIT 1)"
+    zeros64 = "list_transform(generate_series(1, 64), x -> 0.0::FLOAT)"
+    tail63 = "list_transform(generate_series(1, 63), x -> 0.5::FLOAT)"
     con.execute(
         f"""COPY (SELECT * FROM '{src}/embeddings.parquet'
-        UNION ALL SELECT 999010, [0.5, 0.5, 0.5]::DOUBLE[],
-          (SELECT label FROM '{src}/embeddings.parquet' LIMIT 1)
-        UNION ALL SELECT 999011, []::DOUBLE[],
-          (SELECT label FROM '{src}/embeddings.parquet' LIMIT 1)
-        UNION ALL SELECT 999012, NULL,
-          (SELECT label FROM '{src}/embeddings.parquet' LIMIT 1))
+        UNION ALL SELECT 999010, [0.5, 0.5, 0.5]::FLOAT[], {lbl}
+        UNION ALL SELECT 999011, []::FLOAT[], {lbl}
+        UNION ALL SELECT 999012, NULL, {lbl}
+        -- round-7 valid-vector extension: right LENGTH, garbage VALUES
+        UNION ALL SELECT 999013, {zeros64}, {lbl}
+        UNION ALL SELECT 999014, list_prepend('nan'::FLOAT, {tail63}), {lbl}
+        UNION ALL SELECT 999015, list_prepend('inf'::FLOAT, {tail63}), {lbl}
+        UNION ALL SELECT 999016, list_prepend('-inf'::FLOAT, {tail63}), {lbl})
         TO '{sf_dir}/embeddings.parquet' (FORMAT PARQUET)"""
     )
     con.execute(
