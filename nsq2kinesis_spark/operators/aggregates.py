@@ -67,11 +67,19 @@ def q10_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    HAVING COUNT(*) > 0
     """,
     tags=("agg", "rollup", "join"),
 )
 def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP over region→nation hierarchy with broadcast dimension joins."""
+    """ROLLUP over region→nation hierarchy with broadcast dimension joins.
+
+    Empty-input pin (round-7 probe): on ZERO input rows the SQL standard's
+    () grouping set still yields one grand-total row (COUNT=0) — DuckDB
+    does — but Spark expands grouping sets via Expand over the input, so
+    zero rows expand to zero groups and the rollup is empty. The oracle's
+    HAVING COUNT(*) > 0 declares Spark's semantics on both twins; on any
+    non-empty input every group has n >= 1, so the guard is a no-op."""
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
@@ -92,11 +100,17 @@ def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(l_quantity) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
     tags=("agg", "cube"),
 )
 def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two low-cardinality dimensions (4× Expand before shuffle)."""
+    """CUBE over two low-cardinality dimensions (4× Expand before shuffle).
+
+    Empty-input pin (round-7 probe): same class as q11 — Spark's Expand
+    of zero rows yields no groups (not even the standard's grand-total
+    row), so the oracle's HAVING COUNT(*) > 0 mirrors it; a no-op on any
+    non-empty input."""
     li = t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").cast("long").alias("n_items"),

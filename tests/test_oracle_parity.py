@@ -163,3 +163,46 @@ def test_rows_only_queries_run(spark, name):
     df = q.builder(spark, SF_CORRECTNESS)
     assert df.columns
     assert df.count() >= 0
+
+
+# -- empty-corpus lane (round 7) ------------------------------------------------
+# SF zero: every table present with its real schema and ZERO rows — the
+# degenerate slice a 100 TB deployment hits constantly (a date partition
+# with no data, a filter that matches nothing, a new tenant). The round-7
+# probe swept all queries at this scale and found exactly one divergence
+# class (Spark's Expand-based ROLLUP/CUBE yields no grand-total row on
+# empty input where the SQL standard — and DuckDB — yields one; pinned in
+# q11/q12's oracles with HAVING COUNT(*) > 0) and ZERO crashes. This lane
+# keeps that property regression-proof.
+
+
+@pytest.fixture(scope="session")
+def sf_empty(tmp_path_factory) -> str:
+    import duckdb as _duck
+
+    from nsq2kinesis_spark.tables import TABLE_NAMES as _tables
+
+    sf_dir = str(tmp_path_factory.mktemp("sf_empty"))
+    con = _duck.connect()
+    for t in _tables:
+        con.execute(
+            f"COPY (SELECT * FROM '{SF_SMOKE}/{t}.parquet' WHERE false)"
+            f" TO '{sf_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return sf_dir
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle_on_empty_corpus(spark, duck, name, sf_empty):
+    _assert_parity(spark, duck, name, sf_empty)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run_on_empty_corpus(spark, name, sf_empty):
+    q = QUERIES[name]
+    df = q.builder(spark, sf_empty)
+    assert df.columns
+    assert df.count() == 0
