@@ -223,14 +223,23 @@ def q25_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q26_join_anti",
     oracle="""
     SELECT c_custkey, c_name
-    FROM customer
-    WHERE c_custkey NOT IN (SELECT user_id FROM events)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
     """,
     tags=("join", "anti"),
 )
 def q26_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join (NOT EXISTS): customers with no events.
-    Seed: the dedup complement (reference deduper.go:33)."""
+    Seed: the dedup complement (reference deduper.go:33).
+
+    The oracle is NOT EXISTS, deliberately not NOT IN (round-7 planted
+    probe): with even ONE NULL user_id in events — routine in a real
+    event stream — `x NOT IN (...NULL...)` is never TRUE under
+    three-valued logic, so the NOT IN form returns ZERO rows while
+    Spark's left_anti (NOT EXISTS semantics: the join condition simply
+    never matches on NULL) keeps every no-event customer. Both twins
+    also agree a NULL-keyed customer row is kept: its equality never
+    matches anything."""
     c = t(spark, sf_dir, "customer")
     ev = t(spark, sf_dir, "events")
     return c.join(ev, c.c_custkey == ev.user_id, "left_anti").select("c_custkey", "c_name")

@@ -892,6 +892,59 @@ def test_wrong_dim_embeddings_and_duplicate_doc_ids(spark, tmp_path):
         _assert_null_variant_parity(spark, qname, sf_dir, con)
 
 
+def test_null_join_keys_match_oracle(spark, tmp_path):
+    """NULL join keys across the whole join family (round-7 probe): a
+    NULL user_id in events (routine in a real stream — anonymous traffic,
+    parse failures), a NULL c_custkey, and a NULL o_custkey planted
+    together. The probe found exactly one divergence: q26's oracle used
+    `NOT IN`, which under three-valued logic is never TRUE once the
+    subquery contains a single NULL — DuckDB returned ZERO rows while
+    Spark's left_anti (NOT EXISTS semantics) kept all 136 no-event
+    customers. The oracle is now NOT EXISTS; this pins the whole family
+    (inner/outer/semi/anti/theta/as-of/EXISTS + the CDC pair) against
+    the planted keys."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation supplier part lineitem documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/events.parquet'
+        UNION ALL SELECT 999001, TIMESTAMP '2024-01-05 12:00:00', NULL, 'view', 1.0, '{{}}'
+        UNION ALL SELECT 999002, TIMESTAMP '2024-01-05 13:00:00', NULL, 'purchase', 2.0, '{{}}')
+        TO '{sf_dir}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/customer.parquet'
+        UNION ALL SELECT NULL, 'null-key customer', 1, 10.0, 'BUILDING')
+        TO '{sf_dir}/customer.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/orders.parquet'
+        UNION ALL SELECT 999900, NULL, 'O', 123.45, TIMESTAMP '2024-01-05', '1-URGENT')
+        TO '{sf_dir}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    for qname in (
+        "q20_join_inner_broadcast", "q21_join_shuffle_3way",
+        "q22_join_left_outer", "q23_join_right_outer", "q24_join_full_outer",
+        "q25_join_semi", "q26_join_anti", "q27_join_theta", "q28_join_asof",
+        "q29_exists_subquery", "q126_cdc_apply", "q138_snapshot_diff",
+    ):
+        _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
 def test_multibyte_names_match_oracle(spark, tmp_path):
     """Unicode case-mapping/substring parity on the string battery and
     the fuzzy-linkage deletion keys: planted customer names exercise
