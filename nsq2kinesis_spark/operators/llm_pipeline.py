@@ -61,7 +61,7 @@ def _duck_bucket(salt: str, expr: str, buckets: int) -> str:
     oracle=f"""
     WITH b AS (
       SELECT doc_id, source, {_duck_bucket(SPLIT_SALT, "doc_id", SPLIT_BUCKETS)} AS bucket
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     )
     SELECT doc_id, source, CAST(bucket AS INTEGER) AS bucket,
            CASE WHEN bucket < {SPLIT_VAL_LO} THEN 'train'
@@ -76,8 +76,15 @@ def q85_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. The split is a pure narrow projection — no shuffle, no state:
     any worker, any re-run, any backfill assigns the same doc to the same
     split, which is the property distributed corpus builds actually need
-    (a random() split is neither reproducible nor backfill-stable)."""
-    d = t(spark, sf_dir, "documents")
+    (a random() split is neither reproducible nor backfill-stable).
+
+    Declared id contract (round-7 probe): NULL doc_id rows are excluded —
+    a doc without an id cannot be STABLY split (the whole point of the
+    operator), and the engines in fact disagreed on its bucket: Spark's
+    CONCAT(salt, NULL) is NULL (→ 'test' via the CASE fallthrough, NULL
+    bucket) while DuckDB's CONCAT ignores NULL and hashed the bare salt
+    (→ bucket 63, 'train')."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     b = _bucket(SPLIT_SALT, F.col("doc_id"), SPLIT_BUCKETS)
     return d.select(
         "doc_id",
@@ -542,10 +549,10 @@ SNAPSHOT_MAX_SRC = 14  # src0..src14 = corpus so far; src15+ = new batch
     oracle=f"""
     WITH fps AS (
       SELECT doc_id, source,
-             CAST(SUBSTR(source, 4) AS INTEGER) AS src_idx,
+             TRY_CAST(SUBSTR(source, 4) AS INTEGER) AS src_idx,
              MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))),
                  '|')) AS fp
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ), snap AS (
       SELECT DISTINCT fp FROM fps WHERE src_idx <= {SNAPSHOT_MAX_SRC}
     ), batch AS (
@@ -577,9 +584,16 @@ def q102_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     its distinct fingerprints (map-side distinct before the shuffle), not
     document text. Nothing rewrites the snapshot — the admitted set is
     pure-append, which is what makes the op runnable per-ingest-batch
-    against a 100 TB corpus."""
-    d = t(spark, sf_dir, "documents")
-    src_idx = F.substring("source", 4, 10).cast("int")
+    against a 100 TB corpus.
+
+    Round-7 probe pins: src_idx is TRY_CAST (a source id without the
+    numeric suffix made the bare ANSI cast of '' abort the pass; such
+    rows get NULL src_idx and fall outside BOTH the snapshot and the
+    batch — outside the declared split universe — identically on both
+    twins), and NULL doc_id rows are excluded (the canonical-pick
+    tiebreak orders by doc_id, whose NULL placement is engine-dependent)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    src_idx = F.expr("try_cast(substring(source, 4, 10) AS int)")
     fp = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), "|"))
     fps = d.select("doc_id", "source", src_idx.alias("src_idx"), fp.alias("fp"))
     snap = (
@@ -689,10 +703,10 @@ MIX_WEIGHT_MOD = 3
     oracle=f"""
     WITH w AS (
       SELECT source,
-             CAST(REGEXP_EXTRACT(source, '[0-9]+') AS BIGINT) % {MIX_WEIGHT_MOD} + 1
-               AS w,
+             COALESCE(TRY_CAST(REGEXP_EXTRACT(source, '[0-9]+') AS BIGINT), 0)
+               % {MIX_WEIGHT_MOD} + 1 AS w,
              CAST(COUNT(*) AS BIGINT) AS avail
-      FROM documents GROUP BY source
+      FROM documents WHERE doc_id IS NOT NULL GROUP BY source
     ), t AS (
       SELECT MIN(avail // w) AS t FROM w
     ), q AS (
@@ -702,7 +716,7 @@ MIX_WEIGHT_MOD = 3
              ROW_NUMBER() OVER (PARTITION BY source
                                 ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id)
                AS rk
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     )
     SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
     FROM ranked r JOIN q USING (source) WHERE r.rk <= q.quota
@@ -727,10 +741,22 @@ def q115_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled into hash space — map-side, no window) at the cost of
     ±binomial jitter around the quota. The exact-rank form is kept here
     because quotas are part of the declared semantics and the oracle
-    must reproduce them."""
-    d = t(spark, sf_dir, "documents")
+    must reproduce them.
+
+    Round-7 probe pins (shared with q124): the weight key is
+    TRY_CAST + COALESCE — a source id without a numeric suffix made the
+    bare ANSI cast of '' abort the whole mixture pass in BOTH engines;
+    unindexed sources now take the declared minimal weight 1. NULL doc_id
+    rows are excluded (declared id contract): the rank orders by
+    md5(doc_id), whose NULL placement is engine-dependent (Spark NULLS
+    FIRST vs DuckDB NULLS LAST in ASC), shifting every rank in that
+    source by one."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     w = (
-        F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("long")
+        F.coalesce(
+            F.expr("try_cast(regexp_extract(source, '[0-9]+', 0) AS bigint)"),
+            F.lit(0),
+        )
         % MIX_WEIGHT_MOD
         + 1
     )
@@ -766,10 +792,10 @@ _MIX_HASH_SPACE = 1 << 60
     oracle=f"""
     WITH w AS (
       SELECT source,
-             CAST(REGEXP_EXTRACT(source, '[0-9]+') AS BIGINT) % {MIX_WEIGHT_MOD} + 1
-               AS w,
+             COALESCE(TRY_CAST(REGEXP_EXTRACT(source, '[0-9]+') AS BIGINT), 0)
+               % {MIX_WEIGHT_MOD} + 1 AS w,
              CAST(COUNT(*) AS BIGINT) AS avail
-      FROM documents GROUP BY source
+      FROM documents WHERE doc_id IS NOT NULL GROUP BY source
     ), t AS (
       SELECT MIN(avail // w) AS t FROM w
     ), q AS (
@@ -780,7 +806,8 @@ _MIX_HASH_SPACE = 1 << 60
     )
     SELECT d.doc_id, d.source
     FROM documents d JOIN q USING (source)
-    WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+    WHERE d.doc_id IS NOT NULL
+      AND CAST(CONCAT('0x', SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 15))
                AS BIGINT) < q.cutoff
     """,
     tags=("llm", "pipeline", "mixture", "sampling"),
@@ -804,10 +831,18 @@ def q124_dataset_mixture_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: tiny source-keyed agg -> integer cutoff per source ->
     broadcast-join back -> codegen'd filter. The only shuffle anywhere is
-    the |sources|-row aggregate."""
-    d = t(spark, sf_dir, "documents")
+    the |sources|-row aggregate.
+
+    Round-7 probe pins: same declared contracts as q115 (TRY_CAST'd
+    weight key with default 1; NULL doc_id excluded — here the oracle's
+    CONCAT('0x', NULL-md5) would collapse to the malformed literal '0x'
+    under DuckDB's NULL-ignoring CONCAT and raise)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     w = (
-        F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("long")
+        F.coalesce(
+            F.expr("try_cast(regexp_extract(source, '[0-9]+', 0) AS bigint)"),
+            F.lit(0),
+        )
         % MIX_WEIGHT_MOD
         + 1
     )

@@ -275,8 +275,13 @@ SAMPLE_SALT = "sample:"
 
 
 def _sample_rate_sql(col: str) -> str:
-    """keep-rate percent for a source id 'srcNN' (shared SQL, both engines)."""
-    return f"100 - 30 * (CAST(SUBSTR({col}, 4) AS INTEGER) % 4)"
+    """keep-rate percent for a source id 'srcNN' (shared SQL, both engines).
+
+    TRY_CAST + COALESCE (round-7 probe): a source id without the numeric
+    suffix ('web', NULL) made the bare CAST of '' raise under ANSI in
+    BOTH engines — one odd source string aborting the whole sampling
+    pass. Unindexed sources now take tier 0 (keep-rate 100%), declared."""
+    return f"100 - 30 * (COALESCE(TRY_CAST(SUBSTR({col}, 4) AS INTEGER), 0) % 4)"
 
 
 @query(
@@ -286,7 +291,8 @@ def _sample_rate_sql(col: str) -> str:
            CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('{SAMPLE_SALT}', doc_id)), 1, 8)) AS BIGINT)
                 % 100 AS BIGINT) AS sample_key
     FROM documents
-    WHERE CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('{SAMPLE_SALT}', doc_id)), 1, 8)) AS BIGINT)
+    WHERE doc_id IS NOT NULL
+      AND CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('{SAMPLE_SALT}', doc_id)), 1, 8)) AS BIGINT)
           % 100 < {_sample_rate_sql("source")}
     """,
     tags=("llm", "sampling"),
@@ -303,8 +309,14 @@ def q84_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst folds it and the filter runs inside whole-stage codegen.
     md5 is the hash here (not xxhash64) for the same oracle-portability
     reason as the SimHash signatures: DuckDB recomputes the identical
-    key, making the sample value-checkable."""
-    d = t(spark, sf_dir, "documents")
+    key, making the sample value-checkable.
+
+    Declared id contract (round-7 probe): rows with NULL doc_id are
+    excluded up front — a deterministic per-doc key needs an id, and the
+    engines disagree on the hash of a missing one (Spark's CONCAT
+    propagates NULL, DuckDB's ignores it, so Spark dropped the row while
+    DuckDB sampled it under the salt-only key)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     key = F.conv(
         F.substring(F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))), 1, 8),
         16,

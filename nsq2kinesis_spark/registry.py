@@ -135,7 +135,11 @@ def load_all_modules() -> None:
 #      similarity.py) changed them after their fresh r6 rows; they sit
 #      outside the committed r7 prefix, so they MUST lead the r8 prefix.
 #      (q80/q81/q82 got the same change but already hold r7 rule-1
-#      slots, so their r7 rows cover it.);
+#      slots, so their r7 rows cover it.) Also q85, q115, q124 — the
+#      round-7 NULL-doc-metadata probe pins (TRY_CAST'd source-suffix
+#      policy keys; declared NULL-doc_id exclusion) changed them outside
+#      the r7 prefix. (q84/q102 got the same class of pins but hold r7
+#      prefix slots.);
 #   b. the 26 post-boundary r5-row queries (q46, q66, q01-q15, q17, q83,
 #      q85, q87, q115, q118, q110, q112, q113) — their rows turn 3 rounds
 #      old at r8, the rule-2 ceiling, so they MUST take prefix slots;

@@ -945,6 +945,51 @@ def test_null_join_keys_match_oracle(spark, tmp_path):
         _assert_null_variant_parity(spark, qname, sf_dir, con)
 
 
+def test_null_doc_metadata_matches_oracle(spark, tmp_path):
+    """NULL/garbage document metadata (round-7 probe): a NULL doc_id, a
+    NULL lang, a NULL source, a NULL n_chars, and a source id WITHOUT the
+    'srcN' numeric suffix, planted together. The probe found two classes:
+    (a) the source-suffix policy keys (q84 tier, q102 snapshot index,
+    q115/q124 mixture weight) aborted BOTH engines with an ANSI cast of
+    '' — one odd source string killing the whole pass — now TRY_CAST with
+    a declared default; (b) NULL doc_id made the salted md5 keys diverge
+    (Spark CONCAT propagates NULL, DuckDB CONCAT ignores it: q85 split
+    the row 'test'-vs-'train') and would shift q115's per-source ranks
+    (NULLS FIRST vs LAST) — now a declared id-exclusion contract. This
+    pins the whole probed family."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/documents.parquet'
+        UNION ALL SELECT NULL, 'null doc id text with enough words to pass gates', 'en', 'web', 48
+        UNION ALL SELECT 999100, 'null lang document text body', NULL, 'web', 28
+        UNION ALL SELECT 999101, 'null source document text body', 'en', NULL, 30
+        UNION ALL SELECT 999102, 'null nchars document text body', 'en', 'web', NULL)
+        TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    for qname in (
+        "q84_stratified_sample", "q85_train_split", "q86_sequence_packing",
+        "q97_corpus_build", "q99_source_cap", "q102_incremental_dedup",
+        "q111_chunk_dedup", "q115_dataset_mixture", "q124_dataset_mixture_hash",
+    ):
+        _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
 def test_multibyte_names_match_oracle(spark, tmp_path):
     """Unicode case-mapping/substring parity on the string battery and
     the fuzzy-linkage deletion keys: planted customer names exercise
