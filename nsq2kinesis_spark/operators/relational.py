@@ -428,6 +428,11 @@ def q95_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT),
            CAST(COUNT(*) AS BIGINT)
     FROM lineitem
+    UNION ALL
+    SELECT 'embeddings_vec_id_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT vec_id) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM embeddings
     """,
     tags=("relational", "quality", "validation"),
 )
@@ -492,6 +497,23 @@ def q123_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lineitem_qty_in_range",
                 lineitem,
                 (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 100),
+            )
+        )
+        .unionByName(
+            # the vector family's unique-id PRECONDITION (round 7): id
+            # uniqueness is a cross-row invariant — unlike the row-local
+            # valid-vector contract it cannot be filtered per-row without
+            # a shuffle in every vector query, so THIS report is the
+            # declared enforcement point (see similarity.py's contract
+            # comment). A duplicated vec_id makes "the vector with id X"
+            # ambiguous, and q90/q98's per-id reductions pick
+            # engine-dependent rows.
+            t(spark, sf_dir, "embeddings").agg(
+                F.lit("embeddings_vec_id_unique").alias("rule"),
+                (F.count("*") - F.countDistinct("vec_id")).cast("long").alias(
+                    "n_violations"
+                ),
+                F.count("*").cast("long").alias("n_checked"),
             )
         )
     )

@@ -105,8 +105,9 @@ def q41_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
            CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
            POWER(l_quantity, 2) AS qty_sq,
-           ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
-           SQRT(l_quantity) AS qty_sqrt,
+           CASE WHEN l_extendedprice > -1
+                THEN ROUND(LN(l_extendedprice + 1), 6) END AS price_ln,
+           CASE WHEN l_quantity >= 0 THEN SQRT(l_quantity) END AS qty_sqrt,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
     FROM lineitem
     """,
@@ -115,7 +116,13 @@ def q41_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q42_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math battery (seed: size arithmetic, aggregator.go:140-177).
     Single-operation doubles are bit-identical across engines — no rounding
-    needed except the explicit ROUND under test."""
+    needed except the explicit ROUND under test.
+
+    Domain guards (round-7 probe): the engines disagree on out-of-domain
+    math — DuckDB RAISES on SQRT(negative) / LN(non-positive) while Spark
+    returns NaN / NULL, so a single garbage row (a planted negative
+    quantity) aborted the oracle. Both twins now declare NULL for
+    out-of-domain inputs via the identical CASE guard."""
     li = t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -126,8 +133,11 @@ def q42_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
         F.pow("l_quantity", 2).alias("qty_sq"),
         # ln differs in the last ulp across math libraries → round(6)
-        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
-        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.when(
+            F.col("l_extendedprice") > -1,
+            F.round(F.log(F.col("l_extendedprice") + 1), 6),
+        ).alias("price_ln"),
+        F.when(F.col("l_quantity") >= 0, F.sqrt("l_quantity")).alias("qty_sqrt"),
         (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
     )
 

@@ -64,6 +64,16 @@ IVF_PROBES = 2
 #     the Inf lane under ANSI.
 # try_divide/NULL-tolerance is the wrong fix: it silently ranks garbage;
 # the contract names it and drops it, mirroring the dimension rule.
+#
+# Out of the contract's scope — and deliberately so — is vec_id
+# UNIQUENESS: a duplicated id (two different vectors claiming one
+# identity) makes q90/q98's per-id reductions engine-dependent, but it is
+# a CROSS-ROW invariant; filtering it here would add a shuffle to every
+# vector query, including the map-side-only ones. The declared
+# precondition is unique ids, enforced where cross-row invariants belong:
+# q123's data-quality report carries an embeddings_vec_id_unique rule
+# that counts violations in the same nightly pass that checks the other
+# table constraints.
 _FINITE = lambda x: ~F.isnan(x) & (F.abs(x) != F.lit(float("inf")))  # noqa: E731
 
 

@@ -139,7 +139,10 @@ def load_all_modules() -> None:
 #      round-7 NULL-doc-metadata probe pins (TRY_CAST'd source-suffix
 #      policy keys; declared NULL-doc_id exclusion) changed them outside
 #      the r7 prefix. (q84/q102 got the same class of pins but hold r7
-#      prefix slots.);
+#      prefix slots.) Also q123 — the round-7 embeddings_vec_id_unique
+#      DQ rule (the vector family's unique-id precondition enforcement
+#      point) changed it after its r6 row. (q42's domain guards are
+#      covered by its r7 prefix slot.);
 #   b. the 26 post-boundary r5-row queries (q46, q66, q01-q15, q17, q83,
 #      q85, q87, q115, q118, q110, q112, q113) — their rows turn 3 rounds
 #      old at r8, the rule-2 ceiling, so they MUST take prefix slots;

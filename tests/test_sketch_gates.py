@@ -990,6 +990,81 @@ def test_null_doc_metadata_matches_oracle(spark, tmp_path):
         _assert_null_variant_parity(spark, qname, sf_dir, con)
 
 
+def test_math_domain_guards_match_oracle(spark, tmp_path):
+    """Out-of-domain math (round-7 probe): DuckDB RAISES on SQRT(negative)
+    and LN(non-positive) while Spark returns NaN/NULL — a single garbage
+    row (negative quantity, price below -1) aborted q42's oracle. Both
+    twins now declare NULL via the identical CASE domain guard; this
+    plants both corners plus a NULL shipdate and zero price."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders events documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/lineitem.parquet'
+        UNION ALL SELECT 1, 1, 1, 99, -5.0, 100.0, 0.1, 0.05, 'R', 'F', NULL
+        UNION ALL SELECT 2, 2, 2, 98, 3.0, -2.5, 0.0, 0.0, 'N', 'O',
+                  TIMESTAMP '2024-02-01'
+        UNION ALL SELECT 3, 3, 3, 97, 1.0, 0.0, 1.0, 0.0, 'N', 'O',
+                  TIMESTAMP '1970-01-01')
+        TO '{sf_dir}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    _assert_null_variant_parity(spark, "q42_math_battery", sf_dir, con)
+
+
+def test_duplicate_vec_id_caught_by_dq_report(spark, tmp_path):
+    """vec_id uniqueness is the vector family's declared PRECONDITION, not
+    a per-query filter (a cross-row invariant would cost every vector
+    query a shuffle); q123's data-quality report is the enforcement
+    point. Plant two duplicated ids and assert the report counts them —
+    and still hash-matches its oracle on the garbage input."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/embeddings.parquet'
+        UNION ALL SELECT 5, list_transform(generate_series(1, 64),
+                         x -> 0.25::FLOAT), 1
+        UNION ALL SELECT 450, list_transform(generate_series(1, 64),
+                         x -> CAST(x % 3 AS FLOAT) / 3), 0)
+        TO '{sf_dir}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    _assert_null_variant_parity(spark, "q123_dq_report", sf_dir, con)
+    rows = {
+        r.rule: r
+        for r in QUERIES["q123_dq_report"].builder(spark, sf_dir).collect()
+    }
+    dq = rows["embeddings_vec_id_unique"]
+    assert dq.n_violations == 2 and dq.n_checked == 502
+
+
 def test_multibyte_names_match_oracle(spark, tmp_path):
     """Unicode case-mapping/substring parity on the string battery and
     the fuzzy-linkage deletion keys: planted customer names exercise
