@@ -1065,6 +1065,51 @@ def test_duplicate_vec_id_caught_by_dq_report(spark, tmp_path):
     assert dq.n_violations == 2 and dq.n_checked == 502
 
 
+def test_window_boundary_ties_match_oracle(spark, tmp_path):
+    """Exact-boundary timestamps (round-7 probe, CLEAN — pinned so a
+    regression surfaces): events precisely on tumbling-window edges, a
+    pair exactly one session gap apart, duplicate (user_id, ts) rows
+    differing only in event_id, and a microsecond past a window edge.
+    The whole time-window/as-of/funnel/SCD family probed identical on
+    both twins — the r5/r6 total-order tiebreaks (event_id everywhere a
+    ts orders rows) and half-open bucket conventions carry these."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/events.parquet'
+        UNION ALL SELECT 999010, TIMESTAMP '2024-01-03 00:00:00', 777001, 'view', 1.0, '{{}}'
+        UNION ALL SELECT 999011, TIMESTAMP '2024-01-03 00:30:00', 777001, 'view', 2.0, '{{}}'
+        UNION ALL SELECT 999012, TIMESTAMP '2024-01-03 01:00:00', 777001, 'purchase', 3.0, '{{}}'
+        UNION ALL SELECT 999013, TIMESTAMP '2024-01-03 01:00:00', 777001, 'view', 4.0, '{{}}'
+        UNION ALL SELECT 999014, TIMESTAMP '2024-01-03 01:00:00', 777002, 'view', 5.0, '{{}}'
+        UNION ALL SELECT 999015, TIMESTAMP '2024-01-03 02:00:00.000001', 777002, 'purchase', 6.0, '{{}}')
+        TO '{sf_dir}/events.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    for qname in (
+        "q28_join_asof", "q60_dedup_exact", "q61_tumbling_window",
+        "q62_sliding_window", "q63_session_window", "q66_time_rollup",
+        "q101_event_funnel", "q103_gaps_islands", "q107_event_paths",
+        "q117_scd2_intervals", "q129_growth_curve", "q134_scd2_resolve",
+        "q139_conversion_latency", "q140_topk_others",
+    ):
+        _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
 def test_multibyte_names_match_oracle(spark, tmp_path):
     """Unicode case-mapping/substring parity on the string battery and
     the fuzzy-linkage deletion keys: planted customer names exercise
