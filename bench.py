@@ -253,19 +253,28 @@ def stateful_dedup_throughput(spark, n: int = 200_000) -> int:
                 .trigger(availableNow=True)
                 .start()
             )
-            seen_input = False
+            # drain detection over recentProgress (a cumulative list, so a
+            # fast data batch can't be overwritten between polls the way a
+            # lastProgress snapshot can) — a missed batch here would record
+            # the 240 s TTL wait as phantom throughput
+            drained = False
             deadline = start + 600
             while q.isActive and time.perf_counter() < deadline:
-                lp = q.lastProgress
-                if lp is not None:
-                    if lp["numInputRows"] > 0:
-                        seen_input = True
-                    elif seen_input:
-                        break  # post-data empty batch: input fully processed
+                progresses = q.recentProgress
+                seen_input = any(p["numInputRows"] > 0 for p in progresses)
+                if seen_input and progresses[-1]["numInputRows"] == 0:
+                    drained = True
+                    break  # post-data empty batch: input fully processed
                 time.sleep(0.05)
             elapsed = time.perf_counter() - start
             q.stop()
             q.awaitTermination(30)
+            if not drained:
+                raise RuntimeError(
+                    "stateful_dedup bench never observed a post-data empty "
+                    f"batch within {deadline - start:.0f}s — refusing to "
+                    "record a timer wait as throughput"
+                )
             best = max(best, n / elapsed)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -959,12 +959,12 @@ def q141_sketch_table_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoized per (process, sf_dir): the table is the point — built ONCE,
     reused by every subsequent rollup — and the per-invocation mkdtemp
     it replaces leaked a sketch table per driver/bench/plan-test run."""
-    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     path = _SKETCH_TABLE_MEMO.get(sf_dir)
     if path is None:
         import os
         import tempfile
 
+        e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
         hourly = e.groupBy(
             F.to_date("ts").alias("day"), F.hour("ts").alias("hour")
         ).agg(F.hll_sketch_agg("user_id").alias("sk"))

@@ -593,7 +593,10 @@ def q102_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins), and NULL doc_id rows are excluded (the canonical-pick
     tiebreak orders by doc_id, whose NULL placement is engine-dependent)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
-    src_idx = F.expr("try_cast(substring(source, 4, 10) AS int)")
+    # no length cap: the oracle's SUBSTR(source, 4) reads to end-of-string,
+    # so a capped substring here would let an 11+-digit suffix parse on
+    # one twin and overflow-to-NULL on the other
+    src_idx = F.expr("try_cast(substring(source, 4) AS int)")
     fp = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), "|"))
     fps = d.select("doc_id", "source", src_idx.alias("src_idx"), fp.alias("fp"))
     snap = (

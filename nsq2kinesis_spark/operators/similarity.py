@@ -74,7 +74,14 @@ IVF_PROBES = 2
 # q123's data-quality report carries an embeddings_vec_id_unique rule
 # that counts violations in the same nightly pass that checks the other
 # table constraints.
-_FINITE = lambda x: ~F.isnan(x) & (F.abs(x) != F.lit(float("inf")))  # noqa: E731
+# "Finite" spells out element-NOT-NULL explicitly: Spark's forall over a
+# NULL element yields NULL (row silently dropped) while DuckDB's
+# list_bool_and SKIPS NULL elements (aggregate semantics, row kept) — so
+# without the conjunct a [0.5, NULL, ...] vector of the right length
+# diverges the twins instead of being excluded by both.
+_FINITE = lambda x: (  # noqa: E731
+    x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(float("inf")))
+)
 
 
 def emb_t(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,7 +97,8 @@ def emb_t(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference, so both engines see the identical valid sub-corpus.
 DUCK_EMB = (
     f"(SELECT * FROM embeddings WHERE LEN(embedding) = {DIM}"
-    " AND list_bool_and(list_transform(embedding, x -> isfinite(x)))"
+    " AND list_bool_and(list_transform(embedding,"
+    " x -> x IS NOT NULL AND isfinite(x)))"
     " AND list_bool_or(list_transform(embedding, x -> x <> 0)))"
 )
 

@@ -141,8 +141,11 @@ def load_all_modules() -> None:
 #      the r7 prefix. (q84/q102 got the same class of pins but hold r7
 #      prefix slots.) Also q123 — the round-7 embeddings_vec_id_unique
 #      DQ rule (the vector family's unique-id precondition enforcement
-#      point) changed it after its r6 row. (q42's domain guards are
-#      covered by its r7 prefix slot.);
+#      point) changed it after its r6 row — and q11/q12, whose oracles
+#      took the empty-input HAVING COUNT(*) > 0 pin after their r5 rows
+#      (oracle-only changes count: q140's r7 lead is the precedent).
+#      (q42's domain guards and q26's NOT EXISTS rewrite are covered by
+#      their r7 prefix slots.);
 #   b. the 26 post-boundary r5-row queries (q46, q66, q01-q15, q17, q83,
 #      q85, q87, q115, q118, q110, q112, q113) — their rows turn 3 rounds
 #      old at r8, the rule-2 ceiling, so they MUST take prefix slots;

@@ -870,7 +870,12 @@ def test_wrong_dim_embeddings_and_duplicate_doc_ids(spark, tmp_path):
         UNION ALL SELECT 999013, {zeros64}, {lbl}
         UNION ALL SELECT 999014, list_prepend('nan'::FLOAT, {tail63}), {lbl}
         UNION ALL SELECT 999015, list_prepend('inf'::FLOAT, {tail63}), {lbl}
-        UNION ALL SELECT 999016, list_prepend('-inf'::FLOAT, {tail63}), {lbl})
+        UNION ALL SELECT 999016, list_prepend('-inf'::FLOAT, {tail63}), {lbl}
+        -- NULL element in a right-length vector: Spark's forall yields
+        -- NULL (drops) but DuckDB's list_bool_and SKIPS NULLs (keeps)
+        -- unless the contract spells out x IS NOT NULL — the post-review
+        -- conjunct this row pins
+        UNION ALL SELECT 999017, list_prepend(NULL::FLOAT, {tail63}), {lbl})
         TO '{sf_dir}/embeddings.parquet' (FORMAT PARQUET)"""
     )
     con.execute(
