@@ -766,7 +766,22 @@ def test_q44_garbage_json_matches_oracle(spark, tmp_path):
         "UNION ALL SELECT 999107, TIMESTAMP '2024-01-21 17:00:00', 9, 'view', 1.0, "
         "'{\"k\": true}' "
         "UNION ALL SELECT 999108, TIMESTAMP '2024-01-21 18:00:00', 9, 'view', 1.0, "
-        "'{\"k\": -3}'",
+        "'{\"k\": -3}' "
+        # INT32 overflow corners (probed clean late round 7, pinned): the
+        # json_type guard passes BIGINT values through to TRY_CAST AS
+        # INTEGER, which NULLs out-of-range on both twins exactly where
+        # Spark's IntegerType struct field degrades — boundary values
+        # survive, one-past-boundary and the INT64-overflow literal NULL
+        "UNION ALL SELECT 999109, TIMESTAMP '2024-01-21 19:00:00', 9, 'view', 1.0, "
+        "'{\"k\": 3000000000}' "
+        "UNION ALL SELECT 999110, TIMESTAMP '2024-01-21 20:00:00', 9, 'view', 1.0, "
+        "'{\"k\": -2147483649}' "
+        "UNION ALL SELECT 999111, TIMESTAMP '2024-01-21 21:00:00', 9, 'view', 1.0, "
+        "'{\"k\": 2147483647}' "
+        "UNION ALL SELECT 999112, TIMESTAMP '2024-01-21 22:00:00', 9, 'view', 1.0, "
+        "'{\"k\": -2147483648}' "
+        "UNION ALL SELECT 999113, TIMESTAMP '2024-01-21 23:00:00', 9, 'view', 1.0, "
+        "'{\"k\": 9223372036854775808}'",
     )
     _assert_null_variant_parity(spark, "q44_json_battery", sf_dir, con)
 
