@@ -98,64 +98,127 @@ def load_all_modules() -> None:
 # 121 value-oracled queries / 3 rounds ~= 40 <= remaining slots + head.
 # tests/test_contract.py pins the schedule.
 #
-# ROUND-7 ORDER (this round — executes the plan written at the end of r6):
-#   1. rule 1 (code changed since the last driver row) leads, q140 first:
-#      q140 (the only red driver row ever — oracle HUGEINT cents fixed,
-#      CAST back to BIGINT in the top CTE, 7f37b49), then the queries
-#      whose code changed in ROUND 7's advice sweep after their fresh r6
-#      rows — q126/q138 (winner-only cents: raw double in the max_by
-#      struct, cents() post-agg), q75/q132/q89 (recursive corpus-size
-#      probe for partitionBy layouts) — then the r6-touched queries still
-#      holding r5 rows: q44 (json_type integer guard, r7, on top of the
-#      r6 garbage-JSON pins), q63 (NULL-ts exclusion), q88 (oracle
-#      STRLEN->LENGTH), q80/q81/q82 (declared-dimension contract),
-#      q111 (STRING_AGG chunk tiebreak). 13 queries.
-#   2. rule 2 ceiling: ALL 22 r4-row untouched queries — their rows turn
-#      3 rounds old at r7, so they MUST take prefix slots: q18/q19, q30,
-#      q33, q64/q65, q71/q72, q79, q84/q86, q94-q97, q99/q100,
-#      q102/q104/q108, q77/q78.
-#   3. the remaining 15 slots refresh the oldest r5-row queries in their
-#      r6-listed order: q20-q29, q40-q43, q45 (q44 is already in rule 1).
+# ROUND-8 ORDER (this round — executes the plan written at the end of r7):
+#   1. rule 1 (code changed since the last driver row) leads — the r7
+#      ledger: q90/q98/q131 (the r7 valid-vector contract — emb_t/DUCK_EMB
+#      finiteness + nonzero-norm, similarity.py — changed them after their
+#      fresh r6 rows, outside the committed r7 prefix), q85/q115/q124 (the
+#      r7 NULL-doc-metadata pins: TRY_CAST'd source-suffix policy keys,
+#      declared NULL-doc_id exclusion), q123 (r7 embeddings_vec_id_unique
+#      DQ rule; ALSO changing in r8: events_version_unique, the CDC
+#      total-order precondition rule), and q11/q12 (empty-input
+#      HAVING COUNT(*) > 0 oracle pins — oracle-only changes count;
+#      q140's r7 lead is the precedent). 9 queries.
+#   2. rule 2 ceiling: the post-boundary r5-row block — rows turn 3
+#      rounds old at r8, so ALL must take prefix slots: q46, q66,
+#      q01-q10, q13-q15, q17, q83, q87, q118, q110, q112, q113
+#      (q11/q12/q85/q115 of that block already hold rule-1 slots).
+#      22 queries.
+#   3. the remaining 19 slots refresh the oldest r6-row queries in their
+#      listed order: q106, q34, q35, q60, q101, q103, q105, q107, q109,
+#      q114, q117, q119-q122, q125, q127, q128, q129 (q123/q124 already
+#      hold rule-1 slots).
 #   ---- 50-query prefix boundary ----
-#   4. the rest of the r5-row block (q46, q66, q01-q15, q17, q83, q85,
-#      q87, q115, q118, q110, q112, q113 — 26 queries) ages to r8 under
-#      rule 2, backed by this round's green 3-SF parity sweep; they lead
-#      the post-boundary tail so they front the r8 prefix;
-#   5. the 45 queries with fresh r6 rows, in their r6 order;
-#   6. permanent tail (rule 3): q16, q76, q116, q137, q141 (q141's r7
-#      memoization/ISO-week change does NOT promote it — rows-only), and
-#      q142 (NEW r7 — incremental sketch-table maintenance; rows-only,
-#      its incremental==rebuild equality gate lives in
-#      tests/test_sketch_gates.py).
+#   4. the rest of the r6-row block (q130, q133-q136, q139, q31, q32,
+#      q50-q54, q61, q62, q70, q73, q74, q91-q93 — 21 queries) ages to
+#      r9 under rule 2, backed by this round's green 3-SF parity sweep;
+#      they lead the post-boundary tail so they front the r9 prefix;
+#   5. the 50 queries with fresh r7 rows, in their r7 order;
+#   6. permanent tail (rule 3): q16, q76, q116, q137, q141, q142.
 #
-# ROUND-8 ROTATION PLAN (write this order at the start of r8):
-#   a. any query whose code changes in round 7 AFTER its latest driver
-#      row leads (rule 1). Ledger so far: q90, q98, q131 — the round-7
-#      valid-vector contract (emb_t/DUCK_EMB finiteness + nonzero-norm,
-#      similarity.py) changed them after their fresh r6 rows; they sit
-#      outside the committed r7 prefix, so they MUST lead the r8 prefix.
-#      (q80/q81/q82 got the same change but already hold r7 rule-1
-#      slots, so their r7 rows cover it.) Also q85, q115, q124 — the
-#      round-7 NULL-doc-metadata probe pins (TRY_CAST'd source-suffix
-#      policy keys; declared NULL-doc_id exclusion) changed them outside
-#      the r7 prefix. (q84/q102 got the same class of pins but hold r7
-#      prefix slots.) Also q123 — the round-7 embeddings_vec_id_unique
-#      DQ rule (the vector family's unique-id precondition enforcement
-#      point) changed it after its r6 row — and q11/q12, whose oracles
-#      took the empty-input HAVING COUNT(*) > 0 pin after their r5 rows
-#      (oracle-only changes count: q140's r7 lead is the precedent).
-#      (q42's domain guards and q26's NOT EXISTS rewrite are covered by
-#      their r7 prefix slots.);
-#   b. the 26 post-boundary r5-row queries (q46, q66, q01-q15, q17, q83,
-#      q85, q87, q115, q118, q110, q112, q113) — their rows turn 3 rounds
-#      old at r8, the rule-2 ceiling, so they MUST take prefix slots;
-#   c. remaining slots refresh the oldest r6-row queries in their listed
-#      order (q106, q34, q35, q60, q101, q103, q105, q107, q109, q114,
-#      q117, q119-q125, ...); the rest of the r6 block may age to r9
-#      under rule 2 provided the 3-SF parity sweep runs green in r8.
+# ROUND-9 ROTATION PLAN (write this order at the start of r9):
+#   a. any query whose code changes in round 8 AFTER its latest driver
+#      row leads (rule 1). Ledger so far: (none yet — append here when a
+#      mid-round change lands outside the committed r8 prefix);
+#   b. the 21 post-boundary r6-row queries (q130, q133, q134, q135,
+#      q136, q139, q31, q32, q50-q54, q61, q62, q70, q73, q74, q91,
+#      q92, q93) — their rows turn 3 rounds old at r9, the rule-2
+#      ceiling, so they MUST take prefix slots;
+#   c. remaining slots refresh the oldest r7-row queries in their listed
+#      order (q140, q126, q138, q75, q132, q89, q44, q63, q88, q80,
+#      q81, q82, q111, ...); the rest of the r7 block may age to r10
+#      under rule 2 provided the 3-SF parity sweep runs green in r9.
 VERIFY_ORDER: tuple[str, ...] = (
-    # -- rule 1: code changed since the last driver row; q140 first (the
-    # -- project's only red row — the r7 oracle fix must re-green it) --
+    # -- rule 1: code changed since the last driver row (the r7 ledger) --
+    "q90_kmeans_train",
+    "q98_srp_lsh_pairs",
+    "q131_hard_negatives",
+    "q85_train_split",
+    "q115_dataset_mixture",
+    "q124_dataset_mixture_hash",
+    "q123_dq_report",
+    "q11_rollup",
+    "q12_cube",
+    # -- rule 2 ceiling: r5-row untouched queries — rows turn 3 rounds
+    # -- old this round, so they take prefix slots now --
+    "q46_hash_battery",
+    "q66_time_rollup",
+    "q01_pricing_summary",
+    "q02_project_compute",
+    "q03_filter_battery",
+    "q04_sort_limit",
+    "q05_union_all",
+    "q06_intersect",
+    "q07_except",
+    "q08_distinct",
+    "q09_set_ops_all",
+    "q10_agg_global",
+    "q13_grouping_sets",
+    "q14_collect_pack",
+    "q15_pivot",
+    "q17_percentiles",
+    "q83_decontamination",
+    "q87_repetition",
+    "q118_fuzzy_match",
+    "q110_pii_redaction",
+    "q112_cooccurrence_lift",
+    "q113_length_buckets",
+    # -- rule 2 fill: oldest r6-row queries, least-recently-verified
+    # -- first (q123/q124 already hold rule-1 slots above) --
+    "q106_user_similarity",
+    "q34_window_distribution",
+    "q35_window_range_frame",
+    "q60_dedup_exact",
+    "q101_event_funnel",
+    "q103_gaps_islands",
+    "q105_scalar_subquery",
+    "q107_event_paths",
+    "q109_retention_cohorts",
+    "q114_daily_anomalies",
+    "q117_scd2_intervals",
+    "q119_daily_trend",
+    "q120_volume_gini",
+    "q121_ab_test",
+    "q122_copurchase",
+    "q125_user_diversity",
+    "q127_audience_overlap",
+    "q128_gap_fill",
+    "q129_growth_curve",
+    # ---- 50-query prefix boundary (driver budget) ----
+    # -- r6-row queries aging to r9 under rule 2 (3-SF parity sweep green
+    # -- this round); they front the r9 prefix --
+    "q130_rag_chunker",
+    "q133_ppjoin",
+    "q134_scd2_resolve",
+    "q135_daily_mad",
+    "q136_interpolate",
+    "q139_conversion_latency",
+    "q31_window_analytic",
+    "q32_window_frames",
+    "q50_pandas_udf_tokenize",
+    "q51_apply_in_pandas_median",
+    "q52_udtf_bigrams",
+    "q53_python_udf_crc",
+    "q54_multimodal_decode",
+    "q61_tumbling_window",
+    "q62_sliding_window",
+    "q70_text_stats",
+    "q73_token_count_bpe",
+    "q74_multimodal_meta",
+    "q91_frame_sample",
+    "q92_media_features",
+    "q93_media_resize",
+    # -- fresh round-7 rows, untouched since, in their r7 order --
     "q140_topk_others",
     "q126_cdc_apply",
     "q138_snapshot_diff",
@@ -169,8 +232,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q81_cosine_neardup",
     "q82_ann_ivf",
     "q111_chunk_dedup",
-    # -- rule 2 ceiling: r4-row untouched queries — rows turn 3 rounds
-    # -- old this round, so they take prefix slots now --
     "q18_multi_distinct",
     "q19_agg_filter_clause",
     "q30_window_rank",
@@ -193,8 +254,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q108_daily_value_bands",
     "q77_simhash",
     "q78_simhash_pairs",
-    # -- rule 2 fill: oldest r5-row queries, least-recently-verified
-    # -- first (q44 already holds a rule-1 slot above) --
     "q20_join_inner_broadcast",
     "q21_join_shuffle_3way",
     "q22_join_left_outer",
@@ -210,81 +269,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q42_math_battery",
     "q43_conditional_battery",
     "q45_array_battery",
-    # ---- 50-query prefix boundary (driver budget) ----
-    # -- r5-row queries aging to r8 under rule 2 (3-SF parity sweep green
-    # -- this round); they front the r8 prefix --
-    "q46_hash_battery",
-    "q66_time_rollup",
-    "q01_pricing_summary",
-    "q02_project_compute",
-    "q03_filter_battery",
-    "q04_sort_limit",
-    "q05_union_all",
-    "q06_intersect",
-    "q07_except",
-    "q08_distinct",
-    "q09_set_ops_all",
-    "q10_agg_global",
-    "q11_rollup",
-    "q12_cube",
-    "q13_grouping_sets",
-    "q14_collect_pack",
-    "q15_pivot",
-    "q17_percentiles",
-    "q83_decontamination",
-    "q85_train_split",
-    "q87_repetition",
-    "q115_dataset_mixture",
-    "q118_fuzzy_match",
-    "q110_pii_redaction",
-    "q112_cooccurrence_lift",
-    "q113_length_buckets",
-    # -- fresh round-6 rows, untouched since, in their r6 order --
-    "q106_user_similarity",
-    "q34_window_distribution",
-    "q35_window_range_frame",
-    "q60_dedup_exact",
-    "q101_event_funnel",
-    "q103_gaps_islands",
-    "q105_scalar_subquery",
-    "q107_event_paths",
-    "q109_retention_cohorts",
-    "q114_daily_anomalies",
-    "q117_scd2_intervals",
-    "q119_daily_trend",
-    "q120_volume_gini",
-    "q121_ab_test",
-    "q122_copurchase",
-    "q123_dq_report",
-    "q124_dataset_mixture_hash",
-    "q125_user_diversity",
-    "q127_audience_overlap",
-    "q128_gap_fill",
-    "q129_growth_curve",
-    "q130_rag_chunker",
-    "q131_hard_negatives",
-    "q133_ppjoin",
-    "q134_scd2_resolve",
-    "q135_daily_mad",
-    "q136_interpolate",
-    "q139_conversion_latency",
-    "q31_window_analytic",
-    "q32_window_frames",
-    "q50_pandas_udf_tokenize",
-    "q51_apply_in_pandas_median",
-    "q52_udtf_bigrams",
-    "q53_python_udf_crc",
-    "q54_multimodal_decode",
-    "q61_tumbling_window",
-    "q62_sliding_window",
-    "q70_text_stats",
-    "q73_token_count_bpe",
-    "q74_multimodal_meta",
-    "q90_kmeans_train",
-    "q91_frame_sample",
-    "q92_media_features",
-    "q93_media_resize",
-    "q98_srp_lsh_pairs",
     # -- rule 3: rows-only by design — permanent tail, never a prefix
     # -- slot (accuracy gates live in tests/test_sketch_gates.py and
     # -- tests/test_llm_dedup.py) --

@@ -34,10 +34,10 @@ def test_contract_shapes():
 def test_verify_order_is_the_registry_iteration_order():
     """VERIFY_ORDER is the single source of truth for the order external
     harnesses iterate queries(): it must be a permutation of the registry,
-    and the round-7 rotation (amended rule, registry.py) must hold —
-    code-changed queries lead the 50-prefix (q140's oracle fix first),
-    untouched queries age at most 3 rounds backed by the local 3-SF parity
-    sweep, and rows-only queries sit at the permanent tail."""
+    and the round-8 rotation (amended rule, registry.py) must hold —
+    code-changed queries lead the 50-prefix (the r7 ledger), untouched
+    queries age at most 3 rounds backed by the local 3-SF parity sweep,
+    and rows-only queries sit at the permanent tail."""
     from nsq2kinesis_spark.registry import VERIFY_ORDER, all_queries
 
     names = list(all_queries())
@@ -45,30 +45,31 @@ def test_verify_order_is_the_registry_iteration_order():
     assert len(set(VERIFY_ORDER)) == len(VERIFY_ORDER), "duplicates in VERIFY_ORDER"
     assert len(names) == 127
     prefix = [n.split("_")[0] for n in names[:50]]
-    # Rule 1: code changed since the last driver row. q140 leads (the
-    # project's only red row ever — the r7 oracle fix must re-green it),
-    # then the r7 advice-sweep changes (q126/q138 winner-only cents,
-    # q75/q132/q89 recursive corpus probe, q44's json_type guard), then
-    # the r6-touched queries still holding r5 rows.
-    touched = ["q140", "q126", "q138", "q75", "q132", "q89",
-               "q44", "q63", "q88", "q80", "q81", "q82", "q111"]
-    assert prefix[:13] == touched
-    # Rule 2 ceiling: ALL 22 r4-row untouched queries — their rows turn
-    # 3 rounds old at r7, so they MUST take prefix slots this round.
-    aged_r4 = ["q18", "q19", "q30", "q33", "q64", "q65", "q71", "q72",
-               "q79", "q84", "q86", "q94", "q95", "q96", "q97", "q99",
-               "q100", "q102", "q104", "q108", "q77", "q78"]
-    assert prefix[13:35] == aged_r4
-    # Rule 2 fill: the 15 remaining slots refresh the oldest r5-row
-    # queries in their listed order (q44 already holds a rule-1 slot).
-    assert prefix[35:50] == [
-        "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28",
-        "q29", "q40", "q41", "q42", "q43", "q45",
+    # Rule 1: code changed since the last driver row — the r7 ledger:
+    # q90/q98/q131 (valid-vector contract), q85/q115/q124 (NULL-doc-
+    # metadata pins), q123 (vec_id-unique DQ rule, + the r8
+    # events_version_unique rule), q11/q12 (empty-input oracle pins).
+    touched = ["q90", "q98", "q131", "q85", "q115", "q124",
+               "q123", "q11", "q12"]
+    assert prefix[:9] == touched
+    # Rule 2 ceiling: the 22 r5-row untouched queries — their rows turn
+    # 3 rounds old at r8, so they MUST take prefix slots this round
+    # (q11/q12/q85/q115 of that block already hold rule-1 slots).
+    aged_r5 = ["q46", "q66", "q01", "q02", "q03", "q04", "q05", "q06",
+               "q07", "q08", "q09", "q10", "q13", "q14", "q15", "q17",
+               "q83", "q87", "q118", "q110", "q112", "q113"]
+    assert prefix[9:31] == aged_r5
+    # Rule 2 fill: the 19 remaining slots refresh the oldest r6-row
+    # queries in their listed order (q123/q124 already hold rule-1 slots).
+    assert prefix[31:50] == [
+        "q106", "q34", "q35", "q60", "q101", "q103", "q105", "q107",
+        "q109", "q114", "q117", "q119", "q120", "q121", "q122", "q125",
+        "q127", "q128", "q129",
     ]
-    # Post-boundary: the r5-row block that ages to r8 fronts the tail so
-    # it leads the r8 prefix (rule-2 ceiling there).
+    # Post-boundary: the r6-row block that ages to r9 fronts the tail so
+    # it leads the r9 prefix (rule-2 ceiling there).
     assert [n.split("_")[0] for n in names[50:57]] == [
-        "q46", "q66", "q01", "q02", "q03", "q04", "q05",
+        "q130", "q133", "q134", "q135", "q136", "q139", "q31",
     ]
     # Rule 3: rows-only queries occupy the permanent tail — never a prefix
     # slot (their driver row can only say rows>0; the pytest accuracy
