@@ -433,6 +433,14 @@ def q95_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) - COUNT(DISTINCT vec_id) AS BIGINT),
            CAST(COUNT(*) AS BIGINT)
     FROM embeddings
+    UNION ALL
+    SELECT 'events_version_unique',
+           CAST(COUNT(*) - (SELECT COUNT(*) FROM
+             (SELECT DISTINCT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                     event_id
+              FROM events)) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
     """,
     tags=("relational", "quality", "validation"),
 )
@@ -516,6 +524,30 @@ def q123_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").cast("long").alias("n_checked"),
             )
         )
+        .unionByName(
+            # the CDC family's total-order PRECONDITION (round 8): q126's
+            # last-write-wins and q138's snapshots version each
+            # (user_id, event_type) key by (ts, event_id) and declare that
+            # order TOTAL. A duplicated full version tuple makes the
+            # winner's payload engine-dependent (max_by ties break by
+            # arrival order), so — like vec_id uniqueness for the vector
+            # family — uniqueness is a cross-row invariant enforced HERE,
+            # not re-checked with an extra shuffle inside every CDC query.
+            # groupBy on the tuple (NULLs group together, matching the
+            # oracle's SELECT DISTINCT) keeps the count NULL-safe where
+            # countDistinct would drop NULL-bearing rows.
+            events.groupBy("user_id", "event_type", "ts", "event_id")
+            .agg(F.count("*").alias("n"))
+            .agg(
+                F.lit("events_version_unique").alias("rule"),
+                (F.coalesce(F.sum("n"), F.lit(0)) - F.count("*"))
+                .cast("long")
+                .alias("n_violations"),
+                F.coalesce(F.sum("n"), F.lit(0))
+                .cast("long")
+                .alias("n_checked"),
+            )
+        )
     )
 
 
@@ -550,6 +582,14 @@ def q126_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (ts, event_id) — a TOTAL order, so ties can't make the winner
     engine-dependent — with rows under ${CDC_DELETE_BELOW} acting as
     tombstones (a deterministic op column derived from the data).
+
+    PRECONDITION (declared round 8): (user_id, event_type, ts, event_id)
+    is unique — a duplicated full version tuple ties max_by and makes the
+    winning payload engine-dependent. Enforcement lives in q123's
+    events_version_unique DQ rule (the same cross-row-invariant pattern
+    as the vector family's vec_id uniqueness): re-checking it here would
+    cost a second shuffle per CDC query for an invariant the nightly
+    report already certifies.
 
     The 100 TB shape is the point: last-write-wins is computed as ONE
     max_by aggregate over a lexicographic (ts, event_id) struct — a
@@ -651,7 +691,10 @@ def q138_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each snapshot is the q126 compaction cut at its timestamp (last
     write wins under the total (ts, event_id) order; tombstoned keys are
     absent — so a key that was live at T1 and tombstoned by T2 correctly
-    surfaces as a DELETE). The diff is one full-outer hash join on the
+    surfaces as a DELETE). Inherits q126's declared precondition: the
+    (user_id, event_type, ts, event_id) version tuple is unique, enforced
+    by q123's events_version_unique rule — a duplicate tuple would make
+    both snapshots' winners engine-dependent. The diff is one full-outer hash join on the
     key with null-arm classification, and unchanged keys are filtered
     out so the output is the minimal changelog. Both snapshots are
     max_by aggregates (map-side combinable, no window — the q126 scale

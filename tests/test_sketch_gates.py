@@ -965,6 +965,50 @@ def test_null_join_keys_match_oracle(spark, tmp_path):
         _assert_null_variant_parity(spark, qname, sf_dir, con)
 
 
+def test_events_version_unique_counts_planted_duplicate(spark, tmp_path):
+    """The CDC total-order precondition is ENFORCED, not just declared
+    (round 8): q126/q138 version each key by (user_id, event_type, ts,
+    event_id) and declare that tuple unique — a duplicate ties max_by
+    and makes the winner engine-dependent. Plant an exact duplicate of
+    one event row and prove (a) q123's events_version_unique rule counts
+    it on BOTH twins (the report still hash-matches its oracle), and
+    (b) the duplicated-payload case — the only duplicate shape the
+    precondition permits through q126 deterministically — still leaves
+    q126 in oracle parity (identical payload means the tie is
+    value-invisible)."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/events.parquet'
+        UNION ALL SELECT * FROM
+          (SELECT * FROM '{src}/events.parquet' ORDER BY event_id LIMIT 1))
+        TO '{sf_dir}/events.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    _assert_null_variant_parity(spark, "q123_dq_report", sf_dir, con)
+    _assert_null_variant_parity(spark, "q126_cdc_apply", sf_dir, con)
+    report = {
+        r["rule"]: r["n_violations"]
+        for r in QUERIES["q123_dq_report"].builder(spark, sf_dir).collect()
+    }
+    assert report["events_version_unique"] == 1
+
+
 def test_null_doc_metadata_matches_oracle(spark, tmp_path):
     """NULL/garbage document metadata (round-7 probe): a NULL doc_id, a
     NULL lang, a NULL source, a NULL n_chars, and a source id WITHOUT the
