@@ -921,9 +921,51 @@ def q137_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- q141: materialized sketch table + ad-hoc rollup from the table alone ------
 
-# Materialized hourly-sketch table per sf_dir — built once per process,
-# reused by every subsequent rollup (see q141's docstring).
-_SKETCH_TABLE_MEMO: dict[str, str] = {}
+
+def _events_memo_key(sf_dir: str) -> tuple:
+    """Memo key for the materialized sketch tables: (sf_dir, fingerprint
+    of the events source files). The fingerprint — sorted (relpath, size,
+    mtime_ns) over every file under events.parquet/orc/jsonl/csv — makes
+    an in-place rewrite or append of the source data invalidate the memo
+    instead of silently serving sketches built from the old corpus. Cost
+    is a driver-side stat() walk of one table's file listing (O(files),
+    no data read) per q141/q142 invocation."""
+    import os
+
+    entries = []
+    for ext in ("parquet", "orc", "jsonl", "csv"):
+        root = os.path.join(sf_dir, f"events.{ext}")
+        if os.path.isdir(root):
+            for dirpath, _dirs, files in os.walk(root):
+                for fn in files:
+                    p = os.path.join(dirpath, fn)
+                    st = os.stat(p)
+                    entries.append(
+                        (os.path.relpath(p, sf_dir), st.st_size, st.st_mtime_ns)
+                    )
+        elif os.path.isfile(root):
+            st = os.stat(root)
+            entries.append((f"events.{ext}", st.st_size, st.st_mtime_ns))
+    return (sf_dir, tuple(sorted(entries)))
+
+
+def _memo_lookup(memo: dict, key: tuple) -> str | None:
+    """Return the memoized sketch-table path only if it still exists on
+    disk — a tmp-cleaner or manual delete mid-process must trigger a
+    rebuild, not a read error."""
+    import os
+
+    path = memo.get(key)
+    if path is not None and not os.path.exists(path):
+        del memo[key]
+        return None
+    return path
+
+
+# Materialized hourly-sketch table per (sf_dir, events fingerprint) —
+# built once per process for unchanged source data, reused by every
+# subsequent rollup (see q141's docstring and _events_memo_key).
+_SKETCH_TABLE_MEMO: dict[tuple, str] = {}
 
 
 @query(
@@ -956,10 +998,14 @@ def q141_sketch_table_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ISO week — not weekofyear(): a bare week NUMBER conflates week-N
     cells from different years (Dec 29+ merges into the next year's
     week 1) in any multi-year corpus. The materialized table path is
-    memoized per (process, sf_dir): the table is the point — built ONCE,
-    reused by every subsequent rollup — and the per-invocation mkdtemp
-    it replaces leaked a sketch table per driver/bench/plan-test run."""
-    path = _SKETCH_TABLE_MEMO.get(sf_dir)
+    memoized per (process, sf_dir, events-file fingerprint): the table is
+    the point — built ONCE, reused by every subsequent rollup — and the
+    per-invocation mkdtemp it replaces leaked a sketch table per
+    driver/bench/plan-test run. The fingerprint (file listing + sizes +
+    mtimes) invalidates the memo if the source events change in-process,
+    and a vanished table dir (tmp-cleaner) triggers a rebuild."""
+    key = _events_memo_key(sf_dir)
+    path = _memo_lookup(_SKETCH_TABLE_MEMO, key)
     if path is None:
         import os
         import tempfile
@@ -975,7 +1021,7 @@ def q141_sketch_table_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hourly_sketches.parquet",
         )
         hourly.write.parquet(path)
-        _SKETCH_TABLE_MEMO[sf_dir] = path
+        _SKETCH_TABLE_MEMO[key] = path
     # the rollup query: sketch table ONLY — events is never read again
     sk = spark.read.parquet(path)
     return sk.groupBy(
@@ -991,9 +1037,10 @@ def q141_sketch_table_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- q142: incremental sketch-table maintenance (append-only delta) ------------
 
-# Incrementally-maintained sketch table per sf_dir — base build + delta
-# append happen once per process; see q142's docstring.
-_INCR_SKETCH_MEMO: dict[str, str] = {}
+# Incrementally-maintained sketch table per (sf_dir, events fingerprint)
+# — base build + delta append happen once per process for unchanged
+# source data; see q142's docstring and _events_memo_key.
+_INCR_SKETCH_MEMO: dict[tuple, str] = {}
 
 
 @query(
@@ -1035,7 +1082,8 @@ def q142_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("ts").alias("day"), F.hour("ts").alias("hour")
         ).agg(F.hll_sketch_agg("user_id").alias("sk"))
 
-    path = _INCR_SKETCH_MEMO.get(sf_dir)
+    key = _events_memo_key(sf_dir)
+    path = _memo_lookup(_INCR_SKETCH_MEMO, key)
     if path is None:
         import os
         import tempfile
@@ -1061,7 +1109,7 @@ def q142_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the maintenance step: aggregate ONLY the delta hour and append —
         # base files stay byte-identical on disk (append-only parquet)
         hourly(e.filter(in_cut)).write.mode("append").parquet(path)
-        _INCR_SKETCH_MEMO[sf_dir] = path
+        _INCR_SKETCH_MEMO[key] = path
 
     def week_rollup(cells: DataFrame, out: str) -> DataFrame:
         return cells.groupBy(

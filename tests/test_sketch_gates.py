@@ -417,31 +417,98 @@ def test_q141_table_rollup_error_gate(spark):
         assert rel <= 0.08, (r.week_start, exact[r.week_start], r.approx_users)
 
 
+def _table_listing(path):
+    """(name, size, mtime_ns) per file — size + nanosecond mtime so a
+    same-second same-name rewrite can't false-pass on coarse-mtime
+    filesystems (round-8 advice fix)."""
+    import os
+
+    out = []
+    for f in os.listdir(path):
+        st = os.stat(os.path.join(path, f))
+        out.append((f, st.st_size, st.st_mtime_ns))
+    return sorted(out)
+
+
 def test_q141_materialization_is_memoized_per_sf_dir(spark):
     """Round-7 leak fix: repeated q141 invocations must reuse ONE
-    materialized sketch table per (process, sf_dir) — the prior
-    mkdtemp-per-invocation leaked a table per parity sweep / plan test /
-    driver round and re-ran the write job inside callers' timed regions."""
-    from nsq2kinesis_spark.operators.aggregates import _SKETCH_TABLE_MEMO
-
-    import os
+    materialized sketch table per (process, sf_dir, source fingerprint)
+    — the prior mkdtemp-per-invocation leaked a table per parity sweep /
+    plan test / driver round and re-ran the write job inside callers'
+    timed regions."""
+    from nsq2kinesis_spark.operators.aggregates import (
+        _SKETCH_TABLE_MEMO,
+        _events_memo_key,
+    )
 
     build = QUERIES["q141_sketch_table_rollup"].builder
     build(spark, SF_CORRECTNESS).collect()
-    path1 = _SKETCH_TABLE_MEMO[SF_CORRECTNESS]
-    listing = sorted(
-        (f, os.path.getmtime(os.path.join(path1, f)))
-        for f in os.listdir(path1)
-    )
+    key = _events_memo_key(SF_CORRECTNESS)
+    path1 = _SKETCH_TABLE_MEMO[key]
+    listing = _table_listing(path1)
     df = build(spark, SF_CORRECTNESS)
-    assert _SKETCH_TABLE_MEMO[SF_CORRECTNESS] == path1, (
+    assert _SKETCH_TABLE_MEMO[key] == path1, (
         "second build materialized a NEW table dir (the leak)"
     )
-    assert listing == sorted(
-        (f, os.path.getmtime(os.path.join(path1, f)))
-        for f in os.listdir(path1)
-    ), "second build rewrote the materialized table"
+    assert listing == _table_listing(path1), (
+        "second build rewrote the materialized table"
+    )
     assert df.count() > 0
+
+
+def test_q141_memo_rebuilds_when_table_dir_vanishes(spark):
+    """A tmp-cleaner (or manual delete) removing the materialized table
+    mid-process must trigger a transparent rebuild, not a read error —
+    the memo checks existence on every lookup (round-8 verdict fix)."""
+    import os
+    import shutil
+
+    from nsq2kinesis_spark.operators.aggregates import (
+        _SKETCH_TABLE_MEMO,
+        _events_memo_key,
+    )
+
+    build = QUERIES["q141_sketch_table_rollup"].builder
+    build(spark, SF_CORRECTNESS).collect()
+    key = _events_memo_key(SF_CORRECTNESS)
+    old = _SKETCH_TABLE_MEMO[key]
+    shutil.rmtree(os.path.dirname(old))
+    rows = build(spark, SF_CORRECTNESS).collect()
+    assert rows, "rebuild after table-dir delete returned no rows"
+    new = _SKETCH_TABLE_MEMO[key]
+    assert new != old and os.path.exists(new), (
+        "memo served a vanished table path instead of rebuilding"
+    )
+
+
+def test_sketch_memo_key_tracks_source_fingerprint(spark, tmp_path):
+    """An in-place rewrite/append of the source events must produce a
+    DIFFERENT memo key (file listing + sizes + mtimes), so q141/q142
+    rebuild instead of silently serving sketches of the old corpus
+    (round-8 advice fix). Exercised on a writable copy — the shipped
+    testdata is read-only."""
+    import os
+    import shutil
+
+    from nsq2kinesis_spark.operators.aggregates import _events_memo_key
+
+    sf = tmp_path / "sf_copy"
+    sf.mkdir()
+    src = os.path.join(SF_CORRECTNESS, "events.parquet")
+    dst = sf / "events.parquet"
+    shutil.copyfile(src, dst)
+    k1 = _events_memo_key(str(sf))
+    k2 = _events_memo_key(str(sf))
+    assert k1 == k2, "fingerprint is not deterministic for unchanged data"
+    # simulate an in-place append: grow the file and bump its mtime
+    with open(dst, "ab") as fh:
+        fh.write(b"\x00")
+    os.utime(dst, ns=(1, 1))
+    assert _events_memo_key(str(sf)) != k1, (
+        "source rewrite did not change the memo key"
+    )
+    # and keys never collide across sf dirs even with identical bytes
+    assert k1[0] != _events_memo_key(SF_CORRECTNESS)[0]
 
 
 def test_q142_incremental_equals_rebuild(spark):
@@ -480,13 +547,15 @@ def test_q142_append_touches_only_the_delta_cell(spark):
     duplicate or missing cells from the two-step build), and a second
     invocation reuses the table without rewriting any file — the same
     no-leak/no-rewrite contract as q141's memoization."""
-    import os
-
-    from nsq2kinesis_spark.operators.aggregates import _INCR_SKETCH_MEMO
+    from nsq2kinesis_spark.operators.aggregates import (
+        _INCR_SKETCH_MEMO,
+        _events_memo_key,
+    )
 
     build = QUERIES["q142_sketch_incremental"].builder
     build(spark, SF_CORRECTNESS).collect()
-    path = _INCR_SKETCH_MEMO[SF_CORRECTNESS]
+    key = _events_memo_key(SF_CORRECTNESS)
+    path = _INCR_SKETCH_MEMO[key]
     cells = spark.read.parquet(path).select("day", "hour").collect()
     assert len(cells) == len(set((r.day, r.hour) for r in cells)), (
         "append created duplicate hour cells"
@@ -498,14 +567,12 @@ def test_q142_append_touches_only_the_delta_cell(spark):
         .count()
     )
     assert len(cells) == n_expected, "cell set differs from a full build"
-    listing = sorted(
-        (f, os.path.getmtime(os.path.join(path, f))) for f in os.listdir(path)
-    )
+    listing = _table_listing(path)
     build(spark, SF_CORRECTNESS).collect()
-    assert _INCR_SKETCH_MEMO[SF_CORRECTNESS] == path
-    assert listing == sorted(
-        (f, os.path.getmtime(os.path.join(path, f))) for f in os.listdir(path)
-    ), "second invocation rewrote the materialized table"
+    assert _INCR_SKETCH_MEMO[key] == path
+    assert listing == _table_listing(path), (
+        "second invocation rewrote the materialized table"
+    )
 
 
 @_pytest_mod.mark.parametrize(
