@@ -1,0 +1,191 @@
+"""Synthetic scale ladder: MEASURE the heavy operators' growth exponents.
+
+Every heavy operator's 100x-scale story (q106's salt bound, q133's prefix
+filter, q75's df cap, q111's chunk blocking, q126's map-side max_by) is
+proven by plan shape and lossless-blocking parity — but TESTDATA.md caps
+the shipped data at sf0.1, so nothing had ever been *timed* above it.
+This script builds 1x/2x/4x/8x replicas of the sf0.1 events/documents
+tables by id-shifted union in a scratch dir (/root/testdata is
+read-only), times each heavy query at every rung with the bench's
+methodology (untimed warmup, clearCache before each timing, min-of-N),
+and fits the growth exponent b in time ~ scale^b per query (least-squares
+slope of log time vs log scale; b ≈ 1 = linear, the design target — the
+blocking lemmas say pair volume is bounded, so work should scale with
+data, not with data²).
+
+Replica construction (the point is DISJOINT universes, so the rung
+measures the engine on k× more data of the same statistical shape — not
+planted cross-replica duplicate explosions, which would be quadratic by
+math rather than by engine):
+
+- events replica i: event_id/user_id shifted by i*(max+1); ts shifted by
+  i*(day span + 1) DAYS. The time shift keeps per-day activity CONSTANT
+  while days multiply — the honest scale-out shape for q106, whose day
+  self-join fanout is (users active that day)^2 by construction; leaving
+  ts unshifted would instead densify each day and measure that quadratic
+  math, not the engine.
+- documents replica i: doc_id shifted by i*(max+1); every whitespace
+  token suffixed with "~i" (i>0). Word-trigram shingles (llm_dedup) of
+  different replicas therefore share NOTHING: within-replica similarity
+  structure is preserved exactly, cross-replica Jaccard is 0, so the
+  true near-dup pair set scales linearly and any superlinear runtime is
+  the engine's, not the corpus's.
+
+Usage:  python tools/scale_ladder.py [--rungs 1,2,4,8] [--passes 2]
+Output: one JSON line per (query, scale) timing plus a markdown table of
+fitted exponents (pasted into NOTES_r08.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from nsq2kinesis_spark.registry import all_queries
+from nsq2kinesis_spark.session import get_spark
+from nsq2kinesis_spark.tables import table as t
+
+SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = os.environ.get("SPARK_GRAFT_LADDER_DIR", "/tmp/nsq2k_scale_ladder")
+
+# the five heavy operators the round-7 verdict names, in bench order;
+# the dedup family keeps bench.py's shared-artifact convention (postings
+# timed once as their own line, q75 reads them uncleared)
+HEAVY = [
+    "q126_cdc_apply",
+    "q106_user_similarity",
+    "shared_shingle_postings",
+    "q75_neardup_jaccard",
+    "q133_ppjoin",
+    "q111_chunk_dedup",
+]
+POSTINGS_READERS = {"q75_neardup_jaccard"}
+
+
+def build_rung(spark, out_dir: str, k: int) -> None:
+    """Write a k-replica id-shifted union of sf0.1 events+documents."""
+    ev = t(spark, SRC_SF, "events")
+    bounds = ev.select(
+        (F.max("event_id") + 1).alias("e"),
+        (F.max("user_id") + 1).alias("u"),
+        (F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1).alias(
+            "span_days"
+        ),
+    ).first()
+
+    def ev_replica(i: int) -> DataFrame:
+        return ev.select(
+            (F.col("event_id") + F.lit(i * bounds.e)).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {i * bounds.span_days} DAYS")).alias(
+                "ts"
+            ),
+            (F.col("user_id") + F.lit(i * bounds.u)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+
+    reduce(DataFrame.unionByName, [ev_replica(i) for i in range(k)]).write.parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
+    docs = t(spark, SRC_SF, "documents")
+    d_max = docs.select((F.max("doc_id") + 1).alias("d")).first().d
+
+    def doc_replica(i: int) -> DataFrame:
+        text = (
+            F.col("text")
+            if i == 0
+            else F.regexp_replace("text", r"(\S+)", "$1~" + str(i))
+        )
+        return docs.select(
+            (F.col("doc_id") + F.lit(i * d_max)).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+            F.length(text).cast("long").alias("n_chars"),
+        )
+
+    reduce(DataFrame.unionByName, [doc_replica(i) for i in range(k)]).write.parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def fit_exponent(points: list[tuple[int, float]]) -> float:
+    """Least-squares slope of log(time) vs log(scale)."""
+    xs = [math.log(s) for s, _ in points]
+    ys = [math.log(sec) for _, sec in points]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rungs", default="1,2,4,8")
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--keep", action="store_true", help="keep the scratch data")
+    args = ap.parse_args()
+    rungs = [int(r) for r in args.rungs.split(",")]
+
+    spark = get_spark(app_name="nsq2kinesis_spark_scale_ladder")
+    queries = all_queries()
+    from nsq2kinesis_spark.operators.llm_dedup import shared_postings
+
+    def run(name: str, sf_dir: str) -> None:
+        if name == "shared_shingle_postings":
+            df = shared_postings(spark, sf_dir)
+            df.persist()
+            df.count()
+            return
+        queries[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    results: dict[str, list[tuple[int, float]]] = {q: [] for q in HEAVY}
+    try:
+        for k in rungs:
+            rung_dir = os.path.join(SCRATCH, f"x{k}")
+            if not os.path.isdir(rung_dir):
+                build_rung(spark, rung_dir, k)
+            for name in HEAVY:  # untimed warmup
+                run(name, rung_dir)
+            timings: dict[str, float] = {}
+            for _ in range(args.passes):
+                for name in HEAVY:
+                    if name not in POSTINGS_READERS:
+                        spark.catalog.clearCache()
+                    start = time.perf_counter()
+                    run(name, rung_dir)
+                    sec = round(time.perf_counter() - start, 3)
+                    if name not in timings or sec < timings[name]:
+                        timings[name] = sec
+            for name, sec in timings.items():
+                results[name].append((k, sec))
+                print(json.dumps({"query": name, "scale": k, "sec": sec}), flush=True)
+    finally:
+        if not args.keep:
+            shutil.rmtree(SCRATCH, ignore_errors=True)
+        spark.stop()
+
+    print("\n| query | " + " | ".join(f"{k}x (s)" for k in rungs) + " | exponent |")
+    print("|---|" + "---|" * (len(rungs) + 1))
+    for name in HEAVY:
+        pts = results[name]
+        cells = " | ".join(f"{sec:.2f}" for _, sec in pts)
+        print(f"| {name} | {cells} | {fit_exponent(pts):.2f} |")
+
+
+if __name__ == "__main__":
+    main()
