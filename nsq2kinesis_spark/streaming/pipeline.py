@@ -97,6 +97,10 @@ class PipelineConfig:
     trigger_processing_time: str = "1 second"  # reference MaxDelay (kinesis_writer.go:42-44)
     dedup_watermark: str = DEDUP_WATERMARK
     max_body_bytes: int = MAX_BODY_BYTES
+    # optional ingest-time analytics: append hourly HLL cells of the dedup
+    # hash to this parquet sketch table per micro-batch (q142's maintenance
+    # step driven by stream epochs — streaming/sketch_maintenance.py)
+    sketch_table: str | None = None
 
 
 def build_pipeline(source_df: DataFrame, sink, config: PipelineConfig):
@@ -104,8 +108,10 @@ def build_pipeline(source_df: DataFrame, sink, config: PipelineConfig):
 
     ``source_df`` is an unbounded DataFrame with MESSAGE_SCHEMA columns
     (from the NSQ DataSource, sources/nsq.py, or any test source);
-    ``sink`` is a foreachBatch callable (e.g. KinesisSink).
-    Returns the started StreamingQuery.
+    ``sink`` is a foreachBatch callable (e.g. KinesisSink). With
+    ``config.sketch_table`` set, the sink is wrapped in a
+    SketchMaintenance stage that appends hourly distinct-message HLL
+    cells per epoch. Returns the started StreamingQuery.
     """
     from ..session import ship_package
 
@@ -121,6 +127,10 @@ def build_pipeline(source_df: DataFrame, sink, config: PipelineConfig):
             max_bytes=config.max_body_bytes,
         )
     )
+    if config.sketch_table is not None:
+        from .sketch_maintenance import SketchMaintenance
+
+        sink = SketchMaintenance(config.sketch_table, inner=sink)
     return (
         transformed.writeStream.foreachBatch(sink)
         .option("checkpointLocation", config.checkpoint_dir)

@@ -1,0 +1,84 @@
+"""Ingest-time sketch-table maintenance: the streaming half of q142.
+
+q142 (operators/aggregates.py) proves INCREMENTAL maintenance of the
+materialized hourly-HLL table as a one-shot batch delta: aggregate only
+the newly-arrived slice, append its cells, and every downstream rollup
+is provably unable to tell the difference from a rebuild. A real 100 TB
+deployment runs that maintenance step AT INGEST — each micro-batch of
+the forwarding pipeline (reference dataflow: NSQ → dedup → … → Kinesis,
+SURVEY.md §3) appends its own hour cells as it passes, so the analytics
+side's distinct-count rollups are always current without ever
+re-scanning the corpus.
+
+``SketchMaintenance`` is that stage: a composable foreachBatch callable
+that wraps any inner sink (e.g. KinesisSink) and, per epoch, aggregates
+the batch's rows into (day, hour, hll_sketch) cells and APPENDS them to
+a parquet sketch table. Correctness rests on the same algebra as q142:
+
+- hour cells only PARTITION rows; a (day, hour) split across several
+  micro-batches yields several cells whose union has exactly the same
+  HLL registers as one cell built from all the rows (register state is
+  insertion-order-independent, union is max-per-register), so
+  rollup(maintained table) == rollup(rebuild) EXACTLY, not
+  approximately — the test asserts equality after N micro-batches.
+- replay-safe under at-least-once: a re-delivered micro-batch appends a
+  DUPLICATE cell, and unioning the same registers twice is idempotent —
+  the estimate is unchanged. The table grows by one redundant cell per
+  replay (bounded by the replay count, reclaimed by any compaction that
+  re-merges cells per (day, hour)), but never drifts.
+
+Scale notes: the per-batch aggregation is a map-side-combined groupBy on
+(day, hour) — a batch spanning H hours shuffles H sketch blobs, not
+rows; the append writes |cells| tiny parquet files per epoch, the same
+artifact economics q141/q142 prove for the batch side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class SketchMaintenance:
+    """foreachBatch stage: per micro-batch, append hourly HLL cells of
+    ``key_col`` (default the pipeline's dedup hash — distinct messages
+    per hour) to the parquet sketch table at ``table_path``. ``inner``
+    is the wrapped downstream sink (called FIRST, so a failing delivery
+    fails the epoch before any cells are appended for it)."""
+
+    def __init__(
+        self,
+        table_path: str,
+        key_col: str = "body_hash",
+        ts_col: str = "ts",
+        inner=None,
+    ):
+        self.table_path = table_path
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.inner = inner
+        self.epochs_applied = 0
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if self.inner is not None:
+            self.inner(batch_df, epoch_id)
+        # NULL-ts policy follows q137/q141/q142: un-datable rows carry no cell
+        cells = (
+            batch_df.filter(F.col(self.ts_col).isNotNull())
+            .groupBy(
+                F.to_date(self.ts_col).alias("day"),
+                F.hour(self.ts_col).alias("hour"),
+            )
+            .agg(F.hll_sketch_agg(self.key_col).alias("sk"))
+        )
+        cells.write.mode("append").parquet(self.table_path)
+        self.epochs_applied += 1
+
+
+def week_rollup(cells: DataFrame, out: str = "approx_distinct") -> DataFrame:
+    """ISO-week distinct rollup from a sketch table alone (q141's rollup
+    shape, shared here so the streaming test and any batch reader ask the
+    maintained table the identical question)."""
+    return cells.groupBy(
+        F.date_trunc("week", F.col("day")).cast("date").alias("week_start")
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(out))

@@ -1540,3 +1540,118 @@ def test_half_open_connection_hits_heartbeat_deadline():
     finally:
         a.close()
         b.close()
+
+
+# --- ingest-time sketch maintenance (round-8 stretch) ------------------------
+
+
+def test_sketch_maintenance_rollup_equals_rebuild_after_n_batches(spark, tmp_path):
+    """The streaming half of q142: after N micro-batches each appending its
+    own hourly HLL cells, the ISO-week rollup from the maintained table
+    EQUALS a rebuild over all rows — exactly, not approximately (cells only
+    partition rows; HLL union is register-max, insertion-order-independent).
+    Also proves at-least-once safety: re-applying a whole epoch's data is
+    idempotent for the estimates."""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.streaming.sketch_maintenance import (
+        SketchMaintenance,
+        week_rollup,
+    )
+    from nsq2kinesis_spark.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    src = tmp_path / "src"
+    ev.repartition(6).write.parquet(str(src))  # 6 files → ≥6 micro-batches
+
+    table_path = str(tmp_path / "sketches")
+    maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .writeStream.foreachBatch(maint)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert maint.epochs_applied >= 6, "maintenance must run once per micro-batch"
+
+    def rollup_map(df):
+        return {r.week_start: r.approx_distinct for r in df.collect()}
+
+    maintained = rollup_map(week_rollup(spark.read.parquet(table_path)))
+    rebuild_cells = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"), F.hour("ts").alias("hour"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    assert maintained == rollup_map(week_rollup(rebuild_cells))
+
+    # at-least-once replay: re-apply the ENTIRE corpus as one duplicate
+    # epoch — every appended register is a duplicate, the rollup must not move
+    maint(ev, epoch_id=999)
+    assert rollup_map(week_rollup(spark.read.parquet(table_path))) == maintained
+
+
+def test_pipeline_sketch_maintenance_composes_with_sink(spark, tmp_path):
+    """build_pipeline(sketch_table=...) wraps the delivery sink: messages
+    still reach it (wrapped, called first), AND the sketch table fills with
+    hourly distinct-body_hash cells as the stream runs."""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.streaming.pipeline import MESSAGE_SCHEMA
+
+    src = tmp_path / "msgs"
+    spark.range(300).select(
+        F.col("id").cast("string").alias("message_id"),
+        F.encode(F.concat(F.lit("m-"), (F.col("id") % 150).cast("string")), "UTF-8").alias(
+            "body"
+        ),
+        (F.timestamp_millis(F.col("id") * 60_000)).alias("ts"),
+        F.lit(1).alias("attempts"),
+        F.lit(None).cast("string").alias("key"),
+    ).coalesce(2).write.parquet(str(src))
+
+    delivered: list[int] = []
+
+    def sink(df, epoch_id):
+        delivered.append(df.count())
+
+    table_path = str(tmp_path / "sketches")
+    config = PipelineConfig(
+        checkpoint_dir=str(tmp_path / "ckpt"), sketch_table=table_path
+    )
+    q = build_pipeline(
+        spark.readStream.schema(MESSAGE_SCHEMA).parquet(str(src)), sink, config
+    )
+    def cells_ready() -> bool:
+        # a bare isdir() check races the in-flight first append (dir exists
+        # while only _temporary is inside) — require a committed, readable table
+        try:
+            return spark.read.parquet(table_path).count() > 0
+        except Exception:
+            return False
+
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if sum(delivered) >= 150 and cells_ready():
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert sum(delivered) == 150, "dedup → sink delivery must precede maintenance"
+    cells = spark.read.parquet(table_path)
+    assert {c for c in cells.columns} == {"day", "hour", "sk"}
+    # 300 ids at 1/min with 50% duplication → 150 distinct hashes over 5 hours
+    from pyspark.sql import functions as F2
+
+    est = (
+        cells.agg(
+            F2.hll_sketch_estimate(F2.hll_union_agg("sk")).cast("long").alias("n")
+        ).first().n
+    )
+    assert abs(est - 150) <= 15  # HLL error envelope, generous
