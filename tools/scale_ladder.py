@@ -132,12 +132,19 @@ def fit_exponent(points: list[tuple[int, float]]) -> float:
 
 
 def main() -> None:
+    global HEAVY
     ap = argparse.ArgumentParser()
     ap.add_argument("--rungs", default="1,2,4,8")
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--keep", action="store_true", help="keep the scratch data")
+    ap.add_argument(
+        "--queries",
+        default=",".join(HEAVY),
+        help="comma list to bisect one operator's rung step in isolation",
+    )
     args = ap.parse_args()
     rungs = [int(r) for r in args.rungs.split(",")]
+    HEAVY = [q for q in HEAVY if q in set(args.queries.split(","))]
 
     spark = get_spark(app_name="nsq2kinesis_spark_scale_ladder")
     queries = all_queries()
