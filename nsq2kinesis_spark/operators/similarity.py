@@ -697,7 +697,13 @@ def salted_day_dots(uv: DataFrame, widen: bool) -> DataFrame:
              SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     ), norms AS (
-      SELECT user_id, SUM(cents * cents) AS nrm FROM uv GROUP BY user_id
+      -- zero-norm contract (round-8 -0.0 probe): a user whose every
+      -- active day rounds to 0 cents has no direction; cosine is
+      -- undefined (0/0 -> ANSI DIVIDE_BY_ZERO on the Spark side), so
+      -- such users are excluded from the similarity universe entirely
+      SELECT user_id, nrm FROM (
+        SELECT user_id, SUM(cents * cents) AS nrm FROM uv GROUP BY user_id
+      ) WHERE nrm > 0
     ), dots AS (
       SELECT a.user_id AS ua, b.user_id AS ub, SUM(a.cents * b.cents) AS dot
       FROM uv a JOIN uv b ON a.day = b.day AND a.user_id <> b.user_id
@@ -767,7 +773,15 @@ def q106_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("cents")
     )
     nc = F.col("cents").cast("decimal(19,0)") if widen else F.col("cents")
-    norms = uv.groupBy("user_id").agg(F.sum(nc * nc).alias("nrm"))
+    # zero-norm contract (round-8 -0.0 probe, the behavioral twin of the
+    # r7 valid-vector rule): a user whose every active day rounds to 0
+    # cents — e.g. all-(-0.0) or sub-cent values — has a zero activity
+    # direction, cosine is undefined (0/0 raised DIVIDE_BY_ZERO under
+    # ANSI), so zero-norm users are excluded from the similarity
+    # universe on BOTH twins (oracle norms CTE carries WHERE nrm > 0)
+    norms = uv.groupBy("user_id").agg(F.sum(nc * nc).alias("nrm")).filter(
+        F.col("nrm") > 0
+    )
     dots = salted_day_dots(uv, widen)
     na = norms.select(F.col("user_id").alias("ua"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("user_id").alias("ub"), F.col("nrm").alias("nb"))

@@ -1272,3 +1272,131 @@ def test_multibyte_names_match_oracle(spark, tmp_path):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
     for qname in ("q40_string_battery", "q118_fuzzy_match"):
         _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def test_zero_norm_user_excluded_from_similarity(spark, tmp_path):
+    """Round-8 -0.0 probe pin: a user whose every active day rounds to 0
+    cents — an all-(-0.0) profile, or a day whose +5.00/-5.00 events
+    cancel — has a zero activity direction. Cosine is then 0/0, which
+    RAISED DIVIDE_BY_ZERO under ANSI on the Spark side while the oracle
+    kept computing; both twins now exclude zero-norm users from the
+    similarity universe (norms ... WHERE nrm > 0 — the behavioral twin
+    of round 7's valid-vector contract). Plants all three shapes and
+    asserts q106 hash-parity plus the planted users' absence."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999101, TIMESTAMP '2024-01-15 12:00:00.5', 888101, "
+        "'purchase', -0.0, '{}' "
+        "UNION ALL SELECT 999102, TIMESTAMP '2024-01-15 12:01:00.5', 888101, "
+        "'view', -0.0, '{}' "
+        "UNION ALL SELECT 999103, TIMESTAMP '2024-01-16 09:00:00', 888102, "
+        "'purchase', -0.0, '{}' "
+        "UNION ALL SELECT 999104, TIMESTAMP '2024-01-16 10:00:00', 888103, "
+        "'purchase', 5.0, '{}' "
+        "UNION ALL SELECT 999105, TIMESTAMP '2024-01-16 11:00:00', 888103, "
+        "'purchase', -5.0, '{}'",
+    )
+    _assert_null_variant_parity(spark, "q106_user_similarity", sf_dir, con)
+    got = QUERIES["q106_user_similarity"].builder(spark, sf_dir).collect()
+    assert got, "similarity must still produce rows for the healthy users"
+    planted = {888101, 888102, 888103}
+    touched = {r.user_id for r in got} | {r.other_id for r in got}
+    assert not (planted & touched), "zero-norm users leaked into the universe"
+
+
+@_pytest_mod.mark.parametrize(
+    "qname",
+    [
+        "q61_tumbling_window",
+        "q62_sliding_window",
+        "q63_session_window",
+        "q66_time_rollup",
+    ],
+)
+def test_exact_boundary_microsecond_ts_matches_oracle(spark, tmp_path, qname):
+    """Round-8 probe, CLEAN class pinned as a regression test: the shipped
+    generator's microsecond timestamps never land exactly ON a window
+    boundary, so the half-open-interval edges were unprobed. Plants ts at
+    an exact hour/10-min/5-min boundary and ±1 µs around it, a midnight
+    edge, and session gaps of exactly 30 min and 30 min ± 1 µs (three
+    users) — every bucketing and gap comparison must agree across the
+    twins at full µs precision. Probed green across all 121 oracled
+    queries in round 8; this pins the window family permanently."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999301, TIMESTAMP '2024-01-15 10:00:00.000000', 888301, 'view', 1.0, '{}' "
+        "UNION ALL SELECT 999302, TIMESTAMP '2024-01-15 09:59:59.999999', 888301, 'view', 2.0, '{}' "
+        "UNION ALL SELECT 999303, TIMESTAMP '2024-01-15 10:00:00.000001', 888301, 'view', 3.0, '{}' "
+        "UNION ALL SELECT 999304, TIMESTAMP '2024-01-16 00:00:00.000000', 888302, 'purchase', 4.0, '{}' "
+        "UNION ALL SELECT 999305, TIMESTAMP '2024-01-15 23:59:59.999999', 888302, 'purchase', 5.0, '{}' "
+        "UNION ALL SELECT 999306, TIMESTAMP '2024-01-17 12:00:00.000000', 888303, 'view', 1.0, '{}' "
+        "UNION ALL SELECT 999307, TIMESTAMP '2024-01-17 12:30:00.000000', 888303, 'view', 1.0, '{}' "
+        "UNION ALL SELECT 999308, TIMESTAMP '2024-01-17 12:00:00.000000', 888304, 'view', 1.0, '{}' "
+        "UNION ALL SELECT 999309, TIMESTAMP '2024-01-17 12:29:59.999999', 888304, 'view', 1.0, '{}' "
+        "UNION ALL SELECT 999310, TIMESTAMP '2024-01-17 12:00:00.000000', 888305, 'view', 1.0, '{}' "
+        "UNION ALL SELECT 999311, TIMESTAMP '2024-01-17 12:30:00.000001', 888305, 'view', 1.0, '{}'",
+    )
+    _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def _weird_string_docs_fixture(tmp_path):
+    """Round-8 probe fixture: whitespace-only and control-character source
+    ids / langs / text through the policy-key (TRY_CAST src-suffix),
+    salted-md5, tokenizer, and shingle paths. All 121 oracled queries
+    probed GREEN on this data in round 8; the parametrized pin below keeps
+    the most string-exposed family locked."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/documents.parquet'
+            UNION ALL SELECT 980001, '   ', 'en', 'src1', 3
+            UNION ALL SELECT 980002,
+              'alpha' || chr(1) || 'beta' || chr(7) || 'gamma', 'en', 'src2', 17
+            UNION ALL SELECT 980003,
+              'line1' || chr(13) || chr(10) || 'line2' || chr(9) || 'tail',
+              'en', 'src3', 16
+            UNION ALL SELECT 980004, 'ordinary text for the policy paths',
+              'en', '   ', 34
+            UNION ALL SELECT 980005, 'another ordinary document body', 'en',
+              'src' || chr(9) || '7', 30
+            UNION ALL SELECT 980006, 'body with empty source', '', '', 22
+            UNION ALL SELECT 980007, 'leading zero source suffix', 'en',
+              'src07', 26)
+            TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    return sf_dir, con
+
+
+@_pytest_mod.mark.parametrize(
+    "qname",
+    [
+        "q84_stratified_sample",  # TRY_CAST policy keys on garbage suffixes
+        "q85_train_split",  # salted-md5 keying with weird source/doc text
+        "q102_incremental_dedup",  # source-suffix policy path
+        "q115_dataset_mixture",  # policy keys + ordering over weird strings
+        "q124_dataset_mixture_hash",  # hash-quota keys
+        "q70_text_stats",  # tokenizer over control chars / CRLF
+        "q71_lang_id",  # n-gram heuristics over control chars
+        "q73_token_count_bpe",  # regex tokenization over whitespace-only text
+        "q75_neardup_jaccard",  # shingles of whitespace-only text
+        "q88_quality_gate",  # punct/stopword ratios over control chars
+    ],
+)
+def test_weird_string_metadata_matches_oracle(spark, tmp_path, qname):
+    sf_dir, con = _weird_string_docs_fixture(tmp_path)
+    _assert_null_variant_parity(spark, qname, sf_dir, con)
