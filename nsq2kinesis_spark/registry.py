@@ -128,8 +128,11 @@ def load_all_modules() -> None:
 #
 # ROUND-9 ROTATION PLAN (write this order at the start of r9):
 #   a. any query whose code changes in round 8 AFTER its latest driver
-#      row leads (rule 1). Ledger so far: (none yet — append here when a
-#      mid-round change lands outside the committed r8 prefix);
+#      row leads (rule 1). Ledger so far: NONE — round 8's only
+#      query-code changes landed INSIDE the r8 prefix (q123's
+#      events_version_unique DQ rule, rule-1 slot; q106's zero-norm-user
+#      contract from the -0.0 probe, slot 33) or on permanent-tail
+#      rows-only queries re-checked every round (q141/q142 memo guards);
 #   b. the 21 post-boundary r6-row queries (q130, q133, q134, q135,
 #      q136, q139, q31, q32, q50-q54, q61, q62, q70, q73, q74, q91,
 #      q92, q93) — their rows turn 3 rounds old at r9, the rule-2
