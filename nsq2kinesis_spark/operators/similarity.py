@@ -9,9 +9,11 @@ for embedding-space dedup/retrieval. Three tiers:
 - q81: threshold near-dup pairs blocked by IVF cell — the blocked
   all-pairs pattern (compare only within a block key). The block key is
   each vector's nearest coarse centroid (the same quantizer q82 uses), so
-  expected block size is corpus/centroids ≈ IVF_CENTROID_STEP — bounded by
+  expected block size is corpus/centroids ≈ the adaptive step (sqrt(n)
+  past the 101 floor — see IVF_CENTROID_STEP) — data-INDEPENDENT by
   construction at any corpus size, unlike a data-dependent key (label)
-  where one hot value degrades to quadratic pairs in a single task. This
+  where one hot value degrades to quadratic pairs in a single task; total
+  pair volume is nlist·step² ≈ n^1.5, the flat-IVF tradeoff. This
   is the cluster-then-compare shape of embedding dedup (SemDeDup-style).
 - q82: IVF-style ANN — deterministic coarse quantizer (centroid subset),
   vectors assigned to nearest centroid, queries probe the 2 nearest
@@ -41,7 +43,19 @@ TOP_K = 5
 # ceiling — the operator must actually surface the top pairs rather than
 # vacuously return zero rows at any threshold.
 COSINE_T = 0.45
-IVF_CENTROID_STEP = 101  # centroids = vec_id % 101 == 0 (deterministic)
+# Coarse-quantizer sizing. The centroid subset is vec_id % step == 0 with
+# step = GREATEST(IVF_CENTROID_STEP, FLOOR(SQRT(n_raw))) — scale-ADAPTIVE
+# (round-8 ladder find): a fixed step makes nlist grow linearly with the
+# corpus, so the assignment scan (n × nlist dots) is QUADRATIC — measured
+# accelerating 1.23×/1.66×/2.35× per corpus doubling on the 1–8× ladder —
+# and the broadcast centroid set itself outgrows broadcastability. nlist ≈
+# sqrt(n) is the canonical flat-IVF balance (assignment and probe both
+# n^1.5 at worst); at the shipped SFs (n ≤ 50k raw at sf0.01's driver
+# gate: 5k) GREATEST keeps step = 101, so tested results only change where
+# the parity lanes re-prove them. n is the RAW table count (metadata-cheap
+# scan, identical in the oracle twin via a scalar subquery) — a sizing
+# heuristic needs determinism, not contract-filtered exactness.
+IVF_CENTROID_STEP = 101
 IVF_PROBES = 2
 
 
@@ -91,6 +105,32 @@ def emb_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.forall("embedding", _FINITE)
         & F.exists("embedding", lambda x: x != F.lit(0.0))
     )
+
+
+def ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+    """The deterministic coarse-quantizer subset shared by q81/q82/q90,
+    scale-adaptively sized (see the IVF_CENTROID_STEP note): centroids =
+    valid vectors whose vec_id % GREATEST(step, floor(sqrt(n_raw))) == 0.
+    The count rides the plan as a 1-row broadcast (no eager driver
+    action; the count scan reads no columns, so parquet answers it from
+    footer row counts)."""
+    n = t(spark, sf_dir, "embeddings").agg(F.count("*").alias("_n_raw"))
+    step = F.greatest(
+        F.lit(IVF_CENTROID_STEP).cast("long"),
+        F.floor(F.sqrt(F.col("_n_raw"))).cast("long"),
+    )
+    return (
+        e.crossJoin(F.broadcast(n))
+        .filter(F.col("vec_id") % step == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+
+
+# The oracle-side twin of the adaptive step (scalar subquery, raw table).
+DUCK_IVF_STEP = (
+    f"(SELECT GREATEST({IVF_CENTROID_STEP},"
+    " CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)"
+)
 
 
 # The oracle-side twin: a derived table replacing every `embeddings`
@@ -152,7 +192,7 @@ def q80_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH cents AS (
       SELECT vec_id AS cent_id, embedding AS ce FROM {DUCK_EMB}
-      WHERE vec_id % {IVF_CENTROID_STEP} = 0
+      WHERE vec_id % {DUCK_IVF_STEP} = 0
     ), scored AS (
       SELECT e.vec_id, e.embedding, c.cent_id,
              {duck_cosine_sql("e.embedding", "c.ce", DIM)} AS csim
@@ -180,14 +220,14 @@ def q81_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic quantizer and max_by argmax as q82 (one shuffled row per
     vector, no corpus-sized window sort); pairs are generated only inside a
     cell via an equi hash join on the cell id, so per-task pair fanout is
-    bounded by (corpus/centroids)² regardless of data distribution. The
+    bounded by (corpus/centroids)² ≈ step² regardless of data
+    distribution (with the round-8 adaptive step, total pair volume is
+    nlist·step² ≈ n^1.5 — never quadratic). The
     cosine threshold then verifies candidates exactly. Cross-cell pairs
     are out of contract by construction — the oracle replicates the same
     quantizer, so the check is exact, not approximate."""
     e = emb_t(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
-    )
+    cents = ivf_centroids(spark, sf_dir, e)
     csim = cosine_rounded(F.col("embedding"), F.col("ce"))
     cells = (
         e.select("vec_id", "embedding")
@@ -227,7 +267,7 @@ def q81_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH cents AS (
       SELECT vec_id AS cent_id, embedding AS ce FROM {DUCK_EMB}
-      WHERE vec_id % {IVF_CENTROID_STEP} = 0
+      WHERE vec_id % {DUCK_IVF_STEP} = 0
     ), assigned AS (
       SELECT vec_id, embedding, cent_id AS cell FROM (
         SELECT e.vec_id, e.embedding, c.cent_id,
@@ -277,9 +317,7 @@ def q82_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: corpus co-partitioned by cell id, probe prunes partitions.
     """
     e = emb_t(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
-    )
+    cents = ivf_centroids(spark, sf_dir, e)
 
     # Assignment (corpus-sized, n=1) is an ARGMAX — max_by aggregation with
     # map-side partial combine, not a window: a window would sort-shuffle
@@ -346,7 +384,7 @@ def _duck_kmeans_oracle() -> str:
     sql = f"""
     WITH c0 AS (
       SELECT vec_id AS cent_id, embedding AS ce FROM {DUCK_EMB}
-      WHERE vec_id % {IVF_CENTROID_STEP} = 0
+      WHERE vec_id % {DUCK_IVF_STEP} = 0
     )"""
     prev = "c0"
     for it in range(1, KMEANS_ITERS + 1):
@@ -395,9 +433,7 @@ def q90_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Empty clusters drop out deterministically on both sides (no member
     rows → no group)."""
     e = emb_t(spark, sf_dir).select("vec_id", "embedding")
-    cents = e.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
-    )
+    cents = ivf_centroids(spark, sf_dir, e)
     last = None
     for _ in range(KMEANS_ITERS):
         csim = cosine_rounded(F.col("embedding"), F.col("ce"))

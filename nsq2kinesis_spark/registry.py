@@ -128,11 +128,16 @@ def load_all_modules() -> None:
 #
 # ROUND-9 ROTATION PLAN (write this order at the start of r9):
 #   a. any query whose code changes in round 8 AFTER its latest driver
-#      row leads (rule 1). Ledger so far: NONE — round 8's only
-#      query-code changes landed INSIDE the r8 prefix (q123's
+#      row leads (rule 1). Ledger: q81, q82 (r7 rows; the round-8
+#      scale-adaptive IVF centroid step — nlist ≈ sqrt(n) past the 101
+#      floor, similarity.ivf_centroids — changed their code+oracles
+#      outside the r8 prefix; results identical at the sf0.01 driver
+#      gate by the GREATEST floor, re-proven at all 3 SFs locally).
+#      Other round-8 query changes landed INSIDE the r8 prefix (q123's
 #      events_version_unique DQ rule, rule-1 slot; q106's zero-norm-user
-#      contract from the -0.0 probe, slot 33) or on permanent-tail
-#      rows-only queries re-checked every round (q141/q142 memo guards);
+#      contract from the -0.0 probe, slot 33; q90's centroid step, slot
+#      1) or on permanent-tail rows-only queries re-checked every round
+#      (q141/q142 memo guards);
 #   b. the 21 post-boundary r6-row queries (q130, q133, q134, q135,
 #      q136, q139, q31, q32, q50-q54, q61, q62, q70, q73, q74, q91,
 #      q92, q93) — their rows turn 3 rounds old at r9, the rule-2

@@ -6,6 +6,8 @@ probabilistic results.
 
 from __future__ import annotations
 
+import math
+
 import pytest
 
 from nsq2kinesis_spark.registry import all_queries
@@ -78,7 +80,9 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     ]
     avg = sum(recalls) / len(recalls)
     n_vecs = table(spark, SF_CORRECTNESS, "embeddings").count()
-    n_cells = sum(1 for v in range(n_vecs) if v % IVF_CENTROID_STEP == 0)
+    # the round-8 scale-adaptive step: GREATEST(fixed floor, floor(sqrt(n)))
+    step = max(IVF_CENTROID_STEP, math.isqrt(n_vecs))
+    n_cells = sum(1 for v in range(n_vecs) if v % step == 0)
     floor = IVF_PROBES / n_cells
     assert avg >= floor, f"IVF avg recall {avg:.2f} below probe floor {floor:.2f}"
 

@@ -60,7 +60,12 @@ SCRATCH = os.environ.get("SPARK_GRAFT_LADDER_DIR", "/tmp/nsq2k_scale_ladder")
 
 # the five heavy operators the round-7 verdict names, in bench order;
 # the dedup family keeps bench.py's shared-artifact convention (postings
-# timed once as their own line, q75 reads them uncleared)
+# timed once as their own line, q75 reads them uncleared); q80/q82 are
+# the vector-family extension (brute-force vs IVF top-k — replicas keep
+# identical embedding VALUES because fixed-k top-k per a fixed query set
+# cannot pair-explode the way threshold joins would; q98-style banded
+# pair generation is deliberately NOT laddered on value-identical
+# replicas, which would plant a cross-replica duplicate explosion)
 HEAVY = [
     "q126_cdc_apply",
     "q106_user_similarity",
@@ -68,6 +73,8 @@ HEAVY = [
     "q75_neardup_jaccard",
     "q133_ppjoin",
     "q111_chunk_dedup",
+    "q80_cosine_topk",
+    "q82_ann_ivf",
 ]
 POSTINGS_READERS = {"q75_neardup_jaccard"}
 
@@ -118,6 +125,25 @@ def build_rung(spark, out_dir: str, k: int) -> None:
 
     reduce(DataFrame.unionByName, [doc_replica(i) for i in range(k)]).write.parquet(
         os.path.join(out_dir, "documents.parquet")
+    )
+
+    emb = t(spark, SRC_SF, "embeddings")
+    v_max = emb.select((F.max("vec_id") + 1).alias("v")).first().v
+
+    def emb_replica(i: int) -> DataFrame:
+        # values unchanged: vec_id-shifted replicas only grow the CORPUS
+        # side of the fixed-query top-k operators (q80's query set is
+        # vec_id < N_QUERIES, so only replica 0 supplies queries; q82's
+        # centroid set vec_id % step == 0 grows with the corpus, keeping
+        # cell sizes constant — both the shapes a real 100 TB index has)
+        return emb.select(
+            (F.col("vec_id") + F.lit(i * v_max)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+
+    reduce(DataFrame.unionByName, [emb_replica(i) for i in range(k)]).write.parquet(
+        os.path.join(out_dir, "embeddings.parquet")
     )
 
 
