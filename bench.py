@@ -164,12 +164,20 @@ def main() -> None:
     # graceful engine shutdown BEFORE printing: every streaming query fully
     # terminated and the session stopped, so no TorrentBroadcast /
     # job-group-cancel ERROR lines from interpreter-exit teardown can land
-    # in the driver's bench artifact (round-8 verdict fix)
-    for active in spark.streams.active:
-        active.stop()
-        active.awaitTermination(30)
-    spark.stop()
-    print(json.dumps(result))
+    # in the driver's bench artifact (round-8 verdict fix). Guarded so a
+    # shutdown failure can never discard the computed result (the one JSON
+    # line IS the round's bench evidence), and per-query so one query's
+    # bad terminal state can't abort stopping the rest.
+    try:
+        for active in spark.streams.active:
+            try:
+                active.stop()
+                active.awaitTermination(30)
+            except Exception:
+                pass
+        spark.stop()
+    finally:
+        print(json.dumps(result))
 
 
 def forward_path_throughput(spark, n: int = 100_000) -> int:

@@ -1111,12 +1111,12 @@ def q142_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly(e.filter(in_cut)).write.mode("append").parquet(path)
         _INCR_SKETCH_MEMO[key] = path
 
-    def week_rollup(cells: DataFrame, out: str) -> DataFrame:
-        return cells.groupBy(
-            F.date_trunc("week", F.col("day")).cast("date").alias("week_start")
-        ).agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(out)
-        )
+    # the ONE shared rollup definition (streaming/sketch_maintenance.py):
+    # the ingest-time maintenance stage, its tests, and this batch query
+    # must ask the maintained table the identical ISO-week question, or a
+    # future week-keying change could drift one copy while each half's
+    # internal equality gate stays green
+    from ..streaming.sketch_maintenance import week_rollup
 
     incr = week_rollup(spark.read.parquet(path), "approx_incremental")
     rebuild = week_rollup(hourly(e), "approx_rebuild")

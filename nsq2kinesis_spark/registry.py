@@ -135,7 +135,7 @@ def load_all_modules() -> None:
 #      gate by the GREATEST floor, re-proven at all 3 SFs locally).
 #      Other round-8 query changes landed INSIDE the r8 prefix (q123's
 #      events_version_unique DQ rule, rule-1 slot; q106's zero-norm-user
-#      contract from the -0.0 probe, slot 33; q90's centroid step, slot
+#      contract from the -0.0 probe, slot 32; q90's centroid step, slot
 #      1) or on permanent-tail rows-only queries re-checked every round
 #      (q141/q142 memo guards);
 #   b. the 21 post-boundary r6-row queries (q130, q133, q134, q135,

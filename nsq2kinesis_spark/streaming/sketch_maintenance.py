@@ -62,6 +62,14 @@ class SketchMaintenance:
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.inner is not None:
             self.inner(batch_df, epoch_id)
+        # zero-row epochs (watermark-advance / state-eviction batches on a
+        # dedup-bearing stream) append nothing: an empty parquet commit per
+        # idle trigger would be a steady tiny-file drip on a long-running
+        # 1 s-trigger deployment — the exact artifact economics this table
+        # exists to protect. isEmpty() is a first-nonempty-partition probe,
+        # far cheaper than the avoided commit.
+        if batch_df.isEmpty():
+            return
         # NULL-ts policy follows q137/q141/q142: un-datable rows carry no cell
         cells = (
             batch_df.filter(F.col(self.ts_col).isNotNull())

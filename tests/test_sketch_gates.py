@@ -1361,10 +1361,10 @@ def _weird_string_docs_fixture(tmp_path):
         f"""COPY (SELECT * FROM '{src}/documents.parquet'
             UNION ALL SELECT 980001, '   ', 'en', 'src1', 3
             UNION ALL SELECT 980002,
-              'alpha' || chr(1) || 'beta' || chr(7) || 'gamma', 'en', 'src2', 17
+              'alpha' || chr(1) || 'beta' || chr(7) || 'gamma', 'en', 'src2', 16
             UNION ALL SELECT 980003,
               'line1' || chr(13) || chr(10) || 'line2' || chr(9) || 'tail',
-              'en', 'src3', 16
+              'en', 'src3', 17
             UNION ALL SELECT 980004, 'ordinary text for the policy paths',
               'en', '   ', 34
             UNION ALL SELECT 980005, 'another ordinary document body', 'en',

@@ -134,8 +134,9 @@ def build_rung(spark, out_dir: str, k: int) -> None:
         # values unchanged: vec_id-shifted replicas only grow the CORPUS
         # side of the fixed-query top-k operators (q80's query set is
         # vec_id < N_QUERIES, so only replica 0 supplies queries; q82's
-        # centroid set vec_id % step == 0 grows with the corpus, keeping
-        # cell sizes constant — both the shapes a real 100 TB index has)
+        # adaptive centroid step — GREATEST(101, floor(sqrt(n))), the
+        # round-8 fix this ladder motivated — grows nlist and cell sizes
+        # both as ~sqrt(n), so expect ~n^1.5 assignment/probe growth)
         return emb.select(
             (F.col("vec_id") + F.lit(i * v_max)).alias("vec_id"),
             "embedding",
@@ -148,12 +149,16 @@ def build_rung(spark, out_dir: str, k: int) -> None:
 
 
 def fit_exponent(points: list[tuple[int, float]]) -> float:
-    """Least-squares slope of log(time) vs log(scale)."""
+    """Least-squares slope of log(time) vs log(scale); NaN when a single
+    rung was measured (one point fits no slope — the per-timing JSON
+    lines are still the evidence)."""
     xs = [math.log(s) for s, _ in points]
     ys = [math.log(sec) for _, sec in points]
     n = len(xs)
     mx, my = sum(xs) / n, sum(ys) / n
     denom = sum((x - mx) ** 2 for x in xs)
+    if denom == 0:
+        return float("nan")
     return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
 
 
