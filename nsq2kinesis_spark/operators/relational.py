@@ -434,6 +434,11 @@ def q95_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT)
     FROM embeddings
     UNION ALL
+    SELECT 'documents_doc_id_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM documents
+    UNION ALL
     SELECT 'events_version_unique',
            CAST(COUNT(*) - (SELECT COUNT(*) FROM
              (SELECT DISTINCT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
@@ -519,6 +524,23 @@ def q123_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             t(spark, sf_dir, "embeddings").agg(
                 F.lit("embeddings_vec_id_unique").alias("rule"),
                 (F.count("*") - F.countDistinct("vec_id")).cast("long").alias(
+                    "n_violations"
+                ),
+                F.count("*").cast("long").alias("n_checked"),
+            )
+        )
+        .unionByName(
+            # the document family's unique-id PRECONDITION (round 8,
+            # completing the identity triptych: vec_id r7, CDC version
+            # tuple r8 above): every per-doc reduction in the dedup/split
+            # family (q75 pair keys, q85's salted split, q102's
+            # first-occurrence keeper, q111's per-doc reassembly) assumes
+            # "the document with id X" is one row; a duplicated doc_id
+            # makes those reductions engine-dependent. Cross-row invariant
+            # → enforced here, not re-shuffled in every document query.
+            t(spark, sf_dir, "documents").agg(
+                F.lit("documents_doc_id_unique").alias("rule"),
+                (F.count("*") - F.countDistinct("doc_id")).cast("long").alias(
                     "n_violations"
                 ),
                 F.count("*").cast("long").alias("n_checked"),

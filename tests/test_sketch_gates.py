@@ -1400,3 +1400,44 @@ def _weird_string_docs_fixture(tmp_path):
 def test_weird_string_metadata_matches_oracle(spark, tmp_path, qname):
     sf_dir, con = _weird_string_docs_fixture(tmp_path)
     _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def test_duplicate_doc_id_caught_by_dq_report(spark, tmp_path):
+    """doc_id uniqueness is the document family's declared PRECONDITION
+    (round 8, completing the identity triptych after vec_id and the CDC
+    version tuple): q75 pair keys, q85's salted split, q102's keeper and
+    q111's per-doc reassembly all assume one row per id. Plant two
+    duplicated doc_ids and assert q123's report counts them — and still
+    hash-matches its oracle on the garbage input."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/documents.parquet'
+        UNION ALL SELECT 7, 'a second document claiming id seven', 'en',
+                         'src1', 35
+        UNION ALL SELECT 42, 'and another claiming id forty-two', 'de',
+                         'src2', 33)
+        TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    _assert_null_variant_parity(spark, "q123_dq_report", sf_dir, con)
+    rows = {
+        r.rule: r
+        for r in QUERIES["q123_dq_report"].builder(spark, sf_dir).collect()
+    }
+    dq = rows["documents_doc_id_unique"]
+    assert dq.n_violations == 2 and dq.n_checked > 2
