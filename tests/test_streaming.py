@@ -1655,3 +1655,62 @@ def test_pipeline_sketch_maintenance_composes_with_sink(spark, tmp_path):
         ).first().n
     )
     assert abs(est - 150) <= 15  # HLL error envelope, generous
+
+
+def test_sketch_maintenance_survives_checkpoint_restart(spark, tmp_path):
+    """The at-least-once claim proven end-to-end: kill the maintaining
+    query mid-stream, restart from the same checkpoint (the epoch in
+    flight at the kill may REPLAY through foreachBatch and append
+    duplicate cells), and the week rollup from the maintained table must
+    still equal a rebuild exactly — duplicate-register union is
+    idempotent, so replays can grow the table but never move the
+    estimates."""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.streaming.sketch_maintenance import (
+        SketchMaintenance,
+        week_rollup,
+    )
+    from nsq2kinesis_spark.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    src = tmp_path / "src"
+    ev.repartition(6).write.parquet(str(src))
+    table_path = str(tmp_path / "sketches")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(maint):
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+            .writeStream.foreachBatch(maint)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    first = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+    q = start(first)
+    deadline = time.time() + 60
+    while first.epochs_applied < 2 and q.isActive and time.time() < deadline:
+        time.sleep(0.05)
+    q.stop()  # mid-stream kill; the in-flight epoch may replay on restart
+    q.awaitTermination(30)
+    assert first.epochs_applied >= 1, "kill must land after some progress"
+
+    second = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+    q2 = start(second)
+    assert q2.awaitTermination(120)
+    assert second.epochs_applied >= 1, "restart must process the remainder"
+
+    def rollup_map(df):
+        return {r.week_start: r.approx_distinct for r in df.collect()}
+
+    maintained = rollup_map(week_rollup(spark.read.parquet(table_path)))
+    rebuild = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"), F.hour("ts").alias("hour"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    assert maintained == rollup_map(week_rollup(rebuild))
