@@ -1441,3 +1441,45 @@ def test_duplicate_doc_id_caught_by_dq_report(spark, tmp_path):
     }
     dq = rows["documents_doc_id_unique"]
     assert dq.n_violations == 2 and dq.n_checked > 2
+
+
+@_pytest_mod.mark.parametrize(
+    "qname",
+    ["q80_cosine_topk", "q81_cosine_neardup", "q82_ann_ivf", "q90_kmeans_train", "q131_hard_negatives"],
+)
+def test_subnormal_embeddings_match_oracle(spark, tmp_path, qname):
+    """Round-8 probe, CLEAN class pinned: subnormal floats (~1e-42) and
+    the smallest normal float pass the valid-vector contract (finite,
+    nonzero norm) and flow through the gradual-underflow regime of the
+    cosine/norm math — float→double promotion plus 6-dp rounding must
+    agree across the twins. Probed green over all 121 oracled queries;
+    this pins the vector family permanently."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/embeddings.parquet'
+        UNION ALL SELECT 970001, list_transform(range(64),
+                         i -> CAST(1e-42 AS FLOAT)), 2
+        UNION ALL SELECT 970002, list_transform(range(64),
+                         i -> CASE WHEN i = 0 THEN CAST(0.5 AS FLOAT)
+                              ELSE CAST(-1e-42 AS FLOAT) END), 3
+        UNION ALL SELECT 970003, list_transform(range(64),
+                         i -> CAST(1.17549e-38 AS FLOAT)), 1)
+        TO '{sf_dir}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    _assert_null_variant_parity(spark, qname, sf_dir, con)
