@@ -98,56 +98,122 @@ def load_all_modules() -> None:
 # 121 value-oracled queries / 3 rounds ~= 40 <= remaining slots + head.
 # tests/test_contract.py pins the schedule.
 #
-# ROUND-8 ORDER (this round — executes the plan written at the end of r7):
-#   1. rule 1 (code changed since the last driver row) leads — the r7
-#      ledger: q90/q98/q131 (the r7 valid-vector contract — emb_t/DUCK_EMB
-#      finiteness + nonzero-norm, similarity.py — changed them after their
-#      fresh r6 rows, outside the committed r7 prefix), q85/q115/q124 (the
-#      r7 NULL-doc-metadata pins: TRY_CAST'd source-suffix policy keys,
-#      declared NULL-doc_id exclusion), q123 (r7 embeddings_vec_id_unique
-#      DQ rule; ALSO changing in r8: events_version_unique, the CDC
-#      total-order precondition rule), and q11/q12 (empty-input
-#      HAVING COUNT(*) > 0 oracle pins — oracle-only changes count;
-#      q140's r7 lead is the precedent). 9 queries.
-#   2. rule 2 ceiling: the post-boundary r5-row block — rows turn 3
-#      rounds old at r8, so ALL must take prefix slots: q46, q66,
-#      q01-q10, q13-q15, q17, q83, q87, q118, q110, q112, q113
-#      (q11/q12/q85/q115 of that block already hold rule-1 slots).
-#      22 queries.
-#   3. the remaining 19 slots refresh the oldest r6-row queries in their
-#      listed order: q106, q34, q35, q60, q101, q103, q105, q107, q109,
-#      q114, q117, q119-q122, q125, q127, q128, q129 (q123/q124 already
-#      hold rule-1 slots).
+# ROUND-9 ORDER (this round — executes the plan written at the end of r8):
+#   1. rule 1 (code changed since the last driver row) leads — the r8
+#      ledger: q81, q82 (r7 rows; the round-8 scale-adaptive IVF centroid
+#      step — nlist ~ sqrt(n) past the 101 floor, similarity.ivf_centroids
+#      — changed their code+oracles outside the r8 prefix). 2 queries.
+#   2. rule 2 ceiling: the post-boundary r6-row block — rows turn 3
+#      rounds old at r9, so ALL 21 must take prefix slots: q130, q133,
+#      q134, q135, q136, q139, q31, q32, q50-q54, q61, q62, q70, q73,
+#      q74, q91, q92, q93.
+#   3. the remaining 27 slots refresh the oldest r7-row queries in their
+#      listed order: q140, q126, q138, q75, q132, q89 (whose round-9
+#      large-star/small-star upgrade is therefore covered by a fresh
+#      row), q44, q63, q88, q80, q111, q18, q19, q30, q33, q64, q65,
+#      q71, q72, q79, q84, q86, q94, q95, q96, q97, q99.
 #   ---- 50-query prefix boundary ----
-#   4. the rest of the r6-row block (q130, q133-q136, q139, q31, q32,
-#      q50-q54, q61, q62, q70, q73, q74, q91-q93 — 21 queries) ages to
-#      r9 under rule 2, backed by this round's green 3-SF parity sweep;
-#      they lead the post-boundary tail so they front the r9 prefix;
-#   5. the 50 queries with fresh r7 rows, in their r7 order;
+#   4. the rest of the r7-row block (q100, q102, q104, q108, q77, q78,
+#      q20-q29, q40-q43, q45 — 21 queries) ages to r10 under rule 2,
+#      backed by this round's green 3-SF parity sweep; they lead the
+#      post-boundary tail so they front the r10 prefix;
+#   5. the 50 queries with fresh r8 rows, in their r8 order;
 #   6. permanent tail (rule 3): q16, q76, q116, q137, q141, q142.
 #
-# ROUND-9 ROTATION PLAN (write this order at the start of r9):
-#   a. any query whose code changes in round 8 AFTER its latest driver
-#      row leads (rule 1). Ledger: q81, q82 (r7 rows; the round-8
-#      scale-adaptive IVF centroid step — nlist ≈ sqrt(n) past the 101
-#      floor, similarity.ivf_centroids — changed their code+oracles
-#      outside the r8 prefix; results identical at the sf0.01 driver
-#      gate by the GREATEST floor, re-proven at all 3 SFs locally).
-#      Other round-8 query changes landed INSIDE the r8 prefix (q123's
-#      events_version_unique DQ rule, rule-1 slot; q106's zero-norm-user
-#      contract from the -0.0 probe, slot 32; q90's centroid step, slot
-#      1) or on permanent-tail rows-only queries re-checked every round
-#      (q141/q142 memo guards);
-#   b. the 21 post-boundary r6-row queries (q130, q133, q134, q135,
-#      q136, q139, q31, q32, q50-q54, q61, q62, q70, q73, q74, q91,
-#      q92, q93) — their rows turn 3 rounds old at r9, the rule-2
-#      ceiling, so they MUST take prefix slots;
-#   c. remaining slots refresh the oldest r7-row queries in their listed
-#      order (q140, q126, q138, q75, q132, q89, q44, q63, q88, q80,
-#      q81, q82, q111, ...); the rest of the r7 block may age to r10
-#      under rule 2 provided the 3-SF parity sweep runs green in r9.
+# ROUND-10 ROTATION PLAN (write this order at the start of r10):
+#   a. any query whose code changes in round 9 AFTER its latest driver
+#      row leads (rule 1). Ledger as of round-9 close: (none — the only
+#      query-path change this round, q89's O(log n) contraction, landed
+#      at prefix slot 28 and is covered by its fresh r9 row);
+#   b. the 21 post-boundary r7-row queries (q100, q102, q104, q108,
+#      q77, q78, q20-q29, q40-q43, q45) — their rows turn 3 rounds old
+#      at r10, the rule-2 ceiling, so they MUST take prefix slots;
+#   c. remaining slots refresh the oldest r8-row queries in their
+#      listed order (q90, q98, q131, q85, q115, q124, q123, q11, q12,
+#      q46, q66, q01-q10, q13-q15, q17, q83, q87, q118, ...); the rest
+#      of the r8 block may age to r11 under rule 2 provided the 3-SF
+#      parity sweep runs green in r10.
 VERIFY_ORDER: tuple[str, ...] = (
-    # -- rule 1: code changed since the last driver row (the r7 ledger) --
+    # -- rule 1: code changed since the last driver row (the r8 ledger) --
+    "q81_cosine_neardup",
+    "q82_ann_ivf",
+    # -- rule 2 ceiling: r6-row untouched queries — rows turn 3 rounds
+    # -- old this round, so they take prefix slots now --
+    "q130_rag_chunker",
+    "q133_ppjoin",
+    "q134_scd2_resolve",
+    "q135_daily_mad",
+    "q136_interpolate",
+    "q139_conversion_latency",
+    "q31_window_analytic",
+    "q32_window_frames",
+    "q50_pandas_udf_tokenize",
+    "q51_apply_in_pandas_median",
+    "q52_udtf_bigrams",
+    "q53_python_udf_crc",
+    "q54_multimodal_decode",
+    "q61_tumbling_window",
+    "q62_sliding_window",
+    "q70_text_stats",
+    "q73_token_count_bpe",
+    "q74_multimodal_meta",
+    "q91_frame_sample",
+    "q92_media_features",
+    "q93_media_resize",
+    # -- rule 2 fill: oldest r7-row queries, least-recently-verified
+    # -- first --
+    "q140_topk_others",
+    "q126_cdc_apply",
+    "q138_snapshot_diff",
+    "q75_neardup_jaccard",
+    "q132_containment",
+    "q89_dedup_components",
+    "q44_json_battery",
+    "q63_session_window",
+    "q88_quality_gate",
+    "q80_cosine_topk",
+    "q111_chunk_dedup",
+    "q18_multi_distinct",
+    "q19_agg_filter_clause",
+    "q30_window_rank",
+    "q33_topk_per_group",
+    "q64_oversize_filter",
+    "q65_partition_key",
+    "q71_lang_id",
+    "q72_fingerprint",
+    "q79_vocab_topk",
+    "q84_stratified_sample",
+    "q86_sequence_packing",
+    "q94_range_join_binned",
+    "q95_zorder_key",
+    "q96_heavy_hitters_mg",
+    "q97_corpus_build",
+    "q99_source_cap",
+    # ---- 50-query prefix boundary (driver budget) ----
+    # -- r7-row queries aging to r10 under rule 2 (3-SF parity sweep
+    # -- green this round); they front the r10 prefix --
+    "q100_tfidf_topterms",
+    "q102_incremental_dedup",
+    "q104_rolling_active_users",
+    "q108_daily_value_bands",
+    "q77_simhash",
+    "q78_simhash_pairs",
+    "q20_join_inner_broadcast",
+    "q21_join_shuffle_3way",
+    "q22_join_left_outer",
+    "q23_join_right_outer",
+    "q24_join_full_outer",
+    "q25_join_semi",
+    "q26_join_anti",
+    "q27_join_theta",
+    "q28_join_asof",
+    "q29_exists_subquery",
+    "q40_string_battery",
+    "q41_date_battery",
+    "q42_math_battery",
+    "q43_conditional_battery",
+    "q45_array_battery",
+    # -- fresh round-8 rows, untouched since, in their r8 order --
     "q90_kmeans_train",
     "q98_srp_lsh_pairs",
     "q131_hard_negatives",
@@ -157,8 +223,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q123_dq_report",
     "q11_rollup",
     "q12_cube",
-    # -- rule 2 ceiling: r5-row untouched queries — rows turn 3 rounds
-    # -- old this round, so they take prefix slots now --
     "q46_hash_battery",
     "q66_time_rollup",
     "q01_pricing_summary",
@@ -181,8 +245,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q110_pii_redaction",
     "q112_cooccurrence_lift",
     "q113_length_buckets",
-    # -- rule 2 fill: oldest r6-row queries, least-recently-verified
-    # -- first (q123/q124 already hold rule-1 slots above) --
     "q106_user_similarity",
     "q34_window_distribution",
     "q35_window_range_frame",
@@ -202,81 +264,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q127_audience_overlap",
     "q128_gap_fill",
     "q129_growth_curve",
-    # ---- 50-query prefix boundary (driver budget) ----
-    # -- r6-row queries aging to r9 under rule 2 (3-SF parity sweep green
-    # -- this round); they front the r9 prefix --
-    "q130_rag_chunker",
-    "q133_ppjoin",
-    "q134_scd2_resolve",
-    "q135_daily_mad",
-    "q136_interpolate",
-    "q139_conversion_latency",
-    "q31_window_analytic",
-    "q32_window_frames",
-    "q50_pandas_udf_tokenize",
-    "q51_apply_in_pandas_median",
-    "q52_udtf_bigrams",
-    "q53_python_udf_crc",
-    "q54_multimodal_decode",
-    "q61_tumbling_window",
-    "q62_sliding_window",
-    "q70_text_stats",
-    "q73_token_count_bpe",
-    "q74_multimodal_meta",
-    "q91_frame_sample",
-    "q92_media_features",
-    "q93_media_resize",
-    # -- fresh round-7 rows, untouched since, in their r7 order --
-    "q140_topk_others",
-    "q126_cdc_apply",
-    "q138_snapshot_diff",
-    "q75_neardup_jaccard",
-    "q132_containment",
-    "q89_dedup_components",
-    "q44_json_battery",
-    "q63_session_window",
-    "q88_quality_gate",
-    "q80_cosine_topk",
-    "q81_cosine_neardup",
-    "q82_ann_ivf",
-    "q111_chunk_dedup",
-    "q18_multi_distinct",
-    "q19_agg_filter_clause",
-    "q30_window_rank",
-    "q33_topk_per_group",
-    "q64_oversize_filter",
-    "q65_partition_key",
-    "q71_lang_id",
-    "q72_fingerprint",
-    "q79_vocab_topk",
-    "q84_stratified_sample",
-    "q86_sequence_packing",
-    "q94_range_join_binned",
-    "q95_zorder_key",
-    "q96_heavy_hitters_mg",
-    "q97_corpus_build",
-    "q99_source_cap",
-    "q100_tfidf_topterms",
-    "q102_incremental_dedup",
-    "q104_rolling_active_users",
-    "q108_daily_value_bands",
-    "q77_simhash",
-    "q78_simhash_pairs",
-    "q20_join_inner_broadcast",
-    "q21_join_shuffle_3way",
-    "q22_join_left_outer",
-    "q23_join_right_outer",
-    "q24_join_full_outer",
-    "q25_join_semi",
-    "q26_join_anti",
-    "q27_join_theta",
-    "q28_join_asof",
-    "q29_exists_subquery",
-    "q40_string_battery",
-    "q41_date_battery",
-    "q42_math_battery",
-    "q43_conditional_battery",
-    "q45_array_battery",
     # -- rule 3: rows-only by design — permanent tail, never a prefix
     # -- slot (accuracy gates live in tests/test_sketch_gates.py and
     # -- tests/test_llm_dedup.py) --

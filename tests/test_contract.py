@@ -34,8 +34,8 @@ def test_contract_shapes():
 def test_verify_order_is_the_registry_iteration_order():
     """VERIFY_ORDER is the single source of truth for the order external
     harnesses iterate queries(): it must be a permutation of the registry,
-    and the round-8 rotation (amended rule, registry.py) must hold —
-    code-changed queries lead the 50-prefix (the r7 ledger), untouched
+    and the round-9 rotation (amended rule, registry.py) must hold —
+    code-changed queries lead the 50-prefix (the r8 ledger), untouched
     queries age at most 3 rounds backed by the local 3-SF parity sweep,
     and rows-only queries sit at the permanent tail."""
     from nsq2kinesis_spark.registry import VERIFY_ORDER, all_queries
@@ -45,31 +45,29 @@ def test_verify_order_is_the_registry_iteration_order():
     assert len(set(VERIFY_ORDER)) == len(VERIFY_ORDER), "duplicates in VERIFY_ORDER"
     assert len(names) == 127
     prefix = [n.split("_")[0] for n in names[:50]]
-    # Rule 1: code changed since the last driver row — the r7 ledger:
-    # q90/q98/q131 (valid-vector contract), q85/q115/q124 (NULL-doc-
-    # metadata pins), q123 (vec_id-unique DQ rule, + the r8
-    # events_version_unique rule), q11/q12 (empty-input oracle pins).
-    touched = ["q90", "q98", "q131", "q85", "q115", "q124",
-               "q123", "q11", "q12"]
-    assert prefix[:9] == touched
-    # Rule 2 ceiling: the 22 r5-row untouched queries — their rows turn
-    # 3 rounds old at r8, so they MUST take prefix slots this round
-    # (q11/q12/q85/q115 of that block already hold rule-1 slots).
-    aged_r5 = ["q46", "q66", "q01", "q02", "q03", "q04", "q05", "q06",
-               "q07", "q08", "q09", "q10", "q13", "q14", "q15", "q17",
-               "q83", "q87", "q118", "q110", "q112", "q113"]
-    assert prefix[9:31] == aged_r5
-    # Rule 2 fill: the 19 remaining slots refresh the oldest r6-row
-    # queries in their listed order (q123/q124 already hold rule-1 slots).
-    assert prefix[31:50] == [
-        "q106", "q34", "q35", "q60", "q101", "q103", "q105", "q107",
-        "q109", "q114", "q117", "q119", "q120", "q121", "q122", "q125",
-        "q127", "q128", "q129",
+    # Rule 1: code changed since the last driver row — the r8 ledger:
+    # q81/q82 (the scale-adaptive IVF centroid step changed their
+    # code+oracles outside the r8 prefix; they held r7 rows).
+    assert prefix[:2] == ["q81", "q82"]
+    # Rule 2 ceiling: the 21 r6-row untouched queries — their rows turn
+    # 3 rounds old at r9, so they MUST take prefix slots this round.
+    aged_r6 = ["q130", "q133", "q134", "q135", "q136", "q139", "q31",
+               "q32", "q50", "q51", "q52", "q53", "q54", "q61", "q62",
+               "q70", "q73", "q74", "q91", "q92", "q93"]
+    assert prefix[2:23] == aged_r6
+    # Rule 2 fill: the 27 remaining slots refresh the oldest r7-row
+    # queries in their listed order (q81/q82 already hold rule-1 slots;
+    # q89's round-9 contraction upgrade is covered by its slot here).
+    assert prefix[23:50] == [
+        "q140", "q126", "q138", "q75", "q132", "q89", "q44", "q63",
+        "q88", "q80", "q111", "q18", "q19", "q30", "q33", "q64", "q65",
+        "q71", "q72", "q79", "q84", "q86", "q94", "q95", "q96", "q97",
+        "q99",
     ]
-    # Post-boundary: the r6-row block that ages to r9 fronts the tail so
-    # it leads the r9 prefix (rule-2 ceiling there).
+    # Post-boundary: the r7-row block that ages to r10 fronts the tail so
+    # it leads the r10 prefix (rule-2 ceiling there).
     assert [n.split("_")[0] for n in names[50:57]] == [
-        "q130", "q133", "q134", "q135", "q136", "q139", "q31",
+        "q100", "q102", "q104", "q108", "q77", "q78", "q20",
     ]
     # Rule 3: rows-only queries occupy the permanent tail — never a prefix
     # slot (their driver row can only say rows>0; the pytest accuracy
