@@ -24,18 +24,25 @@ a parquet sketch table. Correctness rests on the same algebra as q142:
 - replay-safe under at-least-once: a re-delivered micro-batch appends a
   DUPLICATE cell, and unioning the same registers twice is idempotent —
   the estimate is unchanged. The table grows by one redundant cell per
-  replay (bounded by the replay count, reclaimed by any compaction that
-  re-merges cells per (day, hour)), but never drifts.
+  replay (bounded by the replay count, reclaimed by
+  ``compact_sketch_table`` below), but never drifts.
 
 Scale notes: the per-batch aggregation is a map-side-combined groupBy on
 (day, hour) — a batch spanning H hours shuffles H sketch blobs, not
 rows; the append writes |cells| tiny parquet files per epoch, the same
-artifact economics q141/q142 prove for the batch side.
+artifact economics q141/q142 prove for the batch side. The file count is
+bounded operationally by ``compact_sketch_table`` — run it on whatever
+cadence the deployment's file budget dictates (hourly against a 1 s
+trigger keeps the listing ~3.6k files).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -81,6 +88,65 @@ class SketchMaintenance:
         )
         cells.write.mode("append").parquet(self.table_path)
         self.epochs_applied += 1
+
+
+def compact_sketch_table(
+    spark: SparkSession, table_path: str, target_files: int = 1
+) -> dict[str, int]:
+    """Maintenance pass for the streaming-maintained sketch table: re-merge
+    cells per (day, hour) and rewrite the table at a bounded file count.
+
+    A long-running SketchMaintenance deployment appends |cells| tiny parquet
+    files per epoch — at the reference's own 1 s trigger cadence
+    (kinesis_writer.go:42-44 analog) that is ~86k files/day — and every
+    at-least-once replay appends DUPLICATE cells for its (day, hour)s. This
+    pass is the streaming twin of the batch small-files compaction
+    (tests/test_plans.py::test_compaction_restores_file_layout) plus the
+    generational ``Trim()`` role the reference's deduper plays for state
+    (deduper.go:42-47): it bounds the artifact, not just reorganizes it.
+
+    Correctness is free by algebra: HLL union is associative, commutative
+    and idempotent on registers, so ``hll_union_agg`` over a (day, hour)'s
+    many cells — including exact replay duplicates — yields a single cell
+    whose every downstream rollup is EXACTLY what the fragmented table
+    answered (the test asserts week-rollup equality, not closeness).
+
+    The rewrite lands in a sibling temp dir first, then swaps via two
+    renames (live → trash, new → live). Parquet readers that raced the
+    swap retry from the new listing; the swap window carries no partial
+    table. repartitionByRange(day, hour) keeps per-file (day, hour) ranges
+    disjoint so footer pruning serves point lookups post-compaction, same
+    as the batch pass.
+
+    Returns counts for the caller's log line: files/cells before and after.
+    """
+    live = spark.read.parquet(table_path)
+    files_before = live.inputFiles()
+    cells_before = live.count()
+    merged = (
+        live.groupBy("day", "hour")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .repartitionByRange(target_files, "day", "hour")
+        .sortWithinPartitions("day", "hour")
+    )
+    staging = f"{table_path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
+    merged.write.parquet(staging)
+    cells_after = spark.read.parquet(staging).count()
+    trash = f"{table_path.rstrip('/')}._trash_{uuid.uuid4().hex[:8]}"
+    os.rename(table_path, trash)
+    os.rename(staging, table_path)
+    shutil.rmtree(trash)
+    files_after = [
+        f
+        for f in os.listdir(table_path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    return {
+        "files_before": len(files_before),
+        "files_after": len(files_after),
+        "cells_before": cells_before,
+        "cells_after": cells_after,
+    }
 
 
 def week_rollup(cells: DataFrame, out: str = "approx_distinct") -> DataFrame:

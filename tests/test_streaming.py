@@ -1604,11 +1604,17 @@ def test_pipeline_sketch_maintenance_composes_with_sink(spark, tmp_path):
     from nsq2kinesis_spark.streaming.pipeline import MESSAGE_SCHEMA
 
     src = tmp_path / "msgs"
+    # duplicate pairs ADJACENT in event time (id//2 → ids 2k and 2k+1 share a
+    # body, 1 min apart, inside the 4-min watermark) so the delivered==150
+    # assertion holds however the file source batches the two files — a
+    # 150-min-apart duplicate layout would silently depend on both files
+    # landing in micro-batch 0 before first-batch state eviction
     spark.range(300).select(
         F.col("id").cast("string").alias("message_id"),
-        F.encode(F.concat(F.lit("m-"), (F.col("id") % 150).cast("string")), "UTF-8").alias(
-            "body"
-        ),
+        F.encode(
+            F.concat(F.lit("m-"), (F.col("id") / 2).cast("long").cast("string")),
+            "UTF-8",
+        ).alias("body"),
         (F.timestamp_millis(F.col("id") * 60_000)).alias("ts"),
         F.lit(1).alias("attempts"),
         F.lit(None).cast("string").alias("key"),
@@ -1702,7 +1708,12 @@ def test_sketch_maintenance_survives_checkpoint_restart(spark, tmp_path):
     second = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
     q2 = start(second)
     assert q2.awaitTermination(120)
-    assert second.epochs_applied >= 1, "restart must process the remainder"
+    # The kill races the availableNow drain: on a slow/loaded box the first
+    # run may finish all 6 epochs before the poll loop sees 2, leaving the
+    # restart a legitimately empty stream. Only demand restart progress
+    # when the kill actually landed mid-stream.
+    if first.epochs_applied < 6:
+        assert second.epochs_applied >= 1, "restart must process the remainder"
 
     def rollup_map(df):
         return {r.week_start: r.approx_distinct for r in df.collect()}
@@ -1714,3 +1725,89 @@ def test_sketch_maintenance_survives_checkpoint_restart(spark, tmp_path):
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
     )
     assert maintained == rollup_map(week_rollup(rebuild))
+
+
+def test_sketch_table_compaction_bounds_files_and_preserves_rollups(
+    spark, tmp_path
+):
+    """The maintenance pass that closes the streaming table's artifact
+    story: after many per-epoch appends PLUS a full replay (duplicate
+    cells for every (day, hour)), compact_sketch_table must (a) cut the
+    file count to the target, (b) collapse cells to exactly one per
+    (day, hour) — replay duplicates absorbed, (c) leave every rollup
+    EXACTLY unchanged (HLL union associativity/idempotence), and (d)
+    keep per-file (day, hour) ranges disjoint for footer pruning."""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.streaming.sketch_maintenance import (
+        SketchMaintenance,
+        compact_sketch_table,
+        week_rollup,
+    )
+    from nsq2kinesis_spark.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    src = tmp_path / "src"
+    ev.repartition(6).write.parquet(str(src))
+    table_path = str(tmp_path / "sketches")
+    maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .writeStream.foreachBatch(maint)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    # at-least-once replay: every cell appended again, all duplicates
+    maint(ev, epoch_id=999)
+
+    def rollup_map(df):
+        return {r.week_start: r.approx_distinct for r in df.collect()}
+
+    frag = spark.read.parquet(table_path)
+    frag_files = len(frag.inputFiles())
+    before = rollup_map(week_rollup(frag))
+    distinct_cells = frag.select("day", "hour").distinct().count()
+    assert frag.count() > distinct_cells, "replay must have left duplicate cells"
+
+    stats = compact_sketch_table(spark, table_path, target_files=2)
+    assert stats["files_before"] == frag_files
+    assert stats["files_after"] <= 2 < frag_files
+    assert stats["cells_after"] == distinct_cells  # duplicates absorbed
+
+    compacted = spark.read.parquet(table_path)
+    assert compacted.count() == distinct_cells
+    assert rollup_map(week_rollup(compacted)) == before  # exact, not approx
+    # hourly point rollups survive too — the finest question the table answers
+    hourly = {
+        (r.day, r.hour): r.n
+        for r in compacted.select(
+            "day",
+            "hour",
+            F.hll_sketch_estimate("sk").cast("long").alias("n"),
+        ).collect()
+    }
+    rebuilt_hourly = {
+        (r.day, r.hour): r.n
+        for r in ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"), F.hour("ts").alias("hour"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("long")
+            .alias("n")
+        )
+        .collect()
+    }
+    assert hourly == rebuilt_hourly
+    # disjoint per-file (day, hour) ranges → footer pruning stays effective
+    bounds = []
+    for f in sorted(compacted.inputFiles()):
+        rows = spark.read.parquet(f).select("day", "hour").collect()
+        keys = sorted((r.day, r.hour) for r in rows)
+        bounds.append((keys[0], keys[-1]))
+    bounds.sort()
+    for (_, prev_hi), (next_lo, _) in zip(bounds, bounds[1:]):
+        assert prev_hi < next_lo, bounds
