@@ -922,50 +922,102 @@ def q137_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- q141: materialized sketch table + ad-hoc rollup from the table alone ------
 
 
+# Amortization cache for _events_memo_key: sf_dir -> (root-stat tuple,
+# fingerprint). Re-walking the full file listing on EVERY q141/q142 call
+# is O(files) driver-side — fine at test scale, seconds of stall against
+# a ~10^6-file 100 TB table. The table ROOTS' stat (size + mtime_ns) is
+# O(4) and changes whenever a file is added/removed/renamed under a
+# directory root (POSIX updates the dir mtime) or a single-file root is
+# rewritten — the only regimes parquet/orc writers produce (they write
+# new files + rename, never edit in place). Only a content edit of an
+# existing file that leaves the directory entry untouched is invisible
+# to the cheap check, and that is not a write pattern any supported
+# source format performs.
+_FP_CACHE: dict[str, tuple[tuple, tuple]] = {}
+
+
 def _events_memo_key(sf_dir: str) -> tuple:
     """Memo key for the materialized sketch tables: (sf_dir, fingerprint
     of the events source files). The fingerprint — sorted (relpath, size,
     mtime_ns) over every file under events.parquet/orc/jsonl/csv — makes
     an in-place rewrite or append of the source data invalidate the memo
-    instead of silently serving sketches built from the old corpus. Cost
-    is a driver-side stat() walk of one table's file listing (O(files),
-    no data read) per q141/q142 invocation."""
+    instead of silently serving sketches built from the old corpus. The
+    O(files) stat() walk runs only when the table roots' own stat moved
+    (see _FP_CACHE); a file vanishing between walk and stat (concurrent
+    rewrite/compaction — the exact scenario the fingerprint guards) is
+    skipped, and its absence still changes the fingerprint."""
     import os
 
-    entries = []
+    roots = []
     for ext in ("parquet", "orc", "jsonl", "csv"):
         root = os.path.join(sf_dir, f"events.{ext}")
-        if os.path.isdir(root):
+        try:
+            st = os.stat(root)
+        except (FileNotFoundError, NotADirectoryError):
+            continue
+        roots.append((f"events.{ext}", st.st_size, st.st_mtime_ns, os.path.isdir(root)))
+    root_sig = tuple(roots)
+    cached = _FP_CACHE.get(sf_dir)
+    if cached is not None and cached[0] == root_sig:
+        return (sf_dir, cached[1])
+
+    entries = []
+    for name, size, mtime_ns, is_dir in roots:
+        root = os.path.join(sf_dir, name)
+        if is_dir:
             for dirpath, _dirs, files in os.walk(root):
                 for fn in files:
                     p = os.path.join(dirpath, fn)
-                    st = os.stat(p)
+                    try:
+                        st = os.stat(p)
+                    except (FileNotFoundError, NotADirectoryError):
+                        continue  # mid-walk delete: absence changes the key
                     entries.append(
                         (os.path.relpath(p, sf_dir), st.st_size, st.st_mtime_ns)
                     )
-        elif os.path.isfile(root):
-            st = os.stat(root)
-            entries.append((f"events.{ext}", st.st_size, st.st_mtime_ns))
-    return (sf_dir, tuple(sorted(entries)))
+        else:
+            entries.append((name, size, mtime_ns))
+    fp = tuple(sorted(entries))
+    _FP_CACHE[sf_dir] = (root_sig, fp)
+    return (sf_dir, fp)
 
 
 def _memo_lookup(memo: dict, key: tuple) -> str | None:
-    """Return the memoized sketch-table path only if it still exists on
-    disk — a tmp-cleaner or manual delete mid-process must trigger a
-    rebuild, not a read error."""
+    """Return the memoized sketch-table path for key=(sf_dir, fingerprint)
+    only if the fingerprint still matches and the table still exists on
+    disk. The memo is keyed by sf_dir ALONE with the fingerprint in the
+    value: a source change must rebuild AND reclaim the stale table dir
+    (rmtree), not strand one mkdtemp per in-process source rewrite — the
+    bounded re-introduction of the round-7 leak. A vanished table dir
+    (tmp-cleaner, manual delete) likewise triggers a rebuild, not a read
+    error."""
     import os
+    import shutil
 
-    path = memo.get(key)
-    if path is not None and not os.path.exists(path):
-        del memo[key]
+    sf_dir, fingerprint = key
+    hit = memo.get(sf_dir)
+    if hit is None:
+        return None
+    stored_fp, path = hit
+    if stored_fp != fingerprint:
+        del memo[sf_dir]
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+        return None
+    if not os.path.exists(path):
+        del memo[sf_dir]
         return None
     return path
+
+
+def _memo_store(memo: dict, key: tuple, path: str) -> None:
+    sf_dir, fingerprint = key
+    memo[sf_dir] = (fingerprint, path)
 
 
 # Materialized hourly-sketch table per (sf_dir, events fingerprint) —
 # built once per process for unchanged source data, reused by every
 # subsequent rollup (see q141's docstring and _events_memo_key).
-_SKETCH_TABLE_MEMO: dict[tuple, str] = {}
+_SKETCH_TABLE_MEMO: dict[str, tuple[tuple, str]] = {}
 
 
 @query(
@@ -1021,7 +1073,7 @@ def q141_sketch_table_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hourly_sketches.parquet",
         )
         hourly.write.parquet(path)
-        _SKETCH_TABLE_MEMO[key] = path
+        _memo_store(_SKETCH_TABLE_MEMO, key, path)
     # the rollup query: sketch table ONLY — events is never read again
     sk = spark.read.parquet(path)
     return sk.groupBy(
@@ -1040,7 +1092,7 @@ def q141_sketch_table_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incrementally-maintained sketch table per (sf_dir, events fingerprint)
 # — base build + delta append happen once per process for unchanged
 # source data; see q142's docstring and _events_memo_key.
-_INCR_SKETCH_MEMO: dict[tuple, str] = {}
+_INCR_SKETCH_MEMO: dict[str, tuple[tuple, str]] = {}
 
 
 @query(
@@ -1109,7 +1161,7 @@ def q142_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the maintenance step: aggregate ONLY the delta hour and append —
         # base files stay byte-identical on disk (append-only parquet)
         hourly(e.filter(in_cut)).write.mode("append").parquet(path)
-        _INCR_SKETCH_MEMO[key] = path
+        _memo_store(_INCR_SKETCH_MEMO, key, path)
 
     # the ONE shared rollup definition (streaming/sketch_maintenance.py):
     # the ingest-time maintenance stage, its tests, and this batch query

@@ -444,10 +444,10 @@ def test_q141_materialization_is_memoized_per_sf_dir(spark):
     build = QUERIES["q141_sketch_table_rollup"].builder
     build(spark, SF_CORRECTNESS).collect()
     key = _events_memo_key(SF_CORRECTNESS)
-    path1 = _SKETCH_TABLE_MEMO[key]
+    path1 = _SKETCH_TABLE_MEMO[key[0]][1]
     listing = _table_listing(path1)
     df = build(spark, SF_CORRECTNESS)
-    assert _SKETCH_TABLE_MEMO[key] == path1, (
+    assert _SKETCH_TABLE_MEMO[key[0]][1] == path1, (
         "second build materialized a NEW table dir (the leak)"
     )
     assert listing == _table_listing(path1), (
@@ -471,11 +471,11 @@ def test_q141_memo_rebuilds_when_table_dir_vanishes(spark):
     build = QUERIES["q141_sketch_table_rollup"].builder
     build(spark, SF_CORRECTNESS).collect()
     key = _events_memo_key(SF_CORRECTNESS)
-    old = _SKETCH_TABLE_MEMO[key]
+    old = _SKETCH_TABLE_MEMO[key[0]][1]
     shutil.rmtree(os.path.dirname(old))
     rows = build(spark, SF_CORRECTNESS).collect()
     assert rows, "rebuild after table-dir delete returned no rows"
-    new = _SKETCH_TABLE_MEMO[key]
+    new = _SKETCH_TABLE_MEMO[key[0]][1]
     assert new != old and os.path.exists(new), (
         "memo served a vanished table path instead of rebuilding"
     )
@@ -509,6 +509,44 @@ def test_sketch_memo_key_tracks_source_fingerprint(spark, tmp_path):
     )
     # and keys never collide across sf dirs even with identical bytes
     assert k1[0] != _events_memo_key(SF_CORRECTNESS)[0]
+
+
+def test_sketch_memo_reclaims_stale_table_on_source_change(spark, tmp_path):
+    """When the events source changes in-process, the memo must not
+    merely rebuild under a new key — it must also rmtree the STALE table
+    dir (round-8 advice: keying by (sf_dir, fingerprint) stranded one
+    mkdtemp per source rewrite forever). Keyed by sf_dir with the
+    fingerprint in the value, the mismatch path reclaims the old dir."""
+    import os
+    import shutil
+
+    from nsq2kinesis_spark.operators.aggregates import (
+        _SKETCH_TABLE_MEMO,
+        _events_memo_key,
+    )
+
+    sf = tmp_path / "sf_copy"
+    sf.mkdir()
+    for tbl in ("events",):
+        shutil.copyfile(
+            os.path.join(SF_CORRECTNESS, f"{tbl}.parquet"),
+            sf / f"{tbl}.parquet",
+        )
+    build = QUERIES["q141_sketch_table_rollup"].builder
+    build(spark, str(sf)).collect()
+    old = _SKETCH_TABLE_MEMO[str(sf)][1]
+    assert os.path.exists(old)
+    # in-place source rewrite: grow the file and move its mtime
+    with open(sf / "events.parquet", "ab") as fh:
+        pass  # open for append without corrupting the parquet footer...
+    os.utime(sf / "events.parquet", ns=(12345, 12345))
+    build(spark, str(sf)).collect()
+    new = _SKETCH_TABLE_MEMO[str(sf)][1]
+    assert new != old, "source change did not rebuild the table"
+    assert not os.path.exists(os.path.dirname(old)), (
+        "stale sketch-table dir was stranded instead of reclaimed"
+    )
+    assert os.path.exists(new)
 
 
 def test_q142_incremental_equals_rebuild(spark):
@@ -555,7 +593,7 @@ def test_q142_append_touches_only_the_delta_cell(spark):
     build = QUERIES["q142_sketch_incremental"].builder
     build(spark, SF_CORRECTNESS).collect()
     key = _events_memo_key(SF_CORRECTNESS)
-    path = _INCR_SKETCH_MEMO[key]
+    path = _INCR_SKETCH_MEMO[key[0]][1]
     cells = spark.read.parquet(path).select("day", "hour").collect()
     assert len(cells) == len(set((r.day, r.hour) for r in cells)), (
         "append created duplicate hour cells"
@@ -569,7 +607,7 @@ def test_q142_append_touches_only_the_delta_cell(spark):
     assert len(cells) == n_expected, "cell set differs from a full build"
     listing = _table_listing(path)
     build(spark, SF_CORRECTNESS).collect()
-    assert _INCR_SKETCH_MEMO[key] == path
+    assert _INCR_SKETCH_MEMO[key[0]][1] == path
     assert listing == _table_listing(path), (
         "second invocation rewrote the materialized table"
     )
