@@ -68,6 +68,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from nsq2kinesis_spark.registry import all_queries
 from nsq2kinesis_spark.session import get_spark
 
+# Round-1 host-speed anchor (BENCH_r01.json's kpl_pack_recs_per_s). The
+# anchor-normalized headline is total × (this round's anchor / this
+# constant) — "what would this round's total read on the r1 box".
+R1_KPL_PACK_ANCHOR = 208_569
+
 HEADLINE = [
     "q01_pricing_summary",  # scan→filter→agg→(8 aggregates)
     "q04_sort_limit",  # global top-N
@@ -148,6 +153,7 @@ def main() -> None:
     extended = timed_passes(EXTENDED)
 
     total = round(sum(timings.values()), 3)
+    kpl_anchor = max(kpl_pack_throughput() for _ in range(3))
     result = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -156,7 +162,17 @@ def main() -> None:
         "extended": extended,
         "extended_total_sec": round(sum(extended.values()), 3),
         "sf": float(sf),
-        "kpl_pack_recs_per_s": max(kpl_pack_throughput() for _ in range(3)),
+        "kpl_pack_recs_per_s": kpl_anchor,
+        # Mechanical cross-round regression detection (round-8 verdict):
+        # kpl_pack is identical single-thread pure-Python code every round,
+        # so it calibrates host speed. headline_anchor_normalized_sec =
+        # headline total rescaled to the ROUND-1 box (anchor 208,569
+        # rec/s): compare THIS number across rounds — raw totals confound
+        # ±30% host-tenancy drift with real engine deltas.
+        "anchor_ratio_vs_r1": round(kpl_anchor / R1_KPL_PACK_ANCHOR, 4),
+        "headline_anchor_normalized_sec": round(
+            total * kpl_anchor / R1_KPL_PACK_ANCHOR, 3
+        ),
         "forward_path_recs_per_s": forward_path_throughput(spark),
         "watermark_dedup_recs_per_s": watermark_dedup_throughput(spark),
         "stateful_dedup_recs_per_s": stateful_dedup_throughput(spark),
