@@ -628,18 +628,34 @@ def test_min_label_components_on_synthetic_graphs(spark):
     assert got == truth
 
 
-def test_min_label_components_raises_past_diameter_cap(spark):
-    """A chain longer than max_iters must RAISE, not return non-minimal
-    labels — the documented escalation contract (switch to star
-    contraction), which the fixtures' tiny-diameter clusters can never
-    trigger."""
+def test_min_label_components_raises_when_rounds_exhausted(spark):
+    """Exhausting max_iters must RAISE, not return wrong labels. With
+    star contraction the guard is a true pathology bound — a 12-chain
+    that the old min-label loop needed 12 rounds for now converges well
+    inside single digits, so only an absurd cap can trip it."""
     from nsq2kinesis_spark.operators.llm_dedup import min_label_components
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
     )
-    with pytest.raises(RuntimeError, match="star contraction"):
-        min_label_components(chain, max_iters=5)
-    # and the same graph converges fine with headroom
-    labels = min_label_components(chain, max_iters=15).collect()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(chain, max_iters=1)
+    labels = min_label_components(chain, max_iters=8).collect()
+    assert all(r.component == 0 for r in labels)
+
+
+def test_star_contraction_converges_logarithmically_on_long_chain(spark):
+    """The round-9 upgrade's reason to exist: a 1000-node chain — the
+    adversarial borderline-near-dup shape that the old O(diameter)
+    min-label loop would REFUSE at CC_MAX_ITERS=50 — must converge
+    within ~2·log₂(n) ≈ 20 alternations and still label every node with
+    the component minimum."""
+    from nsq2kinesis_spark.operators.llm_dedup import min_label_components
+
+    n = 1000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels = min_label_components(chain, max_iters=20).collect()
+    assert len(labels) == n
     assert all(r.component == 0 for r in labels)

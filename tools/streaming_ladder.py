@@ -1,0 +1,273 @@
+"""Streaming scale ladder: MEASURE the streaming half's bounded-state claim.
+
+The batch ladder (tools/scale_ladder.py, round 8) gave every heavy batch
+operator a measured growth exponent; the streaming numbers were still
+single-size (bench.py, 200k rows). This tool measures what the reference
+inherits from its two-generation deduper (deduper.go:17-47 analog) and the
+engine asserts but had never measured above one size:
+
+1. THROUGHPUT stays flat as the feed grows — records/sec through
+   forward_path (stateless hot path), watermark_dedup (JVM state path:
+   dropDuplicatesWithinWatermark) and stateful_dedup (Python state path:
+   applyInPandasWithState TTL cache) over feed rungs 200k/400k/800k/1.6M
+   rows at a constant 50% adjacent-duplicate rate.
+2. STATE stays bounded by the WINDOW, not by history — max state-store
+   rows (and bytes) per rung, from StreamingQueryProgress.stateOperators.
+   The feeds advance event time 3 ms/row, so the 4-minute watermark holds
+   at most 80k ids ≈ 40k duplicate-pair keys regardless of feed length;
+   multi-batch execution (maxFilesPerTrigger=1 over N_FILES files) makes
+   the watermark actually advance between micro-batches so eviction runs.
+   For the Python path the analogous bound is the processing-time TTL: a
+   short TTL (vs the run's wall span) must cap live keys below the total
+   distinct-key count.
+3. KEY-CARDINALITY axis — same feed size, duplicate factor 1x (all
+   unique) / 2x / 8x / 32x: throughput must be insensitive to the dup
+   rate and state rows must track keys-in-window, not rows.
+
+Methodology matches bench.py: feed written once outside the timed region,
+fresh checkpoint per run, elapsed measured to the end of the last
+data-bearing batch (bench._data_elapsed), best-of-N. The stateful
+(Python) path never self-terminates (bench.py docstring: timer-cleanup
+batches loop forever), so the ladder stops it after drain; stop-time
+ERROR lines are cosmetic here — this tool's evidence is its JSON lines,
+not a stderr tail.
+
+Usage:  python tools/streaming_ladder.py [--rungs 200000,400000,800000,1600000]
+        [--passes 2] [--skip-stateful]
+Output: one JSON line per measurement plus markdown tables for NOTES_r09.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import bench
+from nsq2kinesis_spark.session import get_spark
+
+N_FILES = 8  # multi-batch rungs: one file per trigger → N_FILES batches
+
+
+def write_feed(spark, root: str, n: int, dup_factor: int) -> str:
+    """Feed with ts advancing 3 ms/row and dup_factor rows per body key
+    (adjacent in event time, like bench.py's watermark_dedup feed)."""
+    src = os.path.join(root, f"feed_{n}_{dup_factor}")
+    if not os.path.isdir(src):
+        spark.range(n).select(
+            F.col("id").cast("string").alias("message_id"),
+            F.encode(
+                F.concat(
+                    F.lit("b-"), F.floor(F.col("id") / dup_factor).cast("string")
+                ),
+                "UTF-8",
+            ).alias("body"),
+            F.timestamp_millis(F.col("id") * 3).alias("ts"),
+        ).coalesce(N_FILES).write.parquet(src)
+    return src
+
+
+def _state_stats(progresses) -> dict:
+    rows = [
+        op["numRowsTotal"]
+        for p in progresses
+        for op in p.get("stateOperators", [])
+    ]
+    mem = [
+        op.get("memoryUsedBytes", 0)
+        for p in progresses
+        for op in p.get("stateOperators", [])
+    ]
+    return {
+        "max_state_rows": max(rows) if rows else 0,
+        "max_state_bytes": max(mem) if mem else 0,
+        "n_batches": sum(1 for p in progresses if p["numInputRows"] > 0),
+    }
+
+
+def watermark_dedup_rung(spark, src: str, n: int, passes: int) -> dict:
+    """JVM path, MULTI-BATCH (maxFilesPerTrigger=1): the watermark
+    advances between micro-batches, so state eviction actually runs and
+    max_state_rows measures the window bound, not the feed size."""
+    from nsq2kinesis_spark.streaming.pipeline import dedup_transform
+
+    best, stats = 0.0, {}
+    for run in range(passes):
+        ckpt = tempfile.mkdtemp(prefix="nsq2k_ladder_ckpt_")
+        try:
+            stream = (
+                spark.readStream.schema(
+                    "message_id string, body binary, ts timestamp"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            deduped = dedup_transform(stream, streaming=True)
+            start_epoch = time.time()
+            q = (
+                deduped.writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(900):
+                q.stop()
+                raise RuntimeError("watermark rung did not terminate in 900s")
+            rate = n / bench._data_elapsed(q.recentProgress, start_epoch)
+            if rate > best:
+                best, stats = rate, _state_stats(q.recentProgress)
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return {"recs_per_s": int(best), **stats}
+
+
+def stateful_dedup_rung(
+    spark, root: str, n: int, passes: int, ttl_s: int = 10
+) -> dict:
+    """Python state path, multi-batch over a SHORT processing-time TTL:
+    at this path's ~13k rec/s a 400k+ feed spans several TTLs of wall
+    time, so timer eviction fires mid-run and max_state_rows measures
+    the generational bound (keys touched within one TTL), not the
+    distinct-key count. Stopped after drain (never self-terminates)."""
+    from nsq2kinesis_spark.streaming.stateful import (
+        DEDUP_OUTPUT_SCHEMA,
+        generational_dedup,
+    )
+
+    src = os.path.join(root, f"hashfeed_{n}")
+    if not os.path.isdir(src):
+        spark.range(n).select(
+            (F.col("id") % (n // 2)).cast("long").alias("body_hash"),
+            F.col("id").cast("string").alias("message_id"),
+            F.timestamp_millis(F.col("id") * 3).alias("ts"),
+        ).coalesce(N_FILES).write.parquet(src)
+
+    best, stats = 0.0, {}
+    for run in range(passes):
+        ckpt = tempfile.mkdtemp(prefix="nsq2k_ladder_sckpt_")
+        try:
+            stream = (
+                spark.readStream.schema(DEDUP_OUTPUT_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            deduped = generational_dedup(stream, ttl_s=ttl_s)
+            start_epoch = time.time()
+            q = (
+                deduped.writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="1 second")
+                .start()
+            )
+            progresses = []
+            deadline = start_epoch + 900
+            while q.isActive and time.time() < deadline:
+                progresses = q.recentProgress
+                if sum(p["numInputRows"] for p in progresses) >= n:
+                    break
+                time.sleep(0.1)
+            # let one more trigger land so the final batch's state metrics
+            # (and any due timer eviction) are reported, then stop
+            time.sleep(2.5)
+            progresses = q.recentProgress
+            q.stop()
+            q.awaitTermination(60)
+            rate = n / bench._data_elapsed(progresses, start_epoch)
+            if rate > best:
+                best, stats = rate, _state_stats(progresses)
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return {"recs_per_s": int(best), **stats}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rungs", default="200000,400000,800000,1600000")
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--skip-stateful", action="store_true")
+    args = ap.parse_args()
+    rungs = [int(x) for x in args.rungs.split(",")]
+
+    spark = get_spark(app_name="nsq2kinesis_streaming_ladder")
+    root = tempfile.mkdtemp(prefix="nsq2k_streaming_ladder_")
+    results = []
+
+    def emit(row: dict) -> None:
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    try:
+        # axis 1: feed size at constant 50% duplicate rate
+        for n in rungs:
+            src = write_feed(spark, root, n, dup_factor=2)
+            emit(
+                {
+                    "axis": "feed_size",
+                    "op": "forward_path",
+                    "n": n,
+                    "recs_per_s": bench.forward_path_throughput(spark, n),
+                }
+            )
+            emit(
+                {
+                    "axis": "feed_size",
+                    "op": "watermark_dedup",
+                    "n": n,
+                    **watermark_dedup_rung(spark, src, n, args.passes),
+                }
+            )
+            if not args.skip_stateful:
+                emit(
+                    {
+                        "axis": "feed_size",
+                        "op": "stateful_dedup",
+                        "n": n,
+                        **stateful_dedup_rung(spark, root, n, args.passes),
+                    }
+                )
+        # axis 2: key cardinality at fixed feed size
+        n2 = rungs[1] if len(rungs) > 1 else rungs[0]
+        for dup in (1, 2, 8, 32):
+            src = write_feed(spark, root, n2, dup_factor=dup)
+            emit(
+                {
+                    "axis": "key_cardinality",
+                    "op": "watermark_dedup",
+                    "n": n2,
+                    "dup_factor": dup,
+                    "distinct_keys": n2 // dup,
+                    **watermark_dedup_rung(spark, src, n2, args.passes),
+                }
+            )
+    finally:
+        for active in spark.streams.active:
+            try:
+                active.stop()
+            except Exception:
+                pass
+        shutil.rmtree(root, ignore_errors=True)
+
+    print("\n### streaming ladder (markdown for NOTES) ###")
+    for axis in ("feed_size", "key_cardinality"):
+        rows = [r for r in results if r["axis"] == axis]
+        if not rows:
+            continue
+        print(f"\n**{axis}**\n")
+        keys = [k for k in rows[0] if k != "axis"]
+        print("| " + " | ".join(keys) + " |")
+        print("|" + "---|" * len(keys))
+        for r in rows:
+            print("| " + " | ".join(str(r.get(k, "")) for k in keys) + " |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
