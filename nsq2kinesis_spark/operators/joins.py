@@ -472,13 +472,33 @@ FUZZY_MAX_DIST = 1  # Levenshtein threshold for a match
                   ELSE SUBSTR(c_name, 1, u.i - 1) || SUBSTR(c_name, u.i + 1)
              END AS k
       FROM customer, UNNEST(RANGE(0, LEN(c_name) + 1)) AS u(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.c_custkey AS custkey_a, x.c_custkey AS custkey_b,
+             a.c_name AS name_a, x.c_name AS name_b
+      FROM ks a JOIN ks x
+        ON a.k = x.k AND a.c_custkey < x.c_custkey
+    ),
+    -- DuckDB's LEVENSHTEIN counts BYTES (levenshtein('e-acute','e')=2),
+    -- Spark's counts CODE POINTS — the declared contract for name
+    -- linkage (round-9 astral/combining probe). Remap each pair's
+    -- combined codepoint alphabet onto single ASCII bytes (<=127
+    -- distinct codepoints per name pair — names are short), so byte
+    -- distance of the remapped strings IS codepoint distance.
+    scored AS (
+      SELECT custkey_a, custkey_b, name_a, name_b,
+             CAST(LEVENSHTEIN(
+               list_aggregate(list_transform(string_split(name_a, ''),
+                 c -> chr(list_position(alpha, c))), 'string_agg', ''),
+               list_aggregate(list_transform(string_split(name_b, ''),
+                 c -> chr(list_position(alpha, c))), 'string_agg', '')
+             ) AS INTEGER) AS dist
+      FROM (SELECT *, list_sort(list_distinct(
+              string_split(name_a || name_b, ''))) AS alpha
+            FROM cand)
     )
-    SELECT DISTINCT a.c_custkey AS custkey_a, x.c_custkey AS custkey_b,
-           a.c_name AS name_a, x.c_name AS name_b,
-           CAST(LEVENSHTEIN(a.c_name, x.c_name) AS INTEGER) AS dist
-    FROM ks a JOIN ks x
-      ON a.k = x.k AND a.c_custkey < x.c_custkey
-    WHERE LEVENSHTEIN(a.c_name, x.c_name) <= 1
+    SELECT custkey_a, custkey_b, name_a, name_b, dist
+    FROM scored WHERE dist <= 1
     """,
     tags=("join", "fuzzy", "linkage"),
 )
@@ -509,8 +529,19 @@ def q118_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonholing would too). Plan: explode keys -> one hash self-join on
     the key -> Levenshtein verify (kills the rare distance-2 key
     collisions) -> DISTINCT to fold pairs found via several shared keys.
-    Both engines compute classic unit-cost Levenshtein over code points,
-    so the integer distances (and the threshold filter) agree exactly."""
+
+    Distance semantics (round-9 probe fix): the declared contract is
+    unit-cost Levenshtein over CODE POINTS — the linguistically right
+    unit for names, and what Spark's levenshtein() computes. DuckDB's
+    LEVENSHTEIN counts BYTES of the UTF-8 encoding (probed on 1.0.0:
+    levenshtein('é','e') = 2, emoji vs 'x' = 4), which silently agreed
+    on the ASCII fixtures and diverges the moment an edit touches a
+    multibyte character. The oracle therefore remaps each candidate
+    pair's combined codepoint alphabet onto single ASCII bytes before
+    LEVENSHTEIN — byte distance of the remapped strings equals codepoint
+    distance exactly (the map is injective per pair; a name pair has far
+    fewer than 127 distinct codepoints). Pinned by the multibyte
+    near-pair fixture in tests/test_sketch_gates.py."""
     name = F.col("c_name")
     deletions = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(name), F.lit(1))),

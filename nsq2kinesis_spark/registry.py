@@ -102,7 +102,10 @@ def load_all_modules() -> None:
 #   1. rule 1 (code changed since the last driver row) leads — the r8
 #      ledger: q81, q82 (r7 rows; the round-8 scale-adaptive IVF centroid
 #      step — nlist ~ sqrt(n) past the 101 floor, similarity.ivf_centroids
-#      — changed their code+oracles outside the r8 prefix). 2 queries.
+#      — changed their code+oracles outside the r8 prefix), PLUS q118
+#      (fresh r8 row, but its oracle changed THIS round — the
+#      codepoint-vs-byte LEVENSHTEIN fix — so its row predates its
+#      oracle and rule 1 re-applies). 3 queries.
 #   2. rule 2 ceiling: the post-boundary r6-row block — rows turn 3
 #      rounds old at r9, so ALL 21 must take prefix slots: q130, q133,
 #      q134, q135, q136, q139, q31, q32, q50-q54, q61, q62, q70, q73,
@@ -111,10 +114,11 @@ def load_all_modules() -> None:
 #      listed order: q140, q126, q138, q75, q132, q89 (whose round-9
 #      large-star/small-star upgrade is therefore covered by a fresh
 #      row), q44, q63, q88, q80, q111, q18, q19, q30, q33, q64, q65,
-#      q71, q72, q79, q84, q86, q94, q95, q96, q97, q99.
+#      q71, q72, q79, q84, q86, q94, q95, q96, q97 (q99 yields its
+#      slot to q118 and fronts the post-boundary tail instead).
 #   ---- 50-query prefix boundary ----
-#   4. the rest of the r7-row block (q100, q102, q104, q108, q77, q78,
-#      q20-q29, q40-q43, q45 — 21 queries) ages to r10 under rule 2,
+#   4. the rest of the r7-row block (q99, q100, q102, q104, q108, q77,
+#      q78, q20-q29, q40-q43, q45 — 22 queries) ages to r10 under rule 2,
 #      backed by this round's green 3-SF parity sweep; they lead the
 #      post-boundary tail so they front the r10 prefix;
 #   5. the 50 queries with fresh r8 rows, in their r8 order;
@@ -125,9 +129,10 @@ def load_all_modules() -> None:
 #      row leads (rule 1). Ledger as of round-9 close: (none — the only
 #      query-path change this round, q89's O(log n) contraction, landed
 #      at prefix slot 28 and is covered by its fresh r9 row);
-#   b. the 21 post-boundary r7-row queries (q100, q102, q104, q108,
-#      q77, q78, q20-q29, q40-q43, q45) — their rows turn 3 rounds old
-#      at r10, the rule-2 ceiling, so they MUST take prefix slots;
+#   b. the 22 post-boundary r7-row queries (q99, q100, q102, q104,
+#      q108, q77, q78, q20-q29, q40-q43, q45) — their rows turn 3
+#      rounds old at r10, the rule-2 ceiling, so they MUST take prefix
+#      slots;
 #   c. remaining slots refresh the oldest r8-row queries in their
 #      listed order (q90, q98, q131, q85, q115, q124, q123, q11, q12,
 #      q46, q66, q01-q10, q13-q15, q17, q83, q87, q118, ...); the rest
@@ -137,6 +142,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     # -- rule 1: code changed since the last driver row (the r8 ledger) --
     "q81_cosine_neardup",
     "q82_ann_ivf",
+    "q118_fuzzy_match",
     # -- rule 2 ceiling: r6-row untouched queries — rows turn 3 rounds
     # -- old this round, so they take prefix slots now --
     "q130_rag_chunker",
@@ -188,8 +194,8 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q95_zorder_key",
     "q96_heavy_hitters_mg",
     "q97_corpus_build",
-    "q99_source_cap",
     # ---- 50-query prefix boundary (driver budget) ----
+    "q99_source_cap",
     # -- r7-row queries aging to r10 under rule 2 (3-SF parity sweep
     # -- green this round); they front the r10 prefix --
     "q100_tfidf_topterms",
@@ -241,7 +247,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q17_percentiles",
     "q83_decontamination",
     "q87_repetition",
-    "q118_fuzzy_match",
     "q110_pii_redaction",
     "q112_cooccurrence_lift",
     "q113_length_buckets",

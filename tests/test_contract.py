@@ -45,29 +45,30 @@ def test_verify_order_is_the_registry_iteration_order():
     assert len(set(VERIFY_ORDER)) == len(VERIFY_ORDER), "duplicates in VERIFY_ORDER"
     assert len(names) == 127
     prefix = [n.split("_")[0] for n in names[:50]]
-    # Rule 1: code changed since the last driver row — the r8 ledger:
-    # q81/q82 (the scale-adaptive IVF centroid step changed their
-    # code+oracles outside the r8 prefix; they held r7 rows).
-    assert prefix[:2] == ["q81", "q82"]
+    # Rule 1: code changed since the last driver row — the r8 ledger
+    # (q81/q82: the scale-adaptive IVF centroid step changed their
+    # code+oracles outside the r8 prefix) plus q118, whose oracle gained
+    # the codepoint-LEVENSHTEIN remap THIS round after its fresh r8 row.
+    assert prefix[:3] == ["q81", "q82", "q118"]
     # Rule 2 ceiling: the 21 r6-row untouched queries — their rows turn
     # 3 rounds old at r9, so they MUST take prefix slots this round.
     aged_r6 = ["q130", "q133", "q134", "q135", "q136", "q139", "q31",
                "q32", "q50", "q51", "q52", "q53", "q54", "q61", "q62",
                "q70", "q73", "q74", "q91", "q92", "q93"]
-    assert prefix[2:23] == aged_r6
-    # Rule 2 fill: the 27 remaining slots refresh the oldest r7-row
+    assert prefix[3:24] == aged_r6
+    # Rule 2 fill: the 26 remaining slots refresh the oldest r7-row
     # queries in their listed order (q81/q82 already hold rule-1 slots;
-    # q89's round-9 contraction upgrade is covered by its slot here).
-    assert prefix[23:50] == [
+    # q89's round-9 contraction upgrade is covered by its slot here;
+    # q99 yielded its slot to q118 and fronts the post-boundary tail).
+    assert prefix[24:50] == [
         "q140", "q126", "q138", "q75", "q132", "q89", "q44", "q63",
         "q88", "q80", "q111", "q18", "q19", "q30", "q33", "q64", "q65",
         "q71", "q72", "q79", "q84", "q86", "q94", "q95", "q96", "q97",
-        "q99",
     ]
     # Post-boundary: the r7-row block that ages to r10 fronts the tail so
     # it leads the r10 prefix (rule-2 ceiling there).
     assert [n.split("_")[0] for n in names[50:57]] == [
-        "q100", "q102", "q104", "q108", "q77", "q78", "q20",
+        "q99", "q100", "q102", "q104", "q108", "q77", "q78",
     ]
     # Rule 3: rows-only queries occupy the permanent tail — never a prefix
     # slot (their driver row can only say rows>0; the pytest accuracy

@@ -1300,7 +1300,17 @@ def test_multibyte_names_match_oracle(spark, tmp_path):
     con.execute(
         f"""COPY (SELECT * FROM '{src}/customer.parquet'
         UNION ALL SELECT 999950, 'Müller, Þórður & 龍-ñandú ß', 3, 123.45, 'BUILDING'
-        UNION ALL SELECT 999951, 'ÉCLAIR époque  ΣΙΣΥΦΟΣ σίσυφος', 4, 200.0, 'AUTOMOBILE')
+        UNION ALL SELECT 999951, 'ÉCLAIR époque  ΣΙΣΥΦΟΣ σίσυφος', 4, 200.0, 'AUTOMOBILE'
+        -- round-9 probe teeth: WITHIN-THRESHOLD pairs whose single edit
+        -- touches (or sits beside) a multibyte character. DuckDB's raw
+        -- byte-based LEVENSHTEIN scores the e->e-acute substitution 2 and
+        -- would drop the pair the Spark side (codepoint distance 1)
+        -- keeps; the oracle's alphabet-remap must agree with Spark on
+        -- both membership and the dist value.
+        UNION ALL SELECT 999952, 'Çelik#999952x', 5, 10.0, 'MACHINERY'
+        UNION ALL SELECT 999953, 'Çelik#999952y', 5, 11.0, 'MACHINERY'
+        UNION ALL SELECT 999954, 'Pair 😀 one', 6, 12.0, 'HOUSEHOLD'
+        UNION ALL SELECT 999955, 'Pair 😀 oné', 6, 13.0, 'HOUSEHOLD')
         TO '{sf_dir}/customer.parquet' (FORMAT PARQUET)"""
     )
     for name in (
@@ -1310,6 +1320,14 @@ def test_multibyte_names_match_oracle(spark, tmp_path):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
     for qname in ("q40_string_battery", "q118_fuzzy_match"):
         _assert_null_variant_parity(spark, qname, sf_dir, con)
+    # the multibyte near-pairs must actually be FOUND (distance 1 across
+    # a multibyte boundary), not merely agreed-absent
+    got = {
+        (r.custkey_a, r.custkey_b, r.dist)
+        for r in QUERIES["q118_fuzzy_match"].builder(spark, sf_dir).collect()
+    }
+    assert (999952, 999953, 1) in got, "multibyte substitution pair missed"
+    assert (999954, 999955, 1) in got, "astral-adjacent accent pair missed"
 
 
 def test_zero_norm_user_excluded_from_similarity(spark, tmp_path):

@@ -261,7 +261,7 @@ def main() -> None:
         if not rows:
             continue
         print(f"\n**{axis}**\n")
-        keys = [k for k in rows[0] if k != "axis"]
+        keys = list(dict.fromkeys(k for r in rows for k in r if k != "axis"))
         print("| " + " | ".join(keys) + " |")
         print("|" + "---|" * len(keys))
         for r in rows:
