@@ -909,10 +909,23 @@ def _multibyte_docs_fixture(tmp_path):
     con = _duck.connect()
     t1 = "héllo wörld héllo wörld καλημέρα κόσμε 日本語のテキスト です"
     t2 = "ascii mixed with émojis 🙂 and ligatures ﬁne"
+    # round-9 probe extension — the surrogate-pair / combining-mark /
+    # zero-width regime (Java strings are UTF-16, so astral chars are 2
+    # code UNITS but 1 code POINT; probed: Spark length/split/substr/
+    # regexp all count code points, matching DuckDB): an astral-run
+    # word, DECOMPOSED accents (e + U+0301 — length counts the mark as
+    # its own codepoint on both twins, no implicit NFC), and zero-width
+    # spaces INSIDE tokens (must not split words on either side).
+    t3 = (
+        "\U0001f600\U0001f3d4\U0001f600 astral run "
+        "cafe\u0301 de\u0301ja\u0300 "  # DECOMPOSED combining accents
+        "zero\u200bwidth in\u200bside"  # ZWSP inside tokens
+    )
     con.execute(
         f"""COPY (SELECT * FROM '{src}/documents.parquet'
         UNION ALL SELECT 999011, '{t1}', 'el', 'src1', {len(t1)}
-        UNION ALL SELECT 999012, '{t2}', 'en', 'src2', {len(t2)})
+        UNION ALL SELECT 999012, '{t2}', 'en', 'src2', {len(t2)}
+        UNION ALL SELECT 999013, '{t3}', 'en', 'src3', {len(t3)})
         TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)"""
     )
     for name in (
