@@ -175,15 +175,43 @@ def q43_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round-9 nesting contract for the JSON battery: payloads with more than
+# this many STRUCTURAL open brackets (string literals stripped first) are
+# out of the parse contract — every JSON column is NULL on both twins.
+# Why a bracket COUNT and not a depth: Spark's Jackson parser hard-fails
+# at nesting depth 1001 (probed: depth 1000 parses, 1001 returns NULL in
+# PERMISSIVE mode) while DuckDB's yyjson parses kilodeep payloads happily
+# — a silent twin split on adversarial input. True depth needs a stateful
+# scan, but opens >= depth always, so capping OPENS at Jackson's depth
+# limit guarantees every in-contract payload parses identically (depth <=
+# opens <= 1000), at the price of also NULLing wide-but-flat payloads
+# with >1000 containers — declared, tested, and far outside any sane
+# event-props shape.
+JSON_MAX_OPENS = 1000
+
+
 @query(
     "q44_json_battery",
-    oracle="""
-    WITH typed AS (
-      -- CASE, not AND: DuckDB does not short-circuit, so json_type must
-      -- never see a payload json_valid rejected
-      SELECT *, CASE WHEN json_valid(props) THEN json_type(props) = 'OBJECT'
-                     ELSE FALSE END AS is_obj
+    oracle=f"""
+    WITH guarded AS (
+      SELECT *, regexp_replace(props, '"([^"\\\\]|\\\\.)*"', '""', 'g') AS stripped
       FROM events
+    ),
+    typed AS (
+      -- CASE, not AND: DuckDB does not short-circuit, so json_type must
+      -- never see a payload json_valid rejected. `shallow` is the
+      -- round-9 nesting contract: more than {JSON_MAX_OPENS} STRUCTURAL
+      -- open brackets (string literals stripped first, so brackets
+      -- inside values don't count) puts the payload out of the parse
+      -- contract — NULL everywhere on both twins (see the builder
+      -- docstring; NULL props gives NULL shallow gives NULL columns).
+      SELECT *,
+             LENGTH(stripped)
+               - LENGTH(REPLACE(REPLACE(stripped, '{{', ''), '[', ''))
+               <= {JSON_MAX_OPENS} AS shallow,
+             CASE WHEN json_valid(props) THEN json_type(props) = 'OBJECT'
+                  ELSE FALSE END AS is_obj
+      FROM guarded
     )
     SELECT event_id,
            -- the k-type guard mirrors Spark's typed struct field EXACTLY:
@@ -192,20 +220,24 @@ def q43_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- the extracted STRING would round fractionals (12.5 -> 13) and
            -- parse quoted numbers — so only BIGINT/UBIGINT-typed values
            -- reach the cast (overflow past INT32 is NULL on both engines)
+           CASE WHEN shallow THEN
            TRY_CAST(CASE WHEN is_obj
                     AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
-                    THEN JSON_EXTRACT_STRING(props, '$.k') END AS INTEGER) AS prop_k,
+                    THEN JSON_EXTRACT_STRING(props, '$.k') END AS INTEGER)
+           END AS prop_k,
+           CASE WHEN shallow THEN
            TRY_CAST(CASE WHEN is_obj
                     AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
                     THEN JSON_EXTRACT_STRING(props, '$.k') END AS INTEGER) % 10
-             AS prop_k_mod,
-           CASE WHEN json_valid(props)
+           END AS prop_k_mod,
+           CASE WHEN shallow AND json_valid(props)
                 THEN CAST(JSON_EXTRACT_STRING(props, '$.missing') AS VARCHAR)
            END AS prop_missing,
-           CASE WHEN is_obj
+           CASE WHEN shallow AND is_obj
                 THEN COALESCE(ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ','), '')
            END AS prop_keys,
-           CASE WHEN is_obj THEN CAST(LEN(json_keys(props)) AS INTEGER) END AS n_props
+           CASE WHEN shallow AND is_obj
+                THEN CAST(LEN(json_keys(props)) AS INTEGER) END AS n_props
     FROM typed
     """,
     tags=("scalar", "json", "map"),
@@ -227,17 +259,31 @@ def q44_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
       the oracle uses TRY_CAST;
     - empty object '{}': keys join to '' in Spark vs NULL via DuckDB's
       empty ARRAY_TO_STRING (the q73 class) — COALESCE pins '';
-    - NULL props propagates NULL everywhere on both twins."""
+    - NULL props propagates NULL everywhere on both twins.
+
+    Round-9 deep-nesting pin (the recursion-limit probe): payloads with
+    more than JSON_MAX_OPENS structural open brackets are OUT of the
+    parse contract — every JSON column NULL, identically on both twins.
+    Without the guard, a 1001-deep payload is NULL on Spark (Jackson's
+    nesting cap) but parses in DuckDB. Structural = after stripping
+    string literals with the same regex on both engines, so brackets
+    INSIDE values ('{"s":"[[[["}') stay in contract."""
     ev = t(spark, sf_dir, "events")
     parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
     as_map = F.from_json("props", "map<string,string>")
+    stripped = F.regexp_replace("props", r'"([^"\\]|\\.)*"', '""')
+    shallow = (
+        F.length(stripped) - F.length(F.translate(stripped, "{[", ""))
+    ) <= JSON_MAX_OPENS
     return ev.select(
         "event_id",
-        parsed.getField("k").alias("prop_k"),
-        (parsed.getField("k") % 10).alias("prop_k_mod"),
-        F.get_json_object("props", "$.missing").alias("prop_missing"),
-        F.array_join(F.array_sort(F.map_keys(as_map)), ",").alias("prop_keys"),
-        F.size(F.map_values(as_map)).cast("int").alias("n_props"),
+        F.when(shallow, parsed.getField("k")).alias("prop_k"),
+        F.when(shallow, parsed.getField("k") % 10).alias("prop_k_mod"),
+        F.when(shallow, F.get_json_object("props", "$.missing")).alias("prop_missing"),
+        F.when(
+            shallow, F.array_join(F.array_sort(F.map_keys(as_map)), ",")
+        ).alias("prop_keys"),
+        F.when(shallow, F.size(F.map_values(as_map)).cast("int")).alias("n_props"),
     )
 
 

@@ -891,6 +891,47 @@ def test_q44_garbage_json_matches_oracle(spark, tmp_path):
     _assert_null_variant_parity(spark, "q44_json_battery", sf_dir, con)
 
 
+def test_q44_deep_nested_json_matches_oracle(spark, tmp_path):
+    """Round-9 recursion-limit probe, pinned: Spark's Jackson parser
+    hard-caps JSON nesting at depth 1000 (depth-1001 payloads go NULL in
+    PERMISSIVE mode) while DuckDB's yyjson parses kilodeep payloads —
+    a silent twin split. The declared contract NULLs every JSON column
+    when a payload has more than JSON_MAX_OPENS STRUCTURAL open
+    brackets, on both twins. Planted: depth 999 and exactly 1000
+    (in contract — parse), depth 1001 arrays and a 1200-deep object
+    (out), 1500 brackets INSIDE a string value (in contract — only
+    structural brackets count), and a wide-but-flat 1100-container
+    payload (out by declaration, though both parsers could handle it)."""
+    deep = lambda n: f"'{{\"k\":7,\"deep\":' || REPEAT('[', {n}) || '1' || REPEAT(']', {n}) || '}}'"
+    deep_obj = "'' || REPEAT('{\"a\":', 1200) || '1' || REPEAT('}', 1200)"
+    wide = "'{\"k\":7,\"w\":[' || REPEAT('[1],', 1099) || '[1]]}'"
+    strbr = "'{\"k\":7,\"s\":\"' || REPEAT('[', 1500) || '\"}'"
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        f"SELECT 999120, TIMESTAMP '2024-01-22 10:00:00', 9, 'view', 1.0, {deep(999)} "
+        f"UNION ALL SELECT 999121, TIMESTAMP '2024-01-22 11:00:00', 9, 'view', 1.0, {deep(1000)} "
+        f"UNION ALL SELECT 999122, TIMESTAMP '2024-01-22 12:00:00', 9, 'view', 1.0, {deep(1001)} "
+        f"UNION ALL SELECT 999123, TIMESTAMP '2024-01-22 13:00:00', 9, 'view', 1.0, {deep_obj} "
+        f"UNION ALL SELECT 999124, TIMESTAMP '2024-01-22 14:00:00', 9, 'view', 1.0, {wide} "
+        f"UNION ALL SELECT 999125, TIMESTAMP '2024-01-22 15:00:00', 9, 'view', 1.0, {strbr}",
+    )
+    _assert_null_variant_parity(spark, "q44_json_battery", sf_dir, con)
+    got = {
+        r.event_id: (r.prop_k, r.prop_keys)
+        for r in QUERIES["q44_json_battery"].builder(spark, sf_dir).collect()
+        if r.event_id >= 999120
+    }
+    # deep(999): opens = 1000 = cap, depth 1000 = Jackson's max — parses
+    assert got[999120] == (7, "deep,k")
+    assert got[999121] == (None, None)  # deep(1000): opens 1001 > cap
+    assert got[999122] == (None, None)  # deep(1001): ditto (Jackson fails too)
+    assert got[999123] == (None, None)  # 1200-deep object
+    # wide-flat: 1102 opens but depth 3 — BOTH parsers handle it, the
+    # declared conservative band NULLs it anyway, identically
+    assert got[999124] == (None, None)
+    assert got[999125] == (7, "k,s")  # brackets inside a string: in contract
+
+
 def _multibyte_docs_fixture(tmp_path):
     """Planted multibyte documents (Latin diacritics, Greek, CJK, an
     astral-plane emoji, a ligature) — the corpus shape the byte/char
@@ -965,6 +1006,66 @@ def test_multibyte_text_matches_oracle(spark, tmp_path, qname):
     any input rather than only on the ASCII fixtures."""
     sf_dir, con = _multibyte_docs_fixture(tmp_path)
     _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def test_byte_identical_twin_docs_canonical_selection(spark, tmp_path):
+    """Round-9 probe (b): BYTE-IDENTICAL documents under DISTINCT doc_ids
+    — content, not id, collides — through every canonical-selection
+    path. The tie-breaks must be total and identical on both twins:
+    q89 labels all twins with the min doc_id component (Jaccard 1 pairs
+    close transitively), q102 admits only the min-doc_id twin of a batch
+    fingerprint and drops ALL batch twins of a snapshot fingerprint, and
+    q111 keeps each duplicated chunk at its (min doc_id, min pos) first
+    occurrence. Planted: content A = one snapshot + two batch twins
+    (all batch copies suppressed), content B = three batch twins (min
+    admitted), ids deliberately NOT in insertion order."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    ta = "twinprobe alpha lorem vextil quorat mindel sovern pliats krameth dolzen"
+    tb = "twinprobe beta ulmira fenwick torvald quenson haplor vindex cromley stazen"
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/documents.parquet'
+        UNION ALL SELECT 999033, '{ta}', 'en', 'src20', {len(ta)}
+        UNION ALL SELECT 999031, '{ta}', 'en', 'src21', {len(ta)}
+        UNION ALL SELECT 999032, '{ta}', 'en', 'src3',  {len(ta)}
+        UNION ALL SELECT 999043, '{tb}', 'en', 'src22', {len(tb)}
+        UNION ALL SELECT 999041, '{tb}', 'en', 'src23', {len(tb)}
+        UNION ALL SELECT 999042, '{tb}', 'en', 'src24', {len(tb)})
+        TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    for qname in ("q89_dedup_components", "q102_incremental_dedup", "q111_chunk_dedup"):
+        _assert_null_variant_parity(spark, qname, sf_dir, con)
+    # teeth beyond parity: the selections themselves
+    comp = {
+        r.doc_id: (r.component, r.is_canonical)
+        for r in QUERIES["q89_dedup_components"].builder(spark, sf_dir).collect()
+    }
+    assert comp[999031] == (999031, 1) and comp[999032] == (999031, 0)
+    assert comp[999033] == (999031, 0)
+    assert comp[999041] == (999041, 1) and comp[999043] == (999041, 0)
+    admitted = {
+        r.doc_id
+        for r in QUERIES["q102_incremental_dedup"].builder(spark, sf_dir).collect()
+        if r.doc_id >= 999000
+    }
+    # content A has a snapshot twin (999032, src3): every batch copy drops;
+    # content B is batch-only: exactly the min doc_id survives
+    assert admitted == {999041}, admitted
 
 
 def test_wrong_dim_embeddings_and_duplicate_doc_ids(spark, tmp_path):
