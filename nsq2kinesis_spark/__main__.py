@@ -68,6 +68,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="test mode: create the stream first (boto3) / allow spool sink (env TEST)",
     )
     p.add_argument("--checkpoint-dir", default=_env_default("CHECKPOINT_DIR"))
+    p.add_argument(
+        "--sketch-table",
+        default=_env_default("SKETCH_TABLE"),
+        help="append per-micro-batch hourly HLL distinct-message cells to "
+        "this parquet table as the stream runs (env SKETCH_TABLE; see "
+        "streaming/sketch_maintenance.py — compact periodically with "
+        "compact_sketch_table)",
+    )
     p.add_argument("--epoch-guard-dir", default=None, help="idempotent-replay marker dir")
     p.add_argument("--trigger-interval", default="1 second")
     p.add_argument("--partitioned", action="store_true", help="executor-parallel NSQ reader")
@@ -268,6 +276,7 @@ def main(argv: list[str] | None = None) -> int:
         PipelineConfig(
             checkpoint_dir=args.checkpoint_dir,
             trigger_processing_time=args.trigger_interval,
+            sketch_table=args.sketch_table,
         ),
     )
 

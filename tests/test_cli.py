@@ -202,6 +202,78 @@ def test_cli_end_to_end_sigterm_drain(tmp_path):
         nsqd.stop()
 
 
+def test_cli_sketch_table_flag_end_to_end(spark, tmp_path):
+    """Round-9 stretch (r8 verdict #8): the closed loop exposed at the
+    CLI. ``--sketch-table`` wires PipelineConfig.sketch_table, so a plain
+    ``python -m nsq2kinesis_spark`` run maintains the hourly HLL table AS
+    IT FORWARDS; afterwards the ISO-week distinct-message rollup is
+    answered from the table alone and matches the distinct body count
+    (exact at this cardinality). Delivery is asserted too — maintenance
+    wraps the sink, it must not displace it."""
+    bodies = {f"{i:016d}": f"sk-{i}".encode() for i in range(12)}
+    nsqd = FakeNsqd(list(bodies.items()))
+    nsqd.start()
+    spool = tmp_path / "spool"
+    table = tmp_path / "sketches"
+    log_path = tmp_path / "cli.log"
+    log_fh = open(log_path, "wb")
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "nsq2kinesis_spark",
+            "--topic", "t",
+            "--channel", "c",
+            "--nsqd-tcp-address", nsqd.addr,
+            "--stream", "s",
+            "--spool-dir", str(spool),
+            "--sketch-table", str(table),
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--trigger-interval", "500 milliseconds",
+            "--cpus", "4",
+        ],
+        cwd=REPO_ROOT,
+        stdout=log_fh,
+        stderr=subprocess.STDOUT,
+    )
+    try:
+        from nsq2kinesis_spark.streaming.kinesis_sink import read_spool
+
+        def delivered() -> int:
+            return len(list(read_spool(str(spool)))) if spool.exists() else 0
+
+        def cells() -> int:
+            try:
+                return spark.read.parquet(str(table)).count()
+            except Exception:
+                return 0
+
+        deadline = time.time() + 120
+        while time.time() < deadline and not (delivered() > 0 and cells() > 0):
+            assert proc.poll() is None, log_path.read_text(errors="replace")
+            time.sleep(1)
+        assert delivered() > 0, "sink must still deliver with maintenance on"
+        assert cells() > 0, "sketch table never materialized"
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=60)
+        assert rc == 0, log_path.read_text(errors="replace")
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        log_fh.close()
+        nsqd.stop()
+
+    from nsq2kinesis_spark.streaming.sketch_maintenance import week_rollup
+
+    tbl = spark.read.parquet(str(table))
+    assert set(tbl.columns) == {"day", "hour", "sk"}
+    rollup = week_rollup(tbl).collect()
+    # 12 distinct bodies, all delivered within one run: the rollup from
+    # the table ALONE answers the distinct count (HLL exact at n=12,
+    # replayed epochs idempotent)
+    assert sum(r.approx_distinct for r in rollup) == len(bodies)
+
+
 def test_http_client_path_requires_explicit_region(monkeypatch):
     """boto3-less + real (non-test) endpoint: a silently-defaulted region
     signs a wrong credential scope and 403s mid-stream, so the factory must
