@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import table as t
+from .scalars import JSON_MAX_OPENS, json_structural_opens
 
 # Exact-aggregation idiom: the money columns in the testdata are cents-exact
 # doubles (verified: max |x*100 - round(x*100)| < 1e-8 on every money column)
@@ -446,6 +447,14 @@ def q95_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM events)) AS BIGINT),
            CAST(COUNT(*) AS BIGINT)
     FROM events
+    UNION ALL
+    SELECT 'events_props_parse_contract',
+           CAST(SUM(CASE WHEN LENGTH(s)
+                  - LENGTH(REPLACE(REPLACE(s, '{', ''), '[', '')) > 1000
+                  THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT regexp_replace(props, '"([^"\\\\]|\\\\.)*"', '""', 'g') AS s
+          FROM events)
     """,
     tags=("relational", "quality", "validation"),
 )
@@ -568,6 +577,20 @@ def q123_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.sum("n"), F.lit(0))
                 .cast("long")
                 .alias("n_checked"),
+            )
+        )
+        .unionByName(
+            # the JSON family's parse-contract rule (round 9, from the
+            # deep-nesting probe): q44 declares payloads with more than
+            # JSON_MAX_OPENS structural open brackets out of the parse
+            # contract (Jackson's depth-1000 cap vs yyjson's unbounded
+            # recursion — scalars.py). Like every contract above, the
+            # report is where operators SEE the excluded slice instead of
+            # mistaking contract NULLs for absent keys.
+            rule(
+                "events_props_parse_contract",
+                events,
+                json_structural_opens(F.col("props")) > JSON_MAX_OPENS,
             )
         )
     )

@@ -190,6 +190,15 @@ def q43_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_MAX_OPENS = 1000
 
 
+def json_structural_opens(col):
+    """Count of structural '{'/'[' in a JSON payload: string literals are
+    stripped first (same regex as the DuckDB oracles), so brackets inside
+    values don't count. NULL input → NULL. Shared by q44's parse guard
+    and q123's events_props_parse_contract rule."""
+    stripped = F.regexp_replace(col, r'"([^"\\]|\\.)*"', '""')
+    return F.length(stripped) - F.length(F.translate(stripped, "{[", ""))
+
+
 @query(
     "q44_json_battery",
     oracle=f"""
@@ -271,10 +280,7 @@ def q44_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
     as_map = F.from_json("props", "map<string,string>")
-    stripped = F.regexp_replace("props", r'"([^"\\]|\\.)*"', '""')
-    shallow = (
-        F.length(stripped) - F.length(F.translate(stripped, "{[", ""))
-    ) <= JSON_MAX_OPENS
+    shallow = json_structural_opens(F.col("props")) <= JSON_MAX_OPENS
     return ev.select(
         "event_id",
         F.when(shallow, parsed.getField("k")).alias("prop_k"),

@@ -126,9 +126,11 @@ def load_all_modules() -> None:
 #
 # ROUND-10 ROTATION PLAN (write this order at the start of r10):
 #   a. any query whose code changes in round 9 AFTER its latest driver
-#      row leads (rule 1). Ledger as of round-9 close: (none — the only
-#      query-path change this round, q89's O(log n) contraction, landed
-#      at prefix slot 28 and is covered by its fresh r9 row);
+#      row leads (rule 1). Ledger as of round-9 close: q123 (fresh r8
+#      row; gained the events_props_parse_contract DQ rule — the
+#      round-9 deep-JSON probe — after that row). q89's O(log n)
+#      contraction, q44's nesting guard and q118's oracle remap all
+#      landed INSIDE the r9 prefix and are covered by fresh r9 rows;
 #   b. the 22 post-boundary r7-row queries (q99, q100, q102, q104,
 #      q108, q77, q78, q20-q29, q40-q43, q45) — their rows turn 3
 #      rounds old at r10, the rule-2 ceiling, so they MUST take prefix

@@ -930,6 +930,17 @@ def test_q44_deep_nested_json_matches_oracle(spark, tmp_path):
     # declared conservative band NULLs it anyway, identically
     assert got[999124] == (None, None)
     assert got[999125] == (7, "k,s")  # brackets inside a string: in contract
+    # and the DQ report SEES the excluded slice (events_props_parse_contract):
+    # 999121/999122/999123/999124 are the four out-of-contract payloads
+    # (the shared fixture registers only the events view — q123 reads more)
+    for name in "region nation customer supplier part orders lineitem documents embeddings".split():
+        con.execute(f"CREATE VIEW IF NOT EXISTS {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    _assert_null_variant_parity(spark, "q123_dq_report", sf_dir, con)
+    dq = {
+        r.rule: r.n_violations
+        for r in QUERIES["q123_dq_report"].builder(spark, sf_dir).collect()
+    }
+    assert dq["events_props_parse_contract"] == 4
 
 
 def _multibyte_docs_fixture(tmp_path):
