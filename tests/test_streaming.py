@@ -1727,7 +1727,62 @@ def test_sketch_maintenance_survives_checkpoint_restart(spark, tmp_path):
     assert maintained == rollup_map(week_rollup(rebuild))
 
 
-def test_sketch_table_compaction_bounds_files_and_preserves_rollups(
+def test_watermark_dedup_state_bounded_by_window_not_feed(spark, tmp_path):
+    """The reference-inherited bounded-state claim (two-generation map,
+    deduper.go:17-47 analog) as a deterministic CI invariant, distilled
+    from the round-9 streaming ladder (tools/streaming_ladder.py): at
+    CONSTANT micro-batch size, doubling the feed must NOT grow peak
+    dedup state — state is bounded by the 4-minute event-time watermark
+    window (+ one batch of inserts), never by history. Deterministic:
+    fixed file split, maxFilesPerTrigger=1, watermark advancement is a
+    pure function of the previous batch's max ts."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.streaming.pipeline import dedup_transform
+
+    BATCH_ROWS = 12_500  # 37.5 s of event time per batch at 3 ms/row
+
+    def peak_state(n: int) -> int:
+        src = str(tmp_path / f"feed{n}")
+        files = n // BATCH_ROWS
+        spark.range(n).select(
+            F.col("id").cast("string").alias("message_id"),
+            F.encode(
+                F.concat(F.lit("b-"), F.floor(F.col("id") / 2).cast("string")),
+                "UTF-8",
+            ).alias("body"),
+            F.timestamp_millis(F.col("id") * 3).alias("ts"),
+        ).repartitionByRange(files, "id").write.parquet(src)
+        stream = (
+            spark.readStream.schema("message_id string, body binary, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            dedup_transform(stream, streaming=True)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / f"ckpt{n}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return max(
+            op["numRowsTotal"]
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+
+    small = peak_state(200_000)  # 600 s span ≫ the 240 s window
+    large = peak_state(400_000)  # 2x history, same batch size
+    # window bound ≈ 240 s / 3 ms = 80k ids = 40k keys, + one batch's
+    # inserts + eviction granularity; the INVARIANT is flatness
+    assert small > 0
+    assert large <= small * 1.25, (
+        f"peak state grew with history ({small} -> {large}): "
+        "watermark eviction is not bounding the state"
+    )
     spark, tmp_path
 ):
     """The maintenance pass that closes the streaming table's artifact
