@@ -1783,6 +1783,9 @@ def test_watermark_dedup_state_bounded_by_window_not_feed(spark, tmp_path):
         f"peak state grew with history ({small} -> {large}): "
         "watermark eviction is not bounding the state"
     )
+
+
+def test_sketch_table_compaction_bounds_files_and_preserves_rollups(
     spark, tmp_path
 ):
     """The maintenance pass that closes the streaming table's artifact
