@@ -675,11 +675,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("mn"))
         .select("u", F.least("mn", F.col("u")).alias("m"))
     )
+    # no .distinct() here: small-star (always applied next) is
+    # duplicate-insensitive — its groupBy-min ignores edge multiplicity and
+    # its own final distinct restores set semantics — so deduplicating
+    # would spend one extra shuffle per round purely on tidiness; the
+    # duplicate inflation is bounded by the pre-star degree sum
     return (
         sym.filter(F.col("v") > F.col("u"))
         .join(m, "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
