@@ -949,14 +949,30 @@ def _events_memo_key(sf_dir: str) -> tuple:
     import os
 
     roots = []
+    sig_parts = []
     for ext in ("parquet", "orc", "jsonl", "csv"):
         root = os.path.join(sf_dir, f"events.{ext}")
         try:
             st = os.stat(root)
         except (FileNotFoundError, NotADirectoryError):
             continue
-        roots.append((f"events.{ext}", st.st_size, st.st_mtime_ns, os.path.isdir(root)))
-    root_sig = tuple(roots)
+        is_dir = os.path.isdir(root)
+        roots.append((f"events.{ext}", st.st_size, st.st_mtime_ns, is_dir))
+        sig_parts.append(roots[-1])
+        if is_dir:
+            # a rename inside a PARTITION subdir (events.parquet/day=X/…)
+            # touches that subdir's mtime, not the root's — include the
+            # first-level dir stats so single-level-partitioned rewrites
+            # invalidate cheaply too (O(#partitions) stats, not O(files))
+            try:
+                with os.scandir(root) as it:
+                    for de in it:
+                        if de.is_dir(follow_symlinks=False):
+                            sub = de.stat()
+                            sig_parts.append((de.name, sub.st_mtime_ns))
+            except (FileNotFoundError, NotADirectoryError):
+                pass
+    root_sig = tuple(sorted(sig_parts, key=str))
     cached = _FP_CACHE.get(sf_dir)
     if cached is not None and cached[0] == root_sig:
         return (sf_dir, cached[1])

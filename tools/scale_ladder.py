@@ -75,6 +75,10 @@ HEAVY = [
     "q111_chunk_dedup",
     "q80_cosine_topk",
     "q82_ann_ivf",
+    # round 9: the star-contraction components (replicas keep cluster
+    # shapes identical per universe, so the round count stays constant
+    # and the expected growth is the pair volume's — linear)
+    "q89_dedup_components",
 ]
 POSTINGS_READERS = {"q75_neardup_jaccard"}
 
