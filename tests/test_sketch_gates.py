@@ -977,7 +977,14 @@ def _multibyte_docs_fixture(tmp_path):
         f"""COPY (SELECT * FROM '{src}/documents.parquet'
         UNION ALL SELECT 999011, '{t1}', 'el', 'src1', {len(t1)}
         UNION ALL SELECT 999012, '{t2}', 'en', 'src2', {len(t2)}
-        UNION ALL SELECT 999013, '{t3}', 'en', 'src3', {len(t3)})
+        UNION ALL SELECT 999013, '{t3}', 'en', 'src3', {len(t3)}
+        -- round-9 NUL-byte probe (clean class): both engines are
+        -- binary-safe (length/split/md5/upper agree with NUL embedded
+        -- mid-token and as a bare token); pinned so a C-string-truncating
+        -- regression in either engine surfaces
+        UNION ALL SELECT 999014,
+          'nul' || CHR(0) || 'byte token ' || CHR(0) || ' end',
+          'en', 'src4', 20)
         TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)"""
     )
     for name in (
