@@ -1527,6 +1527,47 @@ def test_exact_boundary_microsecond_ts_matches_oracle(spark, tmp_path, qname):
     _assert_null_variant_parity(spark, qname, sf_dir, con)
 
 
+@_pytest_mod.mark.parametrize(
+    "qname",
+    [
+        "q61_tumbling_window",
+        "q62_sliding_window",
+        "q63_session_window",
+        "q66_time_rollup",
+        "q129_growth_curve",
+    ],
+)
+def test_extreme_and_pregregorian_ts_matches_oracle(spark, tmp_path, qname):
+    """Round-9 probe, CLEAN class pinned: pre-Gregorian-cutover
+    timestamps (1582-10-04, and 1582-10-10 — a date that never existed
+    under the historical Julian→Gregorian switch), year 0001, year 9999,
+    and the 1899/1900 boundary, written to parquet by DuckDB and read by
+    Spark. Both engines are proleptic Gregorian and the parquet int64
+    micros carry no Spark legacy-rebase metadata, so to_date / hour /
+    date_trunc('week') / year agree exactly (probed across all five
+    before pinning). Each extreme row belongs to its own fresh user so
+    no per-user day-range operator (gap fill) spans millennia.
+
+    Domain-edge finding (documented, not planted): rows within ONE
+    WINDOW-WIDTH of the timestamp domain edges (0001-01-01 /
+    9999-12-31) produce window/session bounds OUTSIDE the domain —
+    Spark computes them fine internally, but PySpark's collect()
+    converts to datetime.datetime (MINYEAR/MAXYEAR 1..9999) and raises
+    'year 0 is out of range'. The fixture therefore sits the extremes
+    one day inside each edge; the first/last representable day is out
+    of the windowed operators' client-visible contract."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999401, TIMESTAMP '1582-10-04 12:00:00', 888401, 'view', 1.0, '{}' "
+        "UNION ALL SELECT 999402, TIMESTAMP '1582-10-10 12:00:00', 888402, 'view', 2.0, '{}' "
+        "UNION ALL SELECT 999403, TIMESTAMP '0001-01-02 12:00:00', 888403, 'purchase', 3.0, '{}' "
+        "UNION ALL SELECT 999404, TIMESTAMP '9999-12-30 12:00:00.000001', 888404, 'view', 4.0, '{}' "
+        "UNION ALL SELECT 999405, TIMESTAMP '1899-12-31 23:59:59', 888405, 'purchase', 5.0, '{}' "
+        "UNION ALL SELECT 999406, TIMESTAMP '1900-01-01 00:00:00', 888406, 'view', 6.0, '{}'",
+    )
+    _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
 def _weird_string_docs_fixture(tmp_path):
     """Round-8 probe fixture: whitespace-only and control-character source
     ids / langs / text through the policy-key (TRY_CAST src-suffix),
