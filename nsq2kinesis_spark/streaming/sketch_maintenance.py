@@ -112,9 +112,15 @@ def compact_sketch_table(
     answered (the test asserts week-rollup equality, not closeness).
 
     The rewrite lands in a sibling temp dir first, then swaps via two
-    renames (live → trash, new → live). Parquet readers that raced the
-    swap retry from the new listing; the swap window carries no partial
-    table. repartitionByRange(day, hour) keeps per-file (day, hour) ranges
+    renames (live → trash, new → live). No reader can ever see a PARTIAL
+    table (each rename is atomic), but between the two renames there is
+    a sub-millisecond window where the path is ABSENT — a reader landing
+    exactly there gets path-not-found and must retry, the same contract
+    as any rename-swap maintenance job. POSIX has no atomic
+    directory exchange (renameat2 RENAME_EXCHANGE exists on Linux but
+    is not exposed by os.rename); a deployment that cannot tolerate the
+    retry runs this pass through a transactional table format instead.
+    repartitionByRange(day, hour) keeps per-file (day, hour) ranges
     disjoint so footer pruning serves point lookups post-compaction, same
     as the batch pass.
 
