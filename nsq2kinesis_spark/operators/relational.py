@@ -29,6 +29,15 @@ from .scalars import JSON_MAX_OPENS, json_structural_opens
 # order-independent). Summation order then cannot change the result, so Spark
 # and the DuckDB oracle agree bit-for-bit with no rounding roulette. This is
 # also the faster plan: long-sum beats decimal-sum in codegen.
+#
+# Declared overflow envelope (round-9 probe): a BIGINT-cents SUM holds
+# ±9.2e18 cents ≈ 10^17 dollars — three orders of magnitude past world
+# GDP, so no real ledger approaches it. Past the envelope the twins
+# split by design: Spark-ANSI raises ARITHMETIC_OVERFLOW (probed) while
+# DuckDB silently promotes SUM(BIGINT) to HUGEINT. Loud failure on
+# impossible data is the behavior we want; a corpus that legitimately
+# needs wider sums switches money_sum to decimal(38,2) (slower codegen)
+# rather than relying on either engine's overflow personality.
 
 
 def cents(col):
