@@ -541,7 +541,16 @@ def q118_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEVENSHTEIN — byte distance of the remapped strings equals codepoint
     distance exactly (the map is injective per pair; a name pair has far
     fewer than 127 distinct codepoints). Pinned by the multibyte
-    near-pair fixture in tests/test_sketch_gates.py."""
+    near-pair fixture in tests/test_sketch_gates.py.
+
+    Oracle-domain bound (not an engine bound): the remap needs the
+    PAIR's combined alphabet to fit in chr(1..127) — past 127 distinct
+    codepoints chr() emits multibyte UTF-8 and the remap degrades to
+    byte distance again. The ENGINE computes codepoint distance for any
+    input; only the DuckDB verification twin is domain-limited, and a
+    within-threshold pair (edit distance <= 1) of >127-distinct-codepoint
+    names means two ~128-codepoint-alphabet strings one edit apart —
+    outside any name column this linkage targets."""
     name = F.col("c_name")
     deletions = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(name), F.lit(1))),
