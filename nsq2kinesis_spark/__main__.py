@@ -74,7 +74,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="append per-micro-batch hourly HLL distinct-message cells to "
         "this parquet table as the stream runs (env SKETCH_TABLE; see "
         "streaming/sketch_maintenance.py — compact periodically with "
-        "compact_sketch_table)",
+        "--compact-sketch-table)",
+    )
+    p.add_argument(
+        "--compact-sketch-table",
+        metavar="PATH",
+        default=None,
+        help="maintenance mode: re-merge the sketch table's cells per "
+        "(day, hour) at a bounded file count (absorbs replay-duplicate "
+        "cells, estimate-exact by HLL union algebra), print the stats "
+        "and exit — no topic/stream/checkpoint needed",
+    )
+    p.add_argument(
+        "--compact-target-files",
+        type=int,
+        default=1,
+        help="file-count target for --compact-sketch-table",
     )
     p.add_argument("--epoch-guard-dir", default=None, help="idempotent-replay marker dir")
     p.add_argument("--trigger-interval", default="1 second")
@@ -226,6 +241,23 @@ def main(argv: list[str] | None = None) -> int:
     args = build_arg_parser().parse_args(argv)
     if args.version:
         print(f"nsq2kinesis_spark {__version__}")
+        return 0
+    if args.compact_sketch_table:
+        # maintenance mode: one batch job, no streaming wiring — mirrors
+        # how an operator runs the pass on a cron beside the forwarder
+        import json as _json
+
+        from .session import get_spark
+        from .streaming.sketch_maintenance import compact_sketch_table
+
+        spark = get_spark(app_name="nsq2kinesis_sketch_compact", cpus=args.cpus)
+        try:
+            stats = compact_sketch_table(
+                spark, args.compact_sketch_table, args.compact_target_files
+            )
+        finally:
+            spark.stop()
+        print(_json.dumps({"compacted": args.compact_sketch_table, **stats}))
         return 0
     if not args.topic or not args.stream:
         # reference main.go:55-58: both are mandatory

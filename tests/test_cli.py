@@ -273,6 +273,22 @@ def test_cli_sketch_table_flag_end_to_end(spark, tmp_path):
     # replayed epochs idempotent)
     assert sum(r.approx_distinct for r in rollup) == len(bodies)
 
+    # ...and the maintenance subcommand compacts the table from the same
+    # CLI, exits 0, prints stats JSON, and leaves the rollup untouched
+    import json as _json
+
+    out = subprocess.run(
+        [sys.executable, "-m", "nsq2kinesis_spark",
+         "--compact-sketch-table", str(table), "--cpus", "4"],
+        cwd=REPO_ROOT, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["files_after"] <= 1
+    assert stats["cells_after"] <= stats["cells_before"]
+    after = week_rollup(spark.read.parquet(str(table))).collect()
+    assert sum(r.approx_distinct for r in after) == len(bodies)
+
 
 def test_http_client_path_requires_explicit_region(monkeypatch):
     """boto3-less + real (non-test) endpoint: a silently-defaulted region
