@@ -1568,6 +1568,40 @@ def test_extreme_and_pregregorian_ts_matches_oracle(spark, tmp_path, qname):
     _assert_null_variant_parity(spark, qname, sf_dir, con)
 
 
+@_pytest_mod.mark.parametrize(
+    "qname",
+    [
+        "q121_ab_test",  # user_id % 2 variant split — the direct % class
+        "q106_user_similarity",  # pmod(xxhash64(user_id), B) salting
+        "q103_gaps_islands",  # per-user window partitioning
+        "q60_dedup_exact",  # keyed dedup on raw ids
+    ],
+)
+def test_negative_and_min_bigint_ids_match_oracle(spark, tmp_path, qname):
+    """Round-9 probe, CLEAN class pinned: NEGATIVE ids down to
+    BIGINT MIN through the %-variant split, hash salting, window
+    partitioning and keyed dedup. The hazard probed for: Java/DuckDB %
+    is sign-preserving (-7 % 2 = -1) while Python's is floor-based
+    (-7 % 2 = 1) — a driver-side % leaking into bucketing would split
+    the twins, and ABS(BIGINT MIN) would raise under ANSI. Neither path
+    exists: divisibility tests are sign-agnostic, true bucketing uses
+    pmod(xxhash64(...)), and no id passes through abs(). Both engines'
+    own % semantics agree (C-style), so even the signed-shard case is
+    twin-consistent."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999501, TIMESTAMP '2024-01-18 10:00:00', -1, 'view', 1.0, '{}' "
+        "UNION ALL SELECT 999502, TIMESTAMP '2024-01-18 10:05:00', -1, 'purchase', 2.0, '{}' "
+        "UNION ALL SELECT 999503, TIMESTAMP '2024-01-18 11:00:00', "
+        "-9223372036854775808, 'view', 3.0, '{}' "
+        "UNION ALL SELECT 999504, TIMESTAMP '2024-01-18 11:30:00', "
+        "-9223372036854775808, 'view', 4.0, '{}' "
+        "UNION ALL SELECT -999505, TIMESTAMP '2024-01-18 12:00:00', "
+        "-7, 'purchase', 5.0, '{}'",
+    )
+    _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
 def _weird_string_docs_fixture(tmp_path):
     """Round-8 probe fixture: whitespace-only and control-character source
     ids / langs / text through the policy-key (TRY_CAST src-suffix),
