@@ -136,11 +136,24 @@ def compact_sketch_table(
         .sortWithinPartitions("day", "hour")
     )
     staging = f"{table_path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
-    merged.write.parquet(staging)
-    cells_after = spark.read.parquet(staging).count()
+    try:
+        merged.write.parquet(staging)
+        cells_after = spark.read.parquet(staging).count()
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)  # no staging-dir leak
+        raise
     trash = f"{table_path.rstrip('/')}._trash_{uuid.uuid4().hex[:8]}"
     os.rename(table_path, trash)
-    os.rename(staging, table_path)
+    try:
+        os.rename(staging, table_path)
+    except BaseException:
+        # the one state with NO live table is between these two renames;
+        # if promoting the staging dir fails (permissions, racing
+        # creation of table_path), roll the original back rather than
+        # leaving the table absent
+        os.rename(trash, table_path)
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     shutil.rmtree(trash)
     files_after = [
         f
