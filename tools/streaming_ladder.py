@@ -193,10 +193,24 @@ def main() -> None:
     ap.add_argument("--rungs", default="200000,400000,800000,1600000")
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--skip-stateful", action="store_true")
+    ap.add_argument(
+        "--state-provider",
+        choices=["default", "rocksdb"],
+        default="default",
+        help="state store for the watermark/stateful paths — 'rocksdb' is "
+        "the production spill-to-disk config (round-9 A/B at 400k: "
+        "~9-14%% slower than the on-heap default, identical state rows)",
+    )
     args = ap.parse_args()
     rungs = [int(x) for x in args.rungs.split(",")]
 
     spark = get_spark(app_name="nsq2kinesis_streaming_ladder")
+    if args.state_provider == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     root = tempfile.mkdtemp(prefix="nsq2k_streaming_ladder_")
     results = []
 
