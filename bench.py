@@ -45,6 +45,15 @@ its own line item ("shared_shingle_postings", counted once in the total)
 and the cache clear is skipped before exactly q75/q76 so they read the
 artifact they declared shared. Nothing else is exempt.
 
+Round-10 addition: a PARALLEL host anchor ("spark_anchor_sec") — a fixed
+fully-parallel JVM workload timed in the same warm session right before
+the headline passes. The single-thread kpl_pack anchor calibrates CPU
+speed but is blind to 32-thread contention (rounds 8/9 both drifted ±13%
+raw at a flat kpl anchor, in opposite directions);
+"headline_spark_anchor_normalized_sec" rescales the headline total by
+the parallel anchor so cross-round deltas in that number are engine
+deltas. Series reference epoch = round 10 (SPARK_ANCHOR_BASE_SEC).
+
 Round-6 addition: an EXTENDED section ("extended" / "extended_total_sec"
 keys) times the heavy round-4/5 algorithmic operators — q133 PPJoin
 prefix filtering, q106 triangle-salted behavioral similarity, q118
@@ -72,6 +81,21 @@ from nsq2kinesis_spark.session import get_spark
 # anchor-normalized headline is total × (this round's anchor / this
 # constant) — "what would this round's total read on the r1 box".
 R1_KPL_PACK_ANCHOR = 208_569
+
+# Round-10 PARALLEL anchor base (builder box, quiet window, min-of-3).
+# The kpl_pack anchor is single-thread pure Python, so it is blind to
+# 32-thread contention — rounds 8 and 9 both saw ±13% raw headline drift
+# at a flat kpl anchor, in OPPOSITE directions, and the delta had to be
+# adjudicated by narrative. spark_anchor_sec times a FIXED fully-parallel
+# JVM workload (64-partition range → hash shuffle on 9973 keys → 3
+# aggregates → noop sink, zero I/O, zero Python) in the same session
+# immediately after warmup, so it sees exactly the contention the
+# headline queries see. Normalized headline = total × (this constant /
+# this round's anchor): a contended box (anchor above base) has its raw
+# total deflated to base-box-equivalent. Round 10 is the reference epoch
+# for this series; compare headline_spark_anchor_normalized_sec across
+# rounds ≥ 10.
+SPARK_ANCHOR_BASE_SEC = 1.443  # builder box, 2026-08-15, min over 6 runs
 
 HEADLINE = [
     "q01_pricing_summary",  # scan→filter→agg→(8 aggregates)
@@ -147,6 +171,10 @@ def main() -> None:
     for name in HEADLINE + EXTENDED:
         run(name)
 
+    # parallel host anchor, timed in the SAME warm session immediately
+    # before the headline passes so it samples the same contention regime
+    sanchor = spark_anchor_sec(spark)
+
     timings = timed_passes(HEADLINE)
     # extended section AFTER the headline passes so its heavier heap
     # pressure can't bleed into the comparable series
@@ -172,6 +200,16 @@ def main() -> None:
         "anchor_ratio_vs_r1": round(kpl_anchor / R1_KPL_PACK_ANCHOR, 4),
         "headline_anchor_normalized_sec": round(
             total * kpl_anchor / R1_KPL_PACK_ANCHOR, 3
+        ),
+        # Parallel-contention calibration (round-10, per the r9 verdict):
+        # spark_anchor_sec is a fixed 32-thread JVM workload timed in this
+        # same session; the normalized headline rescales the total to the
+        # round-10 reference box, so cross-round deltas in THIS number are
+        # engine deltas, not tenancy. Series starts at r10.
+        "spark_anchor_sec": sanchor,
+        "spark_anchor_ratio_vs_base": round(SPARK_ANCHOR_BASE_SEC / sanchor, 4),
+        "headline_spark_anchor_normalized_sec": round(
+            total * SPARK_ANCHOR_BASE_SEC / sanchor, 3
         ),
         "forward_path_recs_per_s": forward_path_throughput(spark),
         "watermark_dedup_recs_per_s": watermark_dedup_throughput(spark),
@@ -408,6 +446,40 @@ def stateful_dedup_throughput(spark, n: int = 200_000) -> int:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return int(best)
+
+
+def spark_anchor_sec(spark) -> float:
+    """Fixed parallel JVM anchor workload (round-10, per the r9 verdict):
+    a 48M-row 64-partition range, two integer expressions, a hash shuffle
+    onto 9,973 keys, three aggregates, noop sink. Identical plan every
+    round and every box; no I/O, no Python in the hot path, saturates all
+    local[32] threads — so its timing moves with exactly the co-tenancy /
+    contention the headline queries experience and the single-thread
+    kpl_pack anchor cannot see. One warm run, then min-of-3."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 48_000_000, 1, 64).select(
+        (F.col("id") % 9973).alias("k"),
+        F.pmod(F.col("id") * F.lit(2654435761), F.lit(1 << 31)).alias("v"),
+    )
+
+    def once() -> float:
+        start = time.perf_counter()
+        (
+            df.groupBy("k")
+            .agg(
+                F.sum("v").alias("s"),
+                F.count(F.lit(1)).alias("c"),
+                F.avg("v").alias("a"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - start
+
+    once()  # warm: JIT + codegen for this exact plan
+    return round(min(once() for _ in range(3)), 3)
 
 
 def kpl_pack_throughput(n_records: int = 1000, body_bytes: int = 1000) -> int:

@@ -960,18 +960,23 @@ def _events_memo_key(sf_dir: str) -> tuple:
         roots.append((f"events.{ext}", st.st_size, st.st_mtime_ns, is_dir))
         sig_parts.append(roots[-1])
         if is_dir:
-            # a rename inside a PARTITION subdir (events.parquet/day=X/…)
-            # touches that subdir's mtime, not the root's — include the
-            # first-level dir stats so single-level-partitioned rewrites
-            # invalidate cheaply too (O(#partitions) stats, not O(files))
-            try:
-                with os.scandir(root) as it:
-                    for de in it:
-                        if de.is_dir(follow_symlinks=False):
-                            sub = de.stat()
-                            sig_parts.append((de.name, sub.st_mtime_ns))
-            except (FileNotFoundError, NotADirectoryError):
-                pass
+            # a rename inside a PARTITION subdir (events.parquet/day=X/
+            # hour=Y/…) touches only the INNERMOST dir's mtime, not its
+            # ancestors' — include every directory's stat at EVERY depth
+            # so multi-level-partitioned rewrites invalidate cheaply too.
+            # O(#dirs) stats, still far below the O(#files) full walk;
+            # a dir vanishing mid-walk (concurrent compaction) is simply
+            # absent from the signature, which itself changes the key.
+            for dirpath, dirs, _files in os.walk(root):
+                for d in dirs:
+                    try:
+                        sub = os.stat(os.path.join(dirpath, d))
+                    except (FileNotFoundError, NotADirectoryError):
+                        continue
+                    sig_parts.append(
+                        (os.path.relpath(os.path.join(dirpath, d), sf_dir),
+                         sub.st_mtime_ns)
+                    )
     root_sig = tuple(sorted(sig_parts, key=str))
     cached = _FP_CACHE.get(sf_dir)
     if cached is not None and cached[0] == root_sig:

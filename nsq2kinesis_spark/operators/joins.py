@@ -487,12 +487,17 @@ FUZZY_MAX_DIST = 1  # Levenshtein threshold for a match
     -- distance of the remapped strings IS codepoint distance.
     scored AS (
       SELECT custkey_a, custkey_b, name_a, name_b,
+             CASE WHEN LEN(alpha) > 127 THEN CAST(ERROR(
+               'q118 oracle domain violation: candidate-pair alphabet '
+               || 'exceeds 127 distinct codepoints - the ASCII remap '
+               || 'would silently degrade to byte distance') AS INTEGER)
+             ELSE
              CAST(LEVENSHTEIN(
                list_aggregate(list_transform(string_split(name_a, ''),
                  c -> chr(list_position(alpha, c))), 'string_agg', ''),
                list_aggregate(list_transform(string_split(name_b, ''),
                  c -> chr(list_position(alpha, c))), 'string_agg', '')
-             ) AS INTEGER) AS dist
+             ) AS INTEGER) END AS dist
       FROM (SELECT *, list_sort(list_distinct(
               string_split(name_a || name_b, ''))) AS alpha
             FROM cand)
@@ -550,7 +555,10 @@ def q118_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     input; only the DuckDB verification twin is domain-limited, and a
     within-threshold pair (edit distance <= 1) of >127-distinct-codepoint
     names means two ~128-codepoint-alphabet strings one edit apart —
-    outside any name column this linkage targets."""
+    outside any name column this linkage targets. The bound is LOUD
+    (round-10): the scored CTE raises via DuckDB ERROR() on any pair
+    whose alphabet exceeds 127 codepoints, so a domain violation fails
+    the parity run instead of silently verifying byte distance."""
     name = F.col("c_name")
     deletions = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(name), F.lit(1))),

@@ -752,14 +752,21 @@ def min_label_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         .distinct()
         .localCheckpoint(eager=True)
     )
-    converged = cur.isEmpty()  # edgeless graph: all singletons, no rounds
+    cur_n = cur.count()
+    converged = cur_n == 0  # edgeless graph: all singletons, no rounds
     for _ in range(max_iters):
         if converged:
             break
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        same = nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty()
+        # single driver action per round: localCheckpoint(eager) already
+        # materialized nxt, so count() is a metadata-cheap job; the
+        # exceptAll set-equality probe (the second action) runs ONLY on
+        # rounds where the cardinality is unchanged — at most the final
+        # round plus rare same-size non-fixpoints
+        nxt_n = nxt.count()
+        same = nxt_n == cur_n and nxt.exceptAll(cur).isEmpty()
         cur.unpersist()
-        cur = nxt
+        cur, cur_n = nxt, nxt_n
         if same:
             converged = True
     if not converged:

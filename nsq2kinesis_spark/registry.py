@@ -98,108 +98,54 @@ def load_all_modules() -> None:
 # 121 value-oracled queries / 3 rounds ~= 40 <= remaining slots + head.
 # tests/test_contract.py pins the schedule.
 #
-# ROUND-9 ORDER (this round — executes the plan written at the end of r8):
-#   1. rule 1 (code changed since the last driver row) leads — the r8
-#      ledger: q81, q82 (r7 rows; the round-8 scale-adaptive IVF centroid
-#      step — nlist ~ sqrt(n) past the 101 floor, similarity.ivf_centroids
-#      — changed their code+oracles outside the r8 prefix), PLUS q118
-#      (fresh r8 row, but its oracle changed THIS round — the
-#      codepoint-vs-byte LEVENSHTEIN fix — so its row predates its
-#      oracle and rule 1 re-applies). 3 queries.
-#   2. rule 2 ceiling: the post-boundary r6-row block — rows turn 3
-#      rounds old at r9, so ALL 21 must take prefix slots: q130, q133,
-#      q134, q135, q136, q139, q31, q32, q50-q54, q61, q62, q70, q73,
-#      q74, q91, q92, q93.
-#   3. the remaining 27 slots refresh the oldest r7-row queries in their
-#      listed order: q140, q126, q138, q75, q132, q89 (whose round-9
-#      large-star/small-star upgrade is therefore covered by a fresh
-#      row), q44, q63, q88, q80, q111, q18, q19, q30, q33, q64, q65,
-#      q71, q72, q79, q84, q86, q94, q95, q96, q97 (q99 yields its
-#      slot to q118 and fronts the post-boundary tail instead).
+# ROUND-10 ORDER (this round — executes the plan written at the end of r9,
+# amended for this round's own rule-1 entries):
+#   1. rule 1 (code changed since the last driver row) leads: q123 (fresh
+#      r8 row; gained the events_props_parse_contract DQ rule — the
+#      round-9 deep-JSON probe — after that row), PLUS the two round-10
+#      same-round changes: q118 (oracle's >127-codepoint remap bound is
+#      now LOUD via ERROR() — ADVICE r9 low) and q89 (convergence probe
+#      reduced to one driver action per round — r9 verdict nit #2).
+#      Both land INSIDE this prefix so their fresh r10 rows cover them.
+#   2. rule 2 ceiling: the post-boundary r7-row block — rows turn 3
+#      rounds old at r10, so ALL 22 must take prefix slots: q99, q100,
+#      q102, q104, q108, q77, q78, q20-q29, q40-q43, q45.
+#   3. the remaining 25 slots refresh the oldest r8-row queries in their
+#      listed order: q90, q98, q131, q85, q115, q124, q11, q12, q46,
+#      q66, q01-q10, q13, q14, q15, q17, q83 (q123 already leads under
+#      rule 1).
 #   ---- 50-query prefix boundary ----
-#   4. the rest of the r7-row block (q99, q100, q102, q104, q108, q77,
-#      q78, q20-q29, q40-q43, q45 — 22 queries) ages to r10 under rule 2,
-#      backed by this round's green 3-SF parity sweep; they lead the
-#      post-boundary tail so they front the r10 prefix;
-#   5. the 50 queries with fresh r8 rows, in their r8 order;
+#   4. the rest of the r8-row block (q87, q110, q112, q113, q106, q34,
+#      q35, q60, q101, q103, q105, q107, q109, q114, q117, q119-q122,
+#      q125, q127-q129 — 23 queries) ages to r11 under rule 2, backed by
+#      this round's green 3-SF parity sweep; they lead the post-boundary
+#      tail so they front the r11 prefix;
+#   5. the queries with fresh r9 rows, in their r9 order (less q118/q89,
+#      promoted to rule 1 above);
 #   6. permanent tail (rule 3): q16, q76, q116, q137, q141, q142.
 #
-# ROUND-10 ROTATION PLAN (write this order at the start of r10):
-#   a. any query whose code changes in round 9 AFTER its latest driver
-#      row leads (rule 1). Ledger as of round-9 close: q123 (fresh r8
-#      row; gained the events_props_parse_contract DQ rule — the
-#      round-9 deep-JSON probe — after that row). q89's O(log n)
-#      contraction, q44's nesting guard and q118's oracle remap all
-#      landed INSIDE the r9 prefix and are covered by fresh r9 rows;
-#   b. the 22 post-boundary r7-row queries (q99, q100, q102, q104,
-#      q108, q77, q78, q20-q29, q40-q43, q45) — their rows turn 3
-#      rounds old at r10, the rule-2 ceiling, so they MUST take prefix
+# ROUND-11 ROTATION PLAN (write this order at the start of r11):
+#   a. any query whose code changes in round 10 AFTER its latest driver
+#      row leads (rule 1). Ledger as of round-10 close: (maintained in
+#      NOTES_r10.md — add entries for any post-prefix-boundary change);
+#   b. the 23 post-boundary r8-row queries (q87, q110, q112, q113, q106,
+#      q34, q35, q60, q101, q103, q105, q107, q109, q114, q117, q119,
+#      q120, q121, q122, q125, q127, q128, q129) — their rows turn 3
+#      rounds old at r11, the rule-2 ceiling, so they MUST take prefix
 #      slots;
-#   c. remaining slots refresh the oldest r8-row queries in their
-#      listed order (q90, q98, q131, q85, q115, q124, q123, q11, q12,
-#      q46, q66, q01-q10, q13-q15, q17, q83, q87, q118, ...); the rest
-#      of the r8 block may age to r11 under rule 2 provided the 3-SF
-#      parity sweep runs green in r10.
+#   c. remaining slots refresh the oldest r9-row queries in their listed
+#      order (q81, q82, q130, q133, q134, q135, q136, q139, q31, q32,
+#      q50-q54, q61, q62, q70, q73, q74, q91-q93, q140, q126, ...); the
+#      rest of the r9 block may age to r12 under rule 2 provided the
+#      3-SF parity sweep runs green in r11.
 VERIFY_ORDER: tuple[str, ...] = (
-    # -- rule 1: code changed since the last driver row (the r8 ledger) --
-    "q81_cosine_neardup",
-    "q82_ann_ivf",
+    # -- rule 1: code changed since the last driver row --
+    "q123_dq_report",
     "q118_fuzzy_match",
-    # -- rule 2 ceiling: r6-row untouched queries — rows turn 3 rounds
-    # -- old this round, so they take prefix slots now --
-    "q130_rag_chunker",
-    "q133_ppjoin",
-    "q134_scd2_resolve",
-    "q135_daily_mad",
-    "q136_interpolate",
-    "q139_conversion_latency",
-    "q31_window_analytic",
-    "q32_window_frames",
-    "q50_pandas_udf_tokenize",
-    "q51_apply_in_pandas_median",
-    "q52_udtf_bigrams",
-    "q53_python_udf_crc",
-    "q54_multimodal_decode",
-    "q61_tumbling_window",
-    "q62_sliding_window",
-    "q70_text_stats",
-    "q73_token_count_bpe",
-    "q74_multimodal_meta",
-    "q91_frame_sample",
-    "q92_media_features",
-    "q93_media_resize",
-    # -- rule 2 fill: oldest r7-row queries, least-recently-verified
-    # -- first --
-    "q140_topk_others",
-    "q126_cdc_apply",
-    "q138_snapshot_diff",
-    "q75_neardup_jaccard",
-    "q132_containment",
     "q89_dedup_components",
-    "q44_json_battery",
-    "q63_session_window",
-    "q88_quality_gate",
-    "q80_cosine_topk",
-    "q111_chunk_dedup",
-    "q18_multi_distinct",
-    "q19_agg_filter_clause",
-    "q30_window_rank",
-    "q33_topk_per_group",
-    "q64_oversize_filter",
-    "q65_partition_key",
-    "q71_lang_id",
-    "q72_fingerprint",
-    "q79_vocab_topk",
-    "q84_stratified_sample",
-    "q86_sequence_packing",
-    "q94_range_join_binned",
-    "q95_zorder_key",
-    "q96_heavy_hitters_mg",
-    "q97_corpus_build",
-    # ---- 50-query prefix boundary (driver budget) ----
+    # -- rule 2 ceiling: r7-row untouched queries — rows turn 3 rounds
+    # -- old this round, so they take prefix slots now --
     "q99_source_cap",
-    # -- r7-row queries aging to r10 under rule 2 (3-SF parity sweep
-    # -- green this round); they front the r10 prefix --
     "q100_tfidf_topterms",
     "q102_incremental_dedup",
     "q104_rolling_active_users",
@@ -221,14 +167,14 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q42_math_battery",
     "q43_conditional_battery",
     "q45_array_battery",
-    # -- fresh round-8 rows, untouched since, in their r8 order --
+    # -- rule 2 fill: oldest r8-row queries, least-recently-verified
+    # -- first --
     "q90_kmeans_train",
     "q98_srp_lsh_pairs",
     "q131_hard_negatives",
     "q85_train_split",
     "q115_dataset_mixture",
     "q124_dataset_mixture_hash",
-    "q123_dq_report",
     "q11_rollup",
     "q12_cube",
     "q46_hash_battery",
@@ -248,6 +194,9 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q15_pivot",
     "q17_percentiles",
     "q83_decontamination",
+    # ---- 50-query prefix boundary (driver budget) ----
+    # -- r8-row queries aging to r11 under rule 2 (3-SF parity sweep
+    # -- green this round); they front the r11 prefix --
     "q87_repetition",
     "q110_pii_redaction",
     "q112_cooccurrence_lift",
@@ -271,6 +220,55 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q127_audience_overlap",
     "q128_gap_fill",
     "q129_growth_curve",
+    # -- fresh round-9 rows, untouched since, in their r9 order --
+    "q81_cosine_neardup",
+    "q82_ann_ivf",
+    "q130_rag_chunker",
+    "q133_ppjoin",
+    "q134_scd2_resolve",
+    "q135_daily_mad",
+    "q136_interpolate",
+    "q139_conversion_latency",
+    "q31_window_analytic",
+    "q32_window_frames",
+    "q50_pandas_udf_tokenize",
+    "q51_apply_in_pandas_median",
+    "q52_udtf_bigrams",
+    "q53_python_udf_crc",
+    "q54_multimodal_decode",
+    "q61_tumbling_window",
+    "q62_sliding_window",
+    "q70_text_stats",
+    "q73_token_count_bpe",
+    "q74_multimodal_meta",
+    "q91_frame_sample",
+    "q92_media_features",
+    "q93_media_resize",
+    "q140_topk_others",
+    "q126_cdc_apply",
+    "q138_snapshot_diff",
+    "q75_neardup_jaccard",
+    "q132_containment",
+    "q44_json_battery",
+    "q63_session_window",
+    "q88_quality_gate",
+    "q80_cosine_topk",
+    "q111_chunk_dedup",
+    "q18_multi_distinct",
+    "q19_agg_filter_clause",
+    "q30_window_rank",
+    "q33_topk_per_group",
+    "q64_oversize_filter",
+    "q65_partition_key",
+    "q71_lang_id",
+    "q72_fingerprint",
+    "q79_vocab_topk",
+    "q84_stratified_sample",
+    "q86_sequence_packing",
+    "q94_range_join_binned",
+    "q95_zorder_key",
+    "q96_heavy_hitters_mg",
+    "q97_corpus_build",
     # -- rule 3: rows-only by design — permanent tail, never a prefix
     # -- slot (accuracy gates live in tests/test_sketch_gates.py and
     # -- tests/test_llm_dedup.py) --

@@ -34,10 +34,10 @@ def test_contract_shapes():
 def test_verify_order_is_the_registry_iteration_order():
     """VERIFY_ORDER is the single source of truth for the order external
     harnesses iterate queries(): it must be a permutation of the registry,
-    and the round-9 rotation (amended rule, registry.py) must hold —
-    code-changed queries lead the 50-prefix (the r8 ledger), untouched
-    queries age at most 3 rounds backed by the local 3-SF parity sweep,
-    and rows-only queries sit at the permanent tail."""
+    and the round-10 rotation (amended rule, registry.py) must hold —
+    code-changed queries lead the 50-prefix, untouched queries age at
+    most 3 rounds backed by the local 3-SF parity sweep, and rows-only
+    queries sit at the permanent tail."""
     from nsq2kinesis_spark.registry import VERIFY_ORDER, all_queries
 
     names = list(all_queries())
@@ -45,30 +45,28 @@ def test_verify_order_is_the_registry_iteration_order():
     assert len(set(VERIFY_ORDER)) == len(VERIFY_ORDER), "duplicates in VERIFY_ORDER"
     assert len(names) == 127
     prefix = [n.split("_")[0] for n in names[:50]]
-    # Rule 1: code changed since the last driver row — the r8 ledger
-    # (q81/q82: the scale-adaptive IVF centroid step changed their
-    # code+oracles outside the r8 prefix) plus q118, whose oracle gained
-    # the codepoint-LEVENSHTEIN remap THIS round after its fresh r8 row.
-    assert prefix[:3] == ["q81", "q82", "q118"]
-    # Rule 2 ceiling: the 21 r6-row untouched queries — their rows turn
-    # 3 rounds old at r9, so they MUST take prefix slots this round.
-    aged_r6 = ["q130", "q133", "q134", "q135", "q136", "q139", "q31",
-               "q32", "q50", "q51", "q52", "q53", "q54", "q61", "q62",
-               "q70", "q73", "q74", "q91", "q92", "q93"]
-    assert prefix[3:24] == aged_r6
-    # Rule 2 fill: the 26 remaining slots refresh the oldest r7-row
-    # queries in their listed order (q81/q82 already hold rule-1 slots;
-    # q89's round-9 contraction upgrade is covered by its slot here;
-    # q99 yielded its slot to q118 and fronts the post-boundary tail).
-    assert prefix[24:50] == [
-        "q140", "q126", "q138", "q75", "q132", "q89", "q44", "q63",
-        "q88", "q80", "q111", "q18", "q19", "q30", "q33", "q64", "q65",
-        "q71", "q72", "q79", "q84", "q86", "q94", "q95", "q96", "q97",
+    # Rule 1: code changed since the last driver row — q123 (gained the
+    # events_props_parse_contract DQ rule after its fresh r8 row), plus
+    # the two round-10 same-round changes: q118 (oracle domain bound now
+    # loud via ERROR()) and q89 (single-action convergence probe).
+    assert prefix[:3] == ["q123", "q118", "q89"]
+    # Rule 2 ceiling: the 22 r7-row untouched queries — their rows turn
+    # 3 rounds old at r10, so they MUST take prefix slots this round.
+    aged_r7 = ["q99", "q100", "q102", "q104", "q108", "q77", "q78",
+               "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27",
+               "q28", "q29", "q40", "q41", "q42", "q43", "q45"]
+    assert prefix[3:25] == aged_r7
+    # Rule 2 fill: the 25 remaining slots refresh the oldest r8-row
+    # queries in their listed order (q123 already holds a rule-1 slot).
+    assert prefix[25:50] == [
+        "q90", "q98", "q131", "q85", "q115", "q124", "q11", "q12",
+        "q46", "q66", "q01", "q02", "q03", "q04", "q05", "q06", "q07",
+        "q08", "q09", "q10", "q13", "q14", "q15", "q17", "q83",
     ]
-    # Post-boundary: the r7-row block that ages to r10 fronts the tail so
-    # it leads the r10 prefix (rule-2 ceiling there).
+    # Post-boundary: the r8-row block that ages to r11 fronts the tail so
+    # it leads the r11 prefix (rule-2 ceiling there).
     assert [n.split("_")[0] for n in names[50:57]] == [
-        "q99", "q100", "q102", "q104", "q108", "q77", "q78",
+        "q87", "q110", "q112", "q113", "q106", "q34", "q35",
     ]
     # Rule 3: rows-only queries occupy the permanent tail — never a prefix
     # slot (their driver row can only say rows>0; the pytest accuracy
