@@ -73,8 +73,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default=_env_default("SKETCH_TABLE"),
         help="append per-micro-batch hourly HLL distinct-message cells to "
         "this parquet table as the stream runs (env SKETCH_TABLE; see "
-        "streaming/sketch_maintenance.py — compact periodically with "
-        "--compact-sketch-table)",
+        "streaming/sketch_maintenance.py — compact on a cadence with "
+        "--compact-sketch-every, or externally with --compact-sketch-table: "
+        "the manifest-versioned layout makes either safe beside the live "
+        "stream)",
+    )
+    p.add_argument(
+        "--compact-sketch-every",
+        type=int,
+        default=None,
+        metavar="N",
+        help="with --sketch-table: auto-compact the table every N "
+        "data-bearing epochs from inside the stream (the reference's "
+        "Trim()-on-a-ticker ops shape, main.go:110-120)",
     )
     p.add_argument(
         "--compact-sketch-table",
@@ -83,7 +94,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="maintenance mode: re-merge the sketch table's cells per "
         "(day, hour) at a bounded file count (absorbs replay-duplicate "
         "cells, estimate-exact by HLL union algebra), print the stats "
-        "and exit — no topic/stream/checkpoint needed",
+        "and exit — no topic/stream/checkpoint needed; safe to run "
+        "beside a live forwarder (atomic manifest swap, concurrent "
+        "appends absorbed)",
     )
     p.add_argument(
         "--compact-target-files",
@@ -309,6 +322,7 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=args.checkpoint_dir,
             trigger_processing_time=args.trigger_interval,
             sketch_table=args.sketch_table,
+            sketch_compact_every=args.compact_sketch_every,
         ),
     )
 

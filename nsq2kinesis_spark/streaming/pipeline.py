@@ -101,6 +101,10 @@ class PipelineConfig:
     # hash to this parquet sketch table per micro-batch (q142's maintenance
     # step driven by stream epochs — streaming/sketch_maintenance.py)
     sketch_table: str | None = None
+    # auto-compact the sketch table every N data-bearing epochs from inside
+    # the stream (driver-side, between micro-batches — the reference's
+    # Trim()-on-a-ticker ops shape, main.go:110-120); None = external cadence
+    sketch_compact_every: int | None = None
 
 
 def build_pipeline(source_df: DataFrame, sink, config: PipelineConfig):
@@ -130,7 +134,11 @@ def build_pipeline(source_df: DataFrame, sink, config: PipelineConfig):
     if config.sketch_table is not None:
         from .sketch_maintenance import SketchMaintenance
 
-        sink = SketchMaintenance(config.sketch_table, inner=sink)
+        sink = SketchMaintenance(
+            config.sketch_table,
+            inner=sink,
+            compact_every_n_epochs=config.sketch_compact_every,
+        )
     return (
         transformed.writeStream.foreachBatch(sink)
         .option("checkpointLocation", config.checkpoint_dir)

@@ -27,23 +27,42 @@ a parquet sketch table. Correctness rests on the same algebra as q142:
   replay (bounded by the replay count, reclaimed by
   ``compact_sketch_table`` below), but never drifts.
 
+Storage layout (round-10): the table is a MANIFEST-VERSIONED parquet
+table (versioned_table.py) — readers resolve one atomic pointer file and
+scan exactly one immutable version dir. That is what lets
+``compact_sketch_table`` run BESIDE the live stream: the old two-rename
+directory swap had an absence window and silently destroyed cells a
+concurrent epoch appended mid-compaction (r9 ADVICE, high); the manifest
+swap has neither, and its one atomic primitive (single-file rename /
+conditional PUT) exists on object storage, where directory renames do
+not. Appends and the manifest swap serialize on a commit lock held only
+for a few renames — the Spark jobs themselves never block each other.
+
 Scale notes: the per-batch aggregation is a map-side-combined groupBy on
 (day, hour) — a batch spanning H hours shuffles H sketch blobs, not
 rows; the append writes |cells| tiny parquet files per epoch, the same
 artifact economics q141/q142 prove for the batch side. The file count is
 bounded operationally by ``compact_sketch_table`` — run it on whatever
 cadence the deployment's file budget dictates (hourly against a 1 s
-trigger keeps the listing ~3.6k files).
+trigger keeps the listing ~3.6k files), or let the stage itself trigger
+it via ``compact_every_n_epochs``.
 """
 
 from __future__ import annotations
 
-import os
 import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..versioned_table import append_staged, new_staging_dir, read_table, republish
+
+
+def read_sketch_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """The one reader every consumer of the live sketch table goes
+    through: resolve the manifest (atomic), scan that version dir. Falls
+    back to a flat directory read for legacy/never-compacted tables."""
+    return read_table(spark, table_path)
 
 
 class SketchMaintenance:
@@ -51,7 +70,14 @@ class SketchMaintenance:
     ``key_col`` (default the pipeline's dedup hash — distinct messages
     per hour) to the parquet sketch table at ``table_path``. ``inner``
     is the wrapped downstream sink (called FIRST, so a failing delivery
-    fails the epoch before any cells are appended for it)."""
+    fails the epoch before any cells are appended for it).
+
+    ``compact_every_n_epochs`` (round-10, the reference's own ops shape —
+    its deduper Trim() runs on a ticker, main.go:110-120): when set,
+    every Nth data-bearing epoch runs ``compact_sketch_table`` right
+    after its append, driver-side between micro-batches — the safe point
+    by construction, though the manifest protocol no longer needs
+    quiescence for correctness, only for not re-compacting mid-append."""
 
     def __init__(
         self,
@@ -59,12 +85,19 @@ class SketchMaintenance:
         key_col: str = "body_hash",
         ts_col: str = "ts",
         inner=None,
+        compact_every_n_epochs: int | None = None,
+        compact_target_files: int = 1,
     ):
+        if compact_every_n_epochs is not None and compact_every_n_epochs < 1:
+            raise ValueError("compact_every_n_epochs must be >= 1")
         self.table_path = table_path
         self.key_col = key_col
         self.ts_col = ts_col
         self.inner = inner
+        self.compact_every_n_epochs = compact_every_n_epochs
+        self.compact_target_files = compact_target_files
         self.epochs_applied = 0
+        self.compactions_run = 0
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.inner is not None:
@@ -86,24 +119,43 @@ class SketchMaintenance:
             )
             .agg(F.hll_sketch_agg(self.key_col).alias("sk"))
         )
-        cells.write.mode("append").parquet(self.table_path)
+        # two-phase append: Spark writes to a private staging dir (no lock
+        # held during the job), then the commit is a few atomic renames
+        # into the current version dir under the table's commit lock
+        staging = new_staging_dir(self.table_path)
+        try:
+            cells.write.parquet(staging, mode="overwrite")
+            append_staged(self.table_path, staging)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
         self.epochs_applied += 1
+        if (
+            self.compact_every_n_epochs
+            and self.epochs_applied % self.compact_every_n_epochs == 0
+        ):
+            compact_sketch_table(
+                batch_df.sparkSession,
+                self.table_path,
+                target_files=self.compact_target_files,
+            )
+            self.compactions_run += 1
 
 
 def compact_sketch_table(
     spark: SparkSession, table_path: str, target_files: int = 1
 ) -> dict[str, int]:
     """Maintenance pass for the streaming-maintained sketch table: re-merge
-    cells per (day, hour) and rewrite the table at a bounded file count.
+    cells per (day, hour) and republish the table at a bounded file count,
+    SAFELY beside the live stream.
 
     A long-running SketchMaintenance deployment appends |cells| tiny parquet
     files per epoch — at the reference's own 1 s trigger cadence
     (kinesis_writer.go:42-44 analog) that is ~86k files/day — and every
     at-least-once replay appends DUPLICATE cells for its (day, hour)s. This
     pass is the streaming twin of the batch small-files compaction
-    (tests/test_plans.py::test_compaction_restores_file_layout) plus the
-    generational ``Trim()`` role the reference's deduper plays for state
-    (deduper.go:42-47): it bounds the artifact, not just reorganizes it.
+    (tests/test_plans.py) plus the generational ``Trim()`` role the
+    reference's deduper plays for state (deduper.go:42-47): it bounds the
+    artifact, not just reorganizes it.
 
     Correctness is free by algebra: HLL union is associative, commutative
     and idempotent on registers, so ``hll_union_agg`` over a (day, hour)'s
@@ -111,61 +163,30 @@ def compact_sketch_table(
     whose every downstream rollup is EXACTLY what the fragmented table
     answered (the test asserts week-rollup equality, not closeness).
 
-    The rewrite lands in a sibling temp dir first, then swaps via two
-    renames (live → trash, new → live). No reader can ever see a PARTIAL
-    table (each rename is atomic), but between the two renames there is
-    a sub-millisecond window where the path is ABSENT — a reader landing
-    exactly there gets path-not-found and must retry, the same contract
-    as any rename-swap maintenance job. POSIX has no atomic
-    directory exchange (renameat2 RENAME_EXCHANGE exists on Linux but
-    is not exposed by os.rename); a deployment that cannot tolerate the
-    retry runs this pass through a transactional table format instead.
-    repartitionByRange(day, hour) keeps per-file (day, hour) ranges
-    disjoint so footer pruning serves point lookups post-compaction, same
-    as the batch pass.
+    Publication protocol (round-10, versioned_table.py): the merged result
+    is written to a brand-new version dir (invisible — nothing points to
+    it), then the commit — absorb post-snapshot appends by copy, atomic
+    single-file manifest swap — runs under the table's commit lock.
+    Readers resolving mid-compaction see exactly the old or exactly the
+    new table; concurrent epoch appends survive (either inside the
+    snapshot, absorbed at swap, or committed after the swap into the new
+    current version — the lock leaves no fourth case). repartitionByRange
+    (day, hour) keeps per-file ranges disjoint so footer pruning serves
+    point lookups post-compaction, same as the batch pass.
 
-    Returns counts for the caller's log line: files/cells before and after.
+    Returns counts for the caller's log line: files/cells before and
+    after, plus how many concurrently-appended files the swap absorbed.
     """
-    live = spark.read.parquet(table_path)
-    files_before = live.inputFiles()
-    cells_before = live.count()
-    merged = (
-        live.groupBy("day", "hour")
-        .agg(F.hll_union_agg("sk").alias("sk"))
-        .repartitionByRange(target_files, "day", "hour")
-        .sortWithinPartitions("day", "hour")
-    )
-    staging = f"{table_path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
-    try:
-        merged.write.parquet(staging)
-        cells_after = spark.read.parquet(staging).count()
-    except BaseException:
-        shutil.rmtree(staging, ignore_errors=True)  # no staging-dir leak
-        raise
-    trash = f"{table_path.rstrip('/')}._trash_{uuid.uuid4().hex[:8]}"
-    os.rename(table_path, trash)
-    try:
-        os.rename(staging, table_path)
-    except BaseException:
-        # the one state with NO live table is between these two renames;
-        # if promoting the staging dir fails (permissions, racing
-        # creation of table_path), roll the original back rather than
-        # leaving the table absent
-        os.rename(trash, table_path)
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    shutil.rmtree(trash)
-    files_after = [
-        f
-        for f in os.listdir(table_path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    ]
-    return {
-        "files_before": len(files_before),
-        "files_after": len(files_after),
-        "cells_before": cells_before,
-        "cells_after": cells_after,
-    }
+
+    def merge_cells(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("day", "hour")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .repartitionByRange(target_files, "day", "hour")
+            .sortWithinPartitions("day", "hour")
+        )
+
+    return republish(spark, table_path, merge_cells)
 
 
 def week_rollup(cells: DataFrame, out: str = "approx_distinct") -> DataFrame:

@@ -174,6 +174,7 @@ def test_cli_end_to_end_sigterm_drain(tmp_path):
     )
     try:
         from nsq2kinesis_spark.streaming.kinesis_sink import read_spool
+        from nsq2kinesis_spark.streaming.sketch_maintenance import read_sketch_table
         from nsq2kinesis_spark.streaming.kpl import deaggregate, is_aggregated
 
         def spool_bodies() -> set[bytes]:
@@ -238,13 +239,14 @@ def test_cli_sketch_table_flag_end_to_end(spark, tmp_path):
     )
     try:
         from nsq2kinesis_spark.streaming.kinesis_sink import read_spool
+        from nsq2kinesis_spark.streaming.sketch_maintenance import read_sketch_table
 
         def delivered() -> int:
             return len(list(read_spool(str(spool)))) if spool.exists() else 0
 
         def cells() -> int:
             try:
-                return spark.read.parquet(str(table)).count()
+                return read_sketch_table(spark, str(table)).count()
             except Exception:
                 return 0
 
@@ -263,9 +265,12 @@ def test_cli_sketch_table_flag_end_to_end(spark, tmp_path):
         log_fh.close()
         nsqd.stop()
 
-    from nsq2kinesis_spark.streaming.sketch_maintenance import week_rollup
+    from nsq2kinesis_spark.streaming.sketch_maintenance import (
+        read_sketch_table,
+        week_rollup,
+    )
 
-    tbl = spark.read.parquet(str(table))
+    tbl = read_sketch_table(spark, str(table))
     assert set(tbl.columns) == {"day", "hour", "sk"}
     rollup = week_rollup(tbl).collect()
     # 12 distinct bodies, all delivered within one run: the rollup from
@@ -286,7 +291,7 @@ def test_cli_sketch_table_flag_end_to_end(spark, tmp_path):
     stats = _json.loads(out.stdout.strip().splitlines()[-1])
     assert stats["files_after"] <= 1
     assert stats["cells_after"] <= stats["cells_before"]
-    after = week_rollup(spark.read.parquet(str(table))).collect()
+    after = week_rollup(read_sketch_table(spark, str(table))).collect()
     assert sum(r.approx_distinct for r in after) == len(bodies)
 
 

@@ -1556,6 +1556,7 @@ def test_sketch_maintenance_rollup_equals_rebuild_after_n_batches(spark, tmp_pat
 
     from nsq2kinesis_spark.streaming.sketch_maintenance import (
         SketchMaintenance,
+        read_sketch_table,
         week_rollup,
     )
     from nsq2kinesis_spark.tables import table
@@ -1581,7 +1582,7 @@ def test_sketch_maintenance_rollup_equals_rebuild_after_n_batches(spark, tmp_pat
     def rollup_map(df):
         return {r.week_start: r.approx_distinct for r in df.collect()}
 
-    maintained = rollup_map(week_rollup(spark.read.parquet(table_path)))
+    maintained = rollup_map(week_rollup(read_sketch_table(spark, table_path)))
     rebuild_cells = (
         ev.filter(F.col("ts").isNotNull())
         .groupBy(F.to_date("ts").alias("day"), F.hour("ts").alias("hour"))
@@ -1592,7 +1593,7 @@ def test_sketch_maintenance_rollup_equals_rebuild_after_n_batches(spark, tmp_pat
     # at-least-once replay: re-apply the ENTIRE corpus as one duplicate
     # epoch — every appended register is a duplicate, the rollup must not move
     maint(ev, epoch_id=999)
-    assert rollup_map(week_rollup(spark.read.parquet(table_path))) == maintained
+    assert rollup_map(week_rollup(read_sketch_table(spark, table_path))) == maintained
 
 
 def test_pipeline_sketch_maintenance_composes_with_sink(spark, tmp_path):
@@ -1602,6 +1603,7 @@ def test_pipeline_sketch_maintenance_composes_with_sink(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from nsq2kinesis_spark.streaming.pipeline import MESSAGE_SCHEMA
+    from nsq2kinesis_spark.streaming.sketch_maintenance import read_sketch_table
 
     src = tmp_path / "msgs"
     # duplicate pairs ADJACENT in event time (id//2 → ids 2k and 2k+1 share a
@@ -1636,7 +1638,7 @@ def test_pipeline_sketch_maintenance_composes_with_sink(spark, tmp_path):
         # a bare isdir() check races the in-flight first append (dir exists
         # while only _temporary is inside) — require a committed, readable table
         try:
-            return spark.read.parquet(table_path).count() > 0
+            return read_sketch_table(spark, table_path).count() > 0
         except Exception:
             return False
 
@@ -1650,7 +1652,7 @@ def test_pipeline_sketch_maintenance_composes_with_sink(spark, tmp_path):
         q.stop()
         q.awaitTermination(30)
     assert sum(delivered) == 150, "dedup → sink delivery must precede maintenance"
-    cells = spark.read.parquet(table_path)
+    cells = read_sketch_table(spark, table_path)
     assert {c for c in cells.columns} == {"day", "hour", "sk"}
     # 300 ids at 1/min with 50% duplication → 150 distinct hashes over 5 hours
     from pyspark.sql import functions as F2
@@ -1675,6 +1677,7 @@ def test_sketch_maintenance_survives_checkpoint_restart(spark, tmp_path):
 
     from nsq2kinesis_spark.streaming.sketch_maintenance import (
         SketchMaintenance,
+        read_sketch_table,
         week_rollup,
     )
     from nsq2kinesis_spark.tables import table
@@ -1718,7 +1721,7 @@ def test_sketch_maintenance_survives_checkpoint_restart(spark, tmp_path):
     def rollup_map(df):
         return {r.week_start: r.approx_distinct for r in df.collect()}
 
-    maintained = rollup_map(week_rollup(spark.read.parquet(table_path)))
+    maintained = rollup_map(week_rollup(read_sketch_table(spark, table_path)))
     rebuild = (
         ev.filter(F.col("ts").isNotNull())
         .groupBy(F.to_date("ts").alias("day"), F.hour("ts").alias("hour"))
@@ -1800,6 +1803,7 @@ def test_sketch_table_compaction_bounds_files_and_preserves_rollups(
     from nsq2kinesis_spark.streaming.sketch_maintenance import (
         SketchMaintenance,
         compact_sketch_table,
+        read_sketch_table,
         week_rollup,
     )
     from nsq2kinesis_spark.tables import table
@@ -1825,7 +1829,7 @@ def test_sketch_table_compaction_bounds_files_and_preserves_rollups(
     def rollup_map(df):
         return {r.week_start: r.approx_distinct for r in df.collect()}
 
-    frag = spark.read.parquet(table_path)
+    frag = read_sketch_table(spark, table_path)
     frag_files = len(frag.inputFiles())
     before = rollup_map(week_rollup(frag))
     distinct_cells = frag.select("day", "hour").distinct().count()
@@ -1836,7 +1840,7 @@ def test_sketch_table_compaction_bounds_files_and_preserves_rollups(
     assert stats["files_after"] <= 2 < frag_files
     assert stats["cells_after"] == distinct_cells  # duplicates absorbed
 
-    compacted = spark.read.parquet(table_path)
+    compacted = read_sketch_table(spark, table_path)
     assert compacted.count() == distinct_cells
     assert rollup_map(week_rollup(compacted)) == before  # exact, not approx
     # hourly point rollups survive too — the finest question the table answers

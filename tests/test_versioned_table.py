@@ -1,0 +1,328 @@
+"""The manifest-versioned table protocol (nsq2kinesis_spark/versioned_table.py)
+and its sketch-table deployment — the round-10 replacement for the two-rename
+directory swap (r9 verdict "What's missing #2" + r9 ADVICE high).
+
+The claims under test, each the exact failure mode of the old swap:
+
+1. a reader polling THROUGH a compaction never errors and always sees
+   exactly the old or exactly the new table (old swap: an absence window
+   between its two renames);
+2. cells appended WHILE a compaction runs survive it (old swap: they rode
+   into the trash dir and were rmtree'd — a permanent undercount);
+3. crash debris (orphan version dirs from a compactor that died before
+   its swap, abandoned staging dirs from a dead writer) is inert —
+   invisible to readers — and garbage-collected by the next compaction;
+4. the whole protocol needs ONE atomic primitive: replacing a single
+   small manifest file — the shape that exists on object storage.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from nsq2kinesis_spark import versioned_table as vt
+from nsq2kinesis_spark.streaming.sketch_maintenance import (
+    SketchMaintenance,
+    compact_sketch_table,
+    read_sketch_table,
+    week_rollup,
+)
+
+
+def _batch(spark, day: str, hour: int, ids: range):
+    """One micro-batch worth of rows: |ids| users inside a single hour."""
+    return spark.range(ids.start, ids.stop).select(
+        F.col("id").alias("user_id"),
+        F.to_timestamp(F.lit(f"{day} {hour:02d}:30:00")).alias("ts"),
+    )
+
+
+def _rollup_map(spark, table_path: str) -> dict:
+    return {
+        r.week_start: r.approx_distinct
+        for r in week_rollup(read_sketch_table(spark, table_path)).collect()
+    }
+
+
+def test_reader_mid_compaction_sees_exactly_old_or_new(spark, tmp_path):
+    """Verdict done-criterion: a poll loop during compaction never errors
+    and every observation is exactly the fragmented table (cells_before
+    rows) or exactly the compacted one (cells_after rows) — never a
+    mixture, never path-not-found. Three back-to-back compactions widen
+    the window the poller can land in."""
+    table_path = str(tmp_path / "sketches")
+    maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+    # cardinality 160 keeps the sketches in their exact regime, so rollup
+    # equality across republications is EXACT equality (probed: estimates
+    # become grouping-sensitive past ~200 distinct at the default lgK)
+    for epoch in range(8):
+        maint(_batch(spark, "2024-03-04", epoch % 3, range(epoch * 20, epoch * 20 + 20)), epoch)
+    legal_counts = {read_sketch_table(spark, table_path).count()}  # 8 cells, dups across hours
+    rollup = _rollup_map(spark, table_path)
+
+    errors: list[BaseException] = []
+    observations: list[int] = []
+    stop = threading.Event()
+
+    def poll():
+        try:
+            while not stop.is_set():
+                observations.append(read_sketch_table(spark, table_path).count())
+        except BaseException as e:  # noqa: BLE001 — the assertion IS "no error"
+            errors.append(e)
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        for _ in range(3):
+            stats = compact_sketch_table(spark, table_path, target_files=1)
+            legal_counts.add(stats["cells_after"])
+    finally:
+        stop.set()
+        t.join(60)
+    assert not errors, errors
+    assert len(observations) >= 3  # the poller genuinely overlapped the work
+    assert set(observations) <= legal_counts, (set(observations), legal_counts)
+    # and the data is untouched by all three republications
+    assert _rollup_map(spark, table_path) == rollup
+    assert read_sketch_table(spark, table_path).count() == 3  # one cell per hour
+
+
+def test_concurrent_appends_survive_compaction(spark, tmp_path):
+    """The r9 ADVICE-high failure mode: the old directory swap silently
+    destroyed any cells appended between the compactor's read and its
+    rename. Here a writer thread keeps appending NEW hours (fresh user-id
+    ranges, so every lost cell would dent the exact distinct count) while
+    a compactor thread loops; afterwards the table must answer EXACTLY
+    the rollup of everything ever appended."""
+    table_path = str(tmp_path / "sketches")
+    maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+    maint(_batch(spark, "2024-03-04", 0, range(0, 15)), 0)
+
+    compactor_errors: list[BaseException] = []
+    appends_done = threading.Event()
+
+    def compact_loop():
+        try:
+            while not appends_done.is_set():
+                compact_sketch_table(spark, table_path, target_files=1)
+        except BaseException as e:  # noqa: BLE001
+            compactor_errors.append(e)
+
+    t = threading.Thread(target=compact_loop)
+    t.start()
+    n_epochs = 12
+    try:
+        for epoch in range(1, n_epochs):
+            # distinct hours and DISJOINT id ranges: every epoch's cell is
+            # individually visible in the final exact count
+            maint(
+                _batch(spark, "2024-03-04", epoch % 24, range(epoch * 100, epoch * 100 + 15)),
+                epoch,
+            )
+    finally:
+        appends_done.set()
+        t.join(120)
+    assert not compactor_errors, compactor_errors
+    assert maint.epochs_applied == n_epochs
+    hours = {
+        (r.day, r.hour) for r in read_sketch_table(spark, table_path).collect()
+    }
+    assert len(hours) == 12, sorted(hours)  # no appended hour was destroyed
+    # exact: 12 disjoint 15-id ranges -> 180 distinct, inside the
+    # sketches' exact regime, so one destroyed cell = a visible dent
+    est = sum(_rollup_map(spark, table_path).values())
+    assert est == 180, est
+
+
+def test_legacy_flat_table_migrates_in_place(spark, tmp_path):
+    """A pre-round-10 table (part files at the root, no manifest) keeps
+    working: readers fall back to the flat layout, the first append
+    migrates it under the commit lock (atomic renames), and nothing is
+    lost across the migration."""
+    table_path = str(tmp_path / "sketches")
+    _batch(spark, "2024-03-04", 0, range(0, 50)).groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hour")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk")).write.parquet(table_path)
+    assert vt.current_version(table_path) is None
+    before = _rollup_map(spark, table_path)  # legacy read path
+
+    maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+    maint(_batch(spark, "2024-03-04", 1, range(50, 80)), 1)
+    assert vt.current_version(table_path) is not None  # migrated
+    assert read_sketch_table(spark, table_path).count() == 2
+    assert sum(_rollup_map(spark, table_path).values()) == 80
+    assert sum(before.values()) == 50
+    # the flat root's part files survive the migration (hardlinked, not
+    # moved — an in-flight flat-layout reader keeps its files) and are
+    # collected by a later compaction once past the staleness grace
+    leftovers = vt._data_files(table_path)
+    assert leftovers, "migration must leave the flat files for old readers"
+    old = time.time() - 2 * vt.LOCK_STALE_SEC
+    for f in leftovers:
+        os.utime(f, (old, old))
+    compact_sketch_table(spark, table_path)
+    assert not vt._data_files(table_path)
+    assert sum(_rollup_map(spark, table_path).values()) == 80
+
+
+def test_crash_debris_is_invisible_and_collected(spark, tmp_path):
+    """Compactor dies after writing its new version dir but before the
+    manifest swap; a writer dies leaving a staging dir. Both are invisible
+    to readers (nothing points to them) and removed by the next successful
+    compaction's GC."""
+    table_path = str(tmp_path / "sketches")
+    maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+    for epoch in range(3):
+        maint(_batch(spark, "2024-03-04", epoch, range(epoch * 10, epoch * 10 + 10)), epoch)
+    rollup = _rollup_map(spark, table_path)
+
+    # crash-equivalent states, constructed directly:
+    orphan_version = os.path.join(table_path, "v-999999-deadbeef")
+    os.makedirs(orphan_version)
+    read_sketch_table(spark, table_path).limit(1).write.parquet(
+        orphan_version, mode="overwrite"
+    )
+    stale_staging = vt.new_staging_dir(table_path)
+    old = time.time() - 2 * vt.LOCK_STALE_SEC
+    os.utime(stale_staging, (old, old))
+
+    assert _rollup_map(spark, table_path) == rollup  # debris invisible
+    compact_sketch_table(spark, table_path, target_files=1)
+    assert not os.path.exists(orphan_version)
+    assert not os.path.exists(stale_staging)
+    assert _rollup_map(spark, table_path) == rollup
+
+
+def test_gc_is_generation_delayed(spark, tmp_path):
+    """The just-replaced version dir survives one compaction cycle (a
+    reader that resolved right before the swap can finish its scan);
+    older generations are gone."""
+    table_path = str(tmp_path / "sketches")
+    maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+    maint(_batch(spark, "2024-03-04", 0, range(0, 10)), 0)
+    names = []
+    for _ in range(3):
+        names.append(compact_sketch_table(spark, table_path)["version"])
+    on_disk = {e for e in os.listdir(table_path) if e.startswith(vt.VERSION_PREFIX)}
+    assert names[-1] in on_disk  # current
+    assert names[-2] in on_disk  # previous: kept one cycle
+    assert names[-3] not in on_disk  # grandparent: collected
+
+
+def test_swap_refuses_concurrent_compaction(spark, tmp_path):
+    """Two compactors racing: the one whose manifest check fails under the
+    lock must ABORT (its candidate dir discarded), never publish over the
+    winner."""
+    table_path = str(tmp_path / "sketches")
+    maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+    maint(_batch(spark, "2024-03-04", 0, range(0, 10)), 0)
+    prev = vt.current_version(table_path)
+    new_dir = os.path.join(table_path, vt._next_version_name(prev))
+    read_sketch_table(spark, table_path).write.parquet(new_dir)
+    # the "other compactor" wins first:
+    compact_sketch_table(spark, table_path)
+    with pytest.raises(RuntimeError, match="concurrent compaction"):
+        vt.swap_version(table_path, prev, new_dir, snapshot=set())
+
+
+def test_commit_lock_blocks_then_breaks_stale(tmp_path):
+    """The lock serializes commits (second acquirer times out while held)
+    and self-heals from a dead holder (stale lock broken by rename, so
+    two breakers cannot both win)."""
+    table_path = str(tmp_path / "t")
+    with vt.commit_lock(table_path):
+        with pytest.raises(TimeoutError):
+            with vt.commit_lock(table_path, timeout=0.2):
+                pass
+    # dead holder: lock file exists with an ancient mtime
+    lock = os.path.join(table_path, vt.LOCK)
+    with open(lock, "w") as fh:
+        fh.write("0\n")
+    old = time.time() - 2 * vt.LOCK_STALE_SEC
+    os.utime(lock, (old, old))
+    with vt.commit_lock(table_path, timeout=5):
+        pass  # acquired despite the debris
+
+
+def test_batch_compaction_in_place_with_live_readers(spark, tmp_path):
+    """The batch analog (r9 verdict #3's second half): compact ANY
+    fragmented parquet table IN PLACE through the same manifest protocol
+    — rows preserved exactly, file count cut to target, disjoint per-file
+    key ranges for footer pruning — while a reader poll loop observes a
+    complete table at every instant. The old demonstration
+    (test_plans.py::test_compaction_restores_file_layout) had to compact
+    into a SEPARATE directory because an in-place swap wasn't safe."""
+    table_path = str(tmp_path / "tbl")
+    n = 20_000
+    spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("v"),
+    ).repartition(48).write.parquet(table_path)
+    assert len(vt._data_files(table_path)) >= 32  # genuinely fragmented
+
+    errors: list[BaseException] = []
+    observations: list[int] = []
+    stop = threading.Event()
+
+    def poll():
+        try:
+            while not stop.is_set():
+                observations.append(vt.read_table(spark, table_path).count())
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        stats = vt.compact_parquet_table(spark, table_path, ["k"], target_files=4)
+    finally:
+        stop.set()
+        t.join(60)
+    assert not errors, errors
+    assert observations and set(observations) == {n}  # never partial, never absent
+    assert stats["files_after"] <= 4 < stats["files_before"]
+    assert stats["cells_after"] == stats["cells_before"] == n  # row-preserving
+
+    got = vt.read_table(spark, table_path)
+    assert got.count() == n
+    assert got.agg(F.sum("k")).first()[0] == n * (n - 1) // 2  # content intact
+    # disjoint per-file key ranges → a point filter prunes to ONE file
+    bounds = []
+    for f in sorted(got.inputFiles()):
+        agg = spark.read.parquet(f.removeprefix("file:")).agg(
+            F.min("k"), F.max("k")
+        ).first()
+        bounds.append((agg[0], agg[1]))
+    bounds.sort()
+    for (_, prev_hi), (next_lo, _) in zip(bounds, bounds[1:]):
+        assert prev_hi < next_lo, bounds
+
+
+def test_auto_compaction_every_n_epochs(spark, tmp_path):
+    """Round-10 stretch (r9 verdict #7): the stage runs its own Trim()
+    analog — compact_every_n_epochs triggers the pass from inside
+    foreachBatch at epoch boundaries, so the reference-shaped ops loop
+    has no manual step left. File count stays bounded while the rollup
+    stays exactly equal to a rebuild."""
+    table_path = str(tmp_path / "sketches")
+    maint = SketchMaintenance(
+        table_path,
+        key_col="user_id",
+        ts_col="ts",
+        compact_every_n_epochs=2,
+        compact_target_files=1,
+    )
+    for epoch in range(6):
+        maint(_batch(spark, "2024-03-04", epoch, range(epoch * 100, epoch * 100 + 30)), epoch)
+    assert maint.compactions_run == 3
+    tbl = read_sketch_table(spark, table_path)
+    assert tbl.count() == 6  # one cell per hour — every append compacted in
+    assert len(tbl.inputFiles()) <= 2  # target 1 + at most one fresh append
+    # 6 disjoint 30-id ranges: exact distinct count answers from the table
+    assert sum(_rollup_map(spark, table_path).values()) == 180
