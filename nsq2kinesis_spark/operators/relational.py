@@ -464,6 +464,17 @@ def q95_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT)
     FROM (SELECT regexp_replace(props, '"([^"\\\\]|\\\\.)*"', '""', 'g') AS s
           FROM events)
+    UNION ALL
+    SELECT 'events_props_dupkeys',
+           CAST(SUM(CASE WHEN
+             CASE WHEN json_valid(props) THEN
+               CASE WHEN json_type(props) = 'OBJECT' THEN
+                 LEN(json_keys(props)) <> LEN(list_distinct(json_keys(props)))
+               ELSE FALSE END
+             ELSE FALSE END
+             THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
     """,
     tags=("relational", "quality", "validation"),
 )
@@ -600,6 +611,25 @@ def q123_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "events_props_parse_contract",
                 events,
                 json_structural_opens(F.col("props")) > JSON_MAX_OPENS,
+            )
+        )
+        .unionByName(
+            # round-10 twin of the rule above (the duplicate-key probe):
+            # q44 declares duplicate-TOP-level-key payloads out of the
+            # parse contract because Spark's struct from_json is
+            # last-wins while yyjson's json_extract is first-wins — and
+            # Spark's own get_json_object sides with yyjson. The dedup
+            # detector reuses q44's: from_json(map) preserves duplicate
+            # keys; NULL (unparseable / non-object) is not a violation.
+            rule(
+                "events_props_dupkeys",
+                events,
+                F.size(F.map_keys(F.from_json("props", "map<string,string>")))
+                != F.size(
+                    F.array_distinct(
+                        F.map_keys(F.from_json("props", "map<string,string>"))
+                    )
+                ),
             )
         )
     )

@@ -221,6 +221,19 @@ def json_structural_opens(col):
              CASE WHEN json_valid(props) THEN json_type(props) = 'OBJECT'
                   ELSE FALSE END AS is_obj
       FROM guarded
+    ),
+    contract AS (
+      -- round-10 duplicate-key pin: a payload with duplicate TOP-LEVEL
+      -- keys is OUT of the parse contract (NULL everywhere on both
+      -- twins). Without it, Spark's struct parse is last-wins ({{"k":1,
+      -- "k":2}} -> 2) while yyjson's json_extract is first-wins (-> 1)
+      -- — a silent twin split. Non-objects get NULL here, which the 3VL
+      -- AND below propagates as NULL output, mirroring Spark's when().
+      SELECT *,
+             shallow AND CASE WHEN is_obj THEN
+               LEN(json_keys(props)) = LEN(list_distinct(json_keys(props)))
+             END AS in_contract
+      FROM typed
     )
     SELECT event_id,
            -- the k-type guard mirrors Spark's typed struct field EXACTLY:
@@ -229,25 +242,25 @@ def json_structural_opens(col):
            -- the extracted STRING would round fractionals (12.5 -> 13) and
            -- parse quoted numbers — so only BIGINT/UBIGINT-typed values
            -- reach the cast (overflow past INT32 is NULL on both engines)
-           CASE WHEN shallow THEN
+           CASE WHEN in_contract THEN
            TRY_CAST(CASE WHEN is_obj
                     AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
                     THEN JSON_EXTRACT_STRING(props, '$.k') END AS INTEGER)
            END AS prop_k,
-           CASE WHEN shallow THEN
+           CASE WHEN in_contract THEN
            TRY_CAST(CASE WHEN is_obj
                     AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
                     THEN JSON_EXTRACT_STRING(props, '$.k') END AS INTEGER) % 10
            END AS prop_k_mod,
-           CASE WHEN shallow AND json_valid(props)
+           CASE WHEN in_contract AND json_valid(props)
                 THEN CAST(JSON_EXTRACT_STRING(props, '$.missing') AS VARCHAR)
            END AS prop_missing,
-           CASE WHEN shallow AND is_obj
+           CASE WHEN in_contract AND is_obj
                 THEN COALESCE(ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ','), '')
            END AS prop_keys,
-           CASE WHEN shallow AND is_obj
+           CASE WHEN in_contract AND is_obj
                 THEN CAST(LEN(json_keys(props)) AS INTEGER) END AS n_props
-    FROM typed
+    FROM contract
     """,
     tags=("scalar", "json", "map"),
 )
@@ -276,20 +289,41 @@ def q44_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     Without the guard, a 1001-deep payload is NULL on Spark (Jackson's
     nesting cap) but parses in DuckDB. Structural = after stripping
     string literals with the same regex on both engines, so brackets
-    INSIDE values ('{"s":"[[[["}') stay in contract."""
+    INSIDE values ('{"s":"[[[["}') stay in contract.
+
+    Round-10 duplicate-key pin (the same silent-twin-split shape): for
+    '{"k":1,"k":2}' Spark's struct from_json is LAST-wins (Jackson
+    streaming parse -> 2) while DuckDB's json_extract is FIRST-wins
+    (yyjson -> 1) — and Spark's own surface is internally split, since
+    get_json_object returns 1. Payloads with duplicate TOP-level keys
+    are therefore OUT of the parse contract: every JSON column NULL,
+    identically on both twins (detector: from_json(map) preserves
+    duplicate keys, so |keys| vs |distinct keys|; oracle: json_keys vs
+    list_distinct). Surfaced to operators as q123's
+    events_props_dupkeys rule."""
     ev = t(spark, sf_dir, "events")
     parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
     as_map = F.from_json("props", "map<string,string>")
     shallow = json_structural_opens(F.col("props")) <= JSON_MAX_OPENS
+    # round-10 duplicate-key pin: from_json(map) preserves duplicate
+    # top-level keys, so equality with the deduplicated key list IS the
+    # detector; NULL (unparseable / non-object) propagates NULL through
+    # the AND into every column, same as before
+    keys = F.map_keys(as_map)
+    in_contract = shallow & (F.size(keys) == F.size(F.array_distinct(keys)))
     return ev.select(
         "event_id",
-        F.when(shallow, parsed.getField("k")).alias("prop_k"),
-        F.when(shallow, parsed.getField("k") % 10).alias("prop_k_mod"),
-        F.when(shallow, F.get_json_object("props", "$.missing")).alias("prop_missing"),
+        F.when(in_contract, parsed.getField("k")).alias("prop_k"),
+        F.when(in_contract, parsed.getField("k") % 10).alias("prop_k_mod"),
         F.when(
-            shallow, F.array_join(F.array_sort(F.map_keys(as_map)), ",")
+            in_contract, F.get_json_object("props", "$.missing")
+        ).alias("prop_missing"),
+        F.when(
+            in_contract, F.array_join(F.array_sort(keys), ",")
         ).alias("prop_keys"),
-        F.when(shallow, F.size(F.map_values(as_map)).cast("int")).alias("n_props"),
+        F.when(in_contract, F.size(F.map_values(as_map)).cast("int")).alias(
+            "n_props"
+        ),
     )
 
 

@@ -105,23 +105,26 @@ def load_all_modules() -> None:
 #      round-9 deep-JSON probe — after that row), PLUS the two round-10
 #      same-round changes: q118 (oracle's >127-codepoint remap bound is
 #      now LOUD via ERROR() — ADVICE r9 low) and q89 (convergence probe
-#      reduced to one driver action per round — r9 verdict nit #2).
-#      Both land INSIDE this prefix so their fresh r10 rows cover them.
+#      reduced to one driver action per round — r9 verdict nit #2),
+#      and q44 + q123 again via the round-10 duplicate-JSON-key probe
+#      (both twins' parse contract gained the dup-top-level-key
+#      exclusion; q123 gained the events_props_dupkeys rule).
+#      All land INSIDE this prefix so their fresh r10 rows cover them.
 #   2. rule 2 ceiling: the post-boundary r7-row block — rows turn 3
 #      rounds old at r10, so ALL 22 must take prefix slots: q99, q100,
 #      q102, q104, q108, q77, q78, q20-q29, q40-q43, q45.
-#   3. the remaining 25 slots refresh the oldest r8-row queries in their
+#   3. the remaining 24 slots refresh the oldest r8-row queries in their
 #      listed order: q90, q98, q131, q85, q115, q124, q11, q12, q46,
-#      q66, q01-q10, q13, q14, q15, q17, q83 (q123 already leads under
-#      rule 1).
+#      q66, q01-q10, q13, q14, q15, q17 (q123 already leads under
+#      rule 1; q83 yields its slot to q44 and fronts the aged-r8 tail).
 #   ---- 50-query prefix boundary ----
 #   4. the rest of the r8-row block (q87, q110, q112, q113, q106, q34,
 #      q35, q60, q101, q103, q105, q107, q109, q114, q117, q119-q122,
 #      q125, q127-q129 — 23 queries) ages to r11 under rule 2, backed by
 #      this round's green 3-SF parity sweep; they lead the post-boundary
 #      tail so they front the r11 prefix;
-#   5. the queries with fresh r9 rows, in their r9 order (less q118/q89,
-#      promoted to rule 1 above);
+#   5. the queries with fresh r9 rows, in their r9 order (less q118/
+#      q89/q44, promoted to rule 1 above);
 #   6. permanent tail (rule 3): q16, q76, q116, q137, q141, q142.
 #
 # ROUND-11 ROTATION PLAN (write this order at the start of r11):
@@ -143,6 +146,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q123_dq_report",
     "q118_fuzzy_match",
     "q89_dedup_components",
+    "q44_json_battery",
     # -- rule 2 ceiling: r7-row untouched queries — rows turn 3 rounds
     # -- old this round, so they take prefix slots now --
     "q99_source_cap",
@@ -193,8 +197,8 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q14_collect_pack",
     "q15_pivot",
     "q17_percentiles",
-    "q83_decontamination",
     # ---- 50-query prefix boundary (driver budget) ----
+    "q83_decontamination",
     # -- r8-row queries aging to r11 under rule 2 (3-SF parity sweep
     # -- green this round); they front the r11 prefix --
     "q87_repetition",
@@ -249,7 +253,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q138_snapshot_diff",
     "q75_neardup_jaccard",
     "q132_containment",
-    "q44_json_battery",
     "q63_session_window",
     "q88_quality_gate",
     "q80_cosine_topk",

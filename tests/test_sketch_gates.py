@@ -169,6 +169,13 @@ def _null_variant_fixture(tmp_path, extra_rows_sql):
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
     )
+    for name in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
     return sf_dir, con
 
 
@@ -1746,3 +1753,128 @@ def test_subnormal_embeddings_match_oracle(spark, tmp_path, qname):
     ).split():
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
     _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+# --- round-10 probe pins: hostile doubles, duplicate JSON keys, CDC ties ------
+
+
+def test_q44_duplicate_key_payload_out_of_contract(spark, tmp_path):
+    """Round-10 probe pin: for '{"k":1,"k":2}' Spark's struct from_json is
+    LAST-wins (Jackson -> 2) while DuckDB's json_extract is FIRST-wins
+    (yyjson -> 1) — and Spark's own get_json_object sides with yyjson, so
+    no single answer is even internally consistent. Duplicate-TOP-level-key
+    payloads are therefore OUT of the parse contract: every JSON column
+    NULL, identically on both twins."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999105, TIMESTAMP '2024-02-10 14:00:00', 777005, 'view', "
+        "2.0, '{\"k\":1,\"k\":2}' "
+        "UNION ALL SELECT 999106, TIMESTAMP '2024-02-10 15:00:00', 777006, "
+        "'view', 3.0, '{\"a\":1,\"k\":5,\"a\":2}'",
+    )
+    _assert_null_variant_parity(spark, "q44_json_battery", sf_dir, con)
+    rows = {
+        r.event_id: r
+        for r in QUERIES["q44_json_battery"]
+        .builder(spark, sf_dir)
+        .filter(F.col("event_id").isin(999105, 999106))
+        .collect()
+    }
+    for eid in (999105, 999106):
+        r = rows[eid]
+        assert (
+            r.prop_k is None
+            and r.prop_k_mod is None
+            and r.prop_missing is None
+            and r.prop_keys is None
+            and r.n_props is None
+        ), (eid, r)
+
+
+def test_q123_dupkey_rule_flags_planted_payloads(spark, tmp_path):
+    """The q44 contract's operator-facing surface: the q123 DQ report's
+    events_props_dupkeys rule counts exactly the planted duplicate-key
+    payloads, identically on both twins; unparseable and non-object
+    payloads are NOT violations (they are out of contract for other,
+    already-pinned reasons)."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999105, TIMESTAMP '2024-02-10 14:00:00', 777005, 'view', "
+        "2.0, '{\"k\":1,\"k\":2}' "
+        "UNION ALL SELECT 999106, TIMESTAMP '2024-02-10 15:00:00', 777006, "
+        "'view', 3.0, 'not json at all'",
+    )
+    _assert_null_variant_parity(spark, "q123_dq_report", sf_dir, con)
+    got = {
+        r.rule: r.n_violations
+        for r in QUERIES["q123_dq_report"].builder(spark, sf_dir).collect()
+    }
+    assert got["events_props_dupkeys"] == 1
+
+
+def test_money_nan_inf_fail_loudly_on_both_twins(spark, tmp_path):
+    """Round-10 probe pin (the NaN/Inf money sweep): a NaN or ±Infinity
+    value entering the integer-cents path ABORTS both engines — Spark's
+    ANSI cast raises, DuckDB's cast raises — rather than silently
+    producing an engine-dependent row. Representative of the 8 queries
+    the registry-wide sweep flagged (q35/q61/q62/q66/q106/q108/q126/
+    q140); the remaining 113 hash-matched with the rows planted."""
+    import pytest as _pytest
+
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999101, TIMESTAMP '2024-02-10 10:00:00', 777001, 'purchase', "
+        "'NaN'::DOUBLE, '{}' "
+        "UNION ALL SELECT 999103, TIMESTAMP '2024-02-10 12:00:00', 777003, "
+        "'view', 'Infinity'::DOUBLE, '{}'",
+    )
+    for qname in ("q108_daily_value_bands", "q126_cdc_apply"):
+        q = QUERIES[qname]
+        with _pytest.raises(Exception):
+            q.builder(spark, sf_dir).collect()
+        with _pytest.raises(Exception):
+            con.execute(q.oracle).fetchall()
+
+
+def test_negzero_value_parity_through_value_family(spark, tmp_path):
+    """Round-10 probe pin: -0.0 planted in events.value is CLEAN across
+    the whole oracled registry (both engines normalize it identically
+    through grouping, ordering, cents-casting and banding). Pinned here
+    on the representative value-family queries so a future engine bump
+    that changes -0.0 normalization fails a planted test, not the driver
+    gate."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999102, TIMESTAMP '2024-02-10 11:00:00', 777002, 'purchase', "
+        "-0.0, '{}'",
+    )
+    for qname in (
+        "q108_daily_value_bands",
+        "q126_cdc_apply",
+        "q140_topk_others",
+        "q61_tumbling_window",
+    ):
+        _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def test_q123_version_unique_flags_duplicate_cdc_tuple(spark, tmp_path):
+    """Round-10 probe pin (the CDC tie probe): two events with the SAME
+    (user_id, event_type, ts, event_id) but different payloads violate
+    the CDC family's declared total order — the loud failure is the q123
+    events_version_unique rule counting them, identically on both twins.
+    q126/q138 deliberately do NOT re-check the invariant per query (that
+    would add a shuffle to every CDC read at 100 TB); this rule is the
+    gate an operator runs first."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 999107, TIMESTAMP '2024-02-10 16:00:00', 777007, 'purchase', "
+        "50.0, '{}' "
+        "UNION ALL SELECT 999107, TIMESTAMP '2024-02-10 16:00:00', 777007, "
+        "'purchase', 0.5, '{}'",
+    )
+    _assert_null_variant_parity(spark, "q123_dq_report", sf_dir, con)
+    got = {
+        r.rule: r.n_violations
+        for r in QUERIES["q123_dq_report"].builder(spark, sf_dir).collect()
+    }
+    assert got["events_version_unique"] == 1
