@@ -188,11 +188,138 @@ def stateful_dedup_rung(
     return {"recs_per_s": int(best), **stats}
 
 
+def write_flat_ts_feed(spark, root: str, n: int) -> str:
+    """All-unique keys at a CONSTANT event time: the watermark never
+    advances, so NOTHING is ever evicted and the dedup state must hold
+    every key seen — the adversarial regime that distinguishes the
+    on-heap provider (all state in JVM maps) from RocksDB (native memory
+    + disk). This is the keys-in-window count grown past the heap, per
+    the r9 verdict: the claim worth a number is 'RocksDB completes where
+    on-heap does not', not the in-memory-tax percentage."""
+    src = os.path.join(root, f"flatfeed_{n}")
+    if not os.path.isdir(src):
+        spark.range(n).select(
+            F.col("id").cast("string").alias("message_id"),
+            F.encode(
+                F.concat(F.lit("u-"), F.col("id").cast("string")), "UTF-8"
+            ).alias("body"),
+            # a REAL constant instant, not epoch 0: an all-zero event time
+            # collides with the engine's initial watermark and the dedup
+            # operator stores nothing (probed — state stayed at ~7 kB for
+            # 50k keys); at any ordinary timestamp state grows ~200 B/key
+            F.timestamp_millis(F.lit(1_700_000_000_000)).alias("ts"),
+        ).coalesce(N_FILES).write.parquet(src)
+    return src
+
+
+def run_oom_probe(n: int, provider: str) -> None:
+    """Child-process body for --oom-probe: one watermark_dedup rung over
+    the never-evicting feed, inside whatever heap $SPARK_DRIVER_MEMORY
+    gave this JVM (local mode: the driver heap IS executor memory).
+    Prints one JSON line and exits nonzero on failure so the parent can
+    classify completed / OOM / wedged."""
+    spark = get_spark(
+        app_name="nsq2kinesis_oom_probe",
+        rocksdb_state_store=(provider == "rocksdb"),
+    )
+    root = tempfile.mkdtemp(prefix="nsq2k_oomprobe_")
+    try:
+        src = write_flat_ts_feed(spark, root, n)
+        res = watermark_dedup_rung(spark, src, n, passes=1)
+        print(json.dumps({"provider": provider, "n": n, "completed": True, **res}))
+    except BaseException as e:  # noqa: BLE001 — the classification IS the output
+        print(
+            json.dumps(
+                {
+                    "provider": provider,
+                    "n": n,
+                    "completed": False,
+                    "error": f"{type(e).__name__}: {str(e)[:300]}",
+                }
+            )
+        )
+        sys.exit(1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _failure_mode(stdout: str, stderr: str) -> str:
+    blob = stdout + stderr
+    for marker in ("OutOfMemoryError", "Java heap space", "GC overhead limit"):
+        if marker in blob:
+            return f"heap exhaustion ({marker})"
+    if "did not terminate" in blob:
+        return "wedged (GC thrash past the rung deadline)"
+    return "failed (see child output)"
+
+
+def oom_regime(n: int, heap: str) -> None:
+    """Parent orchestration for --oom-regime: the same never-evicting rung
+    under a deliberately small heap, once per provider, each in a FRESH
+    subprocess (driver memory is a JVM-launch setting, and an OOMed JVM
+    must not poison the next measurement)."""
+    import subprocess
+
+    print(f"# oom regime: n={n} unique keys, heap={heap}, never-evicting watermark")
+    for provider in ("default", "rocksdb"):
+        env = dict(os.environ, SPARK_DRIVER_MEMORY=heap)
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--oom-probe", str(n),
+            "--state-provider", provider,
+        ]
+        try:
+            cp = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, timeout=2400
+            )
+            json_lines = [
+                ln for ln in cp.stdout.splitlines() if ln.startswith("{")
+            ]
+            row = json.loads(json_lines[-1]) if json_lines else {}
+            if cp.returncode == 0 and row.get("completed"):
+                verdict = "COMPLETED"
+            else:
+                verdict = _failure_mode(cp.stdout, cp.stderr)
+        except subprocess.TimeoutExpired:
+            row, verdict = {}, "wedged (no exit within 2400s)"
+        print(
+            json.dumps(
+                {
+                    "axis": "oom_regime",
+                    "op": "watermark_dedup",
+                    "provider": provider,
+                    "n": n,
+                    "heap": heap,
+                    "verdict": verdict,
+                    **{k: v for k, v in row.items() if k not in ("provider", "n")},
+                },
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rungs", default="200000,400000,800000,1600000")
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--skip-stateful", action="store_true")
+    ap.add_argument(
+        "--oom-regime",
+        action="store_true",
+        help="run ONLY the constrained-heap on-heap-vs-RocksDB probe "
+        "(subprocess per provider, $SPARK_DRIVER_MEMORY-sized JVMs)",
+    )
+    ap.add_argument("--oom-n", type=int, default=4_000_000)
+    ap.add_argument("--oom-heap", default="512m")
+    ap.add_argument(
+        "--oom-probe",
+        type=int,
+        default=None,
+        metavar="N",
+        help="(internal) child mode: run one never-evicting rung in THIS "
+        "process's heap and print one JSON line",
+    )
     ap.add_argument(
         "--state-provider",
         choices=["default", "rocksdb"],
@@ -202,6 +329,12 @@ def main() -> None:
         "~9-14%% slower than the on-heap default, identical state rows)",
     )
     args = ap.parse_args()
+    if args.oom_probe is not None:
+        run_oom_probe(args.oom_probe, args.state_provider)
+        return
+    if args.oom_regime:
+        oom_regime(args.oom_n, args.oom_heap)
+        return
     rungs = [int(x) for x in args.rungs.split(",")]
 
     spark = get_spark(app_name="nsq2kinesis_streaming_ladder")
