@@ -296,9 +296,18 @@ def republish(spark, table_path: str, rewrite) -> dict[str, int]:
     with commit_lock(table_path):
         prev_name = ensure_versioned_locked(table_path)
     prev_dir = os.path.join(table_path, prev_name)
-    snapshot = {
-        f.removeprefix("file:") for f in spark.read.parquet(prev_dir).inputFiles()
-    }
+    snapshot = set(_data_files(prev_dir))
+    if not snapshot:
+        # nothing to compact (all epochs empty so far) — succeed as a
+        # no-op rather than handing Spark an empty path list
+        return {
+            "files_before": 0,
+            "cells_before": 0,
+            "version": prev_name,
+            "absorbed": 0,
+            "files_after": 0,
+            "cells_after": 0,
+        }
     new_name = _next_version_name(prev_name)
     new_dir = os.path.join(table_path, new_name)
     try:
@@ -348,6 +357,12 @@ def _gc(table_path: str, keep: set[str]) -> None:
             try:
                 if now - os.stat(full).st_mtime > LOCK_STALE_SEC:
                     shutil.rmtree(full, ignore_errors=True)
+            except FileNotFoundError:
+                pass
+        elif entry.startswith(LOCK + ".stale-"):
+            # renamed-away husks of broken stale locks
+            try:
+                os.unlink(full)
             except FileNotFoundError:
                 pass
     # pre-migration leftovers: the legacy flat table's root-level part
