@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import table as t
-from .llm_text import STOPWORDS, _count_in
+from .llm_text import _expand_dotted_i, STOPWORDS, _count_in
 
 # -- q85: deterministic split ------------------------------------------------
 
@@ -389,7 +389,9 @@ def _q97_oracle() -> str:
       SELECT * FROM qual WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
     ), canon AS (
       SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+        PARTITION BY MD5(LOWER(TRIM(REGEXP_REPLACE(
+          REGEXP_REPLACE(text, CHR(304), 'i' || CHR(775), 'g'),
+          '\\s+', ' ', 'g'))))
         ORDER BY doc_id) AS rn
       FROM clean
     ), ns AS (
@@ -462,7 +464,12 @@ def q97_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = qual.join(contaminated, "doc_id", "left_anti")
 
-    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    # canonical-dedup key: dotted-I expanded explicitly on both twins
+    # (round-10 pin, see llm_text._expand_dotted_i) — a fingerprint used
+    # as a dedup PARTITION key must not be engine-dependent
+    fp = F.md5(
+        F.lower(F.trim(F.regexp_replace(_expand_dotted_i("text"), r"\s+", " ")))
+    )
     w_fp = Window.partitionBy("fp").orderBy("doc_id")
     kept = (
         clean.withColumn("fp", fp)

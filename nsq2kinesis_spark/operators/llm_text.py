@@ -29,6 +29,18 @@ STOPWORDS = {
 BPE_PATTERN = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
 
 
+def _expand_dotted_i(col) -> F.Column:
+    """Unicode SpecialCasing, applied explicitly (round-10 pin): expand
+    U+0130 (LATIN CAPITAL LETTER I WITH DOT ABOVE) to 'i' + U+0307
+    BEFORE any LOWER. It is the one code point where the engines' case
+    mappings disagree — Spark/Java lowercases it to the two-codepoint
+    SpecialCasing form while DuckDB's utf8proc simple mapping drops the
+    dot — so any case-normalized DEDUP KEY over text containing 'İ' is
+    otherwise engine-dependent. The oracle twin is
+    REGEXP_REPLACE(text, CHR(304), 'i' || CHR(775), 'g')."""
+    return F.regexp_replace(col, "İ", "i̇")
+
+
 def _count_in(words, vocab: tuple[str, ...]):
     """# tokens of `words` found in `vocab` (JVM-side higher-order filter)."""
     arr = F.array(*[F.lit(w) for w in vocab])
@@ -119,10 +131,24 @@ def q71_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q72_fingerprint",
     oracle="""
+    -- the REGEXP_REPLACE(... chr(304) ...) leg is the round-10 dotted-I
+    -- pin: LOWER('I-with-dot-above' U+0130) is the one code point where
+    -- the engines' case mappings disagree (Spark/Java applies Unicode
+    -- SpecialCasing -> 'i' + COMBINING-DOT U+0307; DuckDB's utf8proc
+    -- simple mapping -> bare 'i'). Both twins apply the SpecialCasing
+    -- expansion EXPLICITLY before LOWER, so the normalized form -- and
+    -- therefore the dedup fingerprint -- is engine-independent.
+    WITH n AS (
+      SELECT doc_id,
+             LOWER(TRIM(REGEXP_REPLACE(
+               REGEXP_REPLACE(text, CHR(304), 'i' || CHR(775), 'g'),
+               '\\s+', ' ', 'g'))) AS norm
+      FROM documents
+    )
     SELECT doc_id,
-           MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fingerprint,
-           SUBSTR(MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))), 1, 8) AS fp_prefix
-    FROM documents
+           MD5(norm) AS fingerprint,
+           SUBSTR(MD5(norm), 1, 8) AS fp_prefix
+    FROM n
     """,
     tags=("llm", "text", "fingerprint"),
 )
@@ -130,9 +156,15 @@ def q72_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-content fingerprint (whitespace-collapse → lower → md5) —
     the canonical-form dedup key (generalizes deduper.go:26-29's body hash
     to normalized text). DuckDB needs the 'g' flag for global replace;
-    Spark's regexp_replace is global by default."""
+    Spark's regexp_replace is global by default.
+
+    Round-10 dotted-I pin: U+0130 is expanded to 'i' + U+0307 explicitly
+    on both twins before LOWER (see the oracle comment) — without it the
+    fingerprint of any text containing 'İ' is engine-dependent, which for
+    a DEDUP KEY means engine-dependent survivors. Shared with q97's
+    canonical-dedup stage via _expand_dotted_i."""
     d = t(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace(_expand_dotted_i("text"), r"\s+", " ")))
     fp = F.md5(norm)
     return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_prefix"))
 

@@ -171,7 +171,15 @@ def q52_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q53_python_udf_crc",
     oracle="""
-    SELECT doc_id, REVERSE(text) AS reversed_text,
+    -- CODEPOINT reversal, spelled out: DuckDB's REVERSE flips GRAPHEME
+    -- clusters (utf8proc), Python's s[::-1] flips codepoints — for
+    -- 'e'+COMBINING-ACUTE the two disagree ('xé' vs 'x́e'; round-10
+    -- probe). The declared contract is codepoint reversal (what the
+    -- engine's UDF computes); STRING_SPLIT(s, '') splits codepoints, so
+    -- this twin is exact.
+    SELECT doc_id,
+           ARRAY_TO_STRING(LIST_REVERSE(STRING_SPLIT(text, '')), '')
+             AS reversed_text,
            CAST(LEN(REGEXP_EXTRACT_ALL(text, '[aeiou]')) AS INTEGER) AS n_vowels
     FROM documents
     """,

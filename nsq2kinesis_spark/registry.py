@@ -108,15 +108,21 @@ def load_all_modules() -> None:
 #      reduced to one driver action per round — r9 verdict nit #2),
 #      and q44 + q123 again via the round-10 duplicate-JSON-key probe
 #      (both twins' parse contract gained the dup-top-level-key
-#      exclusion; q123 gained the events_props_dupkeys rule).
+#      exclusion; q123 gained the events_props_dupkeys rule), PLUS the
+#      round-10 Unicode probe's three: q53 (REVERSE contract declared
+#      codepoint-level — DuckDB's REVERSE flips graphemes), q72 and q97
+#      (U+0130 dotted-I SpecialCasing expanded explicitly before LOWER
+#      on both twins — the case-normalized dedup fingerprint was
+#      engine-dependent for 'İ'-bearing text).
 #      All land INSIDE this prefix so their fresh r10 rows cover them.
 #   2. rule 2 ceiling: the post-boundary r7-row block — rows turn 3
 #      rounds old at r10, so ALL 22 must take prefix slots: q99, q100,
 #      q102, q104, q108, q77, q78, q20-q29, q40-q43, q45.
-#   3. the remaining 24 slots refresh the oldest r8-row queries in their
+#   3. the remaining 21 slots refresh the oldest r8-row queries in their
 #      listed order: q90, q98, q131, q85, q115, q124, q11, q12, q46,
-#      q66, q01-q10, q13, q14, q15, q17 (q123 already leads under
-#      rule 1; q83 yields its slot to q44 and fronts the aged-r8 tail).
+#      q66, q01-q10, q13 (q123 already leads under rule 1; q83/q14/q15/
+#      q17 yield their slots to q44/q53/q72/q97 and front the aged-r8
+#      tail).
 #   ---- 50-query prefix boundary ----
 #   4. the rest of the r8-row block (q87, q110, q112, q113, q106, q34,
 #      q35, q60, q101, q103, q105, q107, q109, q114, q117, q119-q122,
@@ -124,18 +130,18 @@ def load_all_modules() -> None:
 #      this round's green 3-SF parity sweep; they lead the post-boundary
 #      tail so they front the r11 prefix;
 #   5. the queries with fresh r9 rows, in their r9 order (less q118/
-#      q89/q44, promoted to rule 1 above);
+#      q89/q44/q53/q72/q97, promoted to rule 1 above);
 #   6. permanent tail (rule 3): q16, q76, q116, q137, q141, q142.
 #
 # ROUND-11 ROTATION PLAN (write this order at the start of r11):
 #   a. any query whose code changes in round 10 AFTER its latest driver
 #      row leads (rule 1). Ledger as of round-10 close: (maintained in
 #      NOTES_r10.md — add entries for any post-prefix-boundary change);
-#   b. the 23 post-boundary r8-row queries (q87, q110, q112, q113, q106,
-#      q34, q35, q60, q101, q103, q105, q107, q109, q114, q117, q119,
-#      q120, q121, q122, q125, q127, q128, q129) — their rows turn 3
-#      rounds old at r11, the rule-2 ceiling, so they MUST take prefix
-#      slots;
+#   b. the 24 post-boundary r8-row queries (q83 — which yielded its r10
+#      fill slot to q44 — then q87, q110, q112, q113, q106, q34, q35,
+#      q60, q101, q103, q105, q107, q109, q114, q117, q119, q120, q121,
+#      q122, q125, q127, q128, q129) — their rows turn 3 rounds old at
+#      r11, the rule-2 ceiling, so they MUST take prefix slots;
 #   c. remaining slots refresh the oldest r9-row queries in their listed
 #      order (q81, q82, q130, q133, q134, q135, q136, q139, q31, q32,
 #      q50-q54, q61, q62, q70, q73, q74, q91-q93, q140, q126, ...); the
@@ -147,6 +153,9 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q118_fuzzy_match",
     "q89_dedup_components",
     "q44_json_battery",
+    "q53_python_udf_crc",
+    "q72_fingerprint",
+    "q97_corpus_build",
     # -- rule 2 ceiling: r7-row untouched queries — rows turn 3 rounds
     # -- old this round, so they take prefix slots now --
     "q99_source_cap",
@@ -194,10 +203,10 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q09_set_ops_all",
     "q10_agg_global",
     "q13_grouping_sets",
+    # ---- 50-query prefix boundary (driver budget) ----
     "q14_collect_pack",
     "q15_pivot",
     "q17_percentiles",
-    # ---- 50-query prefix boundary (driver budget) ----
     "q83_decontamination",
     # -- r8-row queries aging to r11 under rule 2 (3-SF parity sweep
     # -- green this round); they front the r11 prefix --
@@ -238,7 +247,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q50_pandas_udf_tokenize",
     "q51_apply_in_pandas_median",
     "q52_udtf_bigrams",
-    "q53_python_udf_crc",
     "q54_multimodal_decode",
     "q61_tumbling_window",
     "q62_sliding_window",
@@ -264,14 +272,12 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q64_oversize_filter",
     "q65_partition_key",
     "q71_lang_id",
-    "q72_fingerprint",
     "q79_vocab_topk",
     "q84_stratified_sample",
     "q86_sequence_packing",
     "q94_range_join_binned",
     "q95_zorder_key",
     "q96_heavy_hitters_mg",
-    "q97_corpus_build",
     # -- rule 3: rows-only by design — permanent tail, never a prefix
     # -- slot (accuracy gates live in tests/test_sketch_gates.py and
     # -- tests/test_llm_dedup.py) --

@@ -49,27 +49,31 @@ def test_verify_order_is_the_registry_iteration_order():
     # events_props_parse_contract DQ rule after its fresh r8 row, and
     # the events_props_dupkeys rule this round), plus the round-10
     # same-round changes: q118 (oracle domain bound now loud via
-    # ERROR()), q89 (single-action convergence probe) and q44 (the
-    # duplicate-JSON-key parse-contract pin).
-    assert prefix[:4] == ["q123", "q118", "q89", "q44"]
+    # ERROR()), q89 (single-action convergence probe), q44 (the
+    # duplicate-JSON-key parse-contract pin), and the Unicode probe's
+    # three — q53 (codepoint-REVERSE contract), q72/q97 (dotted-I
+    # SpecialCasing expanded before the LOWER dedup fingerprint).
+    assert prefix[:7] == ["q123", "q118", "q89", "q44", "q53", "q72", "q97"]
     # Rule 2 ceiling: the 22 r7-row untouched queries — their rows turn
     # 3 rounds old at r10, so they MUST take prefix slots this round.
     aged_r7 = ["q99", "q100", "q102", "q104", "q108", "q77", "q78",
                "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27",
                "q28", "q29", "q40", "q41", "q42", "q43", "q45"]
-    assert prefix[4:26] == aged_r7
-    # Rule 2 fill: the 24 remaining slots refresh the oldest r8-row
+    assert prefix[7:29] == aged_r7
+    # Rule 2 fill: the 21 remaining slots refresh the oldest r8-row
     # queries in their listed order (q123 already holds a rule-1 slot;
-    # q83 yielded its slot to q44 and fronts the post-boundary tail).
-    assert prefix[26:50] == [
+    # q83/q14/q15/q17 yielded their slots to the rule-1 promotions and
+    # front the post-boundary tail).
+    assert prefix[29:50] == [
         "q90", "q98", "q131", "q85", "q115", "q124", "q11", "q12",
         "q46", "q66", "q01", "q02", "q03", "q04", "q05", "q06", "q07",
-        "q08", "q09", "q10", "q13", "q14", "q15", "q17",
+        "q08", "q09", "q10", "q13",
     ]
-    # Post-boundary: q83 then the r8-row block that ages to r11 front the
-    # tail so they lead the r11 prefix (rule-2 ceiling there).
+    # Post-boundary: the displaced fill entries then the r8-row block
+    # that ages to r11 front the tail so they lead the r11 prefix
+    # (rule-2 ceiling there).
     assert [n.split("_")[0] for n in names[50:58]] == [
-        "q83", "q87", "q110", "q112", "q113", "q106", "q34", "q35",
+        "q14", "q15", "q17", "q83", "q87", "q110", "q112", "q113",
     ]
     # Rule 3: rows-only queries occupy the permanent tail — never a prefix
     # slot (their driver row can only say rows>0; the pytest accuracy

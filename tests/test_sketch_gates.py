@@ -1878,3 +1878,126 @@ def test_q123_version_unique_flags_duplicate_cdc_tuple(spark, tmp_path):
         for r in QUERIES["q123_dq_report"].builder(spark, sf_dir).collect()
     }
     assert got["events_version_unique"] == 1
+
+
+def _documents_variant_fixture(tmp_path, extra_rows_sql):
+    """Copy sf0.001 with extra hand-planted DOCUMENT rows (the shipped
+    corpus is ASCII-only, so Unicode-semantics parity needs its own
+    data) — returns (sf_dir, duckdb connection with all views)."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/documents.parquet'
+          UNION ALL {extra_rows_sql}
+        ) TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return sf_dir, con
+
+
+def test_q53_reverse_contract_is_codepoints(spark, tmp_path):
+    """Round-10 probe pin: DuckDB's REVERSE flips grapheme clusters
+    (utf8proc) while Python's s[::-1] — the engine's UDF — flips
+    codepoints; for a combining-mark sequence the two disagree. The
+    declared contract is CODEPOINT reversal, and the oracle spells it
+    out via STRING_SPLIT(text, '') (codepoint-level, probed)."""
+    combining = "cafe" + chr(0x0301) + " x"  # e + COMBINING ACUTE
+    sf_dir, con = _documents_variant_fixture(
+        tmp_path,
+        f"SELECT 9990002, '{combining}', 'fr', 'web', 7",
+    )
+    _assert_null_variant_parity(spark, "q53_python_udf_crc", sf_dir, con)
+    row = (
+        QUERIES["q53_python_udf_crc"]
+        .builder(spark, sf_dir)
+        .filter(F.col("doc_id") == 9990002)
+        .first()
+    )
+    assert row.reversed_text == combining[::-1]  # codepoint semantics
+
+
+def test_q72_q97_dotted_i_fingerprint_engine_independent(spark, tmp_path):
+    """Round-10 probe pin: LOWER(U+0130 'İ') is the one code point where
+    the engines' case mappings disagree (Java SpecialCasing 'i'+U+0307
+    vs utf8proc bare 'i') — and q72/q97 use the lowered text as a DEDUP
+    key, so an 'İ'-bearing doc would get engine-dependent survivors.
+    Both twins now expand the SpecialCasing form explicitly; the planted
+    pair ('İstanbul…' vs its bare-'istanbul' twin) must stay DISTINCT
+    under the fingerprint, identically on both engines."""
+    sf_dir, con = _documents_variant_fixture(
+        tmp_path,
+        "SELECT 9990004, CHR(304) || 'stanbul kebap', 'tr', 'web', 14 "
+        "UNION ALL SELECT 9990005, 'istanbul kebap', 'tr', 'web', 14",
+    )
+    for qname in ("q72_fingerprint", "q97_corpus_build"):
+        _assert_null_variant_parity(spark, qname, sf_dir, con)
+    fps = {
+        r.doc_id: r.fingerprint
+        for r in QUERIES["q72_fingerprint"]
+        .builder(spark, sf_dir)
+        .filter(F.col("doc_id").isin(9990004, 9990005))
+        .collect()
+    }
+    assert fps[9990004] != fps[9990005]  # SpecialCasing form is preserved
+
+
+def test_event_time_domain_parity_at_nanos_range_edges(spark, tmp_path):
+    """Round-10 probe pin: the production events table is
+    TIMESTAMP(NANOS) — int64 nanoseconds bounds its physically
+    representable event times to ~[1677-09-21, 2262-04-11] — and the
+    registry hash-matches across that ENTIRE domain (swept; rows planted
+    at both edges here, through the window/rolling family whose date
+    arithmetic reaches furthest). Timestamps a Python client cannot even
+    hold (year 0/10000 after ±window arithmetic, the ValueError the
+    out-of-domain sweep produced on collect) are unreachable in-domain:
+    the storage type itself is the guard, no per-query filter needed."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 9990205, TIMESTAMP '1677-09-22 00:30:00', 777205, 'view', "
+        "1.5, '{}' "
+        "UNION ALL SELECT 9990206, TIMESTAMP '2262-04-10 23:00:00', 777206, "
+        "'purchase', 2.5, '{}'",
+    )
+    for qname in (
+        "q104_rolling_active_users",
+        "q62_sliding_window",
+        "q63_session_window",
+        "q66_time_rollup",
+    ):
+        _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def test_empty_and_blank_event_type_parity(spark, tmp_path):
+    """Round-10 probe pin: '' and ' ' event_type values flow through the
+    whole registry hash-identically (swept clean) — grouping keys,
+    funnels and CDC partitions treat the empty string as an ordinary
+    value on both twins, never as NULL."""
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 9990203, TIMESTAMP '2024-02-11 10:00:00', 777203, '', "
+        "3.5, '{}' "
+        "UNION ALL SELECT 9990204, TIMESTAMP '2024-02-11 11:00:00', 777204, "
+        "' ', 4.5, '{}'",
+    )
+    for qname in ("q101_event_funnel", "q126_cdc_apply", "q66_time_rollup"):
+        _assert_null_variant_parity(spark, qname, sf_dir, con)
