@@ -26,8 +26,27 @@ from ..tables import table as t
     oracle="""
     SELECT p_partkey,
            CAST(LENGTH(p_name) AS INTEGER) AS name_len,
-           UPPER(p_name) AS name_upper,
-           LOWER(p_brand) AS brand_lower,
+           -- LOUD oracle-domain guard (round-10 probe, the q118 ERROR()
+           -- pattern): Java's UPPER applies Unicode SpecialCasing
+           -- (eszett -> 'SS', ligature fi -> 'FI', multi-codepoint);
+           -- DuckDB's utf8proc UPPER is the simple 1:1 map. The engine's
+           -- declared semantics ARE Java full casing; a name containing
+           -- any unconditional-SpecialCasing character is out of THIS
+           -- VERIFIER's domain and must fail the parity run rather than
+           -- silently verify the simple map. Class = SpecialCasing.txt
+           -- unconditional uppercase expansions.
+           CASE WHEN regexp_matches(p_name,
+                  '[\\x{00DF}\\x{0149}\\x{01F0}\\x{0390}\\x{03B0}\\x{0587}\\x{1E96}-\\x{1E9A}\\x{1F50}\\x{1F52}\\x{1F54}\\x{1F56}\\x{1F80}-\\x{1FAF}\\x{1FB2}-\\x{1FB7}\\x{1FBC}\\x{1FC2}-\\x{1FC7}\\x{1FCC}\\x{1FD2}\\x{1FD3}\\x{1FD6}\\x{1FD7}\\x{1FE2}-\\x{1FE4}\\x{1FE6}\\x{1FE7}\\x{1FF2}-\\x{1FF7}\\x{1FFC}\\x{FB00}-\\x{FB06}\\x{FB13}-\\x{FB17}]')
+                THEN CAST(ERROR('q40 oracle domain violation: p_name '
+                  || 'contains a SpecialCasing uppercase expansion - '
+                  || 'DuckDB simple UPPER diverges from Java full casing')
+                  AS VARCHAR)
+                ELSE UPPER(p_name) END AS name_upper,
+           CASE WHEN p_brand LIKE '%' || CHR(304) || '%'
+                THEN CAST(ERROR('q40 oracle domain violation: p_brand '
+                  || 'contains dotted-I U+0130 - LOWER diverges')
+                  AS VARCHAR)
+                ELSE LOWER(p_brand) END AS brand_lower,
            SUBSTR(p_name, 1, 5) AS name_head,
            TRIM(CONCAT('  ', p_name, '  ')) AS name_trimmed,
            CONCAT(p_brand, ':', p_type) AS brand_type,
@@ -40,7 +59,18 @@ from ..tables import table as t
     tags=("scalar", "string"),
 )
 def q40_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String battery (seed: body-length predicate kinesis_writer.go:167)."""
+    """String battery (seed: body-length predicate kinesis_writer.go:167).
+
+    Case-mapping contract (round-10 Unicode probe): the engine computes
+    JAVA FULL CASING — UPPER('ß') = 'SS', UPPER('ﬁ') = 'FI' (Unicode
+    SpecialCasing, multi-codepoint) — while DuckDB's utf8proc applies
+    the simple 1:1 map ('ẞ', 'ﬁ'). Rather than silently narrowing the
+    engine's semantics, the ORACLE carries a loud domain guard: a name
+    containing any unconditional-SpecialCasing character raises via
+    ERROR(), so a fixture outside the verifier's domain fails the parity
+    run instead of verifying the wrong map (the q118 pattern). Probed
+    identical on both engines: É/ǅ titlecase, Σ/ς final sigma, ı, and
+    every position/length/pad/trim/split function at multibyte inputs."""
     p = t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",

@@ -114,6 +114,9 @@ def load_all_modules() -> None:
 #      (U+0130 dotted-I SpecialCasing expanded explicitly before LOWER
 #      on both twins — the case-normalized dedup fingerprint was
 #      engine-dependent for 'İ'-bearing text).
+#      q40's same-round oracle change (the SpecialCasing-uppercase loud
+#      domain guard) already sits inside the prefix via the rule-2
+#      ceiling block below.
 #      All land INSIDE this prefix so their fresh r10 rows cover them.
 #   2. rule 2 ceiling: the post-boundary r7-row block — rows turn 3
 #      rounds old at r10, so ALL 22 must take prefix slots: q99, q100,

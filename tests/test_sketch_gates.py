@@ -2001,3 +2001,41 @@ def test_empty_and_blank_event_type_parity(spark, tmp_path):
     )
     for qname in ("q101_event_funnel", "q126_cdc_apply", "q66_time_rollup"):
         _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def test_q40_special_casing_guard_is_loud(spark, tmp_path):
+    """Round-10 probe pin: Java's UPPER applies SpecialCasing (ß -> 'SS',
+    ﬁ -> 'FI') while DuckDB's simple map gives 'ẞ' / 'ﬁ'. The engine's
+    declared semantics are Java full casing; the ORACLE refuses loudly
+    on out-of-domain names instead of silently verifying the simple map.
+    Planted 'straße' part: Spark computes 'STRASSE' (the contract), the
+    oracle raises."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier orders lineitem events "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/part.parquet'
+          UNION ALL SELECT 9990301, 'straße linen', 'Brand#99', 'TYPE', 1, 1.0
+        ) TO '{sf_dir}/part.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{sf_dir}/part.parquet'")
+    q = QUERIES["q40_string_battery"]
+    row = (
+        q.builder(spark, sf_dir).filter(F.col("p_partkey") == 9990301).first()
+    )
+    assert row.name_upper == "STRASSE LINEN"  # Java full casing, 2-for-1 ß
+    with __import__("pytest").raises(Exception, match="domain violation"):
+        con.execute(q.oracle).fetchall()
