@@ -2039,3 +2039,83 @@ def test_q40_special_casing_guard_is_loud(spark, tmp_path):
     assert row.name_upper == "STRASSE LINEN"  # Java full casing, 2-for-1 ß
     with __import__("pytest").raises(Exception, match="domain violation"):
         con.execute(q.oracle).fetchall()
+
+
+def _embeddings_variant_fixture(tmp_path, extra_rows_sql):
+    """Copy sf0.001 with extra hand-planted EMBEDDING rows — returns
+    (sf_dir, duckdb connection with all views)."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/embeddings.parquet'
+          UNION ALL {extra_rows_sql}
+        ) TO '{sf_dir}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return sf_dir, con
+
+
+def test_hostile_embedding_elements_parity(spark, tmp_path):
+    """Round-10 probe pin: vectors carrying a NaN element, an Infinity
+    element, or a NULL element sweep CLEAN through the whole similarity
+    family on both twins — the valid-vector contract (norm > 0 with
+    identical NULL/NaN comparison semantics) and the spelled-out
+    IS NOT NULL list predicates absorb them identically. Pinned on the
+    family's representatives so an engine bump that changes NaN ordering
+    or higher-order NULL handling fails here, not at the driver gate."""
+    sf_dir, con = _embeddings_variant_fixture(
+        tmp_path,
+        "SELECT 9990501, LIST_TRANSFORM(RANGE(64), i -> CASE WHEN i = 0 "
+        "THEN CAST('NaN' AS FLOAT) ELSE CAST(0.1 AS FLOAT) END), 3 "
+        "UNION ALL SELECT 9990502, LIST_TRANSFORM(RANGE(64), i -> CASE "
+        "WHEN i = 0 THEN CAST('Infinity' AS FLOAT) ELSE CAST(0.1 AS "
+        "FLOAT) END), 3 "
+        "UNION ALL SELECT 9990503, LIST_TRANSFORM(RANGE(64), i -> CASE "
+        "WHEN i = 5 THEN CAST(NULL AS FLOAT) ELSE CAST(0.1 AS FLOAT) "
+        "END), 3",
+    )
+    for qname in ("q80_cosine_topk", "q81_cosine_neardup", "q82_ann_ivf",
+                  "q131_hard_negatives"):
+        _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def test_oversized_document_parity(spark, tmp_path):
+    """Round-10 probe pin: a ~100 kB document (100× the fixture norm,
+    ~19k tokens) sweeps CLEAN through the whole oracled registry — the
+    text/chunking/quality family has no hidden length cliff on either
+    twin. Pinned on the family's representatives. (At ~1 MB the sweep is
+    bounded by the DUCKDB oracles' single-threaded all-pairs lists, not
+    by the engine — an oracle-cost observation, not a divergence; noted
+    in NOTES_r10.)"""
+    big = "lorem ipsum straquat kebab 42 #x " * 3000 + "tail"
+    sf_dir, con = _documents_variant_fixture(
+        tmp_path,
+        f"SELECT 9990401, '{big}', 'en', 'web', {len(big)}",
+    )
+    for qname in (
+        "q70_text_stats",
+        "q73_token_count_bpe",
+        "q130_rag_chunker",
+        "q88_quality_gate",
+    ):
+        _assert_null_variant_parity(spark, qname, sf_dir, con)
