@@ -84,8 +84,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default=None,
         metavar="N",
         help="with --sketch-table: auto-compact the table every N "
-        "data-bearing epochs from inside the stream (the reference's "
-        "Trim()-on-a-ticker ops shape, main.go:110-120)",
+        "data-bearing epochs inline between micro-batches",
+    )
+    p.add_argument(
+        "--compact-sketch-async",
+        type=float,
+        default=None,
+        metavar="SECONDS",
+        help="with --sketch-table: auto-compact the table every SECONDS "
+        "from a daemon ticker thread beside the stream (the reference's "
+        "Trim()-on-a-goroutine-ticker shape, main.go:110-120; safe by "
+        "the manifest protocol)",
     )
     p.add_argument(
         "--compact-sketch-table",
@@ -323,6 +332,7 @@ def main(argv: list[str] | None = None) -> int:
             trigger_processing_time=args.trigger_interval,
             sketch_table=args.sketch_table,
             sketch_compact_every=args.compact_sketch_every,
+            sketch_compact_async_s=args.compact_sketch_async,
         ),
     )
 

@@ -102,9 +102,14 @@ class PipelineConfig:
     # step driven by stream epochs — streaming/sketch_maintenance.py)
     sketch_table: str | None = None
     # auto-compact the sketch table every N data-bearing epochs from inside
-    # the stream (driver-side, between micro-batches — the reference's
-    # Trim()-on-a-ticker ops shape, main.go:110-120); None = external cadence
+    # the stream (driver-side, between micro-batches; blocks the next
+    # trigger while it runs); None = external or async cadence
     sketch_compact_every: int | None = None
+    # OR compact on a wall-clock cadence from the stage's own daemon
+    # ticker thread — the reference's actual Trim() shape (its ticker is
+    # a separate goroutine, main.go:110-120); safe beside live epochs by
+    # the manifest protocol. Mutually exclusive with sketch_compact_every.
+    sketch_compact_async_s: float | None = None
 
 
 def build_pipeline(source_df: DataFrame, sink, config: PipelineConfig):
@@ -138,6 +143,7 @@ def build_pipeline(source_df: DataFrame, sink, config: PipelineConfig):
             config.sketch_table,
             inner=sink,
             compact_every_n_epochs=config.sketch_compact_every,
+            compact_async_interval_s=config.sketch_compact_async_s,
         )
     return (
         transformed.writeStream.foreachBatch(sink)

@@ -2014,3 +2014,80 @@ def test_sketch_maintenance_restart_after_mid_compaction_crash(spark, tmp_path):
         week_rollup(rebuild)
     )
     assert before_restart  # the mid-crash table answered queries too
+
+
+def test_sketch_maintenance_async_ticker_compaction(spark, tmp_path):
+    """Round-10: the reference-faithful maintenance shape — its deduper's
+    Trim() runs on its OWN goroutine ticker (main.go:110-120), not in the
+    message path. compact_async_interval_s starts a daemon ticker that
+    compacts BESIDE live epochs (safe by the manifest protocol: appends
+    and swaps serialize only on the commit lock); a failed pass must
+    never take delivery down. After drain + close(): exact rollup,
+    bounded files, ticker joined."""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.streaming.sketch_maintenance import (
+        SketchMaintenance,
+        read_sketch_table,
+        week_rollup,
+    )
+    from nsq2kinesis_spark.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    src = tmp_path / "src"
+    ev.repartition(6).write.parquet(str(src))
+    maint = SketchMaintenance(
+        str(tmp_path / "sketches"),
+        key_col="user_id",
+        ts_col="ts",
+        compact_async_interval_s=0.3,
+        compact_target_files=1,
+    )
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .writeStream.foreachBatch(maint)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+        assert maint.epochs_applied == 6
+        # the ticker keeps running after the stream drains (it is the
+        # stage's own maintenance loop) — give it one beat if the stream
+        # outran the first tick, then stop it deterministically
+        deadline = time.time() + 30
+        while maint.compactions_run == 0 and time.time() < deadline:
+            time.sleep(0.05)
+    finally:
+        maint.close()
+    assert maint.compactions_run >= 1
+    assert maint.last_compaction_error is None
+    assert maint._ticker is None  # joined
+    runs_after_close = maint.compactions_run
+    time.sleep(0.8)
+    assert maint.compactions_run == runs_after_close  # ticker really stopped
+
+    def rollup_map(df):
+        return {r.week_start: r.approx_distinct for r in df.collect()}
+
+    tbl = read_sketch_table(spark, str(tmp_path / "sketches"))
+    rebuild = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"), F.hour("ts").alias("hour"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    assert rollup_map(week_rollup(tbl)) == rollup_map(week_rollup(rebuild))
+    # epochs that landed AFTER the last tick legitimately sit un-merged
+    # (that is what a ticker cadence means); the shutdown drain pass an
+    # operator runs brings the table to exactly one cell per (day, hour)
+    from nsq2kinesis_spark.streaming.sketch_maintenance import (
+        compact_sketch_table,
+    )
+
+    compact_sketch_table(spark, str(tmp_path / "sketches"))
+    tbl = read_sketch_table(spark, str(tmp_path / "sketches"))
+    assert tbl.count() == tbl.select("day", "hour").distinct().count()
+    assert rollup_map(week_rollup(tbl)) == rollup_map(week_rollup(rebuild))
