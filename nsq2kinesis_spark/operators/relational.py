@@ -465,6 +465,12 @@ def q95_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT regexp_replace(props, '"([^"\\\\]|\\\\.)*"', '""', 'g') AS s
           FROM events)
     UNION ALL
+    SELECT 'events_props_surrogate_escapes',
+           CAST(SUM(CASE WHEN regexp_matches(props, '\\\\u[dD][89a-fA-F]')
+                  THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
+    UNION ALL
     SELECT 'events_props_dupkeys',
            CAST(SUM(CASE WHEN
              CASE WHEN json_valid(props) THEN
@@ -611,6 +617,18 @@ def q123_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "events_props_parse_contract",
                 events,
                 json_structural_opens(F.col("props")) > JSON_MAX_OPENS,
+            )
+        )
+        .unionByName(
+            # round-10 escaped-surrogate rule (the lone-surrogate probe):
+            # q44 excludes payloads carrying any uD8xx-uDFxx-shaped
+            # escape because Jackson parses a LONE surrogate where
+            # yyjson rejects the payload — this is where operators see
+            # how much of the corpus that contract sets aside
+            rule(
+                "events_props_surrogate_escapes",
+                events,
+                F.col("props").rlike(r"\\u[dD][89a-fA-F]"),
             )
         )
         .unionByName(

@@ -259,8 +259,17 @@ def json_structural_opens(col):
       -- "k":2}} -> 2) while yyjson's json_extract is first-wins (-> 1)
       -- — a silent twin split. Non-objects get NULL here, which the 3VL
       -- AND below propagates as NULL output, mirroring Spark's when().
+      -- round-10 surrogate pin: payloads carrying an ESCAPED UTF-16
+      -- surrogate (backslash-uD800 .. backslash-uDFFF) are also out of
+      -- contract: Jackson tolerates a LONE surrogate (map parse yields
+      -- keys) while yyjson rejects the whole payload as invalid. The
+      -- detector is lexical (any uD8xx-uDFxx-shaped escape, even behind
+      -- an escaped backslash), so escaped-but-valid PAIRS are
+      -- conservatively excluded too; literal UTF-8 stays in contract.
       SELECT *,
-             shallow AND CASE WHEN is_obj THEN
+             shallow
+             AND NOT regexp_matches(props, '\\\\u[dD][89a-fA-F]')
+             AND CASE WHEN is_obj THEN
                LEN(json_keys(props)) = LEN(list_distinct(json_keys(props)))
              END AS in_contract
       FROM typed
@@ -338,9 +347,15 @@ def q44_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-10 duplicate-key pin: from_json(map) preserves duplicate
     # top-level keys, so equality with the deduplicated key list IS the
     # detector; NULL (unparseable / non-object) propagates NULL through
-    # the AND into every column, same as before
+    # the AND into every column, same as before. round-10 surrogate pin:
+    # escaped-surrogate payloads are excluded lexically (Jackson accepts
+    # a lone \uD800 where yyjson rejects the payload — see the oracle)
     keys = F.map_keys(as_map)
-    in_contract = shallow & (F.size(keys) == F.size(F.array_distinct(keys)))
+    no_surrogate = ~F.col("props").rlike(r"\\u[dD][89a-fA-F]")
+    in_contract = (
+        shallow & no_surrogate
+        & (F.size(keys) == F.size(F.array_distinct(keys)))
+    )
     return ev.select(
         "event_id",
         F.when(in_contract, parsed.getField("k")).alias("prop_k"),

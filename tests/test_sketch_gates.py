@@ -2119,3 +2119,40 @@ def test_oversized_document_parity(spark, tmp_path):
         "q88_quality_gate",
     ):
         _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def test_q44_lone_surrogate_escape_out_of_contract(spark, tmp_path):
+    """Round-10 probe pin: Jackson PARSES a payload whose string value
+    carries a lone UTF-16 surrogate escape (map parse yields its keys)
+    while yyjson rejects the whole payload as invalid — prop_keys was
+    'k' vs NULL, a silent twin split. Payloads containing any
+    uD8xx-uDFxx-shaped escape are OUT of the parse contract (lexical
+    detector, conservatively including escaped-but-valid PAIRS; literal
+    UTF-8 stays in contract), and the q123 surrogate rule counts them."""
+    lone = '{"k":"' + chr(92) + 'ud800"}'
+    pair = '{"k":"' + chr(92) + "ud83c" + chr(92) + 'udf89"}'
+    sf_dir, con = _null_variant_fixture(
+        tmp_path,
+        "SELECT 9990601, TIMESTAMP '2024-02-12 10:00:00', 777601, 'view', "
+        "1.0, '{\"k\":\"' || CHR(92) || 'ud800\"}' "
+        "UNION ALL SELECT 9990602, TIMESTAMP '2024-02-12 11:00:00', "
+        "777602, 'view', 2.0, "
+        "'{\"k\":\"' || CHR(92) || 'ud83c' || CHR(92) || 'udf89\"}'",
+    )
+    _assert_null_variant_parity(spark, "q44_json_battery", sf_dir, con)
+    _assert_null_variant_parity(spark, "q123_dq_report", sf_dir, con)
+    rows = {
+        r.event_id: r
+        for r in QUERIES["q44_json_battery"]
+        .builder(spark, sf_dir)
+        .filter(F.col("event_id").isin(9990601, 9990602))
+        .collect()
+    }
+    for eid in (9990601, 9990602):  # lone AND escaped-pair both excluded
+        r = rows[eid]
+        assert r.prop_keys is None and r.n_props is None, (eid, r)
+    got = {
+        r.rule: r.n_violations
+        for r in QUERIES["q123_dq_report"].builder(spark, sf_dir).collect()
+    }
+    assert got["events_props_surrogate_escapes"] == 2
