@@ -2156,3 +2156,45 @@ def test_q44_lone_surrogate_escape_out_of_contract(spark, tmp_path):
         for r in QUERIES["q123_dq_report"].builder(spark, sf_dir).collect()
     }
     assert got["events_props_surrogate_escapes"] == 2
+
+
+def test_control_char_customer_names_parity(spark, tmp_path):
+    """Round-10 probe pin: control characters (SOH, newline, tab) inside
+    c_name sweep CLEAN registry-wide — q118's symmetric-delete blocking,
+    the join family and the conditionals treat them as ordinary bytes on
+    both twins. Pinned on the name-handling representatives."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation supplier part orders lineitem events documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/customer.parquet'
+          UNION ALL
+          SELECT 9990701, 'Cust' || CHR(1) || 'omer#000000019', 1, 100.0,
+                 'BUILDING'
+          UNION ALL
+          SELECT 9990702, 'Customer#000000019' || CHR(10), 1, 100.0,
+                 'BUILDING'
+        ) TO '{sf_dir}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    for qname in ("q118_fuzzy_match", "q43_conditional_battery"):
+        _assert_null_variant_parity(spark, qname, sf_dir, con)
