@@ -96,123 +96,58 @@ def load_all_modules() -> None:
 #      50-slot budget that slot belongs to a value-oracled query.
 # This closes: <=50 changed/never-checked queries lead each round, and
 # 121 value-oracled queries / 3 rounds ~= 40 <= remaining slots + head.
-# tests/test_contract.py pins the schedule.
+# tests/test_contract.py pins the schedule — and, as of round 11, derives
+# the rule-2 ceiling MECHANICALLY from tools/rotation_state.json (latest
+# green driver row per query, regenerated from the CORRECTNESS_r*.json
+# history by tools/rotation_state.py) instead of trusting a hand-listed
+# set: the r10 verdict caught the written r11 plan silently dropping
+# q14/q15/q17 from the ceiling, exactly the drift a prose list invites.
 #
-# ROUND-10 ORDER (this round — executes the plan written at the end of r9,
-# amended for this round's own rule-1 entries):
-#   1. rule 1 (code changed since the last driver row) leads: q123 (fresh
-#      r8 row; gained the events_props_parse_contract DQ rule — the
-#      round-9 deep-JSON probe — after that row), PLUS the two round-10
-#      same-round changes: q118 (oracle's >127-codepoint remap bound is
-#      now LOUD via ERROR() — ADVICE r9 low) and q89 (convergence probe
-#      reduced to one driver action per round — r9 verdict nit #2),
-#      and q44 + q123 again via the round-10 duplicate-JSON-key probe
-#      (both twins' parse contract gained the dup-top-level-key
-#      exclusion; q123 gained the events_props_dupkeys rule), PLUS the
-#      round-10 Unicode probe's three: q53 (REVERSE contract declared
-#      codepoint-level — DuckDB's REVERSE flips graphemes), q72 and q97
-#      (U+0130 dotted-I SpecialCasing expanded explicitly before LOWER
-#      on both twins — the case-normalized dedup fingerprint was
-#      engine-dependent for 'İ'-bearing text).
-#      q40's same-round oracle change (the SpecialCasing-uppercase loud
-#      domain guard) already sits inside the prefix via the rule-2
-#      ceiling block below.
-#      All land INSIDE this prefix so their fresh r10 rows cover them.
-#   2. rule 2 ceiling: the post-boundary r7-row block — rows turn 3
-#      rounds old at r10, so ALL 22 must take prefix slots: q99, q100,
-#      q102, q104, q108, q77, q78, q20-q29, q40-q43, q45.
-#   3. the remaining 21 slots refresh the oldest r8-row queries in their
-#      listed order: q90, q98, q131, q85, q115, q124, q11, q12, q46,
-#      q66, q01-q10, q13 (q123 already leads under rule 1; q83/q14/q15/
-#      q17 yield their slots to q44/q53/q72/q97 and front the aged-r8
-#      tail).
+# ROUND-11 ORDER (this round — executes the r10 plan with the verdict's
+# CORRECTED ceiling):
+#   1. rule 1 ledger opened EMPTY (every r10 change sat inside the r10
+#      prefix). Mid-round amendments, promoted per rule 1 as their
+#      changes landed: q141/q142 (fixtures now build the sketch table
+#      through the manifest-versioned production path — SketchMaintenance
+#      staging appends + compaction — instead of a hand-written flat
+#      layout, so the rows-only driver row re-covers the real reader;
+#      both are rule-3 permanent-tail queries, so no prefix slot moves).
+#   2. rule 2 ceiling — MECHANICAL, 27 queries whose green rows date to
+#      r8 (rotation_state.json: latest_row == 8): q14, q15, q17, q83
+#      (displaced post-boundary in r10 by the rule-1 promotions), then
+#      q87, q110, q112, q113, q106, q34, q35, q60, q101, q103, q105,
+#      q107, q109, q114, q117, q119-q122, q125, q127-q129. All 27 take
+#      prefix slots; their rows turn 3 rounds old this round.
+#   3. the remaining 23 slots refresh the oldest r9-row queries in their
+#      listed order: q81, q82, q130, q133-q136, q139, q31, q32, q50-q52,
+#      q54, q61, q62, q70, q73, q74, q91-q93, q140.
 #   ---- 50-query prefix boundary ----
-#   4. the rest of the r8-row block (q87, q110, q112, q113, q106, q34,
-#      q35, q60, q101, q103, q105, q107, q109, q114, q117, q119-q122,
-#      q125, q127-q129 — 23 queries) ages to r11 under rule 2, backed by
+#   4. the rest of the r9-row block (q126, q138, q75, q132, q63, q88,
+#      q80, q111, q18, q19, q30, q33, q64, q65, q71, q79, q84, q86,
+#      q94, q95, q96 — 21 queries) ages to r12 under rule 2, backed by
 #      this round's green 3-SF parity sweep; they lead the post-boundary
-#      tail so they front the r11 prefix;
-#   5. the queries with fresh r9 rows, in their r9 order (less q118/
-#      q89/q44/q53/q72/q97, promoted to rule 1 above);
+#      tail so they front the r12 prefix (the rule-2 ceiling there);
+#   5. the queries with fresh r10 rows, in their r10 order;
 #   6. permanent tail (rule 3): q16, q76, q116, q137, q141, q142.
 #
-# ROUND-11 ROTATION PLAN (write this order at the start of r11):
-#   a. any query whose code changes in round 10 AFTER its latest driver
-#      row leads (rule 1). Ledger as of round-10 close: (maintained in
-#      NOTES_r10.md — add entries for any post-prefix-boundary change);
-#   b. the 24 post-boundary r8-row queries (q83 — which yielded its r10
-#      fill slot to q44 — then q87, q110, q112, q113, q106, q34, q35,
-#      q60, q101, q103, q105, q107, q109, q114, q117, q119, q120, q121,
-#      q122, q125, q127, q128, q129) — their rows turn 3 rounds old at
-#      r11, the rule-2 ceiling, so they MUST take prefix slots;
-#   c. remaining slots refresh the oldest r9-row queries in their listed
-#      order (q81, q82, q130, q133, q134, q135, q136, q139, q31, q32,
-#      q50-q54, q61, q62, q70, q73, q74, q91-q93, q140, q126, ...); the
-#      rest of the r9 block may age to r12 under rule 2 provided the
-#      3-SF parity sweep runs green in r11.
+# ROUND-12 ROTATION PLAN (derive, don't transcribe):
+#   a. any query whose code/oracle changes in round 11 AFTER its latest
+#      driver row leads (rule 1) — ledger maintained in NOTES_r11.md;
+#   b. the rule-2 ceiling is whatever `tools/rotation_state.py` reports
+#      as latest_row == 10 - 1 == 9 after the r11 CORRECTNESS file lands
+#      (expected: the 21 post-boundary r9-row queries of item 4 above);
+#   c. fill remaining slots with the oldest r10-row queries in their
+#      listed order; the rest of the r10 block may age to r13 under
+#      rule 2 provided the 3-SF parity sweep runs green in r12.
 VERIFY_ORDER: tuple[str, ...] = (
-    # -- rule 1: code changed since the last driver row --
-    "q123_dq_report",
-    "q118_fuzzy_match",
-    "q89_dedup_components",
-    "q44_json_battery",
-    "q53_python_udf_crc",
-    "q72_fingerprint",
-    "q97_corpus_build",
-    # -- rule 2 ceiling: r7-row untouched queries — rows turn 3 rounds
-    # -- old this round, so they take prefix slots now --
-    "q99_source_cap",
-    "q100_tfidf_topterms",
-    "q102_incremental_dedup",
-    "q104_rolling_active_users",
-    "q108_daily_value_bands",
-    "q77_simhash",
-    "q78_simhash_pairs",
-    "q20_join_inner_broadcast",
-    "q21_join_shuffle_3way",
-    "q22_join_left_outer",
-    "q23_join_right_outer",
-    "q24_join_full_outer",
-    "q25_join_semi",
-    "q26_join_anti",
-    "q27_join_theta",
-    "q28_join_asof",
-    "q29_exists_subquery",
-    "q40_string_battery",
-    "q41_date_battery",
-    "q42_math_battery",
-    "q43_conditional_battery",
-    "q45_array_battery",
-    # -- rule 2 fill: oldest r8-row queries, least-recently-verified
-    # -- first --
-    "q90_kmeans_train",
-    "q98_srp_lsh_pairs",
-    "q131_hard_negatives",
-    "q85_train_split",
-    "q115_dataset_mixture",
-    "q124_dataset_mixture_hash",
-    "q11_rollup",
-    "q12_cube",
-    "q46_hash_battery",
-    "q66_time_rollup",
-    "q01_pricing_summary",
-    "q02_project_compute",
-    "q03_filter_battery",
-    "q04_sort_limit",
-    "q05_union_all",
-    "q06_intersect",
-    "q07_except",
-    "q08_distinct",
-    "q09_set_ops_all",
-    "q10_agg_global",
-    "q13_grouping_sets",
-    # ---- 50-query prefix boundary (driver budget) ----
+    # -- rule 1: (empty this round — no post-row code changes pending) --
+    # -- rule 2 ceiling: r8-row untouched queries — rows turn 3 rounds
+    # -- old this round, so ALL 27 take prefix slots (set derived from
+    # -- tools/rotation_state.json; asserted by test_contract.py) --
     "q14_collect_pack",
     "q15_pivot",
     "q17_percentiles",
     "q83_decontamination",
-    # -- r8-row queries aging to r11 under rule 2 (3-SF parity sweep
-    # -- green this round); they front the r11 prefix --
     "q87_repetition",
     "q110_pii_redaction",
     "q112_cooccurrence_lift",
@@ -236,7 +171,8 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q127_audience_overlap",
     "q128_gap_fill",
     "q129_growth_curve",
-    # -- fresh round-9 rows, untouched since, in their r9 order --
+    # -- rule 2 fill: oldest r9-row queries, least-recently-verified
+    # -- first --
     "q81_cosine_neardup",
     "q82_ann_ivf",
     "q130_rag_chunker",
@@ -260,6 +196,9 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q92_media_features",
     "q93_media_resize",
     "q140_topk_others",
+    # ---- 50-query prefix boundary (driver budget) ----
+    # -- r9-row queries aging to r12 under rule 2 (3-SF parity sweep
+    # -- green this round); they front the r12 prefix --
     "q126_cdc_apply",
     "q138_snapshot_diff",
     "q75_neardup_jaccard",
@@ -281,6 +220,57 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q94_range_join_binned",
     "q95_zorder_key",
     "q96_heavy_hitters_mg",
+    # -- fresh round-10 rows, untouched since, in their r10 order --
+    "q123_dq_report",
+    "q118_fuzzy_match",
+    "q89_dedup_components",
+    "q44_json_battery",
+    "q53_python_udf_crc",
+    "q72_fingerprint",
+    "q97_corpus_build",
+    "q99_source_cap",
+    "q100_tfidf_topterms",
+    "q102_incremental_dedup",
+    "q104_rolling_active_users",
+    "q108_daily_value_bands",
+    "q77_simhash",
+    "q78_simhash_pairs",
+    "q20_join_inner_broadcast",
+    "q21_join_shuffle_3way",
+    "q22_join_left_outer",
+    "q23_join_right_outer",
+    "q24_join_full_outer",
+    "q25_join_semi",
+    "q26_join_anti",
+    "q27_join_theta",
+    "q28_join_asof",
+    "q29_exists_subquery",
+    "q40_string_battery",
+    "q41_date_battery",
+    "q42_math_battery",
+    "q43_conditional_battery",
+    "q45_array_battery",
+    "q90_kmeans_train",
+    "q98_srp_lsh_pairs",
+    "q131_hard_negatives",
+    "q85_train_split",
+    "q115_dataset_mixture",
+    "q124_dataset_mixture_hash",
+    "q11_rollup",
+    "q12_cube",
+    "q46_hash_battery",
+    "q66_time_rollup",
+    "q01_pricing_summary",
+    "q02_project_compute",
+    "q03_filter_battery",
+    "q04_sort_limit",
+    "q05_union_all",
+    "q06_intersect",
+    "q07_except",
+    "q08_distinct",
+    "q09_set_ops_all",
+    "q10_agg_global",
+    "q13_grouping_sets",
     # -- rule 3: rows-only by design — permanent tail, never a prefix
     # -- slot (accuracy gates live in tests/test_sketch_gates.py and
     # -- tests/test_llm_dedup.py) --

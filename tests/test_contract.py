@@ -34,10 +34,10 @@ def test_contract_shapes():
 def test_verify_order_is_the_registry_iteration_order():
     """VERIFY_ORDER is the single source of truth for the order external
     harnesses iterate queries(): it must be a permutation of the registry,
-    and the round-10 rotation (amended rule, registry.py) must hold —
-    code-changed queries lead the 50-prefix, untouched queries age at
-    most 3 rounds backed by the local 3-SF parity sweep, and rows-only
-    queries sit at the permanent tail."""
+    and the rotation rule (registry.py) must hold — code-changed queries
+    lead the 50-prefix, untouched queries age at most 3 rounds backed by
+    the local 3-SF parity sweep, and rows-only queries sit at the
+    permanent tail."""
     from nsq2kinesis_spark.registry import VERIFY_ORDER, all_queries
 
     names = list(all_queries())
@@ -45,35 +45,29 @@ def test_verify_order_is_the_registry_iteration_order():
     assert len(set(VERIFY_ORDER)) == len(VERIFY_ORDER), "duplicates in VERIFY_ORDER"
     assert len(names) == 127
     prefix = [n.split("_")[0] for n in names[:50]]
-    # Rule 1: code changed since the last driver row — q123 (gained the
-    # events_props_parse_contract DQ rule after its fresh r8 row, and
-    # the events_props_dupkeys rule this round), plus the round-10
-    # same-round changes: q118 (oracle domain bound now loud via
-    # ERROR()), q89 (single-action convergence probe), q44 (the
-    # duplicate-JSON-key parse-contract pin), and the Unicode probe's
-    # three — q53 (codepoint-REVERSE contract), q72/q97 (dotted-I
-    # SpecialCasing expanded before the LOWER dedup fingerprint).
-    assert prefix[:7] == ["q123", "q118", "q89", "q44", "q53", "q72", "q97"]
-    # Rule 2 ceiling: the 22 r7-row untouched queries — their rows turn
-    # 3 rounds old at r10, so they MUST take prefix slots this round.
-    aged_r7 = ["q99", "q100", "q102", "q104", "q108", "q77", "q78",
-               "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27",
-               "q28", "q29", "q40", "q41", "q42", "q43", "q45"]
-    assert prefix[7:29] == aged_r7
-    # Rule 2 fill: the 21 remaining slots refresh the oldest r8-row
-    # queries in their listed order (q123 already holds a rule-1 slot;
-    # q83/q14/q15/q17 yielded their slots to the rule-1 promotions and
-    # front the post-boundary tail).
-    assert prefix[29:50] == [
-        "q90", "q98", "q131", "q85", "q115", "q124", "q11", "q12",
-        "q46", "q66", "q01", "q02", "q03", "q04", "q05", "q06", "q07",
-        "q08", "q09", "q10", "q13",
-    ]
-    # Post-boundary: the displaced fill entries then the r8-row block
-    # that ages to r11 front the tail so they lead the r11 prefix
-    # (rule-2 ceiling there).
-    assert [n.split("_")[0] for n in names[50:58]] == [
+    # Rule 1 ledger opened EMPTY for round 11 (NOTES_r10.md): every r10
+    # change sat inside the r10 prefix, so the ceiling leads directly.
+    # Rule 2 ceiling: the 27 r8-row untouched queries — rows turn 3
+    # rounds old at r11, so ALL must take prefix slots. The set itself
+    # is asserted MECHANICALLY by test_rotation_ceiling_is_mechanical
+    # below; here we pin the written order.
+    assert prefix[:27] == [
         "q14", "q15", "q17", "q83", "q87", "q110", "q112", "q113",
+        "q106", "q34", "q35", "q60", "q101", "q103", "q105", "q107",
+        "q109", "q114", "q117", "q119", "q120", "q121", "q122", "q125",
+        "q127", "q128", "q129",
+    ]
+    # Rule 2 fill: the 23 remaining slots refresh the oldest r9-row
+    # queries in their listed order.
+    assert prefix[27:50] == [
+        "q81", "q82", "q130", "q133", "q134", "q135", "q136", "q139",
+        "q31", "q32", "q50", "q51", "q52", "q54", "q61", "q62", "q70",
+        "q73", "q74", "q91", "q92", "q93", "q140",
+    ]
+    # Post-boundary: the r9-row block that ages to r12 fronts the tail
+    # so it leads the r12 prefix (rule-2 ceiling there).
+    assert [n.split("_")[0] for n in names[50:58]] == [
+        "q126", "q138", "q75", "q132", "q63", "q88", "q80", "q111",
     ]
     # Rule 3: rows-only queries occupy the permanent tail — never a prefix
     # slot (their driver row can only say rows>0; the pytest accuracy
@@ -81,6 +75,60 @@ def test_verify_order_is_the_registry_iteration_order():
     assert [n.split("_")[0] for n in names[-6:]] == [
         "q16", "q76", "q116", "q137", "q141", "q142",
     ]
+
+
+def test_rotation_ceiling_is_mechanical():
+    """Derive the rule-2 ceiling from the committed CORRECTNESS history
+    instead of trusting a hand-listed set (the r10 verdict caught the
+    written r11 plan silently dropping q14/q15/q17 — this test would
+    have failed on that omission).
+
+    Invariants asserted against tools/rotation_state.json (regenerated
+    here from the CORRECTNESS_r*.json files so a stale committed ledger
+    can't mask drift):
+      * every oracled query whose latest green driver row is >= 3 rounds
+        old at the round being executed sits INSIDE the 50-query prefix;
+      * no oracled query's latest row is OLDER than 3 rounds (the
+        invariant itself never broke);
+      * rows-only queries never hold a prefix slot (rule 3).
+    """
+    from nsq2kinesis_spark.registry import VERIFY_ORDER
+    from tools.rotation_state import STATE_PATH, compute_state
+
+    state = compute_state()
+    # The committed ledger must match the recomputed one (freshness).
+    import json
+
+    assert STATE_PATH.exists(), "run tools/rotation_state.py"
+    assert json.loads(STATE_PATH.read_text()) == state, (
+        "tools/rotation_state.json is stale — rerun tools/rotation_state.py"
+    )
+
+    executing_round = state["as_of_round"] + 1
+    latest = state["latest_row"]
+    rows_only = {
+        "q16_approx_distinct",
+        "q76_neardup_minhash_lsh",
+        "q116_approx_percentile",
+        "q137_hll_rollup",
+        "q141_sketch_table_rollup",
+        "q142_sketch_incremental",
+    }
+    # Every oracled query has SOME green row, and none is already past
+    # the ceiling (older than 3 rounds when this rotation was written).
+    oracled = [n for n in VERIFY_ORDER if n not in rows_only]
+    missing = [n for n in oracled if n not in latest]
+    assert not missing, f"oracled queries with no green driver row: {missing}"
+    too_old = {n: r for n, r in latest.items() if r < executing_round - 3}
+    assert not too_old, f"rows older than the 3-round ceiling: {too_old}"
+    # The ceiling set (rows turning exactly 3 rounds old this round)
+    # must sit inside the 50-query prefix.
+    ceiling = {n for n, r in latest.items() if r == executing_round - 3}
+    prefix = set(VERIFY_ORDER[:50])
+    dropped = sorted(ceiling - prefix)
+    assert not dropped, f"rule-2 ceiling queries missing from the prefix: {dropped}"
+    # Rule 3: rows-only queries never take a prefix slot.
+    assert not (rows_only & prefix), "rows-only query holds a prefix slot"
 
 
 def test_entry_smoke(spark):
