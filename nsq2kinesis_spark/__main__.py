@@ -353,6 +353,13 @@ def main(argv: list[str] | None = None) -> int:
             query.stop()
             query.awaitTermination()
             break
+    # join the sketch-maintenance compaction ticker AFTER the trigger loop
+    # has stopped (its class docstring requires the close; skipping it
+    # routinely exits the interpreter mid-compaction, turning every
+    # graceful shutdown into a crash-recovery exercise — orphan version
+    # dirs, stale locks)
+    if getattr(query, "maintenance_sink", None) is not None:
+        query.maintenance_sink.close()
     return 0
 
 

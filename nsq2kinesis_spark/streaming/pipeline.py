@@ -136,18 +136,26 @@ def build_pipeline(source_df: DataFrame, sink, config: PipelineConfig):
             max_bytes=config.max_body_bytes,
         )
     )
+    maintenance = None
     if config.sketch_table is not None:
         from .sketch_maintenance import SketchMaintenance
 
-        sink = SketchMaintenance(
+        maintenance = SketchMaintenance(
             config.sketch_table,
             inner=sink,
             compact_every_n_epochs=config.sketch_compact_every,
             compact_async_interval_s=config.sketch_compact_async_s,
         )
-    return (
+        sink = maintenance
+    query = (
         transformed.writeStream.foreachBatch(sink)
         .option("checkpointLocation", config.checkpoint_dir)
         .trigger(processingTime=config.trigger_processing_time)
         .start()
     )
+    # expose the maintenance stage so the caller can close() its async
+    # compaction ticker after query.stop() (its docstring requires it —
+    # r10 ADVICE low: without the join, a graceful shutdown routinely
+    # exits mid-compaction, exercising the crash-recovery path instead)
+    query.maintenance_sink = maintenance
+    return query

@@ -175,12 +175,22 @@ class SketchMaintenance:
             self.compact_every_n_epochs
             and self.epochs_applied % self.compact_every_n_epochs == 0
         ):
-            compact_sketch_table(
-                batch_df.sparkSession,
-                self.table_path,
-                target_files=self.compact_target_files,
-            )
-            self.compactions_run += 1
+            # same never-kill-delivery contract as the async ticker (r10
+            # ADVICE low): an operator legitimately running the
+            # advertised-as-safe external --compact-sketch-table beside
+            # the stream can win the swap race, making this inline pass
+            # raise "concurrent compaction" — the epoch's cells are
+            # already appended, so a failed MAINTENANCE pass must be
+            # recorded, not propagated into foreachBatch.
+            try:
+                compact_sketch_table(
+                    batch_df.sparkSession,
+                    self.table_path,
+                    target_files=self.compact_target_files,
+                )
+                self.compactions_run += 1
+            except BaseException as e:  # noqa: BLE001 — maintenance never kills delivery
+                self.last_compaction_error = e
         elif self.compact_async_interval_s and self._ticker is None:
             # lazily start the ticker on the first data-bearing epoch —
             # foreachBatch is the first place a SparkSession reaches the

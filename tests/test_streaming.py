@@ -1651,6 +1651,12 @@ def test_pipeline_sketch_maintenance_composes_with_sink(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(30)
+        # the CLI's shutdown contract (r10 ADVICE low): build_pipeline
+        # exposes the maintenance stage so the caller can join its
+        # compaction ticker after query.stop() instead of exiting the
+        # interpreter mid-compaction
+        assert q.maintenance_sink is not None
+        q.maintenance_sink.close()
     assert sum(delivered) == 150, "dedup → sink delivery must precede maintenance"
     cells = read_sketch_table(spark, table_path)
     assert {c for c in cells.columns} == {"day", "hour", "sk"}
@@ -1987,6 +1993,14 @@ def test_sketch_maintenance_restart_after_mid_compaction_crash(spark, tmp_path):
     prev = vt.current_version(table_path)
     orphan = _os.path.join(table_path, vt._next_version_name(prev))
     read_sketch_table(spark, table_path).limit(1).write.parquet(orphan)
+    # back-date the debris past GC's write-activity grace: a FRESH
+    # non-kept dir is deliberately spared (it could be a live concurrent
+    # compactor's in-flight output — r10 verdict What's-wrong #2)
+    _old = time.time() - 2 * vt.GC_GRACE_SEC
+    for _root, _dirs, _files in _os.walk(orphan):
+        for _name in _dirs + _files:
+            _os.utime(_os.path.join(_root, _name), (_old, _old))
+    _os.utime(orphan, (_old, _old))
     before_restart = {
         r.week_start: r.approx_distinct
         for r in week_rollup(read_sketch_table(spark, table_path)).collect()

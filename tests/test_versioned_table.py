@@ -49,6 +49,16 @@ def _rollup_map(spark, table_path: str) -> dict:
     }
 
 
+def _age_tree(path: str, age_sec: float) -> None:
+    """Back-date every mtime under ``path`` (the dir, subdirs, files) so
+    GC's deep write-activity check (_newest_mtime) sees it as dead."""
+    old = time.time() - age_sec
+    os.utime(path, (old, old))
+    for root, dirs, files in os.walk(path):
+        for name in dirs + files:
+            os.utime(os.path.join(root, name), (old, old))
+
+
 def test_reader_mid_compaction_sees_exactly_old_or_new(spark, tmp_path):
     """Verdict done-criterion: a poll loop during compaction never errors
     and every observation is exactly the fragmented table (cells_before
@@ -163,7 +173,7 @@ def test_legacy_flat_table_migrates_in_place(spark, tmp_path):
     # collected by a later compaction once past the staleness grace
     leftovers = vt._data_files(table_path)
     assert leftovers, "migration must leave the flat files for old readers"
-    old = time.time() - 2 * vt.LOCK_STALE_SEC
+    old = time.time() - 2 * vt.GC_GRACE_SEC
     for f in leftovers:
         os.utime(f, (old, old))
     compact_sketch_table(spark, table_path)
@@ -182,15 +192,17 @@ def test_crash_debris_is_invisible_and_collected(spark, tmp_path):
         maint(_batch(spark, "2024-03-04", epoch, range(epoch * 10, epoch * 10 + 10)), epoch)
     rollup = _rollup_map(spark, table_path)
 
-    # crash-equivalent states, constructed directly:
+    # crash-equivalent states, constructed directly (and back-dated past
+    # the GC write-activity grace — debris from a FRESH crash is spared
+    # one grace period precisely so GC can't kill a live writer):
     orphan_version = os.path.join(table_path, "v-999999-deadbeef")
     os.makedirs(orphan_version)
     read_sketch_table(spark, table_path).limit(1).write.parquet(
         orphan_version, mode="overwrite"
     )
+    _age_tree(orphan_version, 2 * vt.GC_GRACE_SEC)
     stale_staging = vt.new_staging_dir(table_path)
-    old = time.time() - 2 * vt.LOCK_STALE_SEC
-    os.utime(stale_staging, (old, old))
+    _age_tree(stale_staging, 2 * vt.GC_GRACE_SEC)
 
     assert _rollup_map(spark, table_path) == rollup  # debris invisible
     compact_sketch_table(spark, table_path, target_files=1)
@@ -201,8 +213,11 @@ def test_crash_debris_is_invisible_and_collected(spark, tmp_path):
 
 def test_gc_is_generation_delayed(spark, tmp_path):
     """The just-replaced version dir survives one compaction cycle (a
-    reader that resolved right before the swap can finish its scan);
-    older generations are gone."""
+    reader that resolved right before the swap can finish its scan).
+    Older generations are ALSO spared while they still show recent write
+    activity (the r10-verdict race: a non-kept dir might be a concurrent
+    compactor's in-flight output) and are collected once quiescent past
+    the grace."""
     table_path = str(tmp_path / "sketches")
     maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
     maint(_batch(spark, "2024-03-04", 0, range(0, 10)), 0)
@@ -212,13 +227,25 @@ def test_gc_is_generation_delayed(spark, tmp_path):
     on_disk = {e for e in os.listdir(table_path) if e.startswith(vt.VERSION_PREFIX)}
     assert names[-1] in on_disk  # current
     assert names[-2] in on_disk  # previous: kept one cycle
-    assert names[-3] not in on_disk  # grandparent: collected
+    # grandparent: non-kept but FRESH — spared by the write-activity grace
+    assert names[0] in on_disk
+    # once quiescent past the grace, the next cycle collects it
+    _age_tree(os.path.join(table_path, names[0]), 2 * vt.GC_GRACE_SEC)
+    names.append(compact_sketch_table(spark, table_path)["version"])
+    on_disk = {e for e in os.listdir(table_path) if e.startswith(vt.VERSION_PREFIX)}
+    assert names[0] not in on_disk  # aged grandparent: collected
+    assert names[1] in on_disk  # still fresh: spared until quiescent
+    assert {names[2], names[3]} <= on_disk  # previous + current
 
 
 def test_swap_refuses_concurrent_compaction(spark, tmp_path):
     """Two compactors racing: the one whose manifest check fails under the
     lock must ABORT (its candidate dir discarded), never publish over the
-    winner."""
+    winner — and it must reach that PROTOCOL abort, not die mid-write,
+    which means the winner's post-swap GC has to spare the loser's
+    still-fresh in-flight version dir (r10 verdict What's-wrong #2: the
+    old GC rmtree'd any non-kept version dir instantly, so the loser's
+    Spark job failed with a task-level FileNotFound instead)."""
     table_path = str(tmp_path / "sketches")
     maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
     maint(_batch(spark, "2024-03-04", 0, range(0, 10)), 0)
@@ -227,8 +254,91 @@ def test_swap_refuses_concurrent_compaction(spark, tmp_path):
     read_sketch_table(spark, table_path).write.parquet(new_dir)
     # the "other compactor" wins first:
     compact_sketch_table(spark, table_path)
+    # the loser's in-flight dir survived the winner's GC (write-activity
+    # grace), so the loser proceeds to its own commit attempt...
+    assert os.path.isdir(new_dir)
+    assert vt._data_files(new_dir), "loser's in-flight output was GC'd mid-write"
+    # ...and dies at the protocol's own loud abort
     with pytest.raises(RuntimeError, match="concurrent compaction"):
         vt.swap_version(table_path, prev, new_dir, snapshot=set())
+
+
+def test_gc_spares_live_slow_staging_write(spark, tmp_path):
+    """r10 ADVICE medium: a micro-batch append whose Spark write outlives
+    any lock hold keeps its activity under _staging-*/_temporary/ without
+    refreshing the staging ROOT's mtime. GC must measure write activity
+    DEEP (newest mtime anywhere under the dir), so:
+
+    - a staging dir with an ancient root mtime but one freshly-written
+      task file is LIVE — never collected;
+    - the same dir with every mtime past the grace is dead — collected.
+    """
+    table_path = str(tmp_path / "sketches")
+    maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+    maint(_batch(spark, "2024-03-04", 0, range(0, 10)), 0)
+
+    slow = vt.new_staging_dir(table_path)
+    tmp_dir = os.path.join(slow, "_temporary", "0")
+    os.makedirs(tmp_dir)
+    _age_tree(slow, 2 * vt.GC_GRACE_SEC)  # root + skeleton look ancient
+    with open(os.path.join(tmp_dir, "task-attempt-0.parquet.inprogress"), "wb") as fh:
+        fh.write(b"live")  # ...but the job is mid-write RIGHT NOW
+    compact_sketch_table(spark, table_path)
+    assert os.path.isdir(slow), "GC collected a staging dir with live write activity"
+
+    _age_tree(slow, 2 * vt.GC_GRACE_SEC)  # now genuinely dead
+    compact_sketch_table(spark, table_path)
+    assert not os.path.exists(slow)
+
+
+def test_append_staged_raises_on_vanished_staging_dir(spark, tmp_path):
+    """r10 ADVICE medium, second half: if the staging dir disappears
+    between the Spark write and the commit (GC bug, operator rm), the
+    append must FAIL the epoch — returning 0 would let Structured
+    Streaming checkpoint-commit with the cells silently dropped, the
+    permanent-undercount class the protocol exists to kill."""
+    table_path = str(tmp_path / "sketches")
+    maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+    maint(_batch(spark, "2024-03-04", 0, range(0, 10)), 0)
+    gone = os.path.join(table_path, f"{vt.STAGING_PREFIX}vanished")
+    with pytest.raises(FileNotFoundError, match="staging dir .* vanished"):
+        vt.append_staged(table_path, gone)
+
+
+def test_crash_between_staging_write_and_commit_heals_on_replay(spark, tmp_path):
+    """Mid-append crash injection (r11 verdict #5c): a writer dying
+    between its staging write and append_staged leaves exactly an
+    uncommitted staging dir. No partial cell may ever be visible, and the
+    replayed epoch (Structured Streaming redelivers an uncommitted
+    micro-batch) must heal the table to the exact expected contents."""
+    table_path = str(tmp_path / "sketches")
+    maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+    maint(_batch(spark, "2024-03-04", 0, range(0, 15)), 0)
+    rollup = _rollup_map(spark, table_path)
+
+    # the crash state, constructed exactly: cells written to staging,
+    # append_staged never ran (the process died in between)
+    batch = _batch(spark, "2024-03-04", 1, range(100, 130))
+    cells = batch.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hour")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    staging = vt.new_staging_dir(table_path)
+    cells.write.parquet(staging, mode="overwrite")
+
+    # nothing of the dead epoch is visible — not a row, not a partial cell
+    assert read_sketch_table(spark, table_path).count() == 1
+    assert _rollup_map(spark, table_path) == rollup
+
+    # the replayed epoch commits through the normal path and heals exactly
+    maint(batch, 1)
+    assert read_sketch_table(spark, table_path).count() == 2
+    assert sum(_rollup_map(spark, table_path).values()) == 45
+    # the dead writer's staging dir is inert debris; once quiescent past
+    # the grace, compaction's GC collects it
+    _age_tree(staging, 2 * vt.GC_GRACE_SEC)
+    compact_sketch_table(spark, table_path)
+    assert not os.path.exists(staging)
+    assert sum(_rollup_map(spark, table_path).values()) == 45
 
 
 def test_commit_lock_blocks_then_breaks_stale(tmp_path):
@@ -330,6 +440,188 @@ def test_compaction_of_empty_table_is_a_noop(spark, tmp_path):
     maint(_batch(spark, "2024-03-04", 0, range(0, 10)), 0)
     compact_sketch_table(spark, table_path)
     assert not os.path.exists(husk)
+
+
+def test_protocol_holds_on_object_store_shaped_rename(spark, tmp_path, monkeypatch):
+    """Turn the S3-shape claim into a test (r10 verdict What's-missing #2):
+    every protocol-side rename is replaced by an object-store-shaped one —
+
+    - directory rename DOES NOT EXIST (the shim asserts it is never
+      attempted);
+    - file rename = copy to an invisible in-flight key, then the PUT
+      completes (destination appears atomically, whole or absent — the
+      one guarantee S3-class stores give), then the SOURCE is deleted
+      LATER on its own timer, so listings keep showing the dead key for a
+      while (delete visibility lag).
+
+    Under that model, appends + overlapping compactions + a polling
+    reader must still give the exactly-old-or-new guarantee and lose
+    nothing. Spark's own JVM-side writes are out of scope by design: the
+    protocol only ever commits via single-file operations of its own.
+    """
+    import shutil
+    import uuid as uuidmod
+
+    real_rename = os.rename
+    timers: list[threading.Timer] = []
+
+    def deferred_delete(path):
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass  # DELETE of an already-gone key succeeds on a store
+
+    def put_style_rename(src, dst, **kwargs):
+        assert not os.path.isdir(src), f"protocol attempted a directory rename: {src}"
+        inflight = f"{dst}.inflight-{uuidmod.uuid4().hex[:8]}"
+        shutil.copy2(src, inflight)
+        real_rename(inflight, dst)  # the PUT completing: atomic appearance
+        t = threading.Timer(0.05, deferred_delete, args=(src,))
+        t.start()
+        timers.append(t)
+
+    monkeypatch.setattr(os, "rename", put_style_rename)
+    table_path = str(tmp_path / "sketches")
+    maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+    errors: list[BaseException] = []
+    observations: list[int] = []
+    stop = threading.Event()
+
+    def poll():
+        try:
+            while not stop.is_set():
+                observations.append(read_sketch_table(spark, table_path).count())
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    maint(_batch(spark, "2024-03-04", 0, range(0, 15)), 0)
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        for epoch in range(1, 8):
+            maint(
+                _batch(spark, "2024-03-04", epoch, range(epoch * 100, epoch * 100 + 15)),
+                epoch,
+            )
+            if epoch % 3 == 0:
+                compact_sketch_table(spark, table_path, target_files=1)
+    finally:
+        stop.set()
+        t.join(60)
+        for tm in timers:
+            tm.join(5)
+    assert not errors, errors
+    assert observations, "poller never observed the table"
+    # 8 disjoint 15-id hours: exact distinct count, nothing lost or doubled
+    hours = {(r.day, r.hour) for r in read_sketch_table(spark, table_path).collect()}
+    assert len(hours) == 8
+    assert sum(_rollup_map(spark, table_path).values()) == 120
+
+
+def test_compactor_killed_mid_swap_reads_exactly_old(spark, tmp_path):
+    """kill -9 a REAL subprocess compactor between its absorb pass and the
+    manifest rename (r11 verdict #4c — the narrowest crash window the
+    protocol has). Afterwards the table must read exactly-old, the dead
+    holder's commit lock must be breakable, and the next compaction must
+    collect the orphan version dir once quiescent."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    table_path = str(tmp_path / "tbl")
+    n = 5_000
+    spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(6).write.parquet(table_path)
+    with vt.commit_lock(table_path):
+        vt.ensure_versioned_locked(table_path)
+    prev = vt.current_version(table_path)
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = textwrap.dedent(
+        """
+        import os, signal, sys
+        sys.path.insert(0, sys.argv[2])
+        from nsq2kinesis_spark import versioned_table as vt
+        table = sys.argv[1]
+        prev = vt.current_version(table)
+        prev_dir = os.path.join(table, prev)
+        files = sorted(vt._data_files(prev_dir))
+        # snapshot all but one file: the leftover models a concurrent
+        # append landing after the snapshot, so the absorb pass runs
+        snapshot = set(files[:-1])
+        new_dir = os.path.join(table, vt._next_version_name(prev))
+        os.makedirs(new_dir)
+        import pyarrow as pa, pyarrow.parquet as pq
+        merged = pa.concat_tables([pq.read_table(f) for f in sorted(snapshot)])
+        pq.write_table(merged, os.path.join(new_dir, "part-00000-merged.parquet"))
+        # die EXACTLY between the absorb copies and the manifest rename
+        vt._write_manifest = lambda *a, **k: os.kill(os.getpid(), signal.SIGKILL)
+        vt.swap_version(table, prev, new_dir, snapshot)
+        """
+    )
+    proc = subprocess.run(
+        [_sys.executable, "-c", script, table_path, repo_root],
+        capture_output=True,
+        timeout=120,
+    )
+    assert proc.returncode == -9, (proc.returncode, proc.stderr.decode()[-500:])
+
+    # exactly-old: the manifest never moved, the data is complete
+    assert vt.current_version(table_path) == prev
+    got = vt.read_table(spark, table_path)
+    assert got.count() == n
+    assert got.agg(F.sum("v")).first()[0] == n * (n - 1)
+    # the dead compactor's debris: an orphan version dir (with the absorb
+    # copy inside it) and a held lock
+    orphans = [
+        e
+        for e in os.listdir(table_path)
+        if e.startswith(vt.VERSION_PREFIX) and e != prev
+    ]
+    assert orphans, "subprocess died before creating its version dir?"
+    assert os.path.exists(os.path.join(table_path, vt.LOCK))
+
+    # recovery: the lock is stale (holder dead) — age it and the orphan,
+    # then one normal compaction breaks the lock, republishes, and GCs
+    lock = os.path.join(table_path, vt.LOCK)
+    old = time.time() - 2 * vt.LOCK_STALE_SEC
+    os.utime(lock, (old, old))
+    for o in orphans:
+        _age_tree(os.path.join(table_path, o), 2 * vt.GC_GRACE_SEC)
+    stats = vt.compact_parquet_table(spark, table_path, ["k"], target_files=2)
+    assert stats["cells_after"] == n
+    for o in orphans:
+        assert not os.path.exists(os.path.join(table_path, o))
+    got = vt.read_table(spark, table_path)
+    assert got.count() == n and got.agg(F.sum("v")).first()[0] == n * (n - 1)
+
+
+def test_inline_compaction_failure_never_fails_the_epoch(spark, tmp_path, monkeypatch):
+    """r10 ADVICE low: an operator legitimately running the external
+    --compact-sketch-table beside the stream can win the swap race,
+    making the stage's INLINE compact_every_n_epochs pass raise
+    "concurrent compaction" inside foreachBatch. The epoch's cells are
+    already appended, so the failed maintenance pass must land on
+    last_compaction_error (like the async ticker's) — never propagate
+    and take the delivery path down."""
+    from nsq2kinesis_spark.streaming import sketch_maintenance as sm
+
+    table_path = str(tmp_path / "sketches")
+    maint = SketchMaintenance(
+        table_path, key_col="user_id", ts_col="ts", compact_every_n_epochs=1
+    )
+
+    def racing_compactor_won(*a, **k):
+        raise RuntimeError("concurrent compaction detected: manifest moved")
+
+    monkeypatch.setattr(sm, "compact_sketch_table", racing_compactor_won)
+    maint(_batch(spark, "2024-03-04", 0, range(0, 10)), 0)  # must NOT raise
+    assert maint.epochs_applied == 1  # the epoch committed
+    assert maint.compactions_run == 0
+    assert isinstance(maint.last_compaction_error, RuntimeError)
+    # the cells landed despite the failed maintenance pass
+    assert read_sketch_table(spark, table_path).count() == 1
 
 
 def test_auto_compaction_every_n_epochs(spark, tmp_path):
