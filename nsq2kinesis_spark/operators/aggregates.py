@@ -1076,12 +1076,21 @@ def q141_sketch_table_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-invocation mkdtemp it replaces leaked a sketch table per
     driver/bench/plan-test run. The fingerprint (file listing + sizes +
     mtimes) invalidates the memo if the source events change in-process,
-    and a vanished table dir (tmp-cleaner) triggers a rebuild."""
+    and a vanished table dir (tmp-cleaner) triggers a rebuild.
+
+    Round-11 (r10 verdict #7): the table is published as a
+    MANIFEST-VERSIONED table and read through ``read_sketch_table`` —
+    the exact reader/layout a production deployment serves (built by
+    ``compact_sketch_table``'s republish cycle), so this oracle-checked
+    rollup and the production path are provably the same code, not
+    parallel implementations."""
     key = _events_memo_key(sf_dir)
     path = _memo_lookup(_SKETCH_TABLE_MEMO, key)
     if path is None:
         import os
         import tempfile
+
+        from ..streaming.sketch_maintenance import compact_sketch_table
 
         e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
         hourly = e.groupBy(
@@ -1094,9 +1103,16 @@ def q141_sketch_table_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hourly_sketches.parquet",
         )
         hourly.write.parquet(path)
+        # publish through the production protocol: migrate + republish
+        # under the manifest (one compaction cycle), so the table on disk
+        # is the same artifact the ingest-time maintenance stage serves
+        compact_sketch_table(spark, path, target_files=1)
         _memo_store(_SKETCH_TABLE_MEMO, key, path)
-    # the rollup query: sketch table ONLY — events is never read again
-    sk = spark.read.parquet(path)
+    # the rollup query: sketch table ONLY — events is never read again;
+    # the read resolves the manifest like every production consumer
+    from ..streaming.sketch_maintenance import read_sketch_table
+
+    sk = read_sketch_table(spark, path)
     return sk.groupBy(
         F.date_trunc("week", F.col("day")).cast("date").alias("week_start")
     ).agg(
@@ -1147,7 +1163,16 @@ def q142_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-ts policy follows q137/q141: un-datable events are excluded up
     front. The one `.first()` is the O(1) newest-cell cutoff scalar
     (documented driver scalar, same class as q89's convergence check).
-    Rows-only checked (sketch binaries are engine-specific)."""
+    Rows-only checked (sketch binaries are engine-specific).
+
+    Round-11 (r10 verdict #7): the delta append goes through the
+    PRODUCTION commit — a private staging write followed by
+    ``append_staged`` under the table's commit lock (the same two-phase
+    append every ``SketchMaintenance`` epoch performs, which also
+    migrates the base table under the manifest), and the reads resolve
+    the manifest via ``read_sketch_table``. The oracle-checked
+    incremental path and the ingest-time production path are now the
+    same code."""
     e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
 
     def hourly(df: DataFrame) -> DataFrame:
@@ -1159,7 +1184,10 @@ def q142_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _memo_lookup(_INCR_SKETCH_MEMO, key)
     if path is None:
         import os
+        import shutil
         import tempfile
+
+        from ..versioned_table import append_staged, new_staging_dir
 
         # O(1) cutoff scalar: the newest hour cell is this cycle's ingest
         cut = (
@@ -1179,9 +1207,16 @@ def q142_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hourly_sketches.parquet",
         )
         hourly(e.filter(~in_cut)).write.parquet(path)
-        # the maintenance step: aggregate ONLY the delta hour and append —
-        # base files stay byte-identical on disk (append-only parquet)
-        hourly(e.filter(in_cut)).write.mode("append").parquet(path)
+        # the maintenance step: aggregate ONLY the delta hour and commit
+        # it through the production append — staging write, then atomic
+        # renames into the manifest-versioned table under the commit
+        # lock; base files stay byte-identical (hardlinked at migration)
+        staging = new_staging_dir(path)
+        try:
+            hourly(e.filter(in_cut)).write.parquet(staging, mode="overwrite")
+            append_staged(path, staging)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
         _memo_store(_INCR_SKETCH_MEMO, key, path)
 
     # the ONE shared rollup definition (streaming/sketch_maintenance.py):
@@ -1189,9 +1224,9 @@ def q142_sketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must ask the maintained table the identical ISO-week question, or a
     # future week-keying change could drift one copy while each half's
     # internal equality gate stays green
-    from ..streaming.sketch_maintenance import week_rollup
+    from ..streaming.sketch_maintenance import read_sketch_table, week_rollup
 
-    incr = week_rollup(spark.read.parquet(path), "approx_incremental")
+    incr = week_rollup(read_sketch_table(spark, path), "approx_incremental")
     rebuild = week_rollup(hourly(e), "approx_rebuild")
     return incr.join(rebuild, "week_start").select(
         "week_start",

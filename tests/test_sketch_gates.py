@@ -597,11 +597,14 @@ def test_q142_append_touches_only_the_delta_cell(spark):
         _events_memo_key,
     )
 
+    from nsq2kinesis_spark.streaming.sketch_maintenance import read_sketch_table
+
     build = QUERIES["q142_sketch_incremental"].builder
     build(spark, SF_CORRECTNESS).collect()
     key = _events_memo_key(SF_CORRECTNESS)
     path = _INCR_SKETCH_MEMO[key[0]][1]
-    cells = spark.read.parquet(path).select("day", "hour").collect()
+    # the table is manifest-versioned (round 11) — read like production does
+    cells = read_sketch_table(spark, path).select("day", "hour").collect()
     assert len(cells) == len(set((r.day, r.hour) for r in cells)), (
         "append created duplicate hour cells"
     )
