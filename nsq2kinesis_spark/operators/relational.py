@@ -471,6 +471,12 @@ def q95_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT)
     FROM events
     UNION ALL
+    SELECT 'events_props_nul_escapes',
+           CAST(SUM(CASE WHEN regexp_matches(props, '\\\\u0000')
+                  THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
+    UNION ALL
     SELECT 'events_props_dupkeys',
            CAST(SUM(CASE WHEN
              CASE WHEN json_valid(props) THEN
@@ -629,6 +635,19 @@ def q123_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "events_props_surrogate_escapes",
                 events,
                 F.col("props").rlike(r"\\u[dD][89a-fA-F]"),
+            )
+        )
+        .unionByName(
+            # round-11 NUL-escape rule (the control-char probe): q44
+            # excludes payloads carrying a backslash-u0000 escape, as a key
+            # decoding to an embedded NUL makes the sorted key join
+            # engine-dependent (DuckDB's sort-key encoding truncates at
+            # NUL while its =/< and Spark's sort are byte-exact) — this
+            # is where operators see how much the contract sets aside
+            rule(
+                "events_props_nul_escapes",
+                events,
+                F.col("props").rlike(r"\\u0000"),
             )
         )
         .unionByName(

@@ -266,9 +266,18 @@ def json_structural_opens(col):
       -- detector is lexical (any uD8xx-uDFxx-shaped escape, even behind
       -- an escaped backslash), so escaped-but-valid PAIRS are
       -- conservatively excluded too; literal UTF-8 stays in contract.
+      -- round-11 NUL pin: payloads carrying an escaped NUL
+      -- (backslash-u0000) are out of contract too — a key decoding to
+      -- an embedded U+0000 hits DuckDB's sort-key truncation (ORDER
+      -- BY/LIST_SORT treat 'k'||chr(0) as TIED with 'k' while its own
+      -- =/< are byte-exact; Spark sorts byte-exactly everywhere), so
+      -- prop_keys' sorted join is engine-dependent. Lexical and
+      -- conservative like the surrogate detector: an escaped NUL in a
+      -- VALUE is excluded too; raw NUL is already invalid JSON on both.
       SELECT *,
              shallow
              AND NOT regexp_matches(props, '\\\\u[dD][89a-fA-F]')
+             AND NOT regexp_matches(props, '\\\\u0000')
              AND CASE WHEN is_obj THEN
                LEN(json_keys(props)) = LEN(list_distinct(json_keys(props)))
              END AS in_contract
@@ -339,7 +348,21 @@ def q44_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both twins (detector: from_json(map) preserves
     duplicate keys, so |keys| vs |distinct keys|; oracle: json_keys vs
     list_distinct). Surfaced to operators as q123's
-    events_props_dupkeys rule."""
+    events_props_dupkeys rule.
+
+    Round-11 NUL-escape pin (the control-char probe): a key carrying an
+    escaped NUL ('{"k\\u0000":1,"k":7}') decodes to an embedded U+0000,
+    and DuckDB's SORT path truncates sort keys at NUL — ORDER BY /
+    LIST_SORT / RANK treat 'k'||chr(0) as TIED with 'k' (probed: equal
+    RANK) even though its own =/< compare byte-exactly; Spark sorts
+    byte-exactly everywhere. prop_keys' sorted join therefore read
+    'k,k<NUL>' on Spark vs 'k<NUL>,k' on DuckDB. Payloads containing a
+    \\u0000 escape are OUT of the parse contract on both twins — same
+    lexical, conservative detector shape as the surrogate pin (a NUL
+    escape in a value is excluded too; raw NUL is invalid JSON on both
+    engines, probed). Every other control-char escape (u0001-u001F) and
+    raw control byte probed identical. Surfaced as q123's
+    events_props_nul_escapes rule."""
     ev = t(spark, sf_dir, "events")
     parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
     as_map = F.from_json("props", "map<string,string>")
@@ -349,11 +372,15 @@ def q44_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # detector; NULL (unparseable / non-object) propagates NULL through
     # the AND into every column, same as before. round-10 surrogate pin:
     # escaped-surrogate payloads are excluded lexically (Jackson accepts
-    # a lone \uD800 where yyjson rejects the payload — see the oracle)
+    # a lone \uD800 where yyjson rejects the payload — see the oracle).
+    # round-11 NUL pin: escaped-NUL payloads are excluded lexically (an
+    # embedded NUL in a key makes the sorted key join engine-dependent —
+    # DuckDB's sort truncates at NUL; see the docstring)
     keys = F.map_keys(as_map)
     no_surrogate = ~F.col("props").rlike(r"\\u[dD][89a-fA-F]")
+    no_nul_escape = ~F.col("props").rlike(r"\\u0000")
     in_contract = (
-        shallow & no_surrogate
+        shallow & no_surrogate & no_nul_escape
         & (F.size(keys) == F.size(F.array_distinct(keys)))
     )
     return ev.select(
@@ -381,16 +408,35 @@ def q44_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS has_spark,
            CAST(COALESCE(LIST_POSITION(STRING_SPLIT(text, ' '), 'spark'), 0) AS BIGINT) AS spark_pos,
            STRING_SPLIT(text, ' ')[1] AS first_token,
-           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(SUBSTR(text, 1, 40), ' '))), ',') AS head_vocab
+           -- round-11 NUL guard on the SORT-VALUED column only: DuckDB's
+           -- sort-key encoding truncates at an embedded U+0000 (a
+           -- NUL-bearing token TIES with its prefix in LIST_SORT) while
+           -- Spark's sort_array is byte-exact — so U+0000-bearing text
+           -- is out of the vocabulary-sort contract (NULL on both
+           -- twins); every other column is equality/count-based and
+           -- probed identical on NUL-bearing text
+           CASE WHEN NOT CONTAINS(text, chr(0))
+                THEN ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(SUBSTR(text, 1, 40), ' '))), ',')
+           END AS head_vocab
     FROM documents
     """,
     tags=("scalar", "array"),
 )
 def q45_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array battery (seed: partition-key dictionary, aggregator.go:161-170).
-    size/distinct/contains/position/index/sort — all higher-order built-ins."""
+    size/distinct/contains/position/index/sort — all higher-order built-ins.
+
+    Round-11 NUL pin (the control-char probe): head_vocab is the battery's
+    one SORT-VALUED output, and DuckDB's ORDER BY/LIST_SORT sort-key
+    encoding truncates strings at an embedded U+0000 ('ab'||chr(0) TIES
+    with 'ab'; its own =/< compare byte-exactly) while Spark's sort_array
+    is byte-exact — a silent twin split for NUL-bearing tokens. Declared
+    contract: text containing U+0000 (binary contamination in a crawl
+    corpus, never legitimate prose) gets NULL head_vocab on BOTH twins;
+    the equality/count-based columns stay live and probed identical."""
     d = t(spark, sf_dir, "documents")
     words = F.split("text", " ")
+    nul_free = ~F.contains(F.col("text"), F.expr("chr(0)"))
     return d.select(
         "doc_id",
         F.size(words).cast("int").alias("n_tokens"),
@@ -398,8 +444,11 @@ def q45_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(words, "spark").alias("has_spark"),
         F.array_position(words, "spark").cast("long").alias("spark_pos"),
         F.element_at(words, 1).alias("first_token"),
-        F.array_join(
-            F.sort_array(F.array_distinct(F.split(F.substring("text", 1, 40), " "))), ","
+        F.when(
+            nul_free,
+            F.array_join(
+                F.sort_array(F.array_distinct(F.split(F.substring("text", 1, 40), " "))), ","
+            ),
         ).alias("head_vocab"),
     )
 

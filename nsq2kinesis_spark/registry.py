@@ -107,26 +107,38 @@ def load_all_modules() -> None:
 # CORRECTED ceiling):
 #   1. rule 1 ledger opened EMPTY (every r10 change sat inside the r10
 #      prefix). Mid-round amendments, promoted per rule 1 as their
-#      changes landed: q141/q142 (fixtures now build the sketch table
-#      through the manifest-versioned production path — SketchMaintenance
-#      staging appends + compaction — instead of a hand-written flat
-#      layout, so the rows-only driver row re-covers the real reader;
-#      both are rule-3 permanent-tail queries, so no prefix slot moves).
+#      changes landed:
+#      - q44/q45/q123: the round-11 control-char probe found the
+#        embedded-NUL sort split (DuckDB's sort-key encoding truncates
+#        at U+0000 — ORDER BY/LIST_SORT/RANK tie 'k'||chr(0) with 'k' —
+#        while its =/< and Spark's sort are byte-exact); q44 excludes
+#        backslash-u0000 payloads from the parse contract, q45's
+#        head_vocab (its one sort-valued column) is NULL for
+#        NUL-bearing text on both twins, q123 gained the
+#        events_props_nul_escapes rule. All three lead the prefix; the
+#        last three fill entries (q92, q93, q140) yield their slots and
+#        front the post-boundary tail.
+#      - q141/q142 (fixtures now build the sketch table through the
+#        manifest-versioned production path — SketchMaintenance staging
+#        appends + compaction — instead of a hand-written flat layout,
+#        so the rows-only driver row re-covers the real reader; both
+#        are rule-3 permanent-tail queries, so no prefix slot moves).
 #   2. rule 2 ceiling — MECHANICAL, 27 queries whose green rows date to
 #      r8 (rotation_state.json: latest_row == 8): q14, q15, q17, q83
 #      (displaced post-boundary in r10 by the rule-1 promotions), then
 #      q87, q110, q112, q113, q106, q34, q35, q60, q101, q103, q105,
 #      q107, q109, q114, q117, q119-q122, q125, q127-q129. All 27 take
 #      prefix slots; their rows turn 3 rounds old this round.
-#   3. the remaining 23 slots refresh the oldest r9-row queries in their
+#   3. the remaining 20 slots refresh the oldest r9-row queries in their
 #      listed order: q81, q82, q130, q133-q136, q139, q31, q32, q50-q52,
-#      q54, q61, q62, q70, q73, q74, q91-q93, q140.
+#      q54, q61, q62, q70, q73, q74, q91.
 #   ---- 50-query prefix boundary ----
-#   4. the rest of the r9-row block (q126, q138, q75, q132, q63, q88,
-#      q80, q111, q18, q19, q30, q33, q64, q65, q71, q79, q84, q86,
-#      q94, q95, q96 — 21 queries) ages to r12 under rule 2, backed by
-#      this round's green 3-SF parity sweep; they lead the post-boundary
-#      tail so they front the r12 prefix (the rule-2 ceiling there);
+#   4. the displaced fill entries (q92, q93, q140) and the rest of the
+#      r9-row block (q126, q138, q75, q132, q63, q88, q80, q111, q18,
+#      q19, q30, q33, q64, q65, q71, q79, q84, q86, q94, q95, q96 — 24
+#      queries total) age to r12 under rule 2, backed by this round's
+#      green 3-SF parity sweep; they lead the post-boundary tail so
+#      they front the r12 prefix (the rule-2 ceiling there);
 #   5. the queries with fresh r10 rows, in their r10 order;
 #   6. permanent tail (rule 3): q16, q76, q116, q137, q141, q142.
 #
@@ -140,7 +152,11 @@ def load_all_modules() -> None:
 #      listed order; the rest of the r10 block may age to r13 under
 #      rule 2 provided the 3-SF parity sweep runs green in r12.
 VERIFY_ORDER: tuple[str, ...] = (
-    # -- rule 1: (empty this round — no post-row code changes pending) --
+    # -- rule 1: code/oracle changed since the last driver row (the
+    # -- round-11 embedded-NUL probe wave) --
+    "q44_json_battery",
+    "q45_array_battery",
+    "q123_dq_report",
     # -- rule 2 ceiling: r8-row untouched queries — rows turn 3 rounds
     # -- old this round, so ALL 27 take prefix slots (set derived from
     # -- tools/rotation_state.json; asserted by test_contract.py) --
@@ -193,12 +209,13 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q73_token_count_bpe",
     "q74_multimodal_meta",
     "q91_frame_sample",
+    # ---- 50-query prefix boundary (driver budget) ----
+    # -- displaced fill entries (yielded their slots to the rule-1
+    # -- promotions) and r9-row queries aging to r12 under rule 2 (3-SF
+    # -- parity sweep green this round); they front the r12 prefix --
     "q92_media_features",
     "q93_media_resize",
     "q140_topk_others",
-    # ---- 50-query prefix boundary (driver budget) ----
-    # -- r9-row queries aging to r12 under rule 2 (3-SF parity sweep
-    # -- green this round); they front the r12 prefix --
     "q126_cdc_apply",
     "q138_snapshot_diff",
     "q75_neardup_jaccard",
@@ -220,11 +237,10 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q94_range_join_binned",
     "q95_zorder_key",
     "q96_heavy_hitters_mg",
-    # -- fresh round-10 rows, untouched since, in their r10 order --
-    "q123_dq_report",
+    # -- fresh round-10 rows, untouched since, in their r10 order
+    # -- (q123/q44/q45 promoted to rule 1 above) --
     "q118_fuzzy_match",
     "q89_dedup_components",
-    "q44_json_battery",
     "q53_python_udf_crc",
     "q72_fingerprint",
     "q97_corpus_build",
@@ -249,7 +265,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q41_date_battery",
     "q42_math_battery",
     "q43_conditional_battery",
-    "q45_array_battery",
     "q90_kmeans_train",
     "q98_srp_lsh_pairs",
     "q131_hard_negatives",

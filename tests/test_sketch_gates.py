@@ -2201,3 +2201,187 @@ def test_control_char_customer_names_parity(spark, tmp_path):
         )
     for qname in ("q118_fuzzy_match", "q43_conditional_battery"):
         _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def _nul_plant_fixture(tmp_path):
+    """Round-11 control-char fixture: raw U+0000 planted in every string
+    surface the engines sort or group — document text tokens, customer
+    names, event_type — plus props payloads carrying the ESCAPED form
+    (raw NUL is invalid JSON on both engines, probed). Built with
+    chr(0)-concatenation: a raw NUL byte cannot ride inside a SQL
+    literal."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in "region nation supplier part orders lineitem embeddings".split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/events.parquet'
+          UNION ALL SELECT 9991101, TIMESTAMP '2024-02-12 10:00:00', 777101,
+            'vi' || CHR(0) || 'ew', 1.0, '{{}}'
+          UNION ALL SELECT 9991102, TIMESTAMP '2024-02-12 11:00:00', 777102,
+            'vi', 2.0, '{{"k' || CHR(92) || 'u0000":1,"k":7}}'
+          UNION ALL SELECT 9991103, TIMESTAMP '2024-02-12 12:00:00', 777103,
+            'view', 3.0, '{{"s":"a' || CHR(92) || 'u0000b","k":2}}'
+        ) TO '{sf_dir}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/documents.parquet'
+          UNION ALL SELECT 9991101,
+            'ab ab' || CHR(0) || ' a spark ab', 'en', 'web', 18
+          UNION ALL SELECT 9991102,
+            'zz zz' || CHR(0) || 'c zza wiki text', 'en', 'wiki', 20
+        ) TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{src}/customer.parquet'
+          UNION ALL SELECT 9991101, 'Cust' || CHR(0) || 'omer#000000019',
+            1, 100.0, 'BUILDING'
+        ) TO '{sf_dir}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    return sf_dir, con
+
+
+@_pytest_mod.mark.parametrize(
+    "qname",
+    [
+        # the two that DIVERGED before the round-11 pins — both are
+        # sort-VALUED outputs (array_sort/LIST_SORT joined into a string):
+        # DuckDB's sort-key encoding truncates at an embedded U+0000
+        # ('k'||chr(0) TIES with 'k' in ORDER BY/LIST_SORT/RANK — probed —
+        # while its own =/< compare byte-exactly), Spark sorts byte-exact
+        "q44_json_battery",   # prop_keys: NUL-escape payloads now out of contract
+        "q45_array_battery",  # head_vocab: NUL-bearing text now NULL both twins
+        "q123_dq_report",     # carries the new events_props_nul_escapes rule
+        # representatives of the SWEPT-CLEAN classes (registry-wide sweep
+        # with these plants: zero divergences outside q44/q45): grouping,
+        # equality, tokenizing and top-k over NUL-bearing strings agree —
+        # only sort-derived VALUES were affected
+        "q40_string_battery",
+        "q79_vocab_topk",
+        "q08_distinct",
+        "q140_topk_others",
+    ],
+)
+def test_embedded_nul_strings_match_oracle(spark, tmp_path, qname):
+    """Round-11 probe pin (the control-char wave, NUL case): raw U+0000 in
+    text/name/event_type and escaped backslash-u0000 in props must
+    hash-match on both twins everywhere — the two queries that diverged
+    carry their contract fixes, the clean classes are locked in."""
+    sf_dir, con = _nul_plant_fixture(tmp_path)
+    _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def test_q44_nul_escape_payload_out_of_contract(spark, tmp_path):
+    """Round-11 probe pin, the specifics: a payload whose KEY decodes to
+    an embedded NUL ('{"k\\u0000":1,"k":7}') made prop_keys' sorted join
+    engine-dependent ('k,k<NUL>' on Spark vs 'k<NUL>,k' on DuckDB — the
+    sort-key truncation). Payloads containing a backslash-u0000 escape
+    anywhere are OUT of the parse contract (NULL everywhere, both twins;
+    conservative lexical detector like the surrogate pin), and the q123
+    rule counts exactly the planted pair."""
+    sf_dir, con = _nul_plant_fixture(tmp_path)
+    rows = {
+        r.event_id: r
+        for r in QUERIES["q44_json_battery"]
+        .builder(spark, sf_dir)
+        .filter(F.col("event_id").isin(9991102, 9991103))
+        .collect()
+    }
+    for eid in (9991102, 9991103):  # key-NUL AND value-NUL both excluded
+        r = rows[eid]
+        assert r.prop_keys is None and r.n_props is None, (eid, r)
+    got = {
+        r.rule: r.n_violations
+        for r in QUERIES["q123_dq_report"].builder(spark, sf_dir).collect()
+    }
+    assert got["events_props_nul_escapes"] == 2
+
+
+def test_q45_nul_text_head_vocab_out_of_contract(spark, tmp_path):
+    """Round-11 probe pin: head_vocab (the battery's one sort-valued
+    column) is NULL on both twins for U+0000-bearing text — binary
+    contamination, never prose — while the equality/count columns stay
+    live and identical (asserted by the parity test above)."""
+    sf_dir, con = _nul_plant_fixture(tmp_path)
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["q45_array_battery"]
+        .builder(spark, sf_dir)
+        .filter(F.col("doc_id").isin(9991101, 9991102))
+        .collect()
+    }
+    for did in (9991101, 9991102):
+        r = rows[did]
+        assert r.head_vocab is None, (did, r)
+        assert r.n_tokens is not None and r.first_token is not None, (did, r)
+
+
+def test_json_number_boundaries_match_oracle(spark, tmp_path):
+    """Round-11 probe pin (the number-precision wave — SWEPT CLEAN, no
+    contract change needed): int64 boundaries (±2^63±1), uint64 edges,
+    20- and 40-digit integers, double overflow (±1e309), underflow
+    (1e-400), double max, high-precision decimals, and every
+    spec-invalid number form (leading zero, +12, 0x1F, 1., .5, bare -)
+    agree between Jackson and yyjson through q44's full column set:
+    in-range INT32 parses, everything else degrades to NULL prop_k with
+    the payload still IN contract (keys live), and invalid JSON is NULL
+    everywhere on both twins. NaN/Infinity literals are accepted by BOTH
+    parsers (non-standard extensions that happen to agree) — pinned as
+    in-contract with NULL prop_k."""
+    payloads = [
+        "2147483647", "2147483648", "9223372036854775807",
+        "-9223372036854775808", "9223372036854775808",
+        "-9223372036854775809", "18446744073709551615",
+        "18446744073709551616", "99999999999999999999",
+        "9999999999999999999999999999999999999999",
+        "1e309", "-1e309", "1e-400", "1.7976931348623157e308",
+        "0.30000000000000004444", "1E2", "1e+2", "12.0",
+        "012", "+12", "0x1F", "NaN", "Infinity", "1.", ".5",
+    ]
+    extra = " UNION ALL ".join(
+        f"SELECT {9991200 + i}, TIMESTAMP '2024-02-12 10:00:00', 777200, "
+        f"'view', 1.0, '{{\"k\":{p}}}'"
+        for i, p in enumerate(payloads)
+    )
+    sf_dir, con = _null_variant_fixture(tmp_path, extra)
+    _assert_null_variant_parity(spark, "q44_json_battery", sf_dir, con)
+    rows = {
+        r.event_id: r
+        for r in QUERIES["q44_json_battery"]
+        .builder(spark, sf_dir)
+        .filter(F.col("event_id") >= 9991200)
+        .collect()
+    }
+    assert rows[9991200].prop_k == 2147483647  # INT32 max parses
+    for i in range(1, 18):  # every valid-JSON out-of-INT32 form: NULL k, keys live
+        r = rows[9991200 + i]
+        assert r.prop_k is None and r.prop_keys == "k", (payloads[i], r)
+    for i in range(18, 21):  # spec-invalid forms: NULL everywhere
+        r = rows[9991200 + i]
+        assert r.prop_keys is None, (payloads[i], r)
+    for i in (21, 22):  # NaN/Infinity: both parsers accept (extension parity)
+        r = rows[9991200 + i]
+        assert r.prop_k is None and r.prop_keys == "k", (payloads[i], r)
+    for i in (23, 24):  # trailing-dot / leading-dot: invalid on both
+        r = rows[9991200 + i]
+        assert r.prop_keys is None, (payloads[i], r)
