@@ -63,7 +63,31 @@ def make_dedup_fn(ttl_s: int = DEDUP_TTL_S):
     same best-effort-cache behavior the reference has, and safe under the
     pipeline's at-least-once contract (dedup here is a cost optimization,
     not a correctness gate).
+
+    Round-11 vectorization: the original per-row itertuples loop is
+    replaced by a numpy prefix-max. With rows sorted ascending by ts, the
+    reference mark each row compares against is max(state, all earlier
+    ts) — a ``maximum.accumulate`` over [state, ts[0..n-2]] — so
+    keep[i] = ts[i] − prefix_max[i] ≥ ttl, identical row-for-row to the
+    loop (ties: the second of two equal-ts rows sees gap 0 and drops, as
+    before; a late out-of-order record still cannot regress the mark,
+    because the prefix max carries the state forward). Measured on the
+    bench feed (200k rows, 100k 2-row groups, fresh sessions):
+    14.5k → 16.4k rec/s (+13%). The remaining ~8× gap to
+    ``dropDuplicatesWithinWatermark`` (125k rec/s, same box) is
+    per-GROUP Python dispatch — one function call + GroupState
+    read/update round-trip per key per batch — and is NOT reducible by
+    batch sizing (arrow maxRecordsPerBatch 10k→100k measured −7%).
+    Production guidance: ``dropDuplicatesWithinWatermark`` (JVM state,
+    watermark-coupled window) is the recommended path when its
+    window-follows-watermark semantics fit; THIS operator is the
+    flexible-semantics tier — independent TTL knob, refresh-on-sighting,
+    reference-exact generational behavior — at the measured ~8× state-op
+    cost. The forwarding pipeline defaults to the watermark tier
+    (streaming/pipeline.py) and reserves this one for semantics the
+    built-in can't express.
     """
+    import numpy as np
 
     def dedup_fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -72,21 +96,25 @@ def make_dedup_fn(ttl_s: int = DEDUP_TTL_S):
             state.remove()
             return
         (last_seen,) = state.get if state.exists else (None,)
-        kept = []
-        for pdf in pdfs:
-            for row in pdf.sort_values("ts").itertuples(index=False):
-                ts_s = row.ts.timestamp()
-                if last_seen is None or (ts_s - last_seen) >= ttl_s:
-                    kept.append((row.body_hash, row.message_id, row.ts))
-                # refresh on every sighting — but never BACKWARD: a late
-                # out-of-order record must not regress the mark, or a
-                # duplicate arriving ttl_s after the LATE record (yet
-                # within ttl_s of the true latest sighting) leaks through
-                last_seen = ts_s if last_seen is None else max(last_seen, ts_s)
-        state.update((last_seen,))
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((last_seen,))
+            state.setTimeoutDuration(ttl_s * 1000)
+            return
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+        ts_ns = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        order = np.argsort(ts_ns, kind="stable")
+        ts_s = ts_ns[order].astype("float64") / 1e9
+        init = -np.inf if last_seen is None else last_seen
+        # the mark row i compares against: max(state, every earlier ts) —
+        # never BACKWARD, so a late out-of-order record cannot open a
+        # leak for a duplicate arriving ttl_s after it
+        prev = np.maximum.accumulate(np.concatenate(([init], ts_s[:-1])))
+        keep = ts_s - prev >= ttl_s
+        state.update((max(init, ts_s[-1]),))
         state.setTimeoutDuration(ttl_s * 1000)
-        if kept:
-            yield pd.DataFrame(kept, columns=["body_hash", "message_id", "ts"])
+        if keep.any():
+            yield pdf.iloc[order[keep]][["body_hash", "message_id", "ts"]]
 
     return dedup_fn
 
