@@ -2385,3 +2385,82 @@ def test_json_number_boundaries_match_oracle(spark, tmp_path):
     for i in (23, 24):  # trailing-dot / leading-dot: invalid on both
         r = rows[9991200 + i]
         assert r.prop_keys is None, (payloads[i], r)
+
+
+def test_astral_and_escaped_unicode_keys_match_oracle(spark, tmp_path):
+    """Round-11 probe pin (SWEPT CLEAN registry-wide): astral-plane vs
+    high-BMP sort order, and unicode-ESCAPED JSON keys.
+
+    Sort order: UTF-16 code-unit comparison (Java String.compareTo) puts
+    astral chars (surrogate-pair lead 0xD800) BEFORE U+E000..U+FFFF,
+    while UTF-8 byte order puts astral AFTER all of BMP — but BOTH
+    engines' sort paths are UTF-8-byte/codepoint-ordered (Spark
+    UTF8String binary compare, DuckDB byte order), so sorted-value
+    outputs agree on 'a<U+1F600>' vs 'a<U+F8FF>' vs 'a<U+FFFF>' tokens
+    and keys.
+
+    Escapes: a key written as a \\u00e9 escape decodes to the same key
+    string as literal UTF-8 on both parsers BEFORE the sorted join —
+    and the escaped+literal pair of the SAME key trips the dup-key
+    contract identically on both twins (both count the decoded keys)."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    payloads = [
+        (992001, '{"a\U0001F600":1,"a\uF8FF":2,"ab":3}'),
+        (992002, '{"\u00e9":1,"e":2}'),
+        (992003, '{"\\u00e9x":1,"\u00e9x":2}'),  # escaped+literal same key => dup
+        (992004, '{"\\u00e9":1,"f":2}'),
+        (992005, '{"z\uFFFD":1,"z\uFFFF":2}'),
+    ]
+    con.execute(f"CREATE TABLE pe AS SELECT * FROM '{src}/events.parquet' LIMIT 0")
+    for eid, p in payloads:
+        con.execute(
+            "INSERT INTO pe VALUES (?, TIMESTAMP '2024-01-01 00:00:00', 1, "
+            "'view', 1.0, ?)",
+            [eid, p],
+        )
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/events.parquet' UNION ALL
+            SELECT * FROM pe) TO '{sf_dir}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(f"CREATE TABLE pd AS SELECT * FROM '{src}/documents.parquet' LIMIT 0")
+    con.execute(
+        "INSERT INTO pd VALUES (992001, ?, 'en', 'web', 30)",
+        ["a\U0001F600 a\uF8FF ab a\uFFFF spark"],
+    )
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/documents.parquet' UNION ALL
+            SELECT * FROM pd) TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    for qname in ("q44_json_battery", "q45_array_battery", "q79_vocab_topk"):
+        _assert_null_variant_parity(spark, qname, sf_dir, con)
+    rows = {
+        r.event_id: r
+        for r in QUERIES["q44_json_battery"]
+        .builder(spark, sf_dir)
+        .filter(F.col("event_id") >= 992001)
+        .collect()
+    }
+    # astral + private-use + noncharacter keys: in contract, sorted joins agree
+    assert rows[992001].n_props == 3
+    assert rows[992005].n_props == 2
+    # escaped key decodes before the join: é sorts after 'e'/'f' identically
+    assert rows[992002].prop_keys == "e,\u00e9"
+    assert rows[992004].prop_keys == "f,\u00e9"
+    # escaped+literal pair of the SAME decoded key = duplicate => excluded
+    assert rows[992003].prop_keys is None and rows[992003].n_props is None
