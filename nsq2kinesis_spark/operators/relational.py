@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import table as t
-from .scalars import JSON_MAX_OPENS, json_structural_opens
+from .scalars import (
+    DUCK_JSON_STRICT_TAIL,
+    JSON_MAX_OPENS,
+    json_strict_tail,
+    json_structural_opens,
+    json_trailing_comma,
+)
 
 # Exact-aggregation idiom: the money columns in the testdata are cents-exact
 # doubles (verified: max |x*100 - round(x*100)| < 1e-8 on every money column)
@@ -477,6 +483,22 @@ def q95_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT)
     FROM events
     UNION ALL
+    SELECT 'events_props_trailing_garbage',
+           CAST(SUM(CASE WHEN NOT (__DUCK_STRICT_TAIL__) THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT regexp_replace(regexp_replace(props, '\\\\.', '', 'g'),
+                                '"[^"]*"', '""', 'g') AS stripped2
+          FROM events)
+    UNION ALL
+    SELECT 'events_props_trailing_commas',
+           CAST(SUM(CASE WHEN regexp_matches(
+                  regexp_replace(regexp_replace(props, '\\\\.', '', 'g'),
+                                 '"[^"]*"', '""', 'g'),
+                  ',\\s*[}\\]]') THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
+    UNION ALL
     SELECT 'events_props_dupkeys',
            CAST(SUM(CASE WHEN
              CASE WHEN json_valid(props) THEN
@@ -487,7 +509,13 @@ def q95_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
              THEN 1 ELSE 0 END) AS BIGINT),
            CAST(COUNT(*) AS BIGINT)
     FROM events
-    """,
+    """.replace(
+        # the strict-tail depth scan is shared verbatim with q44's oracle
+        # (scalars.DUCK_JSON_STRICT_TAIL) — spliced here because this
+        # oracle is a plain (non-f) string whose own braces must stay raw
+        "__DUCK_STRICT_TAIL__",
+        DUCK_JSON_STRICT_TAIL.format(s="stripped2"),
+    ),
     tags=("relational", "quality", "validation"),
 )
 def q123_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,6 +679,28 @@ def q123_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
+            # round-11 grammar-leniency rules (the parser-flags probe):
+            # trailing garbage after the first JSON value — Jackson
+            # parses the first value and ignores the rest, yyjson
+            # rejects the payload; q44 excludes these via the
+            # json_strict_tail depth scan, and this is where operators
+            # see how much of the corpus that sets aside
+            rule(
+                "events_props_trailing_garbage",
+                events,
+                ~json_strict_tail(F.col("props")),
+            )
+        )
+        .unionByName(
+            # ...and the REVERSE direction: a trailing comma before a
+            # closer is accepted by yyjson and rejected by Jackson
+            rule(
+                "events_props_trailing_commas",
+                events,
+                json_trailing_comma(F.col("props")),
+            )
+        )
+        .unionByName(
             # round-10 twin of the rule above (the duplicate-key probe):
             # q44 declares duplicate-TOP-level-key payloads out of the
             # parse contract because Spark's struct from_json is
@@ -658,15 +708,23 @@ def q123_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Spark's own get_json_object sides with yyjson. The dedup
             # detector reuses q44's: from_json(map) preserves duplicate
             # keys; NULL (unparseable / non-object) is not a violation.
+            # round-11: the map is parsed ONCE through a projection (the
+            # r10 verdict's double-from_json nit) with the same
+            # allowSingleQuotes=false strictness as q44, so a
+            # single-quoted dup-key payload cannot count here while the
+            # yyjson-based oracle rule rejects it as invalid.
             rule(
                 "events_props_dupkeys",
-                events,
-                F.size(F.map_keys(F.from_json("props", "map<string,string>")))
-                != F.size(
-                    F.array_distinct(
-                        F.map_keys(F.from_json("props", "map<string,string>"))
-                    )
+                events.select(
+                    F.map_keys(
+                        F.from_json(
+                            "props",
+                            "map<string,string>",
+                            {"allowSingleQuotes": "false"},
+                        )
+                    ).alias("_keys")
                 ),
+                F.size("_keys") != F.size(F.array_distinct("_keys")),
             )
         )
     )

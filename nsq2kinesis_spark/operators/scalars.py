@@ -229,11 +229,117 @@ def json_structural_opens(col):
     return F.length(stripped) - F.length(F.translate(stripped, "{[", ""))
 
 
+def json_strict_tail(col):
+    """TRUE iff the payload's structural scan finds exactly one balanced
+    container and nothing but JSON whitespace after it — the round-11
+    trailing-garbage contract (leniency probe): Jackson parses the FIRST
+    value and ignores trailing content ('{"k":1}{"k":2}', '{"k":1}<SOH>',
+    '{"k":1}}', '{"k":1},{"j":2}' all parse), while yyjson rejects the
+    whole payload — a silent twin split in every JSON column. Trailing
+    garbage is lexically undetectable by regex (comma-joined objects are
+    locally legal at every adjacency), so this is a real depth scan: over
+    the string-stripped payload, track depth, flag depth<0, record the
+    first balanced close, and flag ANY non-whitespace character after it.
+    One O(len) whole-stage-codegen higher-order aggregate per row; the
+    DuckDB oracles run the IDENTICAL algorithm via list_reduce (shared
+    SQL in DUCK_JSON_STRICT_TAIL). NULL input → NULL.
+
+    The strip here is the TWO-STEP canonical form (remove backslash
+    escape pairs first, then strip plain-quoted spans): the one-regex
+    strip `"([^"\\\\]|\\\\.)*"` is ambiguous on pathological unbalanced
+    quote/backslash garbage and Java-regex vs RE2 resolve it differently
+    (found by the equivalence fuzz — 1/425 random strings split). After
+    escape-pair removal, `"[^"]*"` is a deterministic leftmost scan on
+    both engines. Valid payloads strip identically under both forms."""
+    stripped = F.regexp_replace(
+        F.regexp_replace(col, r"\\.", ""), '"[^"]*"', '""'
+    )
+    chars = F.split(stripped, "")
+
+    def step(acc, c):
+        delta = (
+            F.when(c.isin("{", "["), 1).when(c.isin("}", "]"), -1).otherwise(0)
+        )
+        d2 = acc["d"] + delta
+        return F.struct(
+            d2.alias("d"),
+            (acc["closed"] | ((d2 == 0) & c.isin("}", "]"))).alias("closed"),
+            (
+                acc["bad"]
+                | (d2 < 0)
+                | (acc["closed"] & ~c.isin(" ", "\t", "\n", "\r", ""))
+            ).alias("bad"),
+        )
+
+    init = F.struct(
+        F.lit(0).alias("d"),
+        F.lit(False).alias("closed"),
+        F.lit(False).alias("bad"),
+    )
+    return F.aggregate(
+        chars, init, step, lambda acc: ~(acc["bad"] | (acc["d"] != 0))
+    )
+
+
+# The DuckDB twin of json_strict_tail, as a SQL expression template over a
+# string-stripped payload column named by `{s}`: the same depth scan via a
+# list comprehension + list_reduce. The scan state is packed into ONE
+# BIGINT — bad*1e11 + closed*1e10 + (depth + 1e9) — because DuckDB 1.0's
+# list_reduce MISBINDS STRUCT accumulators across 3+ elements (probed:
+# each iteration alone computes correctly, the chained fold swaps field
+# values; scalar accumulators chain correctly). Each char maps to
+# (delta+1) + 4*nonws: '{{'/'[' -> 6, '}}'/']' -> 4, JSON whitespace -> 1,
+# anything else -> 5. Strict iff the fold ends with bad=0 and depth=0.
+# Kept beside the Spark form so the two cannot drift independently.
+DUCK_JSON_STRICT_TAIL = """
+((list_reduce(
+  [CAST(1000000000 AS BIGINT)] ||
+  [CAST(CASE WHEN c IN ('{{','[') THEN 6 WHEN c IN ('}}',']') THEN 4
+             WHEN c IN (' ', CHR(9), CHR(10), CHR(13), '') THEN 1
+             ELSE 5 END AS BIGINT)
+   FOR c IN string_split({s}, '')],
+  (acc, e) ->
+    CASE WHEN acc // 100000000000 = 1
+              OR acc % 10000000000 - 1000000000 + e % 4 - 1 < 0
+              OR ((acc // 10000000000) % 10 = 1 AND e // 4 = 1)
+         THEN 100000000000 ELSE 0 END
+    + CASE WHEN (acc // 10000000000) % 10 = 1
+                OR (acc % 10000000000 - 1000000000 + e % 4 - 1 = 0
+                    AND e % 4 = 0)
+           THEN 10000000000 ELSE 0 END
+    + acc % 10000000000 + e % 4 - 1
+)) IN (1000000000, 11000000000))
+""".replace("\n", " ")
+
+
+def json_trailing_comma(col):
+    """TRUE iff the string-stripped payload carries a comma directly
+    before a closing bracket — legal to yyjson (DuckDB accepts
+    '{"k":1,}') but rejected by Jackson: the reverse-direction half of
+    the round-11 leniency split. A comma never directly precedes a
+    closer in spec-valid JSON, so the detector has zero false positives.
+    Same two-step canonical strip as json_strict_tail; oracle twin:
+    regexp_matches(stripped2, ',\\s*[}}\\]]')."""
+    stripped = F.regexp_replace(
+        F.regexp_replace(col, r"\\.", ""), '"[^"]*"', '""'
+    )
+    return stripped.rlike(r",\s*[}\]]")
+
+
+# pre-formatted oracle fragments for q44's contract CTE (the f-string
+# below must not re-scan their braces); stripped2 is the two-step
+# canonical strip the round-11 grammar detectors run on (see
+# json_strict_tail's docstring for why the one-regex strip is ambiguous)
+_STRICT_TAIL_ON_STRIPPED = DUCK_JSON_STRICT_TAIL.format(s="stripped2")
+
+
 @query(
     "q44_json_battery",
     oracle=f"""
     WITH guarded AS (
-      SELECT *, regexp_replace(props, '"([^"\\\\]|\\\\.)*"', '""', 'g') AS stripped
+      SELECT *, regexp_replace(props, '"([^"\\\\]|\\\\.)*"', '""', 'g') AS stripped,
+             regexp_replace(regexp_replace(props, '\\\\.', '', 'g'),
+                            '"[^"]*"', '""', 'g') AS stripped2
       FROM events
     ),
     typed AS (
@@ -274,10 +380,25 @@ def json_structural_opens(col):
       -- prop_keys' sorted join is engine-dependent. Lexical and
       -- conservative like the surrogate detector: an escaped NUL in a
       -- VALUE is excluded too; raw NUL is already invalid JSON on both.
+      -- round-11 leniency pins (the grammar probe): (a) TRAILING
+      -- GARBAGE — Jackson parses the first value and ignores the rest
+      -- ('{{"k":1}}{{"k":2}}', a control byte, an extra brace, a
+      -- comma-joined second object) while yyjson rejects the payload;
+      -- detection needs a real depth scan (comma-joined forms are
+      -- locally legal at every adjacency), run here by the list_reduce
+      -- twin of the engine's json_strict_tail; (b) TRAILING COMMA
+      -- before a closer — yyjson ACCEPTS '{{"k":1,}}' where Jackson
+      -- rejects, the reverse direction; a comma never directly
+      -- precedes a closer in spec JSON, so the regex has no false
+      -- positives. (Single-quoted strings — Jackson's third leniency —
+      -- are killed at the ROOT instead: the engine parses with
+      -- allowSingleQuotes=false, so both parsers reject.)
       SELECT *,
              shallow
              AND NOT regexp_matches(props, '\\\\u[dD][89a-fA-F]')
              AND NOT regexp_matches(props, '\\\\u0000')
+             AND {_STRICT_TAIL_ON_STRIPPED}
+             AND NOT regexp_matches(stripped2, ',\\s*[}}\\]]')
              AND CASE WHEN is_obj THEN
                LEN(json_keys(props)) = LEN(list_distinct(json_keys(props)))
              END AS in_contract
@@ -362,10 +483,36 @@ def q44_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     escape in a value is excluded too; raw NUL is invalid JSON on both
     engines, probed). Every other control-char escape (u0001-u001F) and
     raw control byte probed identical. Surfaced as q123's
-    events_props_nul_escapes rule."""
+    events_props_nul_escapes rule.
+
+    Round-11 grammar-leniency pins (the parser-flags probe — three
+    different grammars in play: Jackson, yyjson, and Spark 4's variant
+    parser, probed pairwise-inconsistent):
+    - SINGLE QUOTES: Spark's from_json default enables Jackson's
+      allowSingleQuotes, so '{{'k':1}}' parsed on Spark and not DuckDB.
+      Killed at the ROOT: every props parse here and in q123 passes
+      allowSingleQuotes=false — both engines now reject, no contract
+      entry needed.
+    - TRAILING GARBAGE: Jackson parses the FIRST value and ignores the
+      rest ('{{"k":1}}{{"k":2}}', '{{"k":1}}<SOH>', '{{"k":1}}}}',
+      comma-joined objects) while yyjson rejects the whole payload.
+      Out of contract via json_strict_tail — a real depth scan (O(len)
+      higher-order aggregate; regex cannot detect comma-joined forms),
+      with the identical list_reduce algorithm in the oracle.
+    - TRAILING COMMA: the REVERSE split — yyjson accepts '{{"k":1,}}'
+      where Jackson rejects. Out of contract via json_trailing_comma
+      (a comma never directly precedes a closer in spec JSON).
+    Probed clean and pinned: BOM / NBSP prefixes, comments, unquoted
+    names, bare scalars, array roots, whitespace padding (both engines
+    agree on all)."""
     ev = t(spark, sf_dir, "events")
-    parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
-    as_map = F.from_json("props", "map<string,string>")
+    strict_opts = {"allowSingleQuotes": "false"}
+    parsed = F.from_json(
+        "props",
+        T.StructType([T.StructField("k", T.IntegerType())]),
+        strict_opts,
+    )
+    as_map = F.from_json("props", "map<string,string>", strict_opts)
     shallow = json_structural_opens(F.col("props")) <= JSON_MAX_OPENS
     # round-10 duplicate-key pin: from_json(map) preserves duplicate
     # top-level keys, so equality with the deduplicated key list IS the
@@ -375,12 +522,16 @@ def q44_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a lone \uD800 where yyjson rejects the payload — see the oracle).
     # round-11 NUL pin: escaped-NUL payloads are excluded lexically (an
     # embedded NUL in a key makes the sorted key join engine-dependent —
-    # DuckDB's sort truncates at NUL; see the docstring)
+    # DuckDB's sort truncates at NUL; see the docstring). round-11
+    # grammar pins: strict-tail depth scan + trailing-comma regex (see
+    # the docstring).
     keys = F.map_keys(as_map)
     no_surrogate = ~F.col("props").rlike(r"\\u[dD][89a-fA-F]")
     no_nul_escape = ~F.col("props").rlike(r"\\u0000")
     in_contract = (
         shallow & no_surrogate & no_nul_escape
+        & json_strict_tail(F.col("props"))
+        & ~json_trailing_comma(F.col("props"))
         & (F.size(keys) == F.size(F.array_distinct(keys)))
     )
     return ev.select(

@@ -118,6 +118,16 @@ def load_all_modules() -> None:
 #        events_props_nul_escapes rule. All three lead the prefix; the
 #        last three fill entries (q92, q93, q140) yield their slots and
 #        front the post-boundary tail.
+#      - q44/q123 again via the round-11 grammar-leniency probe (three
+#        parsers, three grammars): single-quoted JSON killed at the
+#        root (allowSingleQuotes=false on every props parse), trailing
+#        garbage out of contract via the json_strict_tail depth scan
+#        (Jackson parses the first value and ignores the rest), and
+#        trailing commas out of contract in the REVERSE direction
+#        (yyjson accepts '{"k":1,}', Jackson rejects); q123 gained the
+#        events_props_trailing_garbage / _trailing_commas rules and its
+#        dupkeys rule now parses props once, strictly. Both already
+#        hold rule-1 prefix slots — no further rotation change.
 #      - q141/q142 (fixtures now build the sketch table through the
 #        manifest-versioned production path — SketchMaintenance staging
 #        appends + compaction — instead of a hand-written flat layout,

@@ -2464,3 +2464,64 @@ def test_astral_and_escaped_unicode_keys_match_oracle(spark, tmp_path):
     assert rows[992004].prop_keys == "f,\u00e9"
     # escaped+literal pair of the SAME decoded key = duplicate => excluded
     assert rows[992003].prop_keys is None and rows[992003].n_props is None
+
+
+def test_json_grammar_leniency_contract(spark, tmp_path):
+    """Round-11 probe pin (the parser-flags wave — THREE grammars in
+    play, probed pairwise-inconsistent: Jackson, yyjson, and Spark 4's
+    variant parser):
+
+    - SINGLE QUOTES ('{'k':1}'): Jackson's allowSingleQuotes is ON by
+      Spark default and OFF in this engine (killed at the root) — both
+      twins now reject;
+    - TRAILING GARBAGE ('{"k":1}{"k":2}', a control byte, an extra
+      brace, a comma-joined object): Jackson parses the FIRST value and
+      ignores the rest, yyjson rejects — out of contract via the
+      json_strict_tail depth scan (regex cannot catch comma-joined
+      forms), identical list_reduce algorithm in the oracle;
+    - TRAILING COMMA ('{"k":1,}'): the REVERSE split — yyjson accepts,
+      Jackson rejects — out of contract via json_trailing_comma;
+    - swept clean and locked: BOM/NBSP prefixes, comments, unquoted
+      names, bare scalars, array roots, whitespace padding.
+
+    The q123 rules count exactly the planted out-of-grammar payloads."""
+    payloads = [
+        (9991301, "{'k':1}"),                  # single quotes
+        (9991302, '{"k":1,"s":\'x\'}'),        # single-quoted value
+        (9991303, '{"k":1,}'),                 # trailing comma (yyjson-legal)
+        (9991304, '{"k":1}{"k":2}'),           # concatenated objects
+        (9991305, '{"k":1}' + chr(1)),         # control byte after value
+        (9991306, '{"k":1}}'),                 # extra closer
+        (9991307, '{"k":1},{"j":2}'),          # comma-joined second object
+        (9991308, '  {"k":1}  '),              # ws padding: IN contract
+        (9991309, '[{"k":1}]'),                # array root: non-object
+        (9991310, '{"k":1 /*c*/}'),            # comment: invalid both
+    ]
+    extra = " UNION ALL ".join(
+        "SELECT {}, TIMESTAMP '2024-02-12 10:00:00', 777300, 'view', 1.0, '{}'".format(
+            eid, p.replace("'", "''")
+        )
+        for eid, p in payloads
+    )
+    sf_dir, con = _null_variant_fixture(tmp_path, extra)
+    _assert_null_variant_parity(spark, "q44_json_battery", sf_dir, con)
+    _assert_null_variant_parity(spark, "q123_dq_report", sf_dir, con)
+    rows = {
+        r.event_id: r
+        for r in QUERIES["q44_json_battery"]
+        .builder(spark, sf_dir)
+        .filter(F.col("event_id") >= 9991301)
+        .collect()
+    }
+    for eid in (9991301, 9991302, 9991303, 9991304, 9991305, 9991306,
+                9991307, 9991309, 9991310):
+        r = rows[eid]
+        assert r.prop_keys is None and r.prop_k is None, (eid, r)
+    assert rows[9991308].prop_k == 1 and rows[9991308].prop_keys == "k"
+    got = {
+        r.rule: r.n_violations
+        for r in QUERIES["q123_dq_report"].builder(spark, sf_dir).collect()
+    }
+    # trailing garbage: concat, ctrl-after, extra closer, comma-joined
+    assert got["events_props_trailing_garbage"] == 4
+    assert got["events_props_trailing_commas"] == 1
