@@ -568,9 +568,25 @@ def q100_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- q110: PII detection + redaction ------------------------------------------
 
 # Patterns kept to syntax shared by Java regex (Spark) and RE2 (DuckDB):
-# char classes, bounded repetition, \d, \b — no backreferences, no lookaround.
+# char classes, bounded repetition, \d — no backreferences, no lookaround,
+# and (round 11) NO \b: the word-boundary probe found Java's \b is
+# UNICODE-aware (é / Arabic-Indic digits count as word chars, so
+# 'é1.2.3.4é' has no boundary and Spark skipped the IP) while RE2's \b
+# is ASCII (DuckDB redacted it) — a silent twin split on any multibyte
+# char adjacent to the anchor. The IPv4 rule now declares explicit
+# ASCII boundaries: an address must be delimited by start/end-of-text
+# or a non-digit-non-dot character on each side (capture-group guards,
+# identical on both engines; stricter than \b inside dotted chains like
+# '1.2.3.4.5', which are now left alone — better PII behavior anyway).
+# Because the trailing guard CONSUMES its character, two addresses one
+# separator apart would leave the second unmatched in a single pass, so
+# detection and redaction run TWO passes: pass 1 converts the first of
+# each adjacent pair, isolating the rest for pass 2 (two passes reach
+# the fixed point for any configuration — the alternating argument;
+# asserted in the planted test).
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_IPV4_CORE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_IPV4_RE = rf"(^|[^0-9.])({PII_IPV4_CORE})($|[^0-9.])"
 PII_LONGNUM_RE = r"\d{12,}"
 
 # The synthetic corpus carries no natural PII, so the query plants
@@ -593,16 +609,26 @@ _PII_AUG_SQL = (
     oracle=f"""
     WITH aug AS (
       SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+    ), staged AS (
+      SELECT doc_id, text,
+             -- counting pass 1 runs on the RAW text (counts keep their
+             -- original raw-text semantics); redaction pass 1 runs on
+             -- the email-redacted text (replacement order unchanged:
+             -- email -> IP -> digit-run)
+             REGEXP_REPLACE(text, '{PII_IPV4_RE}', '\\1<IP>\\3', 'g') AS cnt1,
+             REGEXP_REPLACE(REGEXP_REPLACE(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{PII_IPV4_RE}', '\\1<IP>\\3', 'g') AS red1
+      FROM aug
     )
     SELECT doc_id,
            CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
-           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_IPV4_RE}')) AS INTEGER) AS n_ips,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_IPV4_RE}', 2))
+                + LEN(REGEXP_EXTRACT_ALL(cnt1, '{PII_IPV4_RE}', 2)) AS INTEGER) AS n_ips,
            CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_LONGNUM_RE}')) AS INTEGER) AS n_longnums,
-           REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
-             text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-             '{PII_IPV4_RE}', '<IP>', 'g'),
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(red1, '{PII_IPV4_RE}', '\\1<IP>\\3', 'g'),
              '{PII_LONGNUM_RE}', '<NUM>', 'g') AS redacted
-    FROM aug
+    FROM staged
     """,
     tags=("llm", "text", "pii"),
 )
@@ -643,17 +669,25 @@ def q110_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
+    def ip_pass(col):
+        # keep the consumed boundary chars; '<IP>' carries no digits, so
+        # passes compose without creating new matches
+        return F.regexp_replace(col, PII_IPV4_RE, "$1<IP>$3")
+
+    cnt1 = ip_pass(aug)  # counting pass 1: RAW text (raw-count semantics)
+    red1 = ip_pass(F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"))
     return d.select(
         "doc_id",
         F.regexp_count(aug, F.lit(PII_EMAIL_RE)).cast("int").alias("n_emails"),
-        F.regexp_count(aug, F.lit(PII_IPV4_RE)).cast("int").alias("n_ips"),
+        # two-pass IP count: pass 1 on the raw text, pass 2 on pass 1's
+        # output picks up addresses whose separator pass 1 consumed
+        (
+            F.regexp_count(aug, F.lit(PII_IPV4_RE))
+            + F.regexp_count(cnt1, F.lit(PII_IPV4_RE))
+        ).cast("int").alias("n_ips"),
         F.regexp_count(aug, F.lit(PII_LONGNUM_RE)).cast("int").alias("n_longnums"),
         F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
-                PII_IPV4_RE,
-                "<IP>",
-            ),
+            ip_pass(red1),
             PII_LONGNUM_RE,
             "<NUM>",
         ).alias("redacted"),

@@ -118,6 +118,13 @@ def load_all_modules() -> None:
 #        events_props_nul_escapes rule. All three lead the prefix; the
 #        last three fill entries (q92, q93, q140) yield their slots and
 #        front the post-boundary tail.
+#      - q110 via the round-11 word-boundary probe: Java's \b is
+#        unicode-aware, RE2's is ASCII — 'é1.2.3.4é' redacted by the
+#        oracle and skipped by the engine. The IPv4 rule now uses
+#        explicit ASCII capture-group boundaries (no \b anywhere) with
+#        two-pass detection for adjacent addresses. q110 already holds
+#        a rule-2 ceiling slot in this prefix, so its fresh r11 row
+#        covers the change — no rotation move.
 #      - q44/q123 again via the round-11 grammar-leniency probe (three
 #        parsers, three grammars): single-quoted JSON killed at the
 #        root (allowSingleQuotes=false on every props parse), trailing

@@ -2525,3 +2525,67 @@ def test_json_grammar_leniency_contract(spark, tmp_path):
     # trailing garbage: concat, ctrl-after, extra closer, comma-joined
     assert got["events_props_trailing_garbage"] == 4
     assert got["events_props_trailing_commas"] == 1
+
+
+def test_q110_multibyte_boundary_and_ip_chains_match_oracle(spark, tmp_path):
+    """Round-11 probe pin: Java's \\b is UNICODE-aware (é / Arabic-Indic
+    digits are word chars — no boundary, no match) while RE2's \\b is
+    ASCII — 'é1.2.3.4é' was redacted by the oracle and skipped by the
+    engine. q110's IPv4 rule now declares explicit ASCII boundaries
+    (start/end or non-digit-non-dot on each side, capture-group guards —
+    no \\b anywhere in the engine's oracle-checked patterns) with
+    two-pass detection/redaction reaching the fixed point for adjacent
+    addresses. Dotted chains like '1.2.3.4.5' are now left alone
+    (stricter than \\b, declared)."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    texts = [
+        (9994001, "é1.2.3.4é end"),            # multibyte-adjacent: redact
+        (9994002, "١ 192.168.0.1١ x"),         # Arabic-Indic digit adjacent
+        (9994003, "a 1.2.3.4 5.6.7.8 9.8.7.6 4.3.2.1 b"),  # chain: two-pass fixed point
+        (9994004, "ver 1.2.3.4.5 notip"),                # dotted chain: left alone
+        (9994005, "x11234.5.6.7 partial"),               # digit-prefixed: left alone
+    ]
+    con.execute(f"CREATE TABLE pd AS SELECT * FROM '{src}/documents.parquet' LIMIT 0")
+    for did, txt in texts:
+        con.execute(
+            "INSERT INTO pd VALUES (?, ?, 'en', 'web', ?)", [did, txt, len(txt)]
+        )
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/documents.parquet' UNION ALL
+            SELECT * FROM pd) TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    _assert_null_variant_parity(spark, "q110_pii_redaction", sf_dir, con)
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["q110_pii_redaction"]
+        .builder(spark, sf_dir)
+        .filter(F.col("doc_id") >= 9994001)
+        .collect()
+    }
+    assert rows[9994001].n_ips == 1 and "<IP>" in rows[9994001].redacted
+    assert rows[9994002].n_ips == 1
+    # four addresses one separator apart: two passes catch all of them
+    assert rows[9994003].n_ips == 4
+    assert rows[9994003].redacted.count("<IP>") == 4
+    # doc 9994004 is %4==0, so the aug step PLANTS one real IP — the
+    # dotted chain itself stays untouched beside it
+    assert rows[9994004].n_ips == 1
+    assert "1.2.3.4.5" in rows[9994004].redacted
+    assert rows[9994004].redacted.count("<IP>") == 1
+    assert rows[9994005].n_ips == 0
