@@ -299,6 +299,124 @@ def oom_regime(n: int, heap: str) -> None:
         )
 
 
+def compaction_impact(n: int, passes: int) -> None:
+    """--compaction-impact (round 11): the 'maintenance is free beside
+    delivery' claim as numbers. The SAME multi-epoch forwarding pipeline
+    (build_pipeline — dedup → metrics → foreachBatch sink, the real
+    operator wiring) runs three ways:
+
+      none          delivery only (baseline)
+      sketch        + SketchMaintenance appends hourly HLL cells per epoch
+      sketch_async  + the async compaction ticker at an aggressive 0.5 s
+                    cadence, racing the live epochs the whole run
+
+    and reports per-config throughput, compaction passes that ran, and
+    the sketch table's final file count / exact cell integrity (cells
+    must answer the same rollup in all sketch configs — compaction runs
+    BESIDE delivery, so lost-or-doubled cells would show here)."""
+    from nsq2kinesis_spark.streaming import sketch_maintenance as sm
+    from nsq2kinesis_spark.streaming.pipeline import (
+        MESSAGE_SCHEMA,
+        PipelineConfig,
+        build_pipeline,
+    )
+
+    spark = get_spark(app_name="nsq2kinesis_compaction_impact")
+    root = tempfile.mkdtemp(prefix="nsq2k_compact_impact_")
+    src = os.path.join(root, f"msg_feed_{n}")
+    # 50% duplicate bodies adjacent in event time (the bench feed shape);
+    # MESSAGE_SCHEMA columns so build_pipeline runs its real transform
+    spark.range(n).select(
+        F.col("id").cast("string").alias("message_id"),
+        F.encode(
+            F.concat(F.lit("m-"), F.floor(F.col("id") / 2).cast("string")), "UTF-8"
+        ).alias("body"),
+        F.timestamp_millis(F.col("id") * 3).alias("ts"),
+        F.lit(1).alias("attempts"),
+        F.lit(None).cast("string").alias("key"),
+    ).coalesce(N_FILES).write.parquet(src)
+
+    delivered = []
+
+    def noop_sink(df, epoch_id):
+        delivered.append(df.count())
+
+    def run_once(tag: str, sketch: bool, async_s: float | None) -> dict:
+        table = os.path.join(root, f"sketches_{tag}_{time.monotonic_ns()}")
+        ckpt = tempfile.mkdtemp(prefix="nsq2k_ci_ckpt_")
+        delivered.clear()
+        cfg = PipelineConfig(
+            checkpoint_dir=ckpt,
+            trigger_processing_time="0 seconds",
+            sketch_table=table if sketch else None,
+            sketch_compact_async_s=async_s,
+        )
+        stream = (
+            spark.readStream.schema(MESSAGE_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        start_epoch = time.time()
+        q = build_pipeline(stream, noop_sink, cfg)
+        deadline = start_epoch + 900
+        try:
+            while time.time() < deadline:
+                if sum(p["numInputRows"] for p in q.recentProgress) >= n:
+                    break
+                time.sleep(0.05)
+            else:
+                raise RuntimeError(f"{tag}: feed not drained in 900s")
+            rate = n / bench._data_elapsed(q.recentProgress, start_epoch)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+            if q.maintenance_sink is not None:
+                q.maintenance_sink.close()
+        row = {"config": tag, "n": n, "recs_per_s": int(rate)}
+        if sketch:
+            cells = sm.read_sketch_table(spark, table)
+            row["files"] = len(cells.inputFiles())
+            row["cells"] = cells.count()
+            row["distinct_est"] = int(
+                sum(
+                    r.approx_distinct
+                    for r in sm.week_rollup(cells).collect()
+                )
+            )
+            if q.maintenance_sink is not None:
+                row["compactions_run"] = q.maintenance_sink.compactions_run
+                err = q.maintenance_sink.last_compaction_error
+                row["compaction_error"] = type(err).__name__ if err else None
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return row
+
+    results = []
+    try:
+        for _ in range(passes):
+            for tag, sketch, async_s in (
+                ("none", False, None),
+                ("sketch", True, None),
+                ("sketch_async", True, 0.5),
+            ):
+                row = run_once(tag, sketch, async_s)
+                results.append(row)
+                print(json.dumps(row), flush=True)
+    finally:
+        for active in spark.streams.active:
+            try:
+                active.stop()
+            except Exception:
+                pass
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+    print("\n### compaction impact (markdown for NOTES) ###\n")
+    keys = list(dict.fromkeys(k for r in results for k in r))
+    print("| " + " | ".join(keys) + " |")
+    print("|" + "---|" * len(keys))
+    for r in results:
+        print("| " + " | ".join(str(r.get(k, "")) for k in keys) + " |")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rungs", default="200000,400000,800000,1600000")
@@ -328,12 +446,22 @@ def main() -> None:
         "the production spill-to-disk config (round-9 A/B at 400k: "
         "~9-14%% slower than the on-heap default, identical state rows)",
     )
+    ap.add_argument(
+        "--compaction-impact",
+        action="store_true",
+        help="run ONLY the forwarding-throughput-with-maintenance rung "
+        "(delivery alone vs +sketch appends vs +async compaction ticker)",
+    )
+    ap.add_argument("--impact-n", type=int, default=400_000)
     args = ap.parse_args()
     if args.oom_probe is not None:
         run_oom_probe(args.oom_probe, args.state_provider)
         return
     if args.oom_regime:
         oom_regime(args.oom_n, args.oom_heap)
+        return
+    if args.compaction_impact:
+        compaction_impact(args.impact_n, args.passes)
         return
     rungs = [int(x) for x in args.rungs.split(",")]
 
