@@ -391,7 +391,7 @@ def _q97_oracle() -> str:
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY MD5(LOWER(TRIM(REGEXP_REPLACE(
           REGEXP_REPLACE(text, CHR(304), 'i' || CHR(775), 'g'),
-          '\\s+', ' ', 'g'))))
+          '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))))
         ORDER BY doc_id) AS rn
       FROM clean
     ), ns AS (
@@ -468,7 +468,7 @@ def q97_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (round-10 pin, see llm_text._expand_dotted_i) — a fingerprint used
     # as a dedup PARTITION key must not be engine-dependent
     fp = F.md5(
-        F.lower(F.trim(F.regexp_replace(_expand_dotted_i("text"), r"\s+", " ")))
+        F.lower(F.trim(F.regexp_replace(_expand_dotted_i("text"), "[ \\t\\n\\x0B\\f\\r]+", " ")))
     )
     w_fp = Window.partitionBy("fp").orderBy("doc_id")
     kept = (

@@ -142,7 +142,7 @@ def q71_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              LOWER(TRIM(REGEXP_REPLACE(
                REGEXP_REPLACE(text, CHR(304), 'i' || CHR(775), 'g'),
-               '\\s+', ' ', 'g'))) AS norm
+               '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS norm
       FROM documents
     )
     SELECT doc_id,
@@ -162,9 +162,16 @@ def q72_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both twins before LOWER (see the oracle comment) — without it the
     fingerprint of any text containing 'İ' is engine-dependent, which for
     a DEDUP KEY means engine-dependent survivors. Shared with q97's
-    canonical-dedup stage via _expand_dotted_i."""
+    canonical-dedup stage via _expand_dotted_i.
+
+    Round-11 vertical-tab pin (the \\s probe): Java's \\s is
+    [ \\t\\n\\x0B\\f\\r] while RE2's omits \\x0B — text containing a
+    vertical tab normalized differently and the FINGERPRINT diverged
+    (engine-dependent dedup survivors again). Both twins now spell the
+    class out explicitly — the declared whitespace set is Java's; \\s
+    never appears in an oracle-twinned pattern."""
     d = t(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace(_expand_dotted_i("text"), r"\s+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace(_expand_dotted_i("text"), "[ \\t\\n\\x0B\\f\\r]+", " ")))
     fp = F.md5(norm)
     return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("fp_prefix"))
 

@@ -495,7 +495,7 @@ def q95_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN regexp_matches(
                   regexp_replace(regexp_replace(props, '\\\\.', '', 'g'),
                                  '"[^"]*"', '""', 'g'),
-                  ',\\s*[}\\]]') THEN 1 ELSE 0 END) AS BIGINT),
+                  ',[ \\t\\n\\r]*[}\\]]') THEN 1 ELSE 0 END) AS BIGINT),
            CAST(COUNT(*) AS BIGINT)
     FROM events
     UNION ALL

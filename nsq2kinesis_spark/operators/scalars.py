@@ -220,6 +220,17 @@ def q43_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_MAX_OPENS = 1000
 
 
+# Explicit whitespace classes for regexes that run on DATA (round-11
+# vertical-tab probe): Java's \s is [ \t\n\x0B\f\r] while RE2's is
+# [ \t\n\f\r] — the \x0B delta silently split q72's dedup fingerprint
+# and the trailing-comma detector. Never use \s in an oracle-twinned
+# pattern; spell the class out. JAVA_WS is the full Java set (the
+# engine's declared whitespace-normalization semantics); JSON_WS is the
+# JSON grammar's inter-token set (matches the strict-tail scan).
+JAVA_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+JSON_WS_CLASS = "[ \\t\\n\\r]"
+
+
 def json_structural_opens(col):
     """Count of structural '{'/'[' in a JSON payload: string literals are
     stripped first (same regex as the DuckDB oracles), so brackets inside
@@ -318,12 +329,13 @@ def json_trailing_comma(col):
     '{"k":1,}') but rejected by Jackson: the reverse-direction half of
     the round-11 leniency split. A comma never directly precedes a
     closer in spec-valid JSON, so the detector has zero false positives.
-    Same two-step canonical strip as json_strict_tail; oracle twin:
-    regexp_matches(stripped2, ',\\s*[}}\\]]')."""
+    Same two-step canonical strip as json_strict_tail; oracle twin uses
+    the identical explicit JSON_WS_CLASS (never \\s — Java's \\s
+    includes \\x0B, RE2's does not; round-11 vertical-tab probe)."""
     stripped = F.regexp_replace(
         F.regexp_replace(col, r"\\.", ""), '"[^"]*"', '""'
     )
-    return stripped.rlike(r",\s*[}\]]")
+    return stripped.rlike("," + JSON_WS_CLASS + r"*[}\]]")
 
 
 # pre-formatted oracle fragments for q44's contract CTE (the f-string
@@ -398,7 +410,7 @@ _STRICT_TAIL_ON_STRIPPED = DUCK_JSON_STRICT_TAIL.format(s="stripped2")
              AND NOT regexp_matches(props, '\\\\u[dD][89a-fA-F]')
              AND NOT regexp_matches(props, '\\\\u0000')
              AND {_STRICT_TAIL_ON_STRIPPED}
-             AND NOT regexp_matches(stripped2, ',\\s*[}}\\]]')
+             AND NOT regexp_matches(stripped2, ',[ \\t\\n\\r]*[}}\\]]')
              AND CASE WHEN is_obj THEN
                LEN(json_keys(props)) = LEN(list_distinct(json_keys(props)))
              END AS in_contract

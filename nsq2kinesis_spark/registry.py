@@ -125,6 +125,14 @@ def load_all_modules() -> None:
 #        two-pass detection for adjacent addresses. q110 already holds
 #        a rule-2 ceiling slot in this prefix, so its fresh r11 row
 #        covers the change — no rotation move.
+#      - q72/q97 via the round-11 vertical-tab probe: Java's \s is
+#        [ \t\n\x0B\f\r], RE2's omits \x0B — the shared
+#        whitespace-collapse normalization made the dedup FINGERPRINT
+#        engine-dependent for \x0B-bearing text. Both twins now spell
+#        the Java class out explicitly. Both queries hold fresh r10
+#        rows, so rule 1 promotes them into the prefix; the last two
+#        fill entries (q74, q91) yield their slots and front the
+#        post-boundary tail.
 #      - q44/q123 again via the round-11 grammar-leniency probe (three
 #        parsers, three grammars): single-quoted JSON killed at the
 #        root (allowSingleQuotes=false on every props parse), trailing
@@ -170,10 +178,13 @@ def load_all_modules() -> None:
 #      rule 2 provided the 3-SF parity sweep runs green in r12.
 VERIFY_ORDER: tuple[str, ...] = (
     # -- rule 1: code/oracle changed since the last driver row (the
-    # -- round-11 embedded-NUL probe wave) --
+    # -- round-11 probe waves: embedded-NUL, grammar leniency,
+    # -- vertical-tab whitespace) --
     "q44_json_battery",
     "q45_array_battery",
     "q123_dq_report",
+    "q72_fingerprint",
+    "q97_corpus_build",
     # -- rule 2 ceiling: r8-row untouched queries — rows turn 3 rounds
     # -- old this round, so ALL 27 take prefix slots (set derived from
     # -- tools/rotation_state.json; asserted by test_contract.py) --
@@ -224,12 +235,12 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q62_sliding_window",
     "q70_text_stats",
     "q73_token_count_bpe",
-    "q74_multimodal_meta",
-    "q91_frame_sample",
     # ---- 50-query prefix boundary (driver budget) ----
     # -- displaced fill entries (yielded their slots to the rule-1
     # -- promotions) and r9-row queries aging to r12 under rule 2 (3-SF
     # -- parity sweep green this round); they front the r12 prefix --
+    "q74_multimodal_meta",
+    "q91_frame_sample",
     "q92_media_features",
     "q93_media_resize",
     "q140_topk_others",
@@ -255,12 +266,10 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q95_zorder_key",
     "q96_heavy_hitters_mg",
     # -- fresh round-10 rows, untouched since, in their r10 order
-    # -- (q123/q44/q45 promoted to rule 1 above) --
+    # -- (q123/q44/q45/q72/q97 promoted to rule 1 above) --
     "q118_fuzzy_match",
     "q89_dedup_components",
     "q53_python_udf_crc",
-    "q72_fingerprint",
-    "q97_corpus_build",
     "q99_source_cap",
     "q100_tfidf_topterms",
     "q102_incremental_dedup",

@@ -2589,3 +2589,70 @@ def test_q110_multibyte_boundary_and_ip_chains_match_oracle(spark, tmp_path):
     assert "1.2.3.4.5" in rows[9994004].redacted
     assert rows[9994004].redacted.count("<IP>") == 1
     assert rows[9994005].n_ips == 0
+
+
+def test_vertical_tab_whitespace_class_matches_oracle(spark, tmp_path):
+    """Round-11 probe pin (the \\s-class wave): Java's \\s is
+    [ \\t\\n\\x0B\\f\\r] while RE2's omits \\x0B — the shared
+    whitespace-collapse normalization made q72's dedup FINGERPRINT (and
+    q97's canonical-dedup partition key) engine-dependent for
+    vertical-tab-bearing text: the engine collapsed 'alpha\\x0Bbeta' to
+    'alpha beta' while the oracle left it intact. Both twins now spell
+    the Java class out explicitly, and \\s appears in NO oracle-twinned
+    pattern (the new trailing-comma detector got the same fix before a
+    driver row ever covered it). Pinned: a \\x0B doc pair that collides
+    under the declared normalization, a \\f pair (in BOTH engines' \\s —
+    was never split), and a payload with \\x0B between comma and
+    closer."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(f"CREATE TABLE pd AS SELECT * FROM '{src}/documents.parquet' LIMIT 0")
+    for did, txt in [
+        (995001, "alpha\x0bbeta gamma shared tail"),
+        (995002, "alpha beta gamma shared tail"),
+        (995003, "form\x0cfeed here"),
+        (995004, "form feed here"),
+    ]:
+        con.execute("INSERT INTO pd VALUES (?, ?, 'en', 'web', ?)", [did, txt, len(txt)])
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/documents.parquet' UNION ALL
+            SELECT * FROM pd) TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(f"CREATE TABLE pe AS SELECT * FROM '{src}/events.parquet' LIMIT 0")
+    con.execute(
+        "INSERT INTO pe VALUES (995001, TIMESTAMP '2024-01-01', 1, 'view', 1.0, ?)",
+        ['{"k":1 ,\x0b}'],
+    )
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/events.parquet' UNION ALL
+            SELECT * FROM pe) TO '{sf_dir}/events.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    for qname in ("q72_fingerprint", "q97_corpus_build", "q44_json_battery",
+                  "q123_dq_report", "q45_array_battery"):
+        _assert_null_variant_parity(spark, qname, sf_dir, con)
+    fps = {
+        r.doc_id: r.fingerprint
+        for r in QUERIES["q72_fingerprint"]
+        .builder(spark, sf_dir)
+        .filter(F.col("doc_id") >= 995001)
+        .collect()
+    }
+    # the declared (Java) whitespace set collapses \x0B and \f alike:
+    # each planted pair shares one canonical form — on BOTH twins
+    assert fps[995001] == fps[995002]
+    assert fps[995003] == fps[995004]
