@@ -169,7 +169,7 @@ def _refresh_lock(table_path: str) -> None:
     mistaken for a dead holder — staleness becomes per-file, not
     per-table."""
     try:
-        os.utime(os.path.join(table_path, LOCK))
+        os.utime(_lock_path(table_path))
     except (FileNotFoundError, OSError):
         pass
 
@@ -190,6 +190,28 @@ def _write_manifest(table_path: str, version_name: str) -> None:
     _fsync_dir(table_path)
 
 
+def _lock_path(table_path: str) -> str:
+    """Path of the commit lock for ``table_path`` — by default inside the
+    table dir. O_CREAT|O_EXCL is only reliable on filesystems that
+    implement exclusive create (local POSIX, NFSv3+ with proper servers,
+    the conditional-PUT analog on object stores); a deployment whose
+    TABLE lives on a filesystem without it (NFSv2-era mounts) sets
+    ``NSQ2K_LOCK_ROOT`` to a directory on a reliable filesystem and only
+    the tiny lock files move there — the data dirs stay put. Lock files
+    are namespaced by a hash of the table's absolute path so two tables
+    never share a lock."""
+    root = os.environ.get("NSQ2K_LOCK_ROOT")
+    if not root:
+        return os.path.join(table_path, LOCK)
+    import hashlib
+
+    digest = hashlib.sha256(
+        os.path.abspath(table_path).encode("utf-8")
+    ).hexdigest()[:16]
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, f"{LOCK}-{digest}")
+
+
 @contextmanager
 def commit_lock(table_path: str, timeout: float = 30.0):
     """Cross-process advisory lock serializing COMMITS only (file renames
@@ -197,9 +219,11 @@ def commit_lock(table_path: str, timeout: float = 30.0):
     outside it). O_CREAT|O_EXCL is atomic on POSIX; the object-store
     analog is a conditional PUT. A stale lock (older than
     LOCK_STALE_SEC) is broken by renaming it away first, so two breakers
-    cannot both think they won."""
+    cannot both think they won. The lock's LOCATION can be redirected
+    off the table's filesystem via NSQ2K_LOCK_ROOT (see _lock_path) for
+    mounts without reliable exclusive create."""
     os.makedirs(table_path, exist_ok=True)
-    lock_path = os.path.join(table_path, LOCK)
+    lock_path = _lock_path(table_path)
     deadline = time.monotonic() + timeout
     while True:
         try:
@@ -467,6 +491,21 @@ def _gc(table_path: str, keep: set[str]) -> None:
                 os.unlink(full)
             except FileNotFoundError:
                 pass
+    # husks of a redirected lock (NSQ2K_LOCK_ROOT) live beside the lock,
+    # not in the table dir — collect this table's only
+    lock_path = _lock_path(table_path)
+    lock_dir = os.path.dirname(lock_path)
+    if lock_dir != table_path:
+        prefix = os.path.basename(lock_path) + ".stale-"
+        try:
+            for entry in os.listdir(lock_dir):
+                if entry.startswith(prefix):
+                    try:
+                        os.unlink(os.path.join(lock_dir, entry))
+                    except FileNotFoundError:
+                        pass
+        except FileNotFoundError:
+            pass
     # pre-migration leftovers: the legacy flat table's root-level part
     # files (hardlinked into v-000000 by ensure_versioned_locked) — kept
     # under the same staleness grace so a reader that listed the flat

@@ -2656,3 +2656,45 @@ def test_vertical_tab_whitespace_class_matches_oracle(spark, tmp_path):
     # each planted pair shares one canonical form — on BOTH twins
     assert fps[995001] == fps[995002]
     assert fps[995003] == fps[995004]
+
+
+def test_json_value_shapes_match_oracle(spark, tmp_path):
+    """Round-11 probe pin (SWEPT CLEAN): JSON VALUE shapes through q44 —
+    null values, empty/whitespace keys, nested containers as values,
+    NESTED duplicate keys (in contract: only TOP-level dups split the
+    parsers), booleans, quoted numbers, escape-bearing string values —
+    all agree between Jackson and yyjson through the full column set."""
+    payloads = [
+        (996001, '{"k":null}'),
+        (996002, '{"s":null,"k":3}'),
+        (996003, '{"":1}'),
+        (996004, '{" ":1}'),
+        (996005, '{"":1,"k":5}'),
+        (996006, '{"a":{"x":1},"k":6}'),
+        (996007, '{"a":[1,2,3],"k":7}'),
+        (996008, '{"k":true}'),
+        (996009, '{"k":"12"}'),
+        (996010, '{"a":{"x":1,"x":2},"k":10}'),
+        (996011, '{"a":{},"k":11}'),
+    ]
+    extra = " UNION ALL ".join(
+        f"SELECT {eid}, TIMESTAMP '2024-02-12 10:00:00', 777400, 'view', 1.0, "
+        f"'{p}'" for eid, p in payloads
+    )
+    sf_dir, con = _null_variant_fixture(tmp_path, extra)
+    _assert_null_variant_parity(spark, "q44_json_battery", sf_dir, con)
+    _assert_null_variant_parity(spark, "q123_dq_report", sf_dir, con)
+    rows = {
+        r.event_id: r
+        for r in QUERIES["q44_json_battery"]
+        .builder(spark, sf_dir)
+        .filter(F.col("event_id") >= 996001)
+        .collect()
+    }
+    # spot checks: typed-int k only for raw integer tokens; nested dups
+    # and container values stay in contract with live keys
+    assert rows[996001].prop_k is None and rows[996001].n_props == 1  # null value
+    assert rows[996002].prop_k == 3 and rows[996002].n_props == 2
+    assert rows[996005].prop_k == 5 and rows[996005].prop_keys == ",k"
+    assert rows[996010].prop_k == 10 and rows[996010].n_props == 2
+    assert rows[996008].prop_k is None and rows[996009].prop_k is None

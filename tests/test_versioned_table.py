@@ -646,3 +646,44 @@ def test_auto_compaction_every_n_epochs(spark, tmp_path):
     assert len(tbl.inputFiles()) <= 2  # target 1 + at most one fresh append
     # 6 disjoint 30-id ranges: exact distinct count answers from the table
     assert sum(_rollup_map(spark, table_path).values()) == 180
+
+
+def test_lock_root_redirect_for_hostile_filesystems(spark, tmp_path, monkeypatch):
+    """NSQ2K_LOCK_ROOT (round 11, closing the NFS residual): a deployment
+    whose table filesystem lacks reliable O_CREAT|O_EXCL redirects only
+    the tiny lock files to a reliable path — the data dirs stay put. The
+    lock must still mutually exclude, stale-break, namespace per table,
+    and leave the table dir free of lock artifacts; the full
+    append+compact cycle must work under the redirect, and break-husks
+    in the lock root are GC'd."""
+    lock_root = str(tmp_path / "lockroot")
+    monkeypatch.setenv("NSQ2K_LOCK_ROOT", lock_root)
+    table_path = str(tmp_path / "sketches")
+    maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+    maint(_batch(spark, "2024-03-04", 0, range(0, 15)), 0)
+    maint(_batch(spark, "2024-03-04", 1, range(100, 115)), 1)
+    compact_sketch_table(spark, table_path, target_files=1)
+    assert sum(_rollup_map(spark, table_path).values()) == 30
+    # no lock artifacts in the table dir; exactly one lock name in root
+    assert not any(e.startswith(vt.LOCK) for e in os.listdir(table_path))
+    # mutual exclusion still holds through the redirected path
+    with vt.commit_lock(table_path):
+        assert any(e.startswith(vt.LOCK + "-") for e in os.listdir(lock_root))
+        with pytest.raises(TimeoutError):
+            with vt.commit_lock(table_path, timeout=0.2):
+                pass
+    # two tables never share a lock
+    other = str(tmp_path / "other_table")
+    with vt.commit_lock(table_path):
+        with vt.commit_lock(other, timeout=0.5):
+            pass  # no contention: different digest
+    # a dead holder's redirected lock stale-breaks, and the husk is GC'd
+    lock = vt._lock_path(table_path)
+    with open(lock, "w") as fh:
+        fh.write("0\n")
+    old = time.time() - 2 * vt.LOCK_STALE_SEC
+    os.utime(lock, (old, old))
+    compact_sketch_table(spark, table_path, target_files=1)  # breaks + commits
+    assert sum(_rollup_map(spark, table_path).values()) == 30
+    husks = [e for e in os.listdir(lock_root) if ".stale-" in e]
+    assert not husks, husks
