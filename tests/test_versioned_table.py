@@ -687,3 +687,46 @@ def test_lock_root_redirect_for_hostile_filesystems(spark, tmp_path, monkeypatch
     assert sum(_rollup_map(spark, table_path).values()) == 30
     husks = [e for e in os.listdir(lock_root) if ".stale-" in e]
     assert not husks, husks
+
+
+def test_partial_append_crash_heals_idempotently_on_replay(spark, tmp_path):
+    """The last crash-matrix cell: a writer dying MID-append_staged —
+    after renaming some staging files into the version dir but before
+    the rest. The partially-appended cells become VISIBLE (they are in
+    the current version), the epoch never checkpoint-commits, and the
+    replay appends the full batch again — so some (day, hour) cells
+    exist twice. That is exactly the at-least-once contract the sketch
+    algebra absorbs: HLL register union is idempotent, so every rollup
+    is unchanged, and the next compaction merges the duplicate cells
+    away. Asserted end-to-end with exact-regime cardinalities."""
+    table_path = str(tmp_path / "sketches")
+    maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+    maint(_batch(spark, "2024-03-04", 0, range(0, 15)), 0)
+
+    # the doomed epoch spans TWO hours -> two staging part files after
+    # repartition; rename exactly one in (the mid-append crash state)
+    batch = _batch(spark, "2024-03-04", 1, range(100, 115)).unionAll(
+        _batch(spark, "2024-03-04", 2, range(200, 215))
+    )
+    cells = (
+        batch.groupBy(F.to_date("ts").alias("day"), F.hour("ts").alias("hour"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .repartition(2, "day", "hour")
+    )
+    staging = vt.new_staging_dir(table_path)
+    cells.write.parquet(staging, mode="overwrite")
+    staged = vt._data_files(staging)
+    assert len(staged) == 2, staged
+    vdir = os.path.join(table_path, vt.current_version(table_path))
+    os.rename(staged[0], os.path.join(vdir, os.path.basename(staged[0])))
+    # crash here: epoch uncommitted, one file visible, one stranded
+
+    # the replayed epoch commits the FULL batch through the normal path
+    maint(batch, 1)
+    # idempotent: the rollup answers exactly 45 distinct despite the
+    # duplicate cell(s) from the partial first attempt
+    assert sum(_rollup_map(spark, table_path).values()) == 45
+    # compaction merges the duplicates away and the answer still holds
+    stats = compact_sketch_table(spark, table_path, target_files=1)
+    assert stats["cells_after"] == 3  # one per (day, hour)
+    assert sum(_rollup_map(spark, table_path).values()) == 45
