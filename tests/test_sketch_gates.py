@@ -2698,3 +2698,65 @@ def test_json_value_shapes_match_oracle(spark, tmp_path):
     assert rows[996005].prop_k == 5 and rows[996005].prop_keys == ",k"
     assert rows[996010].prop_k == 10 and rows[996010].n_props == 2
     assert rows[996008].prop_k is None and rows[996009].prop_k is None
+
+
+def test_json_grammar_detectors_cross_engine_equivalence(spark):
+    """Permanent form of the round-11 equivalence fuzz: the
+    json_strict_tail depth scan (Spark higher-order aggregate vs the
+    oracle's packed-BIGINT list_reduce — DuckDB 1.0 misbinds STRUCT
+    accumulators, hence the encoding) and the trailing-comma detector
+    must agree on EVERY input: the curated grammar corpus plus 400
+    seeded random bracket/quote/backslash/control-char strings. A DuckDB
+    upgrade that changes list_reduce or regex semantics fails here, not
+    in a silent q44 split."""
+    import random
+
+    import duckdb as _duck
+
+    from nsq2kinesis_spark.operators.scalars import (
+        DUCK_JSON_STRICT_TAIL,
+        JSON_WS_CLASS,
+        json_strict_tail,
+        json_trailing_comma,
+    )
+
+    random.seed(20260815)
+    alphabet = '{}[]"\\:,19ab \t\n\rx\x01é'
+    cases = [
+        '{"k":1}', '{"k":1}{"k":2}', '{"k":1},{"j":2}', '{"k":1}}',
+        '{"k":1}]', '{"k":1},', '{"k":1} "x"', '{"k":1}42', '  {"k":1}  ',
+        '{"a":{"b":[1,2]}}', '{"a":[1],"b":2}', '{"k":1}\x01', '[1,2]',
+        '[1,2]x', '42', '', ' ', '{', '}', '{{}}', '{}{}', '{"s":"}"}',
+        '{"s":"[["}', '[[[]]]', '[]]', '{"s":"a\\"b}"}', '{"s":"\\\\"}',
+        '{"s":"\\\\"}x', '{"k":1,}', '{"k":1 ,\x0b}', '{"k":[1,2,],}',
+    ]
+    for _ in range(400):
+        cases.append(
+            "".join(random.choice(alphabet) for _ in range(random.randint(0, 24)))
+        )
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, p string"
+    )
+    got = {
+        r.i: (bool(r.tail_ok), bool(r.tcomma))
+        for r in df.select(
+            "i",
+            json_strict_tail(F.col("p")).alias("tail_ok"),
+            json_trailing_comma(F.col("p")).alias("tcomma"),
+        ).collect()
+    }
+    con = _duck.connect()
+    tail_expr = DUCK_JSON_STRICT_TAIL.format(s="stripped2")
+    comma_expr = f"regexp_matches(stripped2, ',{JSON_WS_CLASS}*[}}\\]]')"
+    strip = (
+        """regexp_replace(regexp_replace(?, '\\\\.', '', 'g'),"""
+        """ '"[^"]*"', '""', 'g') AS stripped2"""
+    )
+    mismatches = []
+    for i, c in enumerate(cases):
+        tail, comma = con.execute(
+            f"SELECT {tail_expr}, {comma_expr} FROM (SELECT {strip})", [c]
+        ).fetchone()
+        if (bool(tail), bool(comma)) != got[i]:
+            mismatches.append((repr(c), got[i], (tail, comma)))
+    assert not mismatches, mismatches[:5]
