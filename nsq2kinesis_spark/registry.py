@@ -158,24 +158,28 @@ def load_all_modules() -> None:
 #      listed order: q81, q82, q130, q133-q136, q139, q31, q32, q50-q52,
 #      q54, q61, q62, q70, q73, q74, q91.
 #   ---- 50-query prefix boundary ----
-#   4. the displaced fill entries (q92, q93, q140) and the rest of the
-#      r9-row block (q126, q138, q75, q132, q63, q88, q80, q111, q18,
-#      q19, q30, q33, q64, q65, q71, q79, q84, q86, q94, q95, q96 — 24
-#      queries total) age to r12 under rule 2, backed by this round's
-#      green 3-SF parity sweep; they lead the post-boundary tail so
-#      they front the r12 prefix (the rule-2 ceiling there);
+#   4. the displaced fill entries (q74, q91, q92, q93, q140) and the
+#      rest of the r9-row block (q126, q138, q75, q132, q63, q88, q80,
+#      q111, q18, q19, q30, q33, q64, q65, q71, q79, q84, q86, q94,
+#      q95, q96 — 26 queries total) age to r12 under rule 2, backed by
+#      this round's green 3-SF parity sweep; they lead the
+#      post-boundary tail so they front the r12 prefix (the rule-2
+#      ceiling there);
 #   5. the queries with fresh r10 rows, in their r10 order;
 #   6. permanent tail (rule 3): q16, q76, q116, q137, q141, q142.
 #
 # ROUND-12 ROTATION PLAN (derive, don't transcribe):
 #   a. any query whose code/oracle changes in round 11 AFTER its latest
-#      driver row leads (rule 1) — ledger maintained in NOTES_r11.md;
+#      driver row leads (rule 1) — ledger maintained in NOTES_r11.md
+#      (opens empty: every r11 change sits inside the r11 prefix);
 #   b. the rule-2 ceiling is whatever `tools/rotation_state.py` reports
-#      as latest_row == 10 - 1 == 9 after the r11 CORRECTNESS file lands
-#      (expected: the 21 post-boundary r9-row queries of item 4 above);
-#   c. fill remaining slots with the oldest r10-row queries in their
-#      listed order; the rest of the r10 block may age to r13 under
-#      rule 2 provided the 3-SF parity sweep runs green in r12.
+#      as latest_row == 9 after the r11 CORRECTNESS file lands
+#      (expected: the 26 post-boundary r9-row queries of item 4 above —
+#      the five displaced fill entries plus the 21-query block);
+#   c. the remaining ~24 slots refresh the oldest r10-row queries in
+#      their listed order; the rest of the r10 block (21 queries) ages
+#      to r13 under rule 2 provided the 3-SF parity sweep runs green
+#      in r12 — which closes: 26 + 24 = 50 exactly.
 VERIFY_ORDER: tuple[str, ...] = (
     # -- rule 1: code/oracle changed since the last driver row (the
     # -- round-11 probe waves: embedded-NUL, grammar leniency,
