@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import table as t
 from .llm_text import _expand_dotted_i, STOPWORDS, _count_in
+from .scalars import strict_digit_int_sql
 
 # -- q85: deterministic split ------------------------------------------------
 
@@ -556,7 +557,7 @@ SNAPSHOT_MAX_SRC = 14  # src0..src14 = corpus so far; src15+ = new batch
     oracle=f"""
     WITH fps AS (
       SELECT doc_id, source,
-             TRY_CAST(SUBSTR(source, 4) AS INTEGER) AS src_idx,
+             {strict_digit_int_sql("SUBSTR(source, 4)")} AS src_idx,
              MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))),
                  '|')) AS fp
       FROM documents WHERE doc_id IS NOT NULL
@@ -593,17 +594,24 @@ def q102_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-append, which is what makes the op runnable per-ingest-batch
     against a 100 TB corpus.
 
-    Round-7 probe pins: src_idx is TRY_CAST (a source id without the
-    numeric suffix made the bare ANSI cast of '' abort the pass; such
-    rows get NULL src_idx and fall outside BOTH the snapshot and the
-    batch — outside the declared split universe — identically on both
-    twins), and NULL doc_id rows are excluded (the canonical-pick
-    tiebreak orders by doc_id, whose NULL placement is engine-dependent)."""
+    Round-7 probe pins: src_idx is a guarded TRY_CAST (a source id
+    without the numeric suffix made the bare ANSI cast of '' abort the
+    pass; such rows get NULL src_idx and fall outside BOTH the snapshot
+    and the batch — outside the declared split universe — identically on
+    both twins), and NULL doc_id rows are excluded (the canonical-pick
+    tiebreak orders by doc_id, whose NULL placement is engine-dependent).
+
+    Round-11 extended probe: the bare TRY_CAST twin was itself a silent
+    split — DuckDB's lenient grammar parses 'src1.5' -> 2 / 'src0x1F'
+    -> 31 where Spark yields NULL, silently placing the document inside
+    the snapshot on one engine and outside the split universe on the
+    other. Both twins now share strict_digit_int_sql (digits-only tails
+    parse; everything else is NULL on BOTH engines)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     # no length cap: the oracle's SUBSTR(source, 4) reads to end-of-string,
     # so a capped substring here would let an 11+-digit suffix parse on
     # one twin and overflow-to-NULL on the other
-    src_idx = F.expr("try_cast(substring(source, 4) AS int)")
+    src_idx = F.expr(strict_digit_int_sql("substring(source, 4)"))
     fp = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), "|"))
     fps = d.select("doc_id", "source", src_idx.alias("src_idx"), fp.alias("fp"))
     snap = (

@@ -319,8 +319,17 @@ def _sample_rate_sql(col: str) -> str:
     TRY_CAST + COALESCE (round-7 probe): a source id without the numeric
     suffix ('web', NULL) made the bare CAST of '' raise under ANSI in
     BOTH engines — one odd source string aborting the whole sampling
-    pass. Unindexed sources now take tier 0 (keep-rate 100%), declared."""
-    return f"100 - 30 * (COALESCE(TRY_CAST(SUBSTR({col}, 4) AS INTEGER), 0) % 4)"
+    pass. Unindexed sources now take tier 0 (keep-rate 100%), declared.
+
+    Strict digit grammar (round-11 extended probe): the bare TRY_CAST
+    twin was itself a silent split — DuckDB leniently parses 'src1.5'
+    -> 2 / 'src0x1F' -> 31 where Spark yields NULL, putting the same
+    document in different sampling tiers per engine. strict_digit_int_sql
+    admits only digits-only tails, on which the engines agree exactly;
+    every other tail is tier 0 on BOTH."""
+    from .scalars import strict_digit_int_sql
+
+    return f"100 - 30 * (COALESCE({strict_digit_int_sql(f'SUBSTR({col}, 4)')}, 0) % 4)"
 
 
 @query(

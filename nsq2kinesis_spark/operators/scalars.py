@@ -130,7 +130,27 @@ def q41_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q42_math_battery",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice, 1) AS price_r1,
+           -- LOUD oracle-domain guard (round-11 extended probe, the q118
+           -- ERROR() pattern): ROUND(double, n) is decimal-string HALF_UP
+           -- on Spark (BigDecimal.valueOf of the shortest repr) but binary
+           -- x*10^n half-away on DuckDB; for >2-decimal inputs the twins
+           -- split on 0.46% of values (exhaustive 3-decimal sweep:
+           -- 4,588/1,000,000 — e.g. 1.005 -> 1.01 vs 1.0). The 2-decimal
+           -- money contract makes the column deterministic (exhaustive
+           -- 2-decimal sweep over [-1000, 200000]: zero mismatches), so a
+           -- price with a sub-cent component is out of THIS VERIFIER's
+           -- domain and must fail the parity run, not silently verify one
+           -- engine's rounding personality.
+           -- '+ 0.0' zero-sign normalization (same probe): DuckDB's binary
+           -- ROUND preserves IEEE -0.0 for prices in (-0.05, 0) while
+           -- Spark's BigDecimal path has no negative zero; x + 0.0 maps
+           -- -0.0 -> 0.0 on both engines and is the identity elsewhere.
+           CASE WHEN ABS(l_extendedprice * 100 - ROUND(l_extendedprice * 100)) > 1e-4
+                THEN CAST(ERROR('q42 oracle domain violation: '
+                  || 'l_extendedprice has a sub-cent component - '
+                  || 'ROUND(double, n) diverges across engines past '
+                  || 'the 2-decimal money contract') AS DOUBLE)
+                ELSE ROUND(l_extendedprice, 1) + 0.0 END AS price_r1,
            ABS(l_discount - 0.05) AS disc_dev,
            CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
            CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
@@ -152,12 +172,29 @@ def q42_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     math — DuckDB RAISES on SQRT(negative) / LN(non-positive) while Spark
     returns NaN / NULL, so a single garbage row (a planted negative
     quantity) aborted the oracle. Both twins now declare NULL for
-    out-of-domain inputs via the identical CASE guard."""
+    out-of-domain inputs via the identical CASE guard.
+
+    Rounding contract (round-11 extended probe): ROUND(double, n) is only
+    cross-engine deterministic inside the 2-decimal money contract —
+    Spark rounds the shortest decimal repr HALF_UP (BigDecimal.valueOf)
+    while DuckDB rounds x*10^n in binary, and 3-decimal inputs split the
+    twins on 0.46% of values (1.005 -> 1.01 vs 1.0). The oracle guards
+    the contract LOUDLY (sub-cent price => parity run fails), and both
+    twins normalize the IEEE zero sign of the rounded output (+ 0.0:
+    DuckDB preserves -0.0 for prices in (-0.05, 0), Spark's decimal path
+    has no negative zero). price_ln's ROUND(·, 6) is the declared
+    cross-library ulp idiom, not a money round: LN outputs are
+    full-precision doubles whose shortest repr never terminates at the
+    7th digit, so the decimal-vs-binary split has no purchase there."""
     li = t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("l_extendedprice", 1).alias("price_r1"),
+        # + 0.0 mirrors the oracle's zero-sign normalization (a no-op here:
+        # Spark's BigDecimal round never yields -0.0) so the twins' spelled
+        # semantics stay symmetric; the 2-decimal domain guard lives on the
+        # oracle side per the q118/q40 LOUD-verifier convention.
+        (F.round("l_extendedprice", 1) + F.lit(0.0)).alias("price_r1"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.floor("l_extendedprice").cast("long").alias("price_floor"),
         F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
@@ -229,6 +266,32 @@ JSON_MAX_OPENS = 1000
 # JSON grammar's inter-token set (matches the strict-tail scan).
 JAVA_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
 JSON_WS_CLASS = "[ \\t\\n\\r]"
+
+
+def strict_digit_int_sql(expr: str) -> str:
+    """Cross-engine STRICT integer parse of a string expression (shared
+    SQL, both engines).
+
+    Round-11 extended probe: TRY_CAST(VARCHAR AS INTEGER) has a
+    different GRAMMAR per engine — DuckDB leniently parses '1.5' -> 2,
+    '1e2' -> 100, '0x1F' -> 31, '9.99' -> 10 where Spark-ANSI yields
+    NULL — so a bare TRY_CAST twin is a silent split on any non-digit
+    tail. This guard admits only ^[0-9]+$-shaped strings, on which the
+    engines agree exactly (including overflow -> NULL), then TRY_CASTs.
+
+    The guard is spelled with TRANSLATE (delete the digits; empty
+    remainder == digits-only) rather than an anchored regex, for two
+    probed reasons: (a) Java's '$' matches before a trailing line
+    terminator while RE2's does not, so '^[0-9]+$' itself twin-splits
+    on '7\\n' (Spark extracts '7', DuckDB rejects); (b) TRANSLATE needs
+    no backslashes, so the one string literal parses identically under
+    both engines' escaping rules. TRANSLATE deletion semantics are
+    probed identical across engines (incl. Unicode digits, which stay
+    and therefore fail the guard)."""
+    return (
+        f"CASE WHEN TRANSLATE({expr}, '0123456789', '') = '' "
+        f"AND {expr} <> '' THEN TRY_CAST({expr} AS INTEGER) END"
+    )
 
 
 def json_structural_opens(col):

@@ -143,6 +143,26 @@ def load_all_modules() -> None:
 #        events_props_trailing_garbage / _trailing_commas rules and its
 #        dupkeys rule now parses props once, strictly. Both already
 #        hold rule-1 prefix slots — no further rotation change.
+#      - q42 via the round-11 extended rounding probe: ROUND(double, n)
+#        is decimal-string HALF_UP on Spark but binary half-away on
+#        DuckDB — 3-decimal inputs split the twins on 0.46% of values
+#        (exhaustive sweep), and negative prices in (-0.05, 0) split on
+#        the IEEE zero sign (+0.0 vs -0.0; the parity hash is
+#        sign-sensitive). q42's oracle gained a LOUD 2-decimal money
+#        domain guard and both twins normalize the rounded zero sign
+#        (+ 0.0); the exhaustive 2-decimal sweep over [-1000, 200000]
+#        is pinned clean. q42 joins the rule-1 head; the last fill
+#        entry (q73) yields its slot and fronts the post-boundary tail.
+#      - q84/q102 via the round-11 extended string-cast probe:
+#        TRY_CAST(VARCHAR AS INTEGER) has a different GRAMMAR per
+#        engine — DuckDB leniently parses 'src1.5' -> 2 / 'src0x1F' ->
+#        31 where Spark yields NULL — so their shared-SQL src_idx /
+#        sampling-tier twins were silent splits on non-digit source
+#        tails. Both now share strict_digit_int_sql (TRANSLATE
+#        digits-only guard — itself spelled anchor-free because
+#        '^[0-9]+$' twin-splits on trailing line terminators: Java's $
+#        matches before a final \n, RE2's does not). Two more fill
+#        entries (q62, q70) yield their slots.
 #      - q141/q142 (fixtures now build the sketch table through the
 #        manifest-versioned production path — SketchMaintenance staging
 #        appends + compaction — instead of a hand-written flat layout,
@@ -154,15 +174,15 @@ def load_all_modules() -> None:
 #      q87, q110, q112, q113, q106, q34, q35, q60, q101, q103, q105,
 #      q107, q109, q114, q117, q119-q122, q125, q127-q129. All 27 take
 #      prefix slots; their rows turn 3 rounds old this round.
-#   3. the remaining 20 slots refresh the oldest r9-row queries in their
+#   3. the remaining 15 slots refresh the oldest r9-row queries in their
 #      listed order: q81, q82, q130, q133-q136, q139, q31, q32, q50-q52,
-#      q54, q61, q62, q70, q73, q74, q91.
+#      q54, q61 (q62/q70/q73/q74/q91 yielded to rule-1 promotions).
 #   ---- 50-query prefix boundary ----
-#   4. the displaced fill entries (q74, q91, q92, q93, q140) and the
-#      rest of the r9-row block (q126, q138, q75, q132, q63, q88, q80,
-#      q111, q18, q19, q30, q33, q64, q65, q71, q79, q84, q86, q94,
-#      q95, q96 — 26 queries total) age to r12 under rule 2, backed by
-#      this round's green 3-SF parity sweep; they lead the
+#   4. the displaced fill entries (q62, q70, q73, q74, q91, q92, q93,
+#      q140) and the rest of the r9-row block (q126, q138, q75, q132,
+#      q63, q88, q80, q111, q18, q19, q30, q33, q64, q65, q71, q79,
+#      q86, q94, q95, q96 — 28 queries total) age to r12 under rule 2,
+#      backed by this round's green 3-SF parity sweep; they lead the
 #      post-boundary tail so they front the r12 prefix (the rule-2
 #      ceiling there);
 #   5. the queries with fresh r10 rows, in their r10 order;
@@ -174,12 +194,12 @@ def load_all_modules() -> None:
 #      (opens empty: every r11 change sits inside the r11 prefix);
 #   b. the rule-2 ceiling is whatever `tools/rotation_state.py` reports
 #      as latest_row == 9 after the r11 CORRECTNESS file lands
-#      (expected: the 26 post-boundary r9-row queries of item 4 above —
-#      the five displaced fill entries plus the 21-query block);
-#   c. the remaining ~24 slots refresh the oldest r10-row queries in
-#      their listed order; the rest of the r10 block (21 queries) ages
-#      to r13 under rule 2 provided the 3-SF parity sweep runs green
-#      in r12 — which closes: 26 + 24 = 50 exactly.
+#      (expected: the 28 post-boundary r9-row queries of item 4 above —
+#      the eight displaced fill entries plus the 20-query block);
+#   c. the remaining ~22 slots refresh the oldest r10-row queries in
+#      their listed order; the rest of the r10 block ages to r13 under
+#      rule 2 provided the 3-SF parity sweep runs green in r12 — which
+#      closes: 28 + 22 = 50 exactly.
 VERIFY_ORDER: tuple[str, ...] = (
     # -- rule 1: code/oracle changed since the last driver row (the
     # -- round-11 probe waves: embedded-NUL, grammar leniency,
@@ -189,6 +209,9 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q123_dq_report",
     "q72_fingerprint",
     "q97_corpus_build",
+    "q42_math_battery",
+    "q84_stratified_sample",
+    "q102_incremental_dedup",
     # -- rule 2 ceiling: r8-row untouched queries — rows turn 3 rounds
     # -- old this round, so ALL 27 take prefix slots (set derived from
     # -- tools/rotation_state.json; asserted by test_contract.py) --
@@ -236,13 +259,13 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q52_udtf_bigrams",
     "q54_multimodal_decode",
     "q61_tumbling_window",
-    "q62_sliding_window",
-    "q70_text_stats",
-    "q73_token_count_bpe",
     # ---- 50-query prefix boundary (driver budget) ----
     # -- displaced fill entries (yielded their slots to the rule-1
     # -- promotions) and r9-row queries aging to r12 under rule 2 (3-SF
     # -- parity sweep green this round); they front the r12 prefix --
+    "q62_sliding_window",
+    "q70_text_stats",
+    "q73_token_count_bpe",
     "q74_multimodal_meta",
     "q91_frame_sample",
     "q92_media_features",
@@ -264,7 +287,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q65_partition_key",
     "q71_lang_id",
     "q79_vocab_topk",
-    "q84_stratified_sample",
     "q86_sequence_packing",
     "q94_range_join_binned",
     "q95_zorder_key",
@@ -276,7 +298,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q53_python_udf_crc",
     "q99_source_cap",
     "q100_tfidf_topterms",
-    "q102_incremental_dedup",
     "q104_rolling_active_users",
     "q108_daily_value_bands",
     "q77_simhash",
@@ -293,7 +314,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q29_exists_subquery",
     "q40_string_battery",
     "q41_date_battery",
-    "q42_math_battery",
     "q43_conditional_battery",
     "q90_kmeans_train",
     "q98_srp_lsh_pairs",

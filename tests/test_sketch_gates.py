@@ -2760,3 +2760,404 @@ def test_json_grammar_detectors_cross_engine_equivalence(spark):
         if (bool(tail), bool(comma)) != got[i]:
             mismatches.append((repr(c), got[i], (tail, comma)))
     assert not mismatches, mismatches[:5]
+
+
+# ---------------------------------------------------------------------------
+# Round-11 extended probe: ROUND(double, n) across engines. Spark rounds
+# the shortest decimal repr HALF_UP (BigDecimal.valueOf(double)); DuckDB
+# rounds x*10^n in binary (std::round, half away from zero). Inside the
+# 2-decimal money contract the two are provably identical; past it they
+# split on 0.46% of 3-decimal values, and on the IEEE sign of a zero
+# result for inputs in (-0.05, 0).
+
+
+def _price_variant_fixture(tmp_path, extra_lineitem_rows_sql):
+    """Copy the sf0.001 tables with extra planted lineitem rows."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders events documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/lineitem.parquet'
+        {extra_lineitem_rows_sql})
+        TO '{sf_dir}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    return sf_dir, con
+
+
+def test_negative_money_round_zero_sign_matches_oracle(spark, tmp_path):
+    """The zero-sign split, pinned CLOSED by the '+ 0.0' normalization:
+    a 2-decimal price in (-0.05, 0) rounds to +0.0 on Spark (BigDecimal
+    has no negative zero) and to -0.0 on DuckDB's binary path, and the
+    driver's value hash is sign-sensitive (repr). q42 must hash-match
+    under planted negative prices covering the zero band, the exact
+    -0.05 boundary, and ordinary negative money."""
+    sf_dir, con = _price_variant_fixture(
+        tmp_path,
+        """
+        UNION ALL SELECT 999901, 1, 1, 1, 1.0, -0.04, 0.0, 0.0, 'N', 'O', TIMESTAMP '2024-03-02'
+        UNION ALL SELECT 999902, 1, 1, 1, 1.0, -0.01, 0.0, 0.0, 'N', 'O', TIMESTAMP '2024-03-02'
+        UNION ALL SELECT 999903, 1, 1, 1, 1.0, -0.05, 0.0, 0.0, 'N', 'O', TIMESTAMP '2024-03-02'
+        UNION ALL SELECT 999904, 1, 1, 1, 1.0, -12.35, 0.0, 0.0, 'N', 'O', TIMESTAMP '2024-03-02'
+        UNION ALL SELECT 999905, 1, 1, 1, 1.0, -0.10, 0.0, 0.0, 'N', 'O', TIMESTAMP '2024-03-02'
+        """,
+    )
+    _assert_null_variant_parity(spark, "q42_math_battery", sf_dir, con)
+
+
+def test_subcent_price_fails_q42_oracle_loudly(spark, tmp_path):
+    """The 3-decimal rounding split, pinned OUT of contract via the LOUD
+    oracle-domain guard (the q118/q40 ERROR() convention): a sub-cent
+    price must fail the parity run rather than silently verify one
+    engine's rounding personality. The underlying split is asserted
+    first so the guard's reason stays mechanical: round(1.005, 2) is
+    1.01 on Spark (decimal-string HALF_UP) and 1.0 on DuckDB (binary
+    half-away — the double is 1.00499999999999989...)."""
+    import duckdb as _duck
+
+    import pytest as _pytest
+
+    s = spark.sql("SELECT round(CAST(1.005 AS DOUBLE), 2)").first()[0]
+    d = _duck.connect().execute("SELECT ROUND(CAST(1.005 AS DOUBLE), 2)").fetchone()[0]
+    assert (s, d) == (1.01, 1.0), "engines changed their rounding personality"
+
+    sf_dir, con = _price_variant_fixture(
+        tmp_path,
+        "UNION ALL SELECT 999901, 1, 1, 1, 1.0, 1.005, 0.0, 0.0,"
+        " 'N', 'O', TIMESTAMP '2024-03-02'",
+    )
+    q = QUERIES["q42_math_battery"]
+    # the engine side still computes (its semantics are declared)...
+    assert q.builder(spark, sf_dir).count() > 0
+    # ...but the ORACLE refuses the domain, so the parity run fails loudly.
+    with _pytest.raises(_duck.Error, match="domain violation"):
+        con.execute(q.oracle).fetchall()
+
+
+def test_money_rounding_grid_matches_oracle(spark):
+    """CLEAN class pinned exhaustively: every 2-decimal money value in
+    [-99.99, 999.99] agrees across engines through BOTH rounding idioms
+    the engine ships — price_r1's ROUND(x, 1) + 0.0 (zero-sign
+    normalized) and the exact-cents CAST(ROUND(x*100) AS BIGINT) — under
+    a sign-sensitive compare. A regression in either engine's rounding
+    (or in the normalization) fails here, not in a silent q42/q01
+    split."""
+    import duckdb as _duck
+    import numpy as np
+    import pandas as pd
+
+    x = np.arange(-9999, 100000, dtype=np.int64) / 100.0
+    pdf = pd.DataFrame({"x": x})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(
+            (F.round("x", 1) + F.lit(0.0)).alias("r1"),
+            F.round(F.col("x") * 100, 0).cast("long").alias("c"),
+        )
+        .toPandas()
+    )
+    want = _duck.connect().execute(
+        "SELECT ROUND(x, 1) + 0.0 AS r1, CAST(ROUND(x * 100) AS BIGINT) AS c FROM pdf"
+    ).df()
+    sv, dv = got.r1.values, want.r1.values
+    bad = np.nonzero(
+        (sv != dv) | (np.signbit(sv) != np.signbit(dv)) | (got.c.values != want.c.values)
+    )[0]
+    assert len(bad) == 0, f"{len(bad)} mismatches, first inputs: {x[bad][:5]}"
+
+
+def test_double_to_string_cast_split_pinned(spark):
+    """KNOWN-SPLIT class pinned, declared OUT of oracle contract: Spark
+    stringifies doubles in Java scientific form ('1.0E10', '1.0E-7',
+    'Infinity', 'NaN', '-0.0') while DuckDB uses positional/C form
+    ('10000000000.0', '1e-07', 'inf', 'nan') — stringified doubles must
+    never feed an oracled column or a cross-engine fingerprint. Every
+    cast("string") in the registry is over BIGINT ids, which the second
+    half asserts stringify identically.
+
+    Probe footnote: a true -0.0 double stringifies as '-0.0' on BOTH
+    engines (agreement, pinned below) — but only when the value is
+    PARSED from a string: both engines type a bare -0.0 literal as
+    DECIMAL, which has no negative zero."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    splits = 0
+    for spark_lit, duck_lit in [
+        ("CAST(1e10 AS DOUBLE)", "CAST(1e10 AS DOUBLE)"),
+        ("CAST(1e-7 AS DOUBLE)", "CAST(1e-7 AS DOUBLE)"),
+        ("CAST('Infinity' AS DOUBLE)", "CAST('inf' AS DOUBLE)"),
+        ("CAST('NaN' AS DOUBLE)", "CAST('nan' AS DOUBLE)"),
+    ]:
+        s = spark.sql(f"SELECT CAST({spark_lit} AS STRING)").first()[0]
+        d = con.execute(f"SELECT CAST({duck_lit} AS VARCHAR)").fetchone()[0]
+        splits += s != d
+    assert splits == 4, "engines now agree on double formatting — revisit the contract"
+    s = spark.sql("SELECT CAST(CAST('-0.0' AS DOUBLE) AS STRING)").first()[0]
+    d = con.execute("SELECT CAST(CAST('-0.0' AS DOUBLE) AS VARCHAR)").fetchone()[0]
+    assert s == d == "-0.0"
+    # The in-contract half: BIGINT stringification is identical.
+    for v in [42, -7, 0, 2**63 - 1, -(2**63)]:
+        s = spark.sql(f"SELECT CAST(CAST({v} AS BIGINT) AS STRING)").first()[0]
+        d = con.execute(f"SELECT CAST(CAST({v} AS BIGINT) AS VARCHAR)").fetchone()[0]
+        assert s == d == str(v)
+
+
+def test_null_fold_and_integer_division_clean_class(spark):
+    """CLEAN classes pinned (round-11 extended probe): greatest/least
+    skip NULLs on both engines (NULL only when every argument is NULL);
+    integer division truncates toward zero and % takes the dividend's
+    sign on both (Spark `div` == DuckDB `//`)."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    s = spark.sql(
+        "SELECT greatest(1, NULL, 3), least(1, NULL, 3),"
+        " greatest(CAST(NULL AS INT), CAST(NULL AS INT))"
+    ).first()
+    d = con.execute(
+        "SELECT greatest(1, NULL, 3), least(1, NULL, 3),"
+        " greatest(CAST(NULL AS INT), CAST(NULL AS INT))"
+    ).fetchone()
+    assert tuple(s) == d == (3, 1, None)
+    for a, b in [(-7, 2), (7, -2), (-7, -2), (7, 2)]:
+        s = spark.sql(f"SELECT {a} div {b}, {a} % {b}").first()
+        d = con.execute(f"SELECT {a} // {b}, {a} % {b}").fetchone()
+        assert tuple(s) == d, f"integer division split at ({a}, {b})"
+
+
+def test_double_to_bigint_cast_split_pinned(spark):
+    """KNOWN-SPLIT class pinned (round-11 extended probe, found by this
+    suite's own first draft claiming it clean): CAST(DOUBLE AS BIGINT)
+    TRUNCATES toward zero on Spark-ANSI (Java semantics) but rounds
+    HALF-EVEN on DuckDB (2.7 -> 2 vs 3; 1.5 -> 1 vs 2; 2.5 -> 2 vs 2).
+    The matching oracle spelling for Spark's cast is
+    TRUNC(x)::BIGINT — asserted exactly here. Exposure swept at pin
+    time: every integer cast in every oracle is integral by
+    construction (LEN/ROW_NUMBER/SUM-of-flags/%/digit strings), so no
+    oracled query rides either personality; any future oracle that
+    casts a fractional double must spell TRUNC() explicitly."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    split_seen = 0
+    for v in [2.7, -2.7, 2.5, -2.5, 1.5, -0.5, 3.49999]:
+        s = spark.sql(f"SELECT CAST(CAST({v} AS DOUBLE) AS BIGINT)").first()[0]
+        d_cast, d_trunc = con.execute(
+            f"SELECT CAST(CAST({v} AS DOUBLE) AS BIGINT),"
+            f" CAST(TRUNC(CAST({v} AS DOUBLE)) AS BIGINT)"
+        ).fetchone()
+        assert s == int(v), f"Spark stopped truncating at {v}"
+        assert d_trunc == s, f"TRUNC() equivalence broke at {v}"
+        split_seen += d_cast != s
+    assert split_seen >= 3, "DuckDB cast now truncates — retire this contract"
+
+
+# ---------------------------------------------------------------------------
+# Round-11 extended probe, second wave: string-parse grammars across engines.
+
+
+def _docs_variant_fixture(tmp_path, rows):
+    """Copy the sf0.001 tables with extra planted documents rows.
+    Each row is (doc_id, text, lang, source)."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        "CREATE TABLE extra (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    for doc_id, text, lang, source in rows:
+        con.execute(
+            "INSERT INTO extra VALUES (?, ?, ?, ?, ?)",
+            [doc_id, text, lang, source, len(text or "")],
+        )
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/documents.parquet'
+        UNION ALL SELECT * FROM extra)
+        TO '{sf_dir}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    return sf_dir, con
+
+
+_LENIENT_TAIL_SOURCES = [
+    "src1.5",    # DuckDB TRY_CAST rounds to 2; Spark yields NULL
+    "src0x1F",   # DuckDB parses hex to 31; Spark yields NULL
+    "src1e2",    # DuckDB parses scientific to 100; Spark yields NULL
+    "src9.99",   # DuckDB rounds to 10; Spark yields NULL
+    "src 7",     # both trim: WOULD parse as 7 bare — strict guard says NULL
+    "src+7",     # both parse bare +7 — strict guard says NULL
+    "src07",     # digits-only: parses as 7 on both, in contract
+    "src18",     # plain in-contract id (> SNAPSHOT_MAX_SRC, lands in batch)
+    "srcNaN",    # no digits: NULL on both
+    "src",       # empty tail: NULL on both
+]
+
+
+@_pytest_mod.mark.parametrize(
+    "qname", ["q84_stratified_sample", "q102_incremental_dedup"]
+)
+def test_lenient_source_tails_match_oracle(spark, tmp_path, qname):
+    """The TRY_CAST-grammar split, pinned CLOSED by strict_digit_int_sql:
+    DuckDB's TRY_CAST(VARCHAR AS INTEGER) leniently parses '1.5' -> 2,
+    '0x1F' -> 31, '1e2' -> 100, '9.99' -> 10 where Spark-ANSI yields
+    NULL — so the bare shared-SQL TRY_CAST twins silently placed the
+    same document in different sampling tiers (q84) or on different
+    sides of the dedup-snapshot split (q102). Both twins now admit only
+    digits-only tails (identical grammar, probed incl. overflow), and
+    every hostile tail must hash-match."""
+    rows = [
+        (990000 + i, f"tail doc {i} words here", "en", s)
+        for i, s in enumerate(_LENIENT_TAIL_SOURCES)
+    ]
+    sf_dir, con = _docs_variant_fixture(tmp_path, rows)
+    _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def test_caret_dollar_anchor_split_pinned(spark):
+    """KNOWN-SPLIT class pinned (round-11 extended probe, found while
+    designing the strict-digit guard): Java's '$' matches before a
+    trailing line terminator while RE2's matches only at end of text,
+    so '^[0-9]+$' extracts '7' from '7\\n' on Spark and '' on DuckDB.
+    No oracle-twinned pattern may use a bare trailing '$' on data
+    (same register as the \\s and \\b bans); \\A..\\z anchors and the
+    TRANSLATE digits-guard are the probed-identical spellings."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    s = spark.createDataFrame([("7\n",)], "x string").select(
+        F.regexp_extract("x", "^[0-9]+$", 0)
+    ).first()[0]
+    d = con.execute(
+        "SELECT REGEXP_EXTRACT(chr(55) || chr(10), '^[0-9]+$', 0)"
+    ).fetchone()[0]
+    assert (s, d) == ("7", ""), "engines changed their $ semantics — re-probe"
+    # the probed-identical spellings, asserted on the same hostile input:
+    sa = spark.createDataFrame([("7\n",)], "x string").select(
+        F.regexp_extract("x", "\\A[0-9]+\\z", 0)
+    ).first()[0]
+    da = con.execute(
+        r"SELECT REGEXP_EXTRACT(chr(55) || chr(10), '\A[0-9]+\z', 0)"
+    ).fetchone()[0]
+    assert sa == da == ""
+    st = spark.sql("SELECT TRANSLATE('7\\n', '0123456789', '') = ''").first()[0]
+    dt = con.execute(
+        "SELECT TRANSLATE(chr(55) || chr(10), '0123456789', '') = ''"
+    ).fetchone()[0]
+    assert st == dt is False
+
+
+def test_q110_line_terminator_ip_tails_match_oracle(spark, tmp_path):
+    """CLEAN class pinned: q110's IPv4 rule carries a data-exposed
+    trailing '$' alternative — but inside a RESTORED capture group
+    ('(^|[^0-9.])(ip)($|[^0-9.])' -> '\\1<IP>\\3'), the Java
+    zero-width-before-final-newline match and the RE2
+    consume-the-newline match produce byte-identical output, and the
+    group-2 counts agree. Pinned on IPs tailed by \\n, \\r\\n, \\r+text,
+    space, end-of-text, and a two-IP chain."""
+    texts = [
+        "ip 1.2.3.4\n", "ip 1.2.3.4\r\n", "1.2.3.4\rX", "ip 1.2.3.4 ",
+        "1.2.3.4", "ip 1.2.3.4tail", "a 1.2.3.4\nb 5.6.7.8\n",
+    ]
+    rows = [(991000 + i, t, "en", "src1") for i, t in enumerate(texts)]
+    sf_dir, con = _docs_variant_fixture(tmp_path, rows)
+    _assert_null_variant_parity(spark, "q110_pii_redaction", sf_dir, con)
+
+
+def test_string_parse_leniency_splits_pinned(spark):
+    """KNOWN-SPLIT classes pinned, declared out of oracle contract (no
+    oracled query parses doubles or timestamps from data strings):
+    Spark's string->double accepts Java numeric suffixes ('1d' -> 1.0;
+    DuckDB NULL); Spark's timestamp parse trims outer whitespace
+    (' 2024-03-01 ' parses; DuckDB NULL) while DuckDB accepts
+    slash-dates ('2024/03/01' parses; Spark NULL). Agreement on the
+    common grammar (ISO forms, T separator, fractional seconds, zone
+    offsets, invalid dates -> NULL) is asserted alongside."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+
+    def pair(expr_s, expr_d):
+        s = spark.sql(f"SELECT {expr_s}").first()[0]
+        d = con.execute(f"SELECT {expr_d}").fetchone()[0]
+        return s, d
+
+    s, d = pair("TRY_CAST('1d' AS DOUBLE)", "TRY_CAST('1d' AS DOUBLE)")
+    assert (s, d) == (1.0, None)
+    s, d = pair(
+        "TRY_CAST(' 2024-03-01 ' AS TIMESTAMP)",
+        "TRY_CAST(' 2024-03-01 ' AS TIMESTAMP)",
+    )
+    assert s is not None and d is None
+    s, d = pair(
+        "TRY_CAST('2024/03/01' AS TIMESTAMP)",
+        "TRY_CAST('2024/03/01' AS TIMESTAMP)",
+    )
+    assert s is None and d is not None
+    for lit in [
+        "'2024-03-01T12:00:00'",
+        "'2024-03-01 12:00:00.123456789'",
+        "'2024-03-01 12:00:00+05:30'",
+        "'2024-13-01'",
+        "'2024-02-30'",
+        "'20240301'",
+    ]:
+        s, d = pair(
+            f"CAST(TRY_CAST({lit} AS TIMESTAMP) AS STRING)",
+            f"CAST(TRY_CAST({lit} AS TIMESTAMP) AS VARCHAR)",
+        )
+        assert str(s) == str(d), f"common-grammar timestamp split at {lit}"
+
+
+def test_array_sort_ieee_ordering_clean_class(spark):
+    """CLEAN class pinned (round-11 extended probe): array_sort /
+    list_sort order NaN, ±Inf, -0.0-vs-0.0, and NULL identically
+    (-inf < -0.0 < 0.0 < finite < nan < NULL, with -0.0 kept BEFORE 0.0
+    and the zero signs preserved in the output)."""
+    import math
+
+    import duckdb as _duck
+
+    s = spark.sql(
+        "SELECT array_sort(array(CAST('nan' AS DOUBLE), 1.0D,"
+        " CAST('-0.0' AS DOUBLE), 0.0D, CAST('-Infinity' AS DOUBLE), NULL))"
+    ).first()[0]
+    d = _duck.connect().execute(
+        "SELECT list_sort([CAST('nan' AS DOUBLE), 1.0,"
+        " CAST('-0.0' AS DOUBLE), 0.0, CAST('-inf' AS DOUBLE), NULL])"
+    ).fetchone()[0]
+    assert len(s) == len(d) == 6
+    for a, b in zip(s, d):
+        if a is None or b is None:
+            assert a is None and b is None
+        elif math.isnan(a) or math.isnan(b):
+            assert math.isnan(a) and math.isnan(b)
+        else:
+            assert a == b and math.copysign(1, a) == math.copysign(1, b)
