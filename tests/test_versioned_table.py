@@ -730,3 +730,64 @@ def test_partial_append_crash_heals_idempotently_on_replay(spark, tmp_path):
     stats = compact_sketch_table(spark, table_path, target_files=1)
     assert stats["cells_after"] == 3  # one per (day, hour)
     assert sum(_rollup_map(spark, table_path).values()) == 45
+
+
+def test_multiwriter_append_contention_is_exact(spark, tmp_path):
+    """Multi-WRITER protocol claim (round-11 extended session): the
+    commit lock must serialize SEVERAL independent appenders — the
+    two-pipelines-one-table and batch-backfill-beside-the-stream
+    shapes — each with its own SketchMaintenance instance and staging
+    dir, while a compactor loops through the same lock. Every appended
+    cell must survive: 12 disjoint 15-id ranges across 12 distinct
+    hours, so one lost (or doubled) staged file dents the exact rollup.
+    This is the contention lane the single-writer tests never enter:
+    lock waits under append-vs-append races, not just append-vs-compact."""
+    table_path = str(tmp_path / "sketches")
+    n_writers, epochs_each = 3, 4
+    errors: list[BaseException] = []
+    appends_done = threading.Event()
+
+    def appender(writer_idx: int):
+        try:
+            maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+            for e in range(epochs_each):
+                slot = writer_idx * epochs_each + e
+                maint(
+                    _batch(spark, "2024-03-04", slot % 24,
+                           range(slot * 100, slot * 100 + 15)),
+                    e,
+                )
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def compact_loop():
+        try:
+            while not appends_done.is_set():
+                compact_sketch_table(spark, table_path, target_files=1)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    writers = [threading.Thread(target=appender, args=(i,)) for i in range(n_writers)]
+    compactor = threading.Thread(target=compact_loop)
+    for t in writers:
+        t.start()
+    compactor.start()
+    try:
+        for t in writers:
+            t.join(300)
+    finally:
+        appends_done.set()
+        compactor.join(120)
+    assert not any(t.is_alive() for t in writers), "appender deadlocked"
+    assert not errors, errors
+
+    hours = {(r.day, r.hour) for r in read_sketch_table(spark, table_path).collect()}
+    assert len(hours) == n_writers * epochs_each, sorted(hours)
+    est = sum(_rollup_map(spark, table_path).values())
+    assert est == n_writers * epochs_each * 15, est
+    # and the table still compacts to one file afterwards
+    compact_sketch_table(spark, table_path, target_files=1)
+    data_dir = vt.resolve_data_dir(table_path)
+    files = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    assert len(files) == 1, files
+    assert sum(_rollup_map(spark, table_path).values()) == n_writers * epochs_each * 15
