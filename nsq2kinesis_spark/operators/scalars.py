@@ -48,8 +48,14 @@ from ..tables import table as t
                   AS VARCHAR)
                 ELSE LOWER(p_brand) END AS brand_lower,
            SUBSTR(p_name, 1, 5) AS name_head,
-           TRIM(CONCAT('  ', p_name, '  ')) AS name_trimmed,
-           CONCAT(p_brand, ':', p_type) AS brand_type,
+           -- '||' not CONCAT() (round-11 extended probe): DuckDB's
+           -- CONCAT() SKIPS NULL arguments (Postgres-style) while
+           -- Spark's propagates NULL — a NULL name would TRIM to ''
+           -- here and to NULL on Spark. '||' null-propagates on BOTH
+           -- engines, matching F.concat; declared: NULL metadata =>
+           -- NULL composite.
+           TRIM('  ' || p_name || '  ') AS name_trimmed,
+           p_brand || ':' || p_type AS brand_type,
            REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
            REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
            CAST(p_name LIKE '%red%' AS BOOLEAN) AS is_red,
@@ -79,7 +85,10 @@ def q40_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_brand").alias("brand_lower"),
         F.substring("p_name", 1, 5).alias("name_head"),
         F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        # F.concat (NULL-propagating, mirrors the oracle's '||'), NOT
+        # concat_ws (which SKIPS NULLs and would silently emit ':type'
+        # vs the oracle under NULL metadata — round-11 extended probe)
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
         F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
         F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
         F.col("p_name").like("%red%").alias("is_red"),
@@ -685,7 +694,12 @@ def q45_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            MD5(text) AS text_md5,
            SHA256(text) AS text_sha256,
-           MD5(CONCAT(source, ':', CAST(doc_id AS VARCHAR))) AS composite_md5
+           -- '||' not CONCAT() (round-11 extended probe): DuckDB CONCAT
+           -- skips NULLs (':42' for a NULL source) while the Spark side's
+           -- old concat_ws skipped the separator too ('42') — md5s
+           -- silently diverged under NULL source. Both twins now
+           -- null-propagate: NULL source => NULL composite_md5, declared.
+           MD5(source || ':' || CAST(doc_id AS VARCHAR)) AS composite_md5
     FROM documents
     """,
     tags=("scalar", "hash"),
@@ -694,11 +708,19 @@ def q46_hash_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash battery (seed: FNV-64a dedup/partition hashing deduper.go:26-29,
     MD5 trailer aggregator.go:54-56). md5/sha2 are engine-portable; for
     Spark-internal keys we use xxhash64 (q60 dedup) which is faster but has
-    no DuckDB twin."""
+    no DuckDB twin.
+
+    NULL contract (round-11 extended probe): composite_md5 is
+    NULL-propagating on BOTH twins (F.concat here, '||' in the oracle) —
+    the old concat_ws/CONCAT pairing silently split under a NULL source
+    (concat_ws drops the separator with the NULL -> md5('42'); DuckDB's
+    CONCAT keeps it -> md5(':42'))."""
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
-        F.md5(F.concat_ws(":", "source", F.col("doc_id").cast("string"))).alias("composite_md5"),
+        F.md5(
+            F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("composite_md5"),
     )

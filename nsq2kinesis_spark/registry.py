@@ -163,6 +163,14 @@ def load_all_modules() -> None:
 #        '^[0-9]+$' twin-splits on trailing line terminators: Java's $
 #        matches before a final \n, RE2's does not). Two more fill
 #        entries (q62, q70) yield their slots.
+#      - q40/q46 via the round-11 extended CONCAT probe: DuckDB's
+#        CONCAT() SKIPS NULL arguments (Postgres-style) while Spark's
+#        concat propagates NULL — and q46's spark side used concat_ws,
+#        which skips the SEPARATOR with the NULL ('42' vs ':42' into
+#        md5: a silent split the existing NULL-source fixture exposes).
+#        Both twins now null-propagate ('||' / F.concat, declared NULL
+#        metadata => NULL composite). Two more fill entries (q54, q61)
+#        yield their slots.
 #      - q141/q142 (fixtures now build the sketch table through the
 #        manifest-versioned production path — SketchMaintenance staging
 #        appends + compaction — instead of a hand-written flat layout,
@@ -174,17 +182,17 @@ def load_all_modules() -> None:
 #      q87, q110, q112, q113, q106, q34, q35, q60, q101, q103, q105,
 #      q107, q109, q114, q117, q119-q122, q125, q127-q129. All 27 take
 #      prefix slots; their rows turn 3 rounds old this round.
-#   3. the remaining 15 slots refresh the oldest r9-row queries in their
-#      listed order: q81, q82, q130, q133-q136, q139, q31, q32, q50-q52,
-#      q54, q61 (q62/q70/q73/q74/q91 yielded to rule-1 promotions).
+#   3. the remaining 13 slots refresh the oldest r9-row queries in their
+#      listed order: q81, q82, q130, q133-q136, q139, q31, q32, q50-q52
+#      (q54/q61/q62/q70/q73/q74/q91 yielded to rule-1 promotions).
 #   ---- 50-query prefix boundary ----
-#   4. the displaced fill entries (q62, q70, q73, q74, q91, q92, q93,
-#      q140) and the rest of the r9-row block (q126, q138, q75, q132,
-#      q63, q88, q80, q111, q18, q19, q30, q33, q64, q65, q71, q79,
-#      q86, q94, q95, q96 — 28 queries total) age to r12 under rule 2,
-#      backed by this round's green 3-SF parity sweep; they lead the
-#      post-boundary tail so they front the r12 prefix (the rule-2
-#      ceiling there);
+#   4. the displaced fill entries (q54, q61, q62, q70, q73, q74, q91,
+#      q92, q93, q140) and the rest of the r9-row block (q126, q138,
+#      q75, q132, q63, q88, q80, q111, q18, q19, q30, q33, q64, q65,
+#      q71, q79, q86, q94, q95, q96 — 30 queries total) age to r12
+#      under rule 2, backed by this round's green 3-SF parity sweep;
+#      they lead the post-boundary tail so they front the r12 prefix
+#      (the rule-2 ceiling there);
 #   5. the queries with fresh r10 rows, in their r10 order;
 #   6. permanent tail (rule 3): q16, q76, q116, q137, q141, q142.
 #
@@ -194,12 +202,12 @@ def load_all_modules() -> None:
 #      (opens empty: every r11 change sits inside the r11 prefix);
 #   b. the rule-2 ceiling is whatever `tools/rotation_state.py` reports
 #      as latest_row == 9 after the r11 CORRECTNESS file lands
-#      (expected: the 28 post-boundary r9-row queries of item 4 above —
-#      the eight displaced fill entries plus the 20-query block);
-#   c. the remaining ~22 slots refresh the oldest r10-row queries in
+#      (expected: the 30 post-boundary r9-row queries of item 4 above —
+#      the ten displaced fill entries plus the 20-query block);
+#   c. the remaining ~20 slots refresh the oldest r10-row queries in
 #      their listed order; the rest of the r10 block ages to r13 under
 #      rule 2 provided the 3-SF parity sweep runs green in r12 — which
-#      closes: 28 + 22 = 50 exactly.
+#      closes: 30 + 20 = 50 exactly.
 VERIFY_ORDER: tuple[str, ...] = (
     # -- rule 1: code/oracle changed since the last driver row (the
     # -- round-11 probe waves: embedded-NUL, grammar leniency,
@@ -212,6 +220,8 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q42_math_battery",
     "q84_stratified_sample",
     "q102_incremental_dedup",
+    "q40_string_battery",
+    "q46_hash_battery",
     # -- rule 2 ceiling: r8-row untouched queries — rows turn 3 rounds
     # -- old this round, so ALL 27 take prefix slots (set derived from
     # -- tools/rotation_state.json; asserted by test_contract.py) --
@@ -257,12 +267,12 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q50_pandas_udf_tokenize",
     "q51_apply_in_pandas_median",
     "q52_udtf_bigrams",
-    "q54_multimodal_decode",
-    "q61_tumbling_window",
     # ---- 50-query prefix boundary (driver budget) ----
     # -- displaced fill entries (yielded their slots to the rule-1
     # -- promotions) and r9-row queries aging to r12 under rule 2 (3-SF
     # -- parity sweep green this round); they front the r12 prefix --
+    "q54_multimodal_decode",
+    "q61_tumbling_window",
     "q62_sliding_window",
     "q70_text_stats",
     "q73_token_count_bpe",
@@ -312,7 +322,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q27_join_theta",
     "q28_join_asof",
     "q29_exists_subquery",
-    "q40_string_battery",
     "q41_date_battery",
     "q43_conditional_battery",
     "q90_kmeans_train",
@@ -323,7 +332,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q124_dataset_mixture_hash",
     "q11_rollup",
     "q12_cube",
-    "q46_hash_battery",
     "q66_time_rollup",
     "q01_pricing_summary",
     "q02_project_compute",

@@ -48,35 +48,38 @@ def test_verify_order_is_the_registry_iteration_order():
     # Rule 1: the round-11 probe waves — q44/q45/q123 (embedded-NUL +
     # grammar-leniency contracts), q72/q97 (vertical-tab whitespace
     # class in the dedup fingerprint), q42 (ROUND(double, n)
-    # decimal-vs-binary split + rounded-zero sign), and q84/q102
-    # (strict digit grammar over TRY_CAST's per-engine leniency)
+    # decimal-vs-binary split + rounded-zero sign), q84/q102 (strict
+    # digit grammar over TRY_CAST's per-engine leniency), and q40/q46
+    # (NULL-propagating composites over CONCAT's per-engine NULL fold)
     # changed after their latest driver rows, so they lead the prefix.
-    assert prefix[:8] == [
+    assert prefix[:10] == [
         "q44", "q45", "q123", "q72", "q97", "q42", "q84", "q102",
+        "q40", "q46",
     ]
     # Rule 2 ceiling: the 27 r8-row untouched queries — rows turn 3
     # rounds old at r11, so ALL must take prefix slots. The set itself
     # is asserted MECHANICALLY by test_rotation_ceiling_is_mechanical
     # below; here we pin the written order.
-    assert prefix[8:35] == [
+    assert prefix[10:37] == [
         "q14", "q15", "q17", "q83", "q87", "q110", "q112", "q113",
         "q106", "q34", "q35", "q60", "q101", "q103", "q105", "q107",
         "q109", "q114", "q117", "q119", "q120", "q121", "q122", "q125",
         "q127", "q128", "q129",
     ]
-    # Rule 2 fill: the 15 remaining slots refresh the oldest r9-row
-    # queries in their listed order (q62/q70/q73/q74/q91/q92/q93/q140
-    # yielded their slots to the rule-1 promotions and front the
-    # post-boundary tail).
-    assert prefix[35:50] == [
+    # Rule 2 fill: the 13 remaining slots refresh the oldest r9-row
+    # queries in their listed order (q54/q61/q62/q70/q73/q74/q91/q92/
+    # q93/q140 yielded their slots to the rule-1 promotions and front
+    # the post-boundary tail).
+    assert prefix[37:50] == [
         "q81", "q82", "q130", "q133", "q134", "q135", "q136", "q139",
-        "q31", "q32", "q50", "q51", "q52", "q54", "q61",
+        "q31", "q32", "q50", "q51", "q52",
     ]
     # Post-boundary: the displaced fill entries then the r9-row block
     # that ages to r12 front the tail so they lead the r12 prefix
     # (rule-2 ceiling there).
-    assert [n.split("_")[0] for n in names[50:58]] == [
-        "q62", "q70", "q73", "q74", "q91", "q92", "q93", "q140",
+    assert [n.split("_")[0] for n in names[50:60]] == [
+        "q54", "q61", "q62", "q70", "q73", "q74", "q91", "q92", "q93",
+        "q140",
     ]
     # Rule 3: rows-only queries occupy the permanent tail — never a prefix
     # slot (their driver row can only say rows>0; the pytest accuracy

@@ -708,6 +708,8 @@ def _null_docs_fixture(tmp_path):
         "q91_frame_sample",  # oracle emitted a phantom NULL frame row
         "q92_media_features",  # degrade-to-(0,NULL,0) vs all-NULL oracle
         "q93_media_resize",  # NULL/empty thumbs collapsed to NULL in oracle
+        # diverged in the round-11 extended CONCAT probe, now pinned:
+        "q46_hash_battery",  # concat_ws vs CONCAT NULL fold split the md5
         # representative already-agreeing members, locked in:
         "q70_text_stats",
         "q72_fingerprint",
@@ -3161,3 +3163,103 @@ def test_array_sort_ieee_ordering_clean_class(spark):
             assert math.isnan(a) and math.isnan(b)
         else:
             assert a == b and math.copysign(1, a) == math.copysign(1, b)
+
+
+def test_null_part_metadata_matches_oracle(spark, tmp_path):
+    """The CONCAT NULL-fold split, pinned CLOSED on q40: DuckDB's
+    CONCAT() skips NULL arguments (a NULL p_name TRIMs to '' and a NULL
+    p_brand yields ':type') while Spark's concat propagates NULL. Both
+    twins now spell the composites with '||' / F.concat (NULL metadata
+    => NULL composite, declared); planted NULL-name/brand/type part
+    rows must hash-match."""
+    import shutil
+
+    import duckdb as _duck
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    for name in (
+        "region nation customer supplier orders lineitem events "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (SELECT * FROM '{src}/part.parquet'
+        UNION ALL SELECT 999901, NULL, 'Brand#99', 'TYPE X', 1, 'JUMBO'
+        UNION ALL SELECT 999902, 'null brand part', NULL, 'TYPE Y', 2, 'SM'
+        UNION ALL SELECT 999903, 'null type part', 'Brand#98', NULL, 3, 'LG'
+        UNION ALL SELECT 999904, NULL, NULL, NULL, NULL, NULL)
+        TO '{sf_dir}/part.parquet' (FORMAT PARQUET)"""
+    )
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    _assert_null_variant_parity(spark, "q40_string_battery", sf_dir, con)
+
+
+def test_concat_null_fold_split_pinned(spark):
+    """KNOWN-SPLIT class pinned (round-11 extended probe): CONCAT()
+    folds NULLs per engine personality — Spark propagates (NULL result),
+    DuckDB skips the NULL but keeps every literal ('a'||NULL||'b' is
+    NULL on both, but CONCAT('a', NULL, 'b') is NULL vs 'ab'). Never
+    pair CONCAT() across the twins; '||' null-propagates identically
+    and concat_ws/array_to_string null-SKIP identically (but concat_ws
+    drops the separator with the NULL — not a '||' substitute)."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    s = spark.sql(
+        "SELECT CONCAT('a', NULL, 'b'), 'a' || NULL || 'b',"
+        " concat_ws(':', 'a', NULL, 'b'), array_join(array('a', NULL, 'b'), '|')"
+    ).first()
+    d = con.execute(
+        "SELECT CONCAT('a', NULL, 'b'), 'a' || NULL || 'b',"
+        " concat_ws(':', 'a', NULL, 'b'), array_to_string(['a', NULL, 'b'], '|')"
+    ).fetchone()
+    assert (s[0], d[0]) == (None, "ab"), "CONCAT personalities changed — re-probe"
+    assert s[1] is None and d[1] is None          # '||' agrees: propagate
+    assert s[2] == d[2] == "a:b"                  # concat_ws agrees: skip
+    assert s[3] == d[3] == "a|b"                  # array_to_string agrees: skip
+
+
+def test_group_by_negative_zero_key_split_pinned(spark):
+    """KNOWN-SPLIT class pinned, unexposed by construction: grouping on
+    a raw DOUBLE key merges -0.0 with 0.0 on both engines (one group),
+    but the REPRESENTATIVE key value differs — Spark normalizes the
+    grouping key to +0.0 while DuckDB keeps the first-seen -0.0 — and
+    the driver hash is sign-sensitive. Worse: DuckDB's representative is
+    NONDETERMINISTIC — parallel hash aggregation keeps whichever
+    thread's first-seen zero wins, so back-to-back identical runs here
+    returned '-0.0' then '0.0' — meaning a raw-double group key isn't
+    even self-consistent on ONE engine. No oracled query groups by a
+    raw double (swept at pin time: every GROUP BY key is an id, a
+    string, a date/hour bucket, or exact integer cents); any future one
+    must band into exact integers first (the cents idiom). NaN grouping
+    agrees (one group, 'nan' key) — but only for REAL NaN doubles: a
+    pandas DataFrame registered into DuckDB reads float NaN as SQL NULL
+    (the pandas missing-value sentinel), so NaN fixtures must be built
+    in SQL or parquet, never via pandas round-trips."""
+    import duckdb as _duck
+
+    q = (
+        "SELECT v, COUNT(*) AS n FROM ("
+        "  SELECT CAST('-0.0' AS DOUBLE) v UNION ALL SELECT CAST('0.0' AS DOUBLE)"
+        "  UNION ALL SELECT CAST('nan' AS DOUBLE) UNION ALL SELECT CAST('nan' AS DOUBLE)"
+        ") GROUP BY v"
+    )
+    srows = {repr(r[0]): r[1] for r in spark.sql(q).collect()}
+    assert srows == {"0.0": 2, "nan": 2}, "Spark stopped normalizing -0.0 keys"
+    seen = set()
+    for _ in range(8):
+        drows = {repr(r[0]): r[1] for r in _duck.connect().execute(q).fetchall()}
+        assert set(drows.values()) == {2} and len(drows) == 2
+        (zero_key,) = [k for k in drows if k != "nan"]
+        seen.add(zero_key)
+    assert seen <= {"-0.0", "0.0"}, seen
+    # If DuckDB ever starts normalizing deterministically to +0.0 the
+    # class narrows from 'nondeterministic' to 'engine-split only';
+    # either way a raw-double group key stays banned in oracled queries.
