@@ -3263,3 +3263,42 @@ def test_group_by_negative_zero_key_split_pinned(spark):
     # If DuckDB ever starts normalizing deterministically to +0.0 the
     # class narrows from 'nondeterministic' to 'engine-split only';
     # either way a raw-double group key stays banned in oracled queries.
+
+
+def test_strict_digit_guard_cross_engine_equivalence(spark):
+    """Permanent fuzz form of the strict-digit-grammar pin: the shared
+    strict_digit_int_sql expression must return the IDENTICAL value on
+    both engines for EVERY input — curated hostile tails plus 300
+    seeded random strings over digits/signs/dots/hex/exponent chars/
+    whitespace/line terminators/unicode digits. A DuckDB upgrade that
+    changes TRY_CAST or TRANSLATE semantics fails here, not in a silent
+    q84/q102 split."""
+    import random
+
+    import duckdb as _duck
+
+    from nsq2kinesis_spark.operators.scalars import strict_digit_int_sql
+
+    random.seed(20260816)
+    alphabet = "0123456789+-.eExX \t\n\r\x0b٣۴"
+    cases = [
+        "7", "07", "0007", "", " ", "1.5", "9.99", "1e2", "0x1F", "+7",
+        "-7", "7 ", " 7", "7\n", "7\r\n", "NaN", "inf", "2147483647",
+        "2147483648", "99999999999999999999", "٣", "٣7", "1_000",
+    ]
+    for _ in range(300):
+        cases.append(
+            "".join(random.choice(alphabet) for _ in range(random.randint(0, 12)))
+        )
+    expr = strict_digit_int_sql("s")
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, s string"
+    )
+    got = {r.i: r.v for r in df.selectExpr("i", f"{expr} AS v").collect()}
+    con = _duck.connect()
+    mismatches = []
+    for i, c in enumerate(cases):
+        d = con.execute(f"SELECT {expr} FROM (SELECT ? AS s)", [c]).fetchone()[0]
+        if d != got[i]:
+            mismatches.append((repr(c), got[i], d))
+    assert not mismatches, mismatches[:5]
