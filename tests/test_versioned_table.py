@@ -791,3 +791,89 @@ def test_multiwriter_append_contention_is_exact(spark, tmp_path):
     files = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
     assert len(files) == 1, files
     assert sum(_rollup_map(spark, table_path).values()) == n_writers * epochs_each * 15
+
+
+def test_multiwriter_contention_under_object_store_rename(
+    spark, tmp_path, monkeypatch
+):
+    """Capstone lane (round-11 extended session): the two hardest
+    conditions COMBINED — several independent appenders racing each
+    other and a looping compactor through the commit lock, while every
+    protocol-side rename runs the object-store shape (copy to invisible
+    in-flight key → atomic appearance → deferred source delete, so
+    listings keep showing dead keys; directory rename asserted never
+    attempted). Exactness bar is the same as the POSIX multi-writer
+    test: 8 disjoint 15-id hour cells, nothing lost or doubled, and the
+    table still compacts to one file afterwards."""
+    import shutil
+    import uuid as uuidmod
+
+    real_rename = os.rename
+    timers: list[threading.Timer] = []
+
+    def deferred_delete(path):
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+    def put_style_rename(src, dst, **kwargs):
+        assert not os.path.isdir(src), f"protocol attempted a directory rename: {src}"
+        inflight = f"{dst}.inflight-{uuidmod.uuid4().hex[:8]}"
+        shutil.copy2(src, inflight)
+        real_rename(inflight, dst)
+        t = threading.Timer(0.05, deferred_delete, args=(src,))
+        t.start()
+        timers.append(t)
+
+    monkeypatch.setattr(os, "rename", put_style_rename)
+    table_path = str(tmp_path / "sketches")
+    n_writers, epochs_each = 2, 4
+    errors: list[BaseException] = []
+    appends_done = threading.Event()
+
+    def appender(writer_idx: int):
+        try:
+            maint = SketchMaintenance(table_path, key_col="user_id", ts_col="ts")
+            for e in range(epochs_each):
+                slot = writer_idx * epochs_each + e
+                maint(
+                    _batch(spark, "2024-03-04", slot % 24,
+                           range(slot * 100, slot * 100 + 15)),
+                    e,
+                )
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def compact_loop():
+        try:
+            while not appends_done.is_set():
+                compact_sketch_table(spark, table_path, target_files=1)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    writers = [threading.Thread(target=appender, args=(i,)) for i in range(n_writers)]
+    compactor = threading.Thread(target=compact_loop)
+    for t in writers:
+        t.start()
+    compactor.start()
+    try:
+        for t in writers:
+            t.join(300)
+    finally:
+        appends_done.set()
+        compactor.join(120)
+        for tm in timers:
+            tm.join(5)
+    assert not any(t.is_alive() for t in writers), "appender deadlocked"
+    assert not errors, errors
+
+    total = n_writers * epochs_each
+    hours = {(r.day, r.hour) for r in read_sketch_table(spark, table_path).collect()}
+    assert len(hours) == total, sorted(hours)
+    assert sum(_rollup_map(spark, table_path).values()) == total * 15
+    compact_sketch_table(spark, table_path, target_files=1)
+    data_dir = vt.resolve_data_dir(table_path)
+    files = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    assert len(files) == 1, files
+    assert sum(_rollup_map(spark, table_path).values()) == total * 15
