@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import table as t
+from .scalars import strict_digit_int_sql
 
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "is"),
@@ -327,8 +328,6 @@ def _sample_rate_sql(col: str) -> str:
     document in different sampling tiers per engine. strict_digit_int_sql
     admits only digits-only tails, on which the engines agree exactly;
     every other tail is tier 0 on BOTH."""
-    from .scalars import strict_digit_int_sql
-
     return f"100 - 30 * (COALESCE({strict_digit_int_sql(f'SUBSTR({col}, 4)')}, 0) % 4)"
 
 

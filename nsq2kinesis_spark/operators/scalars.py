@@ -145,8 +145,9 @@ def q41_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- x*10^n half-away on DuckDB; for >2-decimal inputs the twins
            -- split on 0.46% of values (exhaustive 3-decimal sweep:
            -- 4,588/1,000,000 — e.g. 1.005 -> 1.01 vs 1.0). The 2-decimal
-           -- money contract makes the column deterministic (exhaustive
-           -- 2-decimal sweep over [-1000, 200000]: zero mismatches), so a
+           -- money contract makes the column deterministic (305k-value
+           -- sweep: exhaustive over [-1000, 1000] plus a 97-cent-stride
+           -- sample to 200k dollars, zero mismatches), so a
            -- price with a sub-cent component is out of THIS VERIFIER's
            -- domain and must fail the parity run, not silently verify one
            -- engine's rounding personality.

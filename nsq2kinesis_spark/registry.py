@@ -150,8 +150,9 @@ def load_all_modules() -> None:
 #        the IEEE zero sign (+0.0 vs -0.0; the parity hash is
 #        sign-sensitive). q42's oracle gained a LOUD 2-decimal money
 #        domain guard and both twins normalize the rounded zero sign
-#        (+ 0.0); the exhaustive 2-decimal sweep over [-1000, 200000]
-#        is pinned clean. q42 joins the rule-1 head; the last fill
+#        (+ 0.0); the 2-decimal sweep (exhaustive over [-1000, 1000],
+#        97-cent-stride sample to 200k dollars; 305k values) is clean,
+#        with the [-99.99, 999.99] grid pinned permanently. q42 joins the rule-1 head; the last fill
 #        entry (q73) yields its slot and fronts the post-boundary tail.
 #      - q84/q102 via the round-11 extended string-cast probe:
 #        TRY_CAST(VARCHAR AS INTEGER) has a different GRAMMAR per

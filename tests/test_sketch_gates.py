@@ -3185,11 +3185,14 @@ def test_null_part_metadata_matches_oracle(spark, tmp_path):
     ).split():
         shutil.copy(f"{src}/{name}.parquet", f"{sf_dir}/{name}.parquet")
     con = _duck.connect()
+    # part schema: (p_partkey, p_name, p_brand, p_type, p_size,
+    # p_retailprice DOUBLE) — the last value must stay numeric or the
+    # UNION retypes the whole fixture column to VARCHAR
     con.execute(
         f"""COPY (SELECT * FROM '{src}/part.parquet'
-        UNION ALL SELECT 999901, NULL, 'Brand#99', 'TYPE X', 1, 'JUMBO'
-        UNION ALL SELECT 999902, 'null brand part', NULL, 'TYPE Y', 2, 'SM'
-        UNION ALL SELECT 999903, 'null type part', 'Brand#98', NULL, 3, 'LG'
+        UNION ALL SELECT 999901, NULL, 'Brand#99', 'TYPE X', 1, 12.34
+        UNION ALL SELECT 999902, 'null brand part', NULL, 'TYPE Y', 2, 5.00
+        UNION ALL SELECT 999903, 'null type part', 'Brand#98', NULL, 3, 7.77
         UNION ALL SELECT 999904, NULL, NULL, NULL, NULL, NULL)
         TO '{sf_dir}/part.parquet' (FORMAT PARQUET)"""
     )
