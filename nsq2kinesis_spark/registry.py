@@ -103,175 +103,45 @@ def load_all_modules() -> None:
 # set: the r10 verdict caught the written r11 plan silently dropping
 # q14/q15/q17 from the ceiling, exactly the drift a prose list invites.
 #
-# ROUND-11 ORDER (this round — executes the r10 plan with the verdict's
-# CORRECTED ceiling):
-#   1. rule 1 ledger opened EMPTY (every r10 change sat inside the r10
-#      prefix). Mid-round amendments, promoted per rule 1 as their
-#      changes landed:
-#      - q44/q45/q123: the round-11 control-char probe found the
-#        embedded-NUL sort split (DuckDB's sort-key encoding truncates
-#        at U+0000 — ORDER BY/LIST_SORT/RANK tie 'k'||chr(0) with 'k' —
-#        while its =/< and Spark's sort are byte-exact); q44 excludes
-#        backslash-u0000 payloads from the parse contract, q45's
-#        head_vocab (its one sort-valued column) is NULL for
-#        NUL-bearing text on both twins, q123 gained the
-#        events_props_nul_escapes rule. All three lead the prefix; the
-#        last three fill entries (q92, q93, q140) yield their slots and
-#        front the post-boundary tail.
-#      - q110 via the round-11 word-boundary probe: Java's \b is
-#        unicode-aware, RE2's is ASCII — 'é1.2.3.4é' redacted by the
-#        oracle and skipped by the engine. The IPv4 rule now uses
-#        explicit ASCII capture-group boundaries (no \b anywhere) with
-#        two-pass detection for adjacent addresses. q110 already holds
-#        a rule-2 ceiling slot in this prefix, so its fresh r11 row
-#        covers the change — no rotation move.
-#      - q72/q97 via the round-11 vertical-tab probe: Java's \s is
-#        [ \t\n\x0B\f\r], RE2's omits \x0B — the shared
-#        whitespace-collapse normalization made the dedup FINGERPRINT
-#        engine-dependent for \x0B-bearing text. Both twins now spell
-#        the Java class out explicitly. Both queries hold fresh r10
-#        rows, so rule 1 promotes them into the prefix; the last two
-#        fill entries (q74, q91) yield their slots and front the
-#        post-boundary tail.
-#      - q44/q123 again via the round-11 grammar-leniency probe (three
-#        parsers, three grammars): single-quoted JSON killed at the
-#        root (allowSingleQuotes=false on every props parse), trailing
-#        garbage out of contract via the json_strict_tail depth scan
-#        (Jackson parses the first value and ignores the rest), and
-#        trailing commas out of contract in the REVERSE direction
-#        (yyjson accepts '{"k":1,}', Jackson rejects); q123 gained the
-#        events_props_trailing_garbage / _trailing_commas rules and its
-#        dupkeys rule now parses props once, strictly. Both already
-#        hold rule-1 prefix slots — no further rotation change.
-#      - q42 via the round-11 extended rounding probe: ROUND(double, n)
-#        is decimal-string HALF_UP on Spark but binary half-away on
-#        DuckDB — 3-decimal inputs split the twins on 0.46% of values
-#        (exhaustive sweep), and negative prices in (-0.05, 0) split on
-#        the IEEE zero sign (+0.0 vs -0.0; the parity hash is
-#        sign-sensitive). q42's oracle gained a LOUD 2-decimal money
-#        domain guard and both twins normalize the rounded zero sign
-#        (+ 0.0); the 2-decimal sweep (exhaustive over [-1000, 1000],
-#        97-cent-stride sample to 200k dollars; 305k values) is clean,
-#        with the [-99.99, 999.99] grid pinned permanently. q42 joins the rule-1 head; the last fill
-#        entry (q73) yields its slot and fronts the post-boundary tail.
-#      - q84/q102 via the round-11 extended string-cast probe:
-#        TRY_CAST(VARCHAR AS INTEGER) has a different GRAMMAR per
-#        engine — DuckDB leniently parses 'src1.5' -> 2 / 'src0x1F' ->
-#        31 where Spark yields NULL — so their shared-SQL src_idx /
-#        sampling-tier twins were silent splits on non-digit source
-#        tails. Both now share strict_digit_int_sql (TRANSLATE
-#        digits-only guard — itself spelled anchor-free because
-#        '^[0-9]+$' twin-splits on trailing line terminators: Java's $
-#        matches before a final \n, RE2's does not). Two more fill
-#        entries (q62, q70) yield their slots.
-#      - q40/q46 via the round-11 extended CONCAT probe: DuckDB's
-#        CONCAT() SKIPS NULL arguments (Postgres-style) while Spark's
-#        concat propagates NULL — and q46's spark side used concat_ws,
-#        which skips the SEPARATOR with the NULL ('42' vs ':42' into
-#        md5: a silent split the existing NULL-source fixture exposes).
-#        Both twins now null-propagate ('||' / F.concat, declared NULL
-#        metadata => NULL composite). Two more fill entries (q54, q61)
-#        yield their slots.
-#      - q141/q142 (fixtures now build the sketch table through the
-#        manifest-versioned production path — SketchMaintenance staging
-#        appends + compaction — instead of a hand-written flat layout,
-#        so the rows-only driver row re-covers the real reader; both
-#        are rule-3 permanent-tail queries, so no prefix slot moves).
-#   2. rule 2 ceiling — MECHANICAL, 27 queries whose green rows date to
-#      r8 (rotation_state.json: latest_row == 8): q14, q15, q17, q83
-#      (displaced post-boundary in r10 by the rule-1 promotions), then
-#      q87, q110, q112, q113, q106, q34, q35, q60, q101, q103, q105,
-#      q107, q109, q114, q117, q119-q122, q125, q127-q129. All 27 take
-#      prefix slots; their rows turn 3 rounds old this round.
-#   3. the remaining 13 slots refresh the oldest r9-row queries in their
-#      listed order: q81, q82, q130, q133-q136, q139, q31, q32, q50-q52
-#      (q54/q61/q62/q70/q73/q74/q91 yielded to rule-1 promotions).
+# ROUND-12 ORDER (this round — executes the r11 plan; ceiling derived
+# from tools/rotation_state.json regenerated after CORRECTNESS_r11.json
+# landed, as_of_round=11):
+#   1. rule 1 ledger opens EMPTY (every r11 change sat inside the r11
+#      prefix — NOTES_r11.md). Mid-round amendments promote here as
+#      changes land; planned: q82 (capped-nlist IVF adoption — the r11
+#      verdict's task #2) will take a rule-1 slot when its code/oracle
+#      changes, displacing the last fill entry (q41) post-boundary.
+#   2. rule 2 ceiling — MECHANICAL, 30 queries whose latest green rows
+#      date to r9 (rotation_state.json: latest_row == 9): the ten fill
+#      entries displaced in r11 (q54, q61, q62, q70, q73, q74, q91,
+#      q92, q93, q140) plus the 20-query r9 block (q126, q138, q75,
+#      q132, q63, q88, q80, q111, q18, q19, q30, q33, q64, q65, q71,
+#      q79, q86, q94, q95, q96). All 30 take prefix slots; their rows
+#      turn 3 rounds old this round.
+#   3. the remaining 20 slots refresh the oldest r10-row queries in
+#      their r10 order: q118, q89, q53, q99, q100, q104, q108, q77,
+#      q78, q20-q29, q41 — which closes: 30 + 20 = 50 exactly.
 #   ---- 50-query prefix boundary ----
-#   4. the displaced fill entries (q54, q61, q62, q70, q73, q74, q91,
-#      q92, q93, q140) and the rest of the r9-row block (q126, q138,
-#      q75, q132, q63, q88, q80, q111, q18, q19, q30, q33, q64, q65,
-#      q71, q79, q86, q94, q95, q96 — 30 queries total) age to r12
-#      under rule 2, backed by this round's green 3-SF parity sweep;
-#      they lead the post-boundary tail so they front the r12 prefix
-#      (the rule-2 ceiling there);
-#   5. the queries with fresh r10 rows, in their r10 order;
+#   4. the rest of the r10-row block (q43, q90, q98, q131, q85, q115,
+#      q124, q11, q12, q66, q01-q10, q13) ages to r13 under rule 2,
+#      backed by this round's green 3-SF parity sweep; it leads the
+#      post-boundary tail so it fronts the r13 prefix (the rule-2
+#      ceiling there);
+#   5. the queries with fresh r11 rows, in their r11 order;
 #   6. permanent tail (rule 3): q16, q76, q116, q137, q141, q142.
 #
-# ROUND-12 ROTATION PLAN (derive, don't transcribe):
-#   a. any query whose code/oracle changes in round 11 AFTER its latest
-#      driver row leads (rule 1) — ledger maintained in NOTES_r11.md
-#      (opens empty: every r11 change sits inside the r11 prefix);
+# ROUND-13 ROTATION PLAN (derive, don't transcribe):
+#   a. any query whose code/oracle changes in round 12 AFTER its latest
+#      driver row leads (rule 1) — ledger maintained in NOTES_r12.md;
 #   b. the rule-2 ceiling is whatever `tools/rotation_state.py` reports
-#      as latest_row == 9 after the r11 CORRECTNESS file lands
-#      (expected: the 30 post-boundary r9-row queries of item 4 above —
-#      the ten displaced fill entries plus the 20-query block);
-#   c. the remaining ~20 slots refresh the oldest r10-row queries in
-#      their listed order; the rest of the r10 block ages to r13 under
-#      rule 2 provided the 3-SF parity sweep runs green in r12 — which
-#      closes: 30 + 20 = 50 exactly.
+#      as latest_row == 10 after the r12 CORRECTNESS file lands
+#      (expected: the 21 post-boundary r10-row queries of item 4 above);
+#   c. the remaining ~29 slots refresh the oldest r11-row queries in
+#      their listed order.
 VERIFY_ORDER: tuple[str, ...] = (
-    # -- rule 1: code/oracle changed since the last driver row (the
-    # -- round-11 probe waves: embedded-NUL, grammar leniency,
-    # -- vertical-tab whitespace) --
-    "q44_json_battery",
-    "q45_array_battery",
-    "q123_dq_report",
-    "q72_fingerprint",
-    "q97_corpus_build",
-    "q42_math_battery",
-    "q84_stratified_sample",
-    "q102_incremental_dedup",
-    "q40_string_battery",
-    "q46_hash_battery",
-    # -- rule 2 ceiling: r8-row untouched queries — rows turn 3 rounds
-    # -- old this round, so ALL 27 take prefix slots (set derived from
+    # -- rule 2 ceiling: r9-row untouched queries — rows turn 3 rounds
+    # -- old this round, so ALL 30 take prefix slots (set derived from
     # -- tools/rotation_state.json; asserted by test_contract.py) --
-    "q14_collect_pack",
-    "q15_pivot",
-    "q17_percentiles",
-    "q83_decontamination",
-    "q87_repetition",
-    "q110_pii_redaction",
-    "q112_cooccurrence_lift",
-    "q113_length_buckets",
-    "q106_user_similarity",
-    "q34_window_distribution",
-    "q35_window_range_frame",
-    "q60_dedup_exact",
-    "q101_event_funnel",
-    "q103_gaps_islands",
-    "q105_scalar_subquery",
-    "q107_event_paths",
-    "q109_retention_cohorts",
-    "q114_daily_anomalies",
-    "q117_scd2_intervals",
-    "q119_daily_trend",
-    "q120_volume_gini",
-    "q121_ab_test",
-    "q122_copurchase",
-    "q125_user_diversity",
-    "q127_audience_overlap",
-    "q128_gap_fill",
-    "q129_growth_curve",
-    # -- rule 2 fill: oldest r9-row queries, least-recently-verified
-    # -- first --
-    "q81_cosine_neardup",
-    "q82_ann_ivf",
-    "q130_rag_chunker",
-    "q133_ppjoin",
-    "q134_scd2_resolve",
-    "q135_daily_mad",
-    "q136_interpolate",
-    "q139_conversion_latency",
-    "q31_window_analytic",
-    "q32_window_frames",
-    "q50_pandas_udf_tokenize",
-    "q51_apply_in_pandas_median",
-    "q52_udtf_bigrams",
-    # ---- 50-query prefix boundary (driver budget) ----
-    # -- displaced fill entries (yielded their slots to the rule-1
-    # -- promotions) and r9-row queries aging to r12 under rule 2 (3-SF
-    # -- parity sweep green this round); they front the r12 prefix --
     "q54_multimodal_decode",
     "q61_tumbling_window",
     "q62_sliding_window",
@@ -302,8 +172,8 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q94_range_join_binned",
     "q95_zorder_key",
     "q96_heavy_hitters_mg",
-    # -- fresh round-10 rows, untouched since, in their r10 order
-    # -- (q123/q44/q45/q72/q97 promoted to rule 1 above) --
+    # -- rule 2 fill: oldest r10-row queries, least-recently-verified
+    # -- first (their r10 order) --
     "q118_fuzzy_match",
     "q89_dedup_components",
     "q53_python_udf_crc",
@@ -324,6 +194,9 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q28_join_asof",
     "q29_exists_subquery",
     "q41_date_battery",
+    # ---- 50-query prefix boundary (driver budget) ----
+    # -- rest of the r10-row block: ages to r13 under rule 2 (3-SF
+    # -- parity sweep green this round); fronts the r13 prefix --
     "q43_conditional_battery",
     "q90_kmeans_train",
     "q98_srp_lsh_pairs",
@@ -345,6 +218,57 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q09_set_ops_all",
     "q10_agg_global",
     "q13_grouping_sets",
+    # -- fresh round-11 rows, untouched since, in their r11 order --
+    "q44_json_battery",
+    "q45_array_battery",
+    "q123_dq_report",
+    "q72_fingerprint",
+    "q97_corpus_build",
+    "q42_math_battery",
+    "q84_stratified_sample",
+    "q102_incremental_dedup",
+    "q40_string_battery",
+    "q46_hash_battery",
+    "q14_collect_pack",
+    "q15_pivot",
+    "q17_percentiles",
+    "q83_decontamination",
+    "q87_repetition",
+    "q110_pii_redaction",
+    "q112_cooccurrence_lift",
+    "q113_length_buckets",
+    "q106_user_similarity",
+    "q34_window_distribution",
+    "q35_window_range_frame",
+    "q60_dedup_exact",
+    "q101_event_funnel",
+    "q103_gaps_islands",
+    "q105_scalar_subquery",
+    "q107_event_paths",
+    "q109_retention_cohorts",
+    "q114_daily_anomalies",
+    "q117_scd2_intervals",
+    "q119_daily_trend",
+    "q120_volume_gini",
+    "q121_ab_test",
+    "q122_copurchase",
+    "q125_user_diversity",
+    "q127_audience_overlap",
+    "q128_gap_fill",
+    "q129_growth_curve",
+    "q81_cosine_neardup",
+    "q82_ann_ivf",
+    "q130_rag_chunker",
+    "q133_ppjoin",
+    "q134_scd2_resolve",
+    "q135_daily_mad",
+    "q136_interpolate",
+    "q139_conversion_latency",
+    "q31_window_analytic",
+    "q32_window_frames",
+    "q50_pandas_udf_tokenize",
+    "q51_apply_in_pandas_median",
+    "q52_udtf_bigrams",
     # -- rule 3: rows-only by design — permanent tail, never a prefix
     # -- slot (accuracy gates live in tests/test_sketch_gates.py and
     # -- tests/test_llm_dedup.py) --

@@ -45,41 +45,31 @@ def test_verify_order_is_the_registry_iteration_order():
     assert len(set(VERIFY_ORDER)) == len(VERIFY_ORDER), "duplicates in VERIFY_ORDER"
     assert len(names) == 127
     prefix = [n.split("_")[0] for n in names[:50]]
-    # Rule 1: the round-11 probe waves — q44/q45/q123 (embedded-NUL +
-    # grammar-leniency contracts), q72/q97 (vertical-tab whitespace
-    # class in the dedup fingerprint), q42 (ROUND(double, n)
-    # decimal-vs-binary split + rounded-zero sign), q84/q102 (strict
-    # digit grammar over TRY_CAST's per-engine leniency), and q40/q46
-    # (NULL-propagating composites over CONCAT's per-engine NULL fold)
-    # changed after their latest driver rows, so they lead the prefix.
-    assert prefix[:10] == [
-        "q44", "q45", "q123", "q72", "q97", "q42", "q84", "q102",
-        "q40", "q46",
-    ]
-    # Rule 2 ceiling: the 27 r8-row untouched queries — rows turn 3
-    # rounds old at r11, so ALL must take prefix slots. The set itself
-    # is asserted MECHANICALLY by test_rotation_ceiling_is_mechanical
-    # below; here we pin the written order.
-    assert prefix[10:37] == [
-        "q14", "q15", "q17", "q83", "q87", "q110", "q112", "q113",
-        "q106", "q34", "q35", "q60", "q101", "q103", "q105", "q107",
-        "q109", "q114", "q117", "q119", "q120", "q121", "q122", "q125",
-        "q127", "q128", "q129",
-    ]
-    # Rule 2 fill: the 13 remaining slots refresh the oldest r9-row
-    # queries in their listed order (q54/q61/q62/q70/q73/q74/q91/q92/
-    # q93/q140 yielded their slots to the rule-1 promotions and front
-    # the post-boundary tail).
-    assert prefix[37:50] == [
-        "q81", "q82", "q130", "q133", "q134", "q135", "q136", "q139",
-        "q31", "q32", "q50", "q51", "q52",
-    ]
-    # Post-boundary: the displaced fill entries then the r9-row block
-    # that ages to r12 front the tail so they lead the r12 prefix
-    # (rule-2 ceiling there).
-    assert [n.split("_")[0] for n in names[50:60]] == [
+    # Rule 1 opens EMPTY at r12 (every r11 change sat inside the r11
+    # prefix — NOTES_r11.md). Rule 2 ceiling: the 30 r9-row untouched
+    # queries — rows turn 3 rounds old at r12, so ALL must take prefix
+    # slots. The set itself is asserted MECHANICALLY by
+    # test_rotation_ceiling_is_mechanical below; here we pin the
+    # written order.
+    assert prefix[:30] == [
         "q54", "q61", "q62", "q70", "q73", "q74", "q91", "q92", "q93",
-        "q140",
+        "q140", "q126", "q138", "q75", "q132", "q63", "q88", "q80",
+        "q111", "q18", "q19", "q30", "q33", "q64", "q65", "q71", "q79",
+        "q86", "q94", "q95", "q96",
+    ]
+    # Rule 2 fill: the 20 remaining slots refresh the oldest r10-row
+    # queries in their r10 order.
+    assert prefix[30:50] == [
+        "q118", "q89", "q53", "q99", "q100", "q104", "q108", "q77",
+        "q78", "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27",
+        "q28", "q29", "q41",
+    ]
+    # Post-boundary: the rest of the r10-row block ages to r13 under
+    # rule 2 and fronts the tail so it leads the r13 prefix (rule-2
+    # ceiling there).
+    assert [n.split("_")[0] for n in names[50:60]] == [
+        "q43", "q90", "q98", "q131", "q85", "q115", "q124", "q11",
+        "q12", "q66",
     ]
     # Rule 3: rows-only queries occupy the permanent tail — never a prefix
     # slot (their driver row can only say rows>0; the pytest accuracy
