@@ -8,17 +8,21 @@ for embedding-space dedup/retrieval. Three tiers:
   broadcast; the corpus scan is embarrassingly parallel. Cost O(|Q|·N).
 - q81: threshold near-dup pairs blocked by IVF cell — the blocked
   all-pairs pattern (compare only within a block key). The block key is
-  each vector's nearest coarse centroid (the same quantizer q82 uses), so
+  each vector's nearest coarse centroid (√n-step quantizer), so
   expected block size is corpus/centroids ≈ the adaptive step (sqrt(n)
   past the 101 floor — see IVF_CENTROID_STEP) — data-INDEPENDENT by
   construction at any corpus size, unlike a data-dependent key (label)
   where one hot value degrades to quadratic pairs in a single task; total
   pair volume is nlist·step² ≈ n^1.5, the flat-IVF tradeoff. This
   is the cluster-then-compare shape of embedding dedup (SemDeDup-style).
-- q82: IVF-style ANN — deterministic coarse quantizer (centroid subset),
+- q82: IVF-style ANN — deterministic coarse quantizer (capped-nlist
+  centroid subset, round 12 — see IVF_NLIST_CAP for why the probe
+  operator sizes the quantizer differently from q81's all-pairs),
   vectors assigned to nearest centroid, queries probe the 2 nearest
   centroid cells only. At 100 TB this is the scale path: the probe prunes
-  the corpus to a few cells; cells are co-partitioned by centroid id.
+  the corpus to a few cells; cells are co-partitioned by centroid id —
+  and the assignment is materializable build-once-probe-many via
+  ivf_index.py (versioned cell-partitioned table).
 
 All vector math is JVM higher-order functions (functions/vectors.py) — no
 Python UDF; similarity sort keys are rounded so ulp noise can't flip ranks.
@@ -43,19 +47,47 @@ TOP_K = 5
 # ceiling — the operator must actually surface the top pairs rather than
 # vacuously return zero rows at any threshold.
 COSINE_T = 0.45
-# Coarse-quantizer sizing. The centroid subset is vec_id % step == 0 with
-# step = GREATEST(IVF_CENTROID_STEP, FLOOR(SQRT(n_raw))) — scale-ADAPTIVE
-# (round-8 ladder find): a fixed step makes nlist grow linearly with the
-# corpus, so the assignment scan (n × nlist dots) is QUADRATIC — measured
-# accelerating 1.23×/1.66×/2.35× per corpus doubling on the 1–8× ladder —
-# and the broadcast centroid set itself outgrows broadcastability. nlist ≈
-# sqrt(n) is the canonical flat-IVF balance (assignment and probe both
-# n^1.5 at worst); at the shipped SFs (n ≤ 50k raw at sf0.01's driver
-# gate: 5k) GREATEST keeps step = 101, so tested results only change where
-# the parity lanes re-prove them. n is the RAW table count (metadata-cheap
-# scan, identical in the oracle twin via a scalar subquery) — a sizing
-# heuristic needs determinism, not contract-filtered exactness.
+# Coarse-quantizer sizing. The centroid subset is vec_id % step == 0.
+# Two sizings coexist, one per consumer, because the flat-IVF tension
+# pulls the blocked-all-pairs operator and the probe operator in OPPOSITE
+# directions:
+#
+# - q81/q90 (√n step): step = GREATEST(IVF_CENTROID_STEP,
+#   FLOOR(SQRT(n_raw))) — scale-ADAPTIVE (round-8 ladder find: a fixed
+#   step makes nlist grow linearly with the corpus, so the assignment
+#   scan is quadratic and the broadcast centroid set outgrows
+#   broadcastability). q81 generates ALL PAIRS inside a cell, so its
+#   binding constraint is CELL SIZE: step ≈ √n keeps per-cell pair
+#   fanout at step² and total pair volume at nlist·step² ≈ n^1.5 — the
+#   best a flat quantizer can do for a threshold join. Capping nlist
+#   instead would grow cells to n/cap and make q81's pair volume
+#   n²/cap: quadratic. So q81 keeps √n.
+# - q82 (capped nlist, round 12): step = GREATEST(IVF_CENTROID_STEP,
+#   CEIL(n_raw / IVF_NLIST_CAP)) — the probe operator's binding
+#   constraint is the ASSIGNMENT SCAN (n × nlist dots), which under the
+#   √n sizing is n^1.5: the round-11 64× ladder measured its onset
+#   (segment exponents 0.44 → 1.18, 56.15 s at 64× vs brute force's
+#   1.87 s) and the capped-nlist study measured runtime ~linear in
+#   nlist (nlist 359 → 51.7 s, 128 → 18.4 s, 64 → 8.4 s on the same
+#   128k-vector rung). A constant nlist caps assignment at O(n·cap)
+#   and probe at O(|Q|·probes·n/cap) — both linear in n. q82's probe
+#   is a hash join on cell id, not an intra-cell all-pairs, so larger
+#   cells cost a constant factor, not a blow-up. Recall is governed by
+#   the probed-corpus fraction probes/nlist, which a constant nlist
+#   keeps CONSTANT as the corpus grows (under √n sizing it decayed as
+#   probes/√n) — gated on a natural-distribution planted-neighbor
+#   corpus in tests/test_sketch_gates.py.
+#
+# At the shipped SFs (n ≤ 50k raw; sf0.01's driver gate: 5k) GREATEST
+# keeps step = 101 for n ≤ 6,464, so driver-SF results only change where
+# the parity lanes re-prove them (sf0.1: √n step 223 vs capped step
+# 782). n is the RAW table count (metadata-cheap scan, identical in the
+# oracle twin via a scalar subquery) — a sizing heuristic needs
+# determinism, not contract-filtered exactness. CEIL spelled as
+# (n + cap - 1) DIV cap on both engines: exact integer arithmetic, no
+# float rounding hazard at any corpus size.
 IVF_CENTROID_STEP = 101
+IVF_NLIST_CAP = 64
 IVF_PROBES = 2
 
 
@@ -108,12 +140,13 @@ def emb_t(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
-    """The deterministic coarse-quantizer subset shared by q81/q82/q90,
-    scale-adaptively sized (see the IVF_CENTROID_STEP note): centroids =
-    valid vectors whose vec_id % GREATEST(step, floor(sqrt(n_raw))) == 0.
-    The count rides the plan as a 1-row broadcast (no eager driver
-    action; the count scan reads no columns, so parquet answers it from
-    footer row counts)."""
+    """The deterministic √n-step coarse-quantizer subset shared by
+    q81/q90 (see the IVF_CENTROID_STEP note for why the blocked-all-pairs
+    consumers keep √n while q82 caps nlist): centroids = valid vectors
+    whose vec_id % GREATEST(step, floor(sqrt(n_raw))) == 0. The count
+    rides the plan as a 1-row broadcast (no eager driver action; the
+    count scan reads no columns, so parquet answers it from footer row
+    counts)."""
     n = t(spark, sf_dir, "embeddings").agg(F.count("*").alias("_n_raw"))
     step = F.greatest(
         F.lit(IVF_CENTROID_STEP).cast("long"),
@@ -126,10 +159,41 @@ def ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
     )
 
 
-# The oracle-side twin of the adaptive step (scalar subquery, raw table).
+def ivf_centroids_capped(
+    spark: SparkSession, sf_dir: str, e: DataFrame
+) -> DataFrame:
+    """q82's capped-nlist quantizer subset (round 12 — see the
+    IVF_NLIST_CAP note): centroids = valid vectors whose vec_id %
+    GREATEST(IVF_CENTROID_STEP, ceil(n_raw / IVF_NLIST_CAP)) == 0, so
+    nlist ≤ ~IVF_NLIST_CAP at every corpus size and the assignment scan
+    stays O(n·cap). Same plan shape as ivf_centroids — only the step
+    expression differs."""
+    n = t(spark, sf_dir, "embeddings").agg(F.count("*").alias("_n_raw"))
+    step = F.greatest(
+        F.lit(IVF_CENTROID_STEP).cast("long"),
+        F.expr(
+            f"CAST((_n_raw + {IVF_NLIST_CAP - 1}) DIV {IVF_NLIST_CAP} AS LONG)"
+        ),
+    )
+    return (
+        e.crossJoin(F.broadcast(n))
+        .filter(F.col("vec_id") % step == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    )
+
+
+# The oracle-side twin of the adaptive √n step (scalar subquery, raw
+# table) — q81/q90.
 DUCK_IVF_STEP = (
     f"(SELECT GREATEST({IVF_CENTROID_STEP},"
     " CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)"
+)
+
+# The oracle-side twin of q82's capped-nlist step. DuckDB's // is exact
+# integer floor division, mirroring Spark's DIV.
+DUCK_IVF_STEP_CAPPED = (
+    f"(SELECT GREATEST({IVF_CENTROID_STEP},"
+    f" (COUNT(*) + {IVF_NLIST_CAP - 1}) // {IVF_NLIST_CAP}) FROM embeddings)"
 )
 
 
@@ -267,7 +331,7 @@ def q81_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH cents AS (
       SELECT vec_id AS cent_id, embedding AS ce FROM {DUCK_EMB}
-      WHERE vec_id % {DUCK_IVF_STEP} = 0
+      WHERE vec_id % {DUCK_IVF_STEP_CAPPED} = 0
     ), assigned AS (
       SELECT vec_id, embedding, cent_id AS cell FROM (
         SELECT e.vec_id, e.embedding, c.cent_id,
@@ -303,29 +367,45 @@ def q81_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q82_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbor:
 
-    1. coarse centroids: the deterministic subset vec_id % 101 == 0 (a real
-       system trains k-means; a fixed subset keeps the operator reproducible
-       with identical plan shape);
+    1. coarse centroids: the deterministic capped-nlist subset (round 12 —
+       nlist ≤ IVF_NLIST_CAP at every corpus size, so the assignment scan
+       is O(n·cap), not the √n sizing's n^1.5; a real system trains
+       k-means, a fixed subset keeps the operator reproducible with
+       identical plan shape);
     2. assignment: every vector → nearest centroid (broadcast centroids,
-       one corpus scan);
-    3. probe: each query searches only its IVF_PROBES nearest cells.
+       one corpus scan) — `ivf_assign`, shared with the materialized
+       index lane (ivf_index.py), which amortizes this scan across query
+       batches instead of rebuilding per run;
+    3. probe: each query searches only its IVF_PROBES nearest cells —
+       `ivf_probe`, also shared.
 
     Value-checked against a DuckDB oracle replicating the probe exactly
     (round-4 upgrade from rows-only — every step is deterministic, so
     "approximate" only describes recall vs q80's exhaustive search, which
-    tests/test_llm_dedup.py gates separately). The plan is the 100 TB
-    shape: corpus co-partitioned by cell id, probe prunes partitions.
+    tests/test_llm_dedup.py and the planted-neighbor natural-corpus gate
+    in tests/test_sketch_gates.py grade separately). The plan is the
+    100 TB shape: corpus co-partitioned by cell id, probe prunes cells.
     """
     e = emb_t(spark, sf_dir)
-    cents = ivf_centroids(spark, sf_dir, e)
+    cents = ivf_centroids_capped(spark, sf_dir, e)
+    assigned = ivf_assign(e, cents)
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return ivf_probe(queries, cents, assigned)
 
-    # Assignment (corpus-sized, n=1) is an ARGMAX — max_by aggregation with
-    # map-side partial combine, not a window: a window would sort-shuffle
-    # every (vector × centroid) row; max_by reduces each vector's candidate
-    # rows inside the scan task and shuffles one row per vector. Tie-break
-    # (highest sim, lowest cent_id) rides in the comparator struct.
+
+def ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assignment stage (corpus-sized): every vector → nearest centroid.
+
+    An ARGMAX — max_by aggregation with map-side partial combine, not a
+    window: a window would sort-shuffle every (vector × centroid) row;
+    max_by reduces each vector's candidate rows inside the scan task and
+    shuffles one row per vector. Tie-break (highest sim, lowest cent_id)
+    rides in the comparator struct. Shared by q82 (inline rebuild) and
+    ivf_index.py's build-once-probe-many lane."""
     csim = cosine_rounded(F.col("embedding"), F.col("ce"))
-    assigned = (
+    return (
         e.select("vec_id", "embedding")
         .crossJoin(F.broadcast(cents))
         .select("vec_id", "embedding", "cent_id", csim.alias("csim"))
@@ -337,11 +417,17 @@ def q82_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("embedding").alias("embedding"),  # constant within group
         )
     )
-    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    # Probes (query-sized, n=2): the query set is tiny; a ranked window over
-    # (query × centroid) is fine and keeps the top-n expressible.
+
+
+def ivf_probe(queries: DataFrame, cents: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Probe stage: each query searches its IVF_PROBES nearest cells only.
+
+    Probes are query-sized (tiny): a ranked window over (query ×
+    centroid) is fine and keeps the top-n expressible. The candidate
+    join broadcasts the probe set against `assigned` — which may be the
+    inline-built assignment (q82) or a cell-partitioned versioned table
+    (ivf_index.py), where the cell equi-join key is exactly the
+    partition column and the scan prunes to probed cells."""
     qsim = cosine_rounded(F.col("qe"), F.col("ce"))
     wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), "cent_id")
     probes = (

@@ -106,11 +106,12 @@ def load_all_modules() -> None:
 # ROUND-12 ORDER (this round — executes the r11 plan; ceiling derived
 # from tools/rotation_state.json regenerated after CORRECTNESS_r11.json
 # landed, as_of_round=11):
-#   1. rule 1 ledger opens EMPTY (every r11 change sat inside the r11
-#      prefix — NOTES_r11.md). Mid-round amendments promote here as
-#      changes land; planned: q82 (capped-nlist IVF adoption — the r11
-#      verdict's task #2) will take a rule-1 slot when its code/oracle
-#      changes, displacing the last fill entry (q41) post-boundary.
+#   1. rule 1 ledger opened EMPTY (every r11 change sat inside the r11
+#      prefix — NOTES_r11.md). Mid-round amendment, promoted as the
+#      change landed: q82 (capped-nlist IVF adoption — the r11 verdict's
+#      task #2; quantizer step + oracle twin both changed) took the
+#      rule-1 head slot, displacing the last fill entry (q41)
+#      post-boundary — so the prefix closes 1 + 30 + 19 = 50.
 #   2. rule 2 ceiling — MECHANICAL, 30 queries whose latest green rows
 #      date to r9 (rotation_state.json: latest_row == 9): the ten fill
 #      entries displaced in r11 (q54, q61, q62, q70, q73, q74, q91,
@@ -139,6 +140,11 @@ def load_all_modules() -> None:
 #   c. the remaining ~29 slots refresh the oldest r11-row queries in
 #      their listed order.
 VERIFY_ORDER: tuple[str, ...] = (
+    # -- rule 1: code/oracle changed since the last driver row — q82's
+    # -- round-12 capped-nlist IVF (quantizer step + oracle twin both
+    # -- changed; the last fill entry q41 yielded its slot and fronts
+    # -- the post-boundary tail) --
+    "q82_ann_ivf",
     # -- rule 2 ceiling: r9-row untouched queries — rows turn 3 rounds
     # -- old this round, so ALL 30 take prefix slots (set derived from
     # -- tools/rotation_state.json; asserted by test_contract.py) --
@@ -193,8 +199,9 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q27_join_theta",
     "q28_join_asof",
     "q29_exists_subquery",
-    "q41_date_battery",
     # ---- 50-query prefix boundary (driver budget) ----
+    # -- q41: the fill entry displaced by q82's rule-1 promotion --
+    "q41_date_battery",
     # -- rest of the r10-row block: ages to r13 under rule 2 (3-SF
     # -- parity sweep green this round); fronts the r13 prefix --
     "q43_conditional_battery",
@@ -257,7 +264,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q128_gap_fill",
     "q129_growth_curve",
     "q81_cosine_neardup",
-    "q82_ann_ivf",
     "q130_rag_chunker",
     "q133_ppjoin",
     "q134_scd2_resolve",

@@ -64,7 +64,11 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     same plan's recall rises with locality, tuned via IVF_PROBES."""
     from collections import defaultdict
 
-    from nsq2kinesis_spark.operators.similarity import IVF_CENTROID_STEP, IVF_PROBES
+    from nsq2kinesis_spark.operators.similarity import (
+        IVF_CENTROID_STEP,
+        IVF_NLIST_CAP,
+        IVF_PROBES,
+    )
     from nsq2kinesis_spark.tables import table
 
     def topk(name):
@@ -80,8 +84,8 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     ]
     avg = sum(recalls) / len(recalls)
     n_vecs = table(spark, SF_CORRECTNESS, "embeddings").count()
-    # the round-8 scale-adaptive step: GREATEST(fixed floor, floor(sqrt(n)))
-    step = max(IVF_CENTROID_STEP, math.isqrt(n_vecs))
+    # q82's round-12 capped-nlist step: GREATEST(fixed floor, ceil(n/cap))
+    step = max(IVF_CENTROID_STEP, -(-n_vecs // IVF_NLIST_CAP))
     n_cells = sum(1 for v in range(n_vecs) if v % step == 0)
     floor = IVF_PROBES / n_cells
     assert avg >= floor, f"IVF avg recall {avg:.2f} below probe floor {floor:.2f}"

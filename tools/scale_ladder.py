@@ -138,9 +138,11 @@ def build_rung(spark, out_dir: str, k: int) -> None:
         # values unchanged: vec_id-shifted replicas only grow the CORPUS
         # side of the fixed-query top-k operators (q80's query set is
         # vec_id < N_QUERIES, so only replica 0 supplies queries; q82's
-        # adaptive centroid step — GREATEST(101, floor(sqrt(n))), the
-        # round-8 fix this ladder motivated — grows nlist and cell sizes
-        # both as ~sqrt(n), so expect ~n^1.5 assignment/probe growth)
+        # capped-nlist centroid step — GREATEST(101, ceil(n/64)), the
+        # round-12 fix the r11 64× ladder + capped-nlist study motivated
+        # — holds nlist ≤ 64 so assignment is O(n·64) and probe
+        # O(probes·n/64): expect ~linear growth, replacing the retired
+        # √n sizing's measured n^1.5 onset)
         return emb.select(
             (F.col("vec_id") + F.lit(i * v_max)).alias("vec_id"),
             "embedding",
