@@ -1,0 +1,209 @@
+"""Materialized IVF index: build-once-probe-many ANN over the versioned
+table protocol (round 12 — the r11 verdict's "What's missing #2").
+
+q82 rebuilds its coarse assignment on every run, which is the right
+shape for a self-contained oracled query but the wrong economics for a
+production index: the r11 study measured exact brute force at 3.0 s vs
+every rebuild-per-query IVF variant's ≥ 4.8 s on a 128k corpus, because
+the O(n·nlist) assignment dominates and is recomputed each time. The
+honest IVF story amortizes that scan: assign ONCE, persist the
+cell-keyed assignment, then serve every query batch with a probe that
+reads only its probed cells.
+
+This module materializes exactly q82's index (same capped-nlist
+quantizer, same `ivf_assign`/`ivf_probe` stages — similarity.py) as two
+versioned parquet tables under one index root::
+
+    <index>/centroids/   (cent_id, ce)        — tiny, pinned at build
+    <index>/assigned/    (vec_id, embedding, cell)
+                         — range-partitioned files on `cell`
+
+Both publish through versioned_table.py's manifest protocol, so builds,
+incremental appends, compactions, and probes compose with the same
+atomic-swap / exactly-old-or-new guarantees the sketch tables get
+(q141/q142 shape), and the layout survives object stores (no directory
+renames anywhere).
+
+Design points:
+
+- **Centroids are PINNED at build time.** Incremental appends assign new
+  vectors against the stored centroids, never against recomputed ones —
+  retraining the quantizer is a rebuild, not an append. This is the
+  standard IVF contract (FAISS trains the coarse quantizer once) and is
+  what makes append-vs-rebuild equality testable: an append-grown index
+  equals a from-scratch assignment of the grown corpus against the SAME
+  centroids (a fresh `build` would re-derive step from the new count and
+  legitimately differ).
+- **`assigned` files are disjoint `cell` ranges** (repartitionByRange +
+  sortWithinPartitions on write and on compaction), so parquet footer
+  min/max stats answer `cell IN (...)` probes at file granularity: a
+  probe touching p cells of an F-file index reads ~ceil(p·F/nlist)
+  files, not F. At the 100 TB target the same layout maps onto
+  Hive-partitioned or bucketed storage; file-range pruning is the
+  single-directory equivalent the manifest protocol supports today.
+- **The probe pre-resolves its cell set driver-side** (one tiny Spark
+  job over |Q| × nlist ≤ a few thousand rows, collecting |Q|·IVF_PROBES
+  cell ids — bounded by the query batch, not the corpus) and pushes a
+  static `cell IN (...)` predicate into the scan. A declarative
+  probes-join alone cannot prune an unpartitioned parquet scan (dynamic
+  partition pruning needs catalog partitions); the collected ids are the
+  deliberate static substitute and are documented query-batch-sized
+  scalars, not corpus data.
+
+Reference parity note: the reference engine has no vector surface; this
+is part of the mandated LLM-pipeline extension (SURVEY.md §2), built on
+the versioned-table protocol whose semantics mirror the reference's
+maintain-beside-the-stream ops loop (reference main.go:110-120).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_rounded
+from ..versioned_table import (
+    append_staged,
+    compact_parquet_table,
+    new_staging_dir,
+    read_table,
+)
+from .similarity import (
+    IVF_CENTROID_STEP,
+    IVF_NLIST_CAP,
+    IVF_PROBES,
+    emb_t,
+    ivf_assign,
+    ivf_centroids_capped,
+    ivf_probe,
+)
+
+CENTROIDS = "centroids"
+ASSIGNED = "assigned"
+# Files per version of `assigned`: each file then covers ~nlist/N_FILES
+# contiguous cells, so a 2-probe query reads ~1 file + boundary spill.
+# At real scale this is files-per-cell instead; the constant only sizes
+# the local demonstration.
+N_ASSIGNED_FILES = 8
+
+
+def _centroids_path(index_path: str) -> str:
+    return os.path.join(index_path, CENTROIDS)
+
+
+def _assigned_path(index_path: str) -> str:
+    return os.path.join(index_path, ASSIGNED)
+
+
+def _write_ranged(df: DataFrame, table_path: str, n_files: int) -> int:
+    """Stage + commit `df` into `table_path` as disjoint-`cell`-range
+    files (the footer-prunable layout). Returns files appended."""
+    staging = new_staging_dir(table_path)
+    (
+        df.repartitionByRange(n_files, "cell")
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    return append_staged(table_path, staging)
+
+
+def build_index(spark: SparkSession, sf_dir: str, index_path: str) -> dict:
+    """Build the index from the corpus at ``sf_dir``: capped-nlist
+    centroids (identical sizing to q82's inline path) and the full
+    corpus assignment, both published as versioned tables. Returns
+    {"centroids": n, "assigned": n, "files": n}."""
+    e = emb_t(spark, sf_dir)
+    cents = ivf_centroids_capped(spark, sf_dir, e)
+
+    cpath = _centroids_path(index_path)
+    staging = new_staging_dir(cpath)
+    cents.coalesce(1).write.mode("overwrite").parquet(staging)
+    append_staged(cpath, staging)
+    stored_cents = read_table(spark, cpath)
+
+    assigned = ivf_assign(e, stored_cents)  # ivf_assign broadcasts cents
+    files = _write_ranged(assigned, _assigned_path(index_path), N_ASSIGNED_FILES)
+    return {
+        "centroids": stored_cents.count(),
+        "assigned": read_table(spark, _assigned_path(index_path)).count(),
+        "files": files,
+    }
+
+
+def append_vectors(
+    spark: SparkSession, index_path: str, vectors: DataFrame
+) -> int:
+    """Incremental append (the q142 shape): assign ``vectors`` —
+    (vec_id, embedding), already contract-valid — against the PINNED
+    stored centroids and stage-commit the new cells into `assigned`.
+    Returns rows appended. The quantizer is deliberately NOT re-derived:
+    append-grown state must equal a from-scratch assignment of the grown
+    corpus against the same centroids (tested), which only holds with
+    the centroids frozen at build time."""
+    cents = read_table(spark, _centroids_path(index_path))
+    assigned = ivf_assign(vectors, cents)
+    n = assigned.count()
+    if n:
+        _write_ranged(assigned, _assigned_path(index_path), 1)
+    return n
+
+
+def probe_index(
+    spark: SparkSession, index_path: str, queries: DataFrame
+) -> DataFrame:
+    """Serve one query batch — (query_id, qe) — from the materialized
+    index: same `ivf_probe` stage as q82, but the corpus side is the
+    stored assignment pre-filtered to the probed cells.
+
+    The probed cell ids are resolved eagerly first (one Spark job over
+    queries × centroids; collects |Q|·IVF_PROBES ids — query-batch-sized
+    driver scalars, the documented static-pruning step) so the scan
+    carries a pushable ``cell IN (...)`` predicate and the disjoint-range
+    files outside those cells are skipped on footer stats. The
+    subsequent `ivf_probe` recomputes the same probe set declaratively —
+    the IN filter is a strict superset bound, never a semantic change."""
+    cents = read_table(spark, _centroids_path(index_path))
+    qsim = cosine_rounded(F.col("qe"), F.col("ce"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), "cent_id")
+    probed = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "cent_id", qsim.alias("csim"))
+        .withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= IVF_PROBES)
+        .select("cent_id")
+        .distinct()
+    )
+    cells = sorted(r.cent_id for r in probed.collect())
+    assigned = read_table(spark, _assigned_path(index_path)).filter(
+        F.col("cell").isin(cells)
+    )
+    return ivf_probe(queries, cents, assigned)
+
+
+def compact_index(spark: SparkSession, index_path: str) -> dict:
+    """Re-bucket `assigned` back to N_ASSIGNED_FILES disjoint cell-range
+    files after appends fragmented it — versioned_table's generic
+    compaction, published through the same atomic manifest swap, safe
+    beside concurrent probes (exactly-old-or-new)."""
+    return compact_parquet_table(
+        spark,
+        _assigned_path(index_path),
+        keys=["cell", "vec_id"],
+        target_files=N_ASSIGNED_FILES,
+    )
+
+
+__all__ = [
+    "build_index",
+    "append_vectors",
+    "probe_index",
+    "compact_index",
+    "IVF_CENTROID_STEP",
+    "IVF_NLIST_CAP",
+    "IVF_PROBES",
+]
