@@ -297,7 +297,14 @@ def strict_digit_int_sql(expr: str) -> str:
     no backslashes, so the one string literal parses identically under
     both engines' escaping rules. TRANSLATE deletion semantics are
     probed identical across engines (incl. Unicode digits, which stay
-    and therefore fail the guard)."""
+    and therefore fail the guard).
+
+    Caller contract (r11 ADVICE): ``expr`` is interpolated THREE times
+    into the generated SQL with no common-subexpression guarantee —
+    pass only cheap, deterministic expressions (column refs, SUBSTR of
+    a column). An expensive or non-deterministic argument would be
+    evaluated up to three times, and a volatile one could disagree with
+    itself between the guard and the cast."""
     return (
         f"CASE WHEN TRANSLATE({expr}, '0123456789', '') = '' "
         f"AND {expr} <> '' THEN TRY_CAST({expr} AS INTEGER) END"

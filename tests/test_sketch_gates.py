@@ -3456,3 +3456,159 @@ def test_q82_planted_neighbor_recall_natural_corpus(spark, ivf_natural_corpus):
     assert avg_planted >= 0.85 > random_floor, planted_recalls
     assert avg_overall >= 0.5 > random_floor, overall_recalls
     assert len(exact[0]) == TOP_K
+
+
+def test_decimal_division_personality_pinned(spark):
+    """KNOWN-SPLIT class pinned (round-12 probe): DECIMAL / DECIMAL and
+    DECIMAL / INTEGER quotients have per-engine TYPES. DuckDB returns
+    DOUBLE (binary quotient: DECIMAL(38,0) 1/3 -> 0.3333333333333333);
+    Spark returns DECIMAL with a derived precision/scale, decimal-rounded
+    at that scale (DECIMAL(38,0)/DECIMAL(38,0) -> DECIMAL(38,6) ->
+    0.333333; DECIMAL(19,0)/DECIMAL(19,0) -> DECIMAL(38,19)) -- so both
+    the values and the type-sensitive driver hash split on ANY decimal
+    quotient. Spelling: oracle-twinned code divides only after casting
+    BOTH operands' product/sum lanes to DOUBLE (the established wide-lane
+    idiom). Exposure swept at pin time: every '/' in every oracle that
+    rides a decimal/HUGEINT accumulation divides double-cast operands
+    (q114 mean/z, q119 slope/intercept, q120 gini, q125 diversity, q106's
+    sqrt path); q124's '//' is exact integer floor division, a separate
+    construct with identical semantics on both engines."""
+    import duckdb as _duck
+    from decimal import Decimal
+    from pyspark.sql.types import DecimalType, DoubleType
+
+    con = _duck.connect()
+    expr = "CAST(1 AS DECIMAL(38,0)) / CAST(3 AS DECIMAL(38,0))"
+    sdf = spark.sql(f"SELECT {expr} AS v")
+    srow = sdf.first()[0]
+    # Spark: decimal-typed, decimal-rounded at derived scale 6
+    assert isinstance(sdf.schema[0].dataType, DecimalType)
+    assert srow == Decimal("0.333333")
+    dval, dtype = con.execute(f"SELECT {expr}, typeof({expr})").fetchone()
+    # DuckDB: binary DOUBLE -- a different VALUE and a different TYPE
+    assert dtype == "DOUBLE" and abs(dval - 1 / 3) < 1e-15
+    assert str(dval) != str(srow), "engines converged -- retire this contract"
+    # the declared spelling agrees bit-exactly on both engines
+    s_ok = spark.sql(
+        "SELECT CAST(CAST(1 AS DECIMAL(38,0)) AS DOUBLE)"
+        " / CAST(CAST(3 AS DECIMAL(38,0)) AS DOUBLE) AS v"
+    ).first()[0]
+    d_ok = con.execute(
+        "SELECT CAST(CAST(1 AS DECIMAL(38,0)) AS DOUBLE)"
+        " / CAST(CAST(3 AS DECIMAL(38,0)) AS DOUBLE)"
+    ).fetchone()[0]
+    assert isinstance(s_ok, float) and s_ok == d_ok == 1 / 3
+    # DECIMAL / INTEGER rides the same split (DOUBLE vs DECIMAL(16,6))
+    mixed = "CAST(7 AS DECIMAL(12,2)) / 2"
+    assert con.execute(f"SELECT typeof({mixed})").fetchone()[0] == "DOUBLE"
+    mdf = spark.sql(f"SELECT {mixed} AS v")
+    assert isinstance(mdf.schema[0].dataType, DecimalType)
+
+
+def test_invalid_utf8_parquet_strings_contract_pinned(spark, tmp_path):
+    """KNOWN-SPLIT class pinned (round-12 probe): a parquet string column
+    carrying INVALID UTF-8 byte sequences (stray 0xFF, truncated
+    multibyte, overlong encodings, UTF-8-encoded surrogates -- all
+    plantable via pyarrow's unvalidated from_buffers, i.e. by any
+    upstream writer with a bug) splits the twins at the SCAN:
+
+    - DuckDB REFUSES the read outright (Invalid Input Error on any
+      access of the column), so an oracled parity run over such data
+      fails LOUDLY -- it can never silently verify one personality;
+    - Spark reads it and passes the raw bytes through (UTF8String is
+      byte-based): length/substring/hash/sort operate on the original
+      bytes, and only Java-String conversions (regex, upper) see
+      U+FFFD replacement.
+
+    Declared contract: invalid UTF-8 is OUT OF CONTRACT for oracle-
+    twinned queries -- the loud oracle-side failure is the designed
+    behavior (same philosophy as the q42 sub-cent guard: fail the
+    parity run, never silently verify). The engine's own declared
+    semantics is byte-passthrough, pinned here so an upgrade that
+    starts mutating bytes (silent re-encode) gets caught."""
+    import duckdb as _duck
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = [b"valid text", b"bad\xffbyte", b"trunc\xc3", b"lone\x80cont"]
+    offsets, data = [0], b""
+    for v in vals:
+        data += v
+        offsets.append(len(data))
+    arr = pa.StringArray.from_buffers(
+        len(vals),
+        pa.py_buffer(np.array(offsets, dtype=np.int32).tobytes()),
+        pa.py_buffer(data),
+    )
+    path = str(tmp_path / "bad_utf8.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(vals)), type=pa.int64()),
+                  "text": arr}),
+        path,
+    )
+
+    # oracle side: loud scan failure on any access of the column
+    con = _duck.connect()
+    import pytest as _pt
+
+    with _pt.raises(_duck.InvalidInputException):
+        con.execute(f"SELECT LENGTH(text) FROM '{path}'").fetchall()
+
+    # engine side: byte-passthrough -- octet_length sees the original
+    # byte counts, and a binary-cast round trip returns the exact bytes
+    df = spark.read.parquet(path)
+    got = {
+        r.doc_id: (r.blen, bytes(r.raw))
+        for r in df.selectExpr(
+            "doc_id", "octet_length(text) AS blen", "CAST(text AS BINARY) AS raw"
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == (len(v), v), (i, got[i], v)
+
+
+def test_dst_transition_instants_clean_class_pinned(spark, tmp_path):
+    """CLEAN class pinned (round-12 probe): event timestamps at DST
+    transition instants sweep clean through the date/window/session
+    family. Planted instants straddle the 2024 transitions of four
+    hostile zones -- Europe (01:00Z spring-forward/fall-back), Chatham
+    (45-minute zone), Santiago (midnight-local transition: the local
+    day 2024-09-08 has no 00:00), Lord Howe (30-minute DST) -- and the
+    ad-hoc probe ran ALL 36 event-reading oracled queries under
+    Pacific/Chatham AND America/Santiago vanilla sessions: zero splits.
+
+    Why clean, structurally: pin_session_conf pins the session TZ to
+    UTC before any read, and no operator converts an instant through a
+    local wall-clock (no from_utc_timestamp / string-parse of local
+    times), so nonexistent/double LOCAL times can never arise -- UTC
+    has no DST. The oracle's TIMESTAMP is naive micros over the same
+    storage values. This pin keeps the representative windowed/date
+    operators on transition-instant data in the permanent suite; the
+    session-TZ half of the guarantee is the /verify hostile-TZ sweep's
+    job."""
+    instants = [
+        "2024-03-31 00:59:59.999999", "2024-03-31 01:00:00",
+        "2024-10-27 00:59:59.5", "2024-10-27 01:00:00",
+        "2024-09-28 14:44:59", "2024-09-28 14:45:00",
+        "2024-04-06 03:59:59", "2024-04-06 04:00:00",
+        "2024-09-08 03:59:59.999999", "2024-09-08 04:00:00",
+        "2024-10-05 13:59:59", "2024-10-05 14:30:00",
+    ]
+    rows = " UNION ALL ".join(
+        f"SELECT {990100 + i}, TIMESTAMP '{ts}', {880100 + (i % 4)}, "
+        f"'{['view', 'click', 'purchase', 'signup'][i % 4]}', "
+        f"{round(1.25 + i * 0.25, 2)}, '{{}}'"
+        for i, ts in enumerate(instants)
+    )
+    sf_dir, con = _null_variant_fixture(tmp_path, rows)
+    for qname in (
+        "q61_tumbling_window",
+        "q63_session_window",
+        "q66_time_rollup",
+        "q104_rolling_active_users",
+        "q128_gap_fill",
+        "q136_interpolate",
+        "q139_conversion_latency",
+    ):
+        _assert_null_variant_parity(spark, qname, sf_dir, con)
