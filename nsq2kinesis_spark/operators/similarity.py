@@ -78,14 +78,17 @@ COSINE_T = 0.45
 #   probes/√n) — gated on a natural-distribution planted-neighbor
 #   corpus in tests/test_sketch_gates.py.
 #
-# At the shipped SFs (n ≤ 50k raw; sf0.01's driver gate: 5k) GREATEST
-# keeps step = 101 for n ≤ 6,464, so driver-SF results only change where
-# the parity lanes re-prove them (sf0.1: √n step 223 vs capped step
-# 782). n is the RAW table count (metadata-cheap scan, identical in the
-# oracle twin via a scalar subquery) — a sizing heuristic needs
-# determinism, not contract-filtered exactness. CEIL spelled as
-# (n + cap - 1) DIV cap on both engines: exact integer arithmetic, no
-# float rounding hazard at any corpus size.
+# At the shipped SFs (n ≤ 2,000 raw embeddings at sf0.1) BOTH sizings
+# sit at the 101 floor (the cap binds only past n = 6,464; √n only past
+# n = 10,201), so driver-SF results are identical under either — which
+# is why the capped branch gets its own ACTIVE-regime parity + recall
+# lanes on the 12,840-vector natural corpus in tests/test_sketch_gates
+# (step 201 there, vs 113 under the retired √n sizing). n is the RAW
+# table count (metadata-cheap scan, identical in the oracle twin via a
+# scalar subquery) — a sizing heuristic needs determinism, not
+# contract-filtered exactness. CEIL spelled as (n + cap - 1) DIV cap on
+# both engines: exact integer arithmetic, no float rounding hazard at
+# any corpus size.
 IVF_CENTROID_STEP = 101
 IVF_NLIST_CAP = 64
 IVF_PROBES = 2
