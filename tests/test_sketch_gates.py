@@ -3612,3 +3612,25 @@ def test_dst_transition_instants_clean_class_pinned(spark, tmp_path):
         "q139_conversion_latency",
     ):
         _assert_null_variant_parity(spark, qname, sf_dir, con)
+
+
+def test_integer_division_mod_negatives_clean_class_pinned(spark):
+    """CLEAN class pinned (round-12 probe, the follow-up the decimal pin
+    suggested): exact integer division and modulo on NEGATIVE operands
+    agree across engines -- Spark's DIV and DuckDB's // both truncate
+    toward zero (-7 DIV 2 = -3, NOT floor's -4), and both %'s take the
+    dividend's sign (-7 % 2 = -1). Python's // floors, so a test author
+    hand-computing an expected value in Python would get -4 -- the
+    hazard is in the fixture author's head, not between the engines.
+    Pinned so an engine upgrade moving to floor semantics (or a future
+    oracle spelled with Python-computed expectations) gets caught."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    for a, b in [(-7, 2), (7, -2), (-7, -2), (7, 2), (-1, 3)]:
+        s_div = spark.sql(f"SELECT {a} DIV {b}").first()[0]
+        s_mod = spark.sql(f"SELECT {a} % {b}").first()[0]
+        d_div, d_mod = con.execute(f"SELECT {a} // {b}, {a} % {b}").fetchone()
+        trunc = int(a / b)  # Python int() truncates toward zero
+        assert s_div == d_div == trunc, (a, b, s_div, d_div)
+        assert s_mod == d_mod == a - trunc * b, (a, b, s_mod, d_mod)
