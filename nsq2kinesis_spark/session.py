@@ -109,6 +109,16 @@ def get_spark(
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # Optional comma-list of k=v session confs from the environment —
+    # lets the bench/ladder harnesses A/B STATIC confs (e.g.
+    # spark.io.compression.codec, which cannot be set after session
+    # build) without code edits. Empty/absent = no-op; never overrides
+    # an explicit extra_conf entry (applied after, so last-wins is the
+    # env — deliberate: the harness invoking the process owns the A/B).
+    for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(","):
+        if kv.strip():
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
