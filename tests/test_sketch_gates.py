@@ -3634,3 +3634,127 @@ def test_integer_division_mod_negatives_clean_class_pinned(spark):
         trunc = int(a / b)  # Python int() truncates toward zero
         assert s_div == d_div == trunc, (a, b, s_div, d_div)
         assert s_mod == d_mod == a - trunc * b, (a, b, s_mod, d_mod)
+
+
+def test_nonfinite_math_domain_personalities_pinned(spark):
+    """KNOWN-SPLIT class pinned (round-12 probe, wave 2): out-of-domain
+    math builtins have three-way per-engine personalities -- DuckDB
+    RAISES (Out of Range Error) on SQRT(-1), LN(0), LN(-1); Spark
+    returns NaN for SQRT(-1) and NULL for LN(0)/LN(negative). Any
+    oracle-twinned use of SQRT/LN/LOG over a data-dependent domain must
+    guard the domain EXPLICITLY on both sides (q42's spelling: CASE
+    WHEN x >= 0 THEN SQRT(x) END / WHEN x > -1 THEN LN(x+1) END).
+    Exposure swept at pin time: q42 carries exactly those guards; every
+    other SQRT runs on provably nonnegative arguments (norms under the
+    zero-norm contract, exact-moment variances >= 0 by Cauchy-Schwarz,
+    q121's pooled-variance positivity guard row, sqrt of COUNT(*))."""
+    import duckdb as _duck
+    import math
+
+    con = _duck.connect()
+    import pytest as _pt
+
+    for bad in ("SQRT(-1.0)", "LN(0.0)", "LN(-1.0)"):
+        with _pt.raises(_duck.OutOfRangeException):
+            con.execute(f"SELECT {bad}").fetchone()
+    assert math.isnan(spark.sql("SELECT SQRT(-1.0D)").first()[0])
+    assert spark.sql("SELECT LN(0.0D)").first()[0] is None
+    assert spark.sql("SELECT LN(-1.0D)").first()[0] is None
+    # the q42 guard spelling agrees exactly on both engines
+    guard = "CASE WHEN -4.0 >= 0 THEN SQRT(-4.0) END"
+    assert spark.sql(f"SELECT {guard}").first()[0] is None
+    assert con.execute(f"SELECT {guard}").fetchone()[0] is None
+
+
+def test_string_to_double_cast_grammar_split_pinned(spark):
+    """KNOWN-SPLIT class pinned (round-12 probe, wave 2): TRY_CAST
+    (VARCHAR AS DOUBLE) has OPPOSITE leniencies per engine -- Spark
+    accepts Java float suffixes ('1d' -> 1.0; DuckDB NULL) while DuckDB
+    accepts underscore digit separators ('1_000' -> 1000.0; Spark
+    NULL). A bare string->double twin is therefore a silent split in
+    BOTH directions. Banned construct: no shipping oracle casts strings
+    to double (swept: the only string->number twins are digits-only by
+    construction -- strict_digit_int_sql and regexp-extracted digit
+    runs); any future one needs a strict shared grammar guard first.
+    Clean subset also pinned: 'Infinity'/'inf'/'NaN'/'.5'/'5.'/' 5 '/
+    '+5' parse identically."""
+    import duckdb as _duck
+    import math
+
+    con = _duck.connect()
+
+    def both(lit):
+        s = spark.sql(f"SELECT TRY_CAST('{lit}' AS DOUBLE)").first()[0]
+        d = con.execute(f"SELECT TRY_CAST('{lit}' AS DOUBLE)").fetchone()[0]
+        return s, d
+
+    s, d = both("1d")
+    assert s == 1.0 and d is None, (s, d)
+    s, d = both("1_000")
+    assert s is None and d == 1000.0, (s, d)
+    for lit, want in [("Infinity", float("inf")), ("inf", float("inf")),
+                      (".5", 0.5), ("5.", 5.0), (" 5 ", 5.0), ("+5", 5.0)]:
+        s, d = both(lit)
+        assert s == d == want, (lit, s, d)
+    s, d = both("NaN")
+    assert math.isnan(s) and math.isnan(d)
+
+
+def test_array_index_out_of_bounds_personality_pinned(spark):
+    """KNOWN-SPLIT class pinned (round-12 probe, wave 2): an
+    out-of-bounds array index RAISES on Spark-ANSI (element_at /
+    arr[i]) but yields NULL on DuckDB (list indexing). Banned unless
+    bounded: every index in every oracle-twinned expression must be
+    provably in range by construction -- swept at pin time: embedding[i]
+    rides GENERATE_SERIES(1, 64) under the dimension contract
+    (size == 64 pre-filtered on both twins), words[i] rides
+    GENERATE_SERIES bounded by LEN(words), q45/q52 token indexing is
+    LEN-bounded the same way."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    assert con.execute("SELECT ([1,2,3])[99]").fetchone()[0] is None
+    import pytest as _pt
+    from pyspark.errors import PySparkException
+
+    with _pt.raises(PySparkException):
+        spark.sql("SELECT element_at(array(1,2,3), 99)").first()
+    # the bounded-by-construction idiom agrees exactly
+    s = spark.sql(
+        "SELECT transform(sequence(1, size(array(7,8))),"
+        " i -> element_at(array(7,8), i))"
+    ).first()[0]
+    d = con.execute(
+        "SELECT LIST_TRANSFORM(GENERATE_SERIES(1, LEN([7,8])), i -> ([7,8])[i])"
+    ).fetchone()[0]
+    assert list(s) == list(d) == [7, 8]
+
+
+def test_month_arithmetic_and_regex_nomatch_clean_classes_pinned(spark):
+    """CLEAN classes pinned (round-12 probe, wave 2):
+
+    - end-of-month clamping in month arithmetic agrees (2024-01-31 +1
+      month -> 02-29 on both; leap day +12 months -> 02-28 on both) --
+      with the TYPE nuance that DuckDB's DATE + INTERVAL returns
+      TIMESTAMP while Spark returns DATE, so a twinned month-add must
+      CAST the DuckDB side back to DATE or the stringified values
+      split ('2024-02-29 00:00:00' vs '2024-02-29'); no shipping
+      oracle does month arithmetic today (q41's month surface is
+      date_trunc/extract only);
+    - regexp_extract with NO match returns '' (empty string, not NULL)
+      on both engines, including an empty-able capture group."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    for expr, want in [
+        ("CAST(DATE '2024-01-31' + INTERVAL 1 MONTH AS DATE)", "2024-02-29"),
+        ("CAST(DATE '2024-03-31' - INTERVAL 1 MONTH AS DATE)", "2024-02-29"),
+        ("CAST(DATE '2024-02-29' + INTERVAL 12 MONTH AS DATE)", "2025-02-28"),
+    ]:
+        assert str(spark.sql(f"SELECT {expr}").first()[0]) == want
+        assert str(con.execute(f"SELECT {expr}").fetchone()[0]) == want
+    for expr in ("regexp_extract('abc', '([0-9]+)', 1)",
+                 "regexp_extract('x', '([0-9]*)', 1)"):
+        s = spark.sql(f"SELECT {expr}").first()[0]
+        d = con.execute(f"SELECT {expr}").fetchone()[0]
+        assert s == d == ""
