@@ -3,9 +3,10 @@
 ``entry(spark)`` runs the flagship pricing-summary query at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as a
 ``(spark, sf_dir) -> DataFrame`` builder; ``oracle_sql()`` gives the DuckDB
-twin for each oracle-checkable query (approximate ops — LSH candidates,
-HLL sketches, IVF probes — are rows-only by design and annotated as such in
-their docstrings).
+twin for each oracle-checkable query (genuinely non-reproducible sketches —
+MinHash-LSH banding, HLL, GK quantiles — are rows-only by design, each with
+a local accuracy gate; deterministic "approximate" ops like the q82 IVF
+probe carry full value oracles).
 
 Implementation lives in the ``nsq2kinesis_spark`` package (registry pattern:
 each operator module registers its queries + oracle SQL at import time).
