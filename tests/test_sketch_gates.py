@@ -3758,3 +3758,71 @@ def test_month_arithmetic_and_regex_nomatch_clean_classes_pinned(spark):
         s = spark.sql(f"SELECT {expr}").first()[0]
         d = con.execute(f"SELECT {expr}").fetchone()[0]
         assert s == d == ""
+
+
+def test_split_delimiter_and_substr_zero_personalities_pinned(spark):
+    """KNOWN-SPLIT classes pinned (round-12 probe, wave 3):
+
+    - Spark's split() treats the delimiter as a Java REGEX while
+      DuckDB's STRING_SPLIT is LITERAL: split('a.b.c', '.') explodes
+      into empty strings on Spark ('.' matches every char) and
+      ['a','b','c'] on DuckDB; '|' alternation splits between every
+      char on Spark. Banned construct: twinned split delimiters must be
+      regex-INERT literals. Exposure swept at pin time: every shipping
+      twin splits on a single space (inert) -- q53's STRING_SPLIT(s,'')
+      is a DuckDB-side-only codepoint idiom, not a twin.
+    - SUBSTR with START=0 disagrees: Spark yields length-n from the
+      first char ('abc'), DuckDB consumes one count unit ('ab').
+      Banned: twinned substring starts are 1-based positive (all
+      shipping ones are).
+
+    Clean subsets pinned so engine upgrades surface: single-space
+    split, trailing-empty-field behavior, negative substr-from-end."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    # regex-vs-literal delimiter
+    s_dot = spark.sql("SELECT split('a.b.c', '.')").first()[0]
+    d_dot = con.execute("SELECT STRING_SPLIT('a.b.c', '.')").fetchone()[0]
+    assert d_dot == ["a", "b", "c"] and s_dot != d_dot, (s_dot, d_dot)
+    # the inert-literal subset agrees, including trailing empty fields
+    for lit in ("'a b'", "'a,b,'"):
+        delim = "' '" if " " in lit else "','"
+        s = spark.sql(f"SELECT split({lit}, {delim})").first()[0]
+        d = con.execute(f"SELECT STRING_SPLIT({lit}, {delim})").fetchone()[0]
+        assert list(s) == list(d), (lit, s, d)
+    # SUBSTR zero-start split; 1-based and negative-from-end agree
+    assert spark.sql("SELECT SUBSTR('abcdef', 0, 3)").first()[0] == "abc"
+    assert con.execute("SELECT SUBSTR('abcdef', 0, 3)").fetchone()[0] == "ab"
+    for expr in ("SUBSTR('abcdef', 2, 3)", "SUBSTR('abcdef', -3)"):
+        s = spark.sql(f"SELECT {expr}").first()[0]
+        d = con.execute(f"SELECT {expr}").fetchone()[0]
+        assert s == d, (expr, s, d)
+
+
+def test_sort_array_null_placement_intra_spark_hazard_pinned(spark):
+    """KNOWN-SPLIT class pinned (round-12 probe, wave 3) -- and the
+    split is partly INSIDE Spark: sort_array() places NULL elements
+    FIRST while array_sort() (and DuckDB's LIST_SORT default) place
+    them LAST. A twinned sort over a NULL-bearing array therefore
+    depends on which Spark spelling was chosen. Declared rule:
+    sort_array is allowed ONLY over provably NULL-free arrays --
+    exposure swept: every shipping sort_array wraps collect_list, which
+    drops NULLs by definition, so placement is moot there; any future
+    sort over a constructed array must use array_sort (the
+    DuckDB-agreeing spelling)."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    sa = spark.sql("SELECT sort_array(array(3, NULL, 1))").first()[0]
+    ar = spark.sql("SELECT array_sort(array(3, NULL, 1))").first()[0]
+    du = con.execute("SELECT LIST_SORT([3, NULL, 1])").fetchone()[0]
+    assert sa == [None, 1, 3]  # NULLS FIRST -- the hazard spelling
+    assert list(ar) == du == [1, 3, None]  # the agreeing spelling
+    # NULL-free arrays: all three agree
+    assert (
+        list(spark.sql("SELECT sort_array(array(3, 1, 2))").first()[0])
+        == list(spark.sql("SELECT array_sort(array(3, 1, 2))").first()[0])
+        == con.execute("SELECT LIST_SORT([3, 1, 2])").fetchone()[0]
+        == [1, 2, 3]
+    )
