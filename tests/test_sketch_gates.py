@@ -3826,3 +3826,39 @@ def test_sort_array_null_placement_intra_spark_hazard_pinned(spark):
         == con.execute("SELECT LIST_SORT([3, 1, 2])").fetchone()[0]
         == [1, 2, 3]
     )
+
+
+def test_day_of_week_offset_and_date_part_clean_classes_pinned(spark):
+    """KNOWN-SPLIT pinned (round-12 probe, wave 4): DAYOFWEEK/
+    EXTRACT(DOW) is OFF BY ONE across engines -- Spark numbers
+    Sunday=1..Saturday=7, DuckDB numbers Sunday=0..Saturday=6 -- a
+    silent off-by-one on every day-of-week twin. The declared spelling
+    (q41's, shipping since round 1) aligns the oracle with
+    DAYOFWEEK(d) + 1. Clean classes pinned beside it: EXTRACT WEEK is
+    ISO-week on BOTH (2023-01-01 -> 52, 2024-01-01 -> 1), DOY, QUARTER,
+    LAST_DAY leap handling, and WEEKOFYEAR all agree. Capability
+    differences (not silent): Spark lacks EXTRACT(EPOCH) (the pinned
+    idiom is unix_timestamp vs FLOOR(EPOCH())) and DuckDB lacks
+    two-arg DATEDIFF/'isodow' under Spark's names."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    # the split: Sunday 2024-08-11, Monday 2024-08-12
+    assert spark.sql("SELECT DAYOFWEEK(DATE '2024-08-11')").first()[0] == 1
+    assert con.execute("SELECT DAYOFWEEK(DATE '2024-08-11')").fetchone()[0] == 0
+    # the declared alignment
+    for day, want in [("2024-08-11", 1), ("2024-08-12", 2), ("2024-08-16", 6)]:
+        s = spark.sql(f"SELECT DAYOFWEEK(DATE '{day}')").first()[0]
+        d = con.execute(f"SELECT DAYOFWEEK(DATE '{day}') + 1").fetchone()[0]
+        assert s == d == want, (day, s, d)
+    # clean classes
+    for expr, want in [
+        ("EXTRACT(WEEK FROM DATE '2023-01-01')", 52),
+        ("EXTRACT(WEEK FROM DATE '2024-01-01')", 1),
+        ("EXTRACT(DOY FROM DATE '2024-03-01')", 61),
+        ("EXTRACT(QUARTER FROM DATE '2024-08-11')", 3),
+        ("LAST_DAY(DATE '2024-02-10')", "2024-02-29"),
+    ]:
+        s = spark.sql(f"SELECT {expr}").first()[0]
+        d = con.execute(f"SELECT {expr}").fetchone()[0]
+        assert str(s) == str(d) == str(want), (expr, s, d)
