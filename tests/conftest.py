@@ -72,3 +72,52 @@ def duck():
         return con
 
     yield register
+
+
+# -- q82 capped-nlist IVF: natural-distribution recall corpus (round 12;
+# shared by test_sketch_gates recall/parity gates and test_ivf_index's
+# cap-active materialized-index lane) --
+
+IVF_NAT_TOTAL = 12_840
+IVF_NAT_PLANTED = 3  # planted near neighbors per query
+IVF_NAT_EPS = 0.2  # perturbation radius: cos(q, planted) = 1/sqrt(1+eps^2)
+
+
+@pytest.fixture(scope="session")
+def ivf_natural_corpus(tmp_path_factory):
+    """Write the natural-distribution embeddings corpus once per session;
+    returns its sf_dir (only embeddings.parquet -- the vector queries
+    read nothing else)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nsq2kinesis_spark.operators.similarity import DIM, N_QUERIES
+
+    rng = np.random.default_rng(20260816)
+    vecs = rng.standard_normal((IVF_NAT_TOTAL, DIM))
+    for q in range(N_QUERIES):
+        qv = vecs[q] / np.linalg.norm(vecs[q])
+        vecs[q] = qv
+        for i in range(IVF_NAT_PLANTED):
+            pid = N_QUERIES + IVF_NAT_PLANTED * q + i
+            g = rng.standard_normal(DIM)
+            g /= np.linalg.norm(g)
+            vecs[pid] = qv + IVF_NAT_EPS * g
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = vecs.astype(np.float32)
+
+    sf_dir = str(tmp_path_factory.mktemp("ivf_nat"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(IVF_NAT_TOTAL), type=pa.int64()),
+                "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float32())),
+                "label": pa.array([0] * IVF_NAT_TOTAL, type=pa.int32()),
+            }
+        ),
+        f"{sf_dir}/embeddings.parquet",
+    )
+    return sf_dir
+
+

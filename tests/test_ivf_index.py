@@ -209,3 +209,41 @@ def test_compaction_preserves_probe_results(spark, tmp_path):
     assert stats["cells_after"] == stats["cells_before"]
     after = sorted(map(tuple, probe_index(spark, index_path, qdf).collect()))
     assert after == before
+
+
+def test_index_in_capped_regime_matches_q82_and_prunes(spark, ivf_natural_corpus, tmp_path):
+    """The materialized lane with the nlist cap BINDING (the sf0.01 lanes
+    above all sit at the 101-step floor with ~5 cells): on the 12,840-
+    vector natural corpus the index builds 64 centroids (step 201), the
+    probe equals q82's inline rebuild value-exactly, and a probed batch
+    reads strictly fewer of the 8 disjoint cell-range files than the
+    table holds (footer pruning with real multi-cell geometry)."""
+    index_path = str(tmp_path / "idx")
+    stats = build_index(spark, ivf_natural_corpus, index_path)
+    assert stats["centroids"] == 64 and stats["files"] > 1
+
+    served = sorted(
+        map(tuple, probe_index(spark, index_path,
+                               _queries_df(spark, ivf_natural_corpus)).collect())
+    )
+    inline = sorted(
+        map(tuple,
+            QUERIES["q82_ann_ivf"].builder(spark, ivf_natural_corpus).collect())
+    )
+    assert served == inline and len(served) == N_QUERIES * TOP_K
+
+    # footer pruning with 64 real cells across 8 disjoint-range files: a
+    # 2-cell probe-shaped filter reads strictly fewer files than the
+    # table holds (input_file_name can't ride the joined probe plan —
+    # MULTI_SOURCES — so the pruning read is asserted on the assigned
+    # scan itself, exactly the sub-plan the probe's IN filter produces)
+    full = read_table(spark, os.path.join(index_path, "assigned"))
+    two_cells = [r.cell for r in full.select("cell").distinct().limit(2).collect()]
+    read_files = {
+        r.f
+        for r in full.filter(F.col("cell").isin(two_cells))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert 0 < len(read_files) < stats["files"], (len(read_files), stats["files"])
