@@ -3822,3 +3822,88 @@ def test_day_of_week_offset_and_date_part_clean_classes_pinned(spark):
         s = spark.sql(f"SELECT {expr}").first()[0]
         d = con.execute(f"SELECT {expr}").fetchone()[0]
         assert str(s) == str(d) == str(want), (expr, s, d)
+
+
+def test_like_default_escape_and_literal_backslash_splits_pinned(spark):
+    """KNOWN-SPLIT classes pinned (round-12 probe, wave 5):
+
+    - LIKE's default escape INVERTS across engines: Spark treats
+      backslash as the default escape (pattern a backslash-underscore c
+      matches literal 'a_c', not 'a<bs>xc'); DuckDB has NO default
+      escape (backslash is a literal char -- exactly the opposite
+      matches). Probed with CHR(92)-built identical 4-char patterns so
+      string-literal parsing can't confound. Banned construct: a
+      backslash in a twinned LIKE pattern; spell ESCAPE explicitly on
+      both sides or use the regex family. Exposure swept: every
+      shipping LIKE pattern is escape-free ('GIF8%', '1-%', '%red%').
+    - String-LITERAL backslash escapes split the SQL texts themselves:
+      Spark interprets '\\t' inside a single-quoted literal as TAB
+      (length 3); DuckDB keeps it literal (length 4) -- a SHARED twin
+      SQL string containing a backslash denotes DIFFERENT strings per
+      engine. This is why strict_digit_int_sql and the regex spellings
+      are deliberately backslash-free (r11 note); pinned here as the
+      general rule.
+
+    Clean classes pinned beside: explicit ESCAPE '|' agrees, ILIKE
+    agrees, INSTR/POSITION not-found -> 0 on both, empty-needle INSTR
+    -> 1, CONCAT_WS skips NULLs on both, IN-list three-valued NULL
+    semantics agree (2 IN (1, NULL) -> NULL both)."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    pat = "CONCAT('a', CHR(92), '_c')"
+    spat = "CONCAT('a', CHAR(92), '_c')"
+    assert spark.sql(f"SELECT 'a_c' LIKE {spat}").first()[0] is True
+    assert con.execute(f"SELECT 'a_c' LIKE {pat}").fetchone()[0] is False
+    bsx = "CONCAT('a', CHR(92), 'xc')"
+    sbsx = "CONCAT('a', CHAR(92), 'xc')"
+    assert spark.sql(f"SELECT {sbsx} LIKE {spat}").first()[0] is False
+    assert con.execute(f"SELECT {bsx} LIKE {pat}").fetchone()[0] is True
+    # string-literal escape interpretation
+    assert spark.sql(r"SELECT LENGTH('a\tb')").first()[0] == 3
+    assert con.execute(r"SELECT LENGTH('a\tb')").fetchone()[0] == 4
+    # clean subsets
+    for expr, want in [
+        ("'50%' LIKE '50|%' ESCAPE '|'", True),
+        ("'ABC' ILIKE 'abc'", True),
+        ("INSTR('abc', 'z')", 0),
+        ("POSITION('z' IN 'abc')", 0),
+        ("INSTR('abc', '')", 1),
+        ("CONCAT_WS(',', 'a', NULL, 'b')", "a,b"),
+        ("2 IN (1, NULL)", None),
+        ("2 NOT IN (1, NULL)", None),
+    ]:
+        s = spark.sql(f"SELECT {expr}").first()[0]
+        d = con.execute(f"SELECT {expr}").fetchone()[0]
+        assert s == d == want, (expr, s, d)
+
+
+def test_array_membership_null_semantics_split_pinned(spark):
+    """KNOWN-SPLIT class pinned (round-12 probe, wave 5): array
+    membership over NULL-bearing input diverges three ways -- Spark's
+    array_contains returns NULL when the needle is absent from a
+    NULL-bearing array (three-valued: the NULL element MIGHT match) and
+    raises outright on a NULL needle; DuckDB's LIST_CONTAINS returns
+    plain FALSE and NULL respectively. Rule: membership twins require
+    null-FREE arrays and non-null needles by construction -- exposure
+    swept: every shipping membership rides split() output (whose
+    elements are never NULL) against literal vocabularies (q45,
+    q70/q71/q88's stopword sets). The agreeing subset (needle present,
+    or absent from a null-free array) is pinned clean."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    # needle present among NULLs: both TRUE
+    assert spark.sql("SELECT array_contains(array(1, NULL, 3), 3)").first()[0] is True
+    assert con.execute("SELECT LIST_CONTAINS([1, NULL, 3], 3)").fetchone()[0] is True
+    # needle ABSENT from a NULL-bearing array: Spark NULL vs DuckDB FALSE
+    assert spark.sql("SELECT array_contains(array(1, NULL), 7)").first()[0] is None
+    assert con.execute("SELECT LIST_CONTAINS([1, NULL], 7)").fetchone()[0] is False
+    # null-free arrays agree in both directions
+    for arr_s, arr_d, needle, want in [
+        ("array(1, 2)", "[1, 2]", "2", True),
+        ("array(1, 2)", "[1, 2]", "7", False),
+    ]:
+        s = spark.sql(f"SELECT array_contains({arr_s}, {needle})").first()[0]
+        d = con.execute(f"SELECT LIST_CONTAINS({arr_d}, {needle})").fetchone()[0]
+        assert s == d == want
