@@ -103,51 +103,129 @@ def load_all_modules() -> None:
 # set: the r10 verdict caught the written r11 plan silently dropping
 # q14/q15/q17 from the ceiling, exactly the drift a prose list invites.
 #
-# ROUND-12 ORDER (this round — executes the r11 plan; ceiling derived
-# from tools/rotation_state.json regenerated after CORRECTNESS_r11.json
-# landed, as_of_round=11):
-#   1. rule 1 ledger opened EMPTY (every r11 change sat inside the r11
-#      prefix — NOTES_r11.md). Mid-round amendment, promoted as the
-#      change landed: q82 (capped-nlist IVF adoption — the r11 verdict's
-#      task #2; quantizer step + oracle twin both changed) took the
-#      rule-1 head slot, displacing the last fill entry (q41)
-#      post-boundary — so the prefix closes 1 + 30 + 19 = 50.
-#   2. rule 2 ceiling — MECHANICAL, 30 queries whose latest green rows
-#      date to r9 (rotation_state.json: latest_row == 9): the ten fill
-#      entries displaced in r11 (q54, q61, q62, q70, q73, q74, q91,
-#      q92, q93, q140) plus the 20-query r9 block (q126, q138, q75,
-#      q132, q63, q88, q80, q111, q18, q19, q30, q33, q64, q65, q71,
-#      q79, q86, q94, q95, q96). All 30 take prefix slots; their rows
-#      turn 3 rounds old this round.
-#   3. the remaining 20 slots refresh the oldest r10-row queries in
-#      their r10 order: q118, q89, q53, q99, q100, q104, q108, q77,
-#      q78, q20-q29, q41 — which closes: 30 + 20 = 50 exactly.
+# ROUND-13 ORDER (this round — executes the r12 plan mechanically; ceiling
+# derived from tools/rotation_state.json regenerated after
+# CORRECTNESS_r12.json landed, as_of_round=12):
+#   1. rule 1 ledger opened EMPTY (every r12 change — q82's capped
+#      quantizer — sat inside the r12 prefix and got its fresh row).
+#      Ledger maintained in NOTES_r13.md; any query whose code/oracle
+#      changes this round after its latest driver row gets promoted to
+#      the head, displacing the last fill entry post-boundary.
+#   2. rule 2 ceiling — MECHANICAL, 22 queries whose latest green rows
+#      date to r10 (rotation_state.json: latest_row == 10): q41, q43,
+#      q90, q98, q131, q85, q115, q124, q11, q12, q66, q01-q10, q13.
+#      All 22 take prefix slots in their r12 post-boundary order; their
+#      rows turn 3 rounds old this round. (The r12 plan's prose said
+#      "21" — the mechanical derivation says 22; the ledger wins, which
+#      is the whole point of deriving instead of transcribing.)
+#   3. the remaining 28 slots refresh the oldest r11-row queries in
+#      their r11 order: q44, q45, q123, q72, q97, q42, q84, q102, q40,
+#      q46, q14, q15, q17, q83, q87, q110, q112, q113, q106, q34, q35,
+#      q60, q101, q103, q105, q107, q109, q114 — 22 + 28 = 50 exactly.
 #   ---- 50-query prefix boundary ----
-#   4. the rest of the r10-row block (q43, q90, q98, q131, q85, q115,
-#      q124, q11, q12, q66, q01-q10, q13) ages to r13 under rule 2,
-#      backed by this round's green 3-SF parity sweep; it leads the
-#      post-boundary tail so it fronts the r13 prefix (the rule-2
+#   4. the rest of the r11-row block (q117, q119, q120, q121, q122,
+#      q125, q127, q128, q129, q81, q130, q133, q134, q135, q136,
+#      q139, q31, q32, q50, q51, q52) ages to r14 under rule 2, backed
+#      by this round's green 3-SF parity sweep; it leads the
+#      post-boundary tail so it fronts the r14 prefix (the rule-2
 #      ceiling there);
-#   5. the queries with fresh r11 rows, in their r11 order;
+#   5. the queries with fresh r12 rows, in their r12 order;
 #   6. permanent tail (rule 3): q16, q76, q116, q137, q141, q142.
 #
-# ROUND-13 ROTATION PLAN (derive, don't transcribe):
-#   a. any query whose code/oracle changes in round 12 AFTER its latest
-#      driver row leads (rule 1) — ledger maintained in NOTES_r12.md;
+# ROUND-14 ROTATION PLAN (derive, don't transcribe):
+#   a. any query whose code/oracle changes in round 13 AFTER its latest
+#      driver row leads (rule 1) — ledger maintained in NOTES_r13.md;
 #   b. the rule-2 ceiling is whatever `tools/rotation_state.py` reports
-#      as latest_row == 10 after the r12 CORRECTNESS file lands
-#      (expected: the 21 post-boundary r10-row queries of item 4 above);
-#   c. the remaining ~29 slots refresh the oldest r11-row queries in
-#      their listed order.
+#      as latest_row == 11 after the r13 CORRECTNESS file lands
+#      (expected: the 21 post-boundary r11-row queries of item 4 above);
+#   c. the remaining ~29 slots refresh the oldest r12-row queries in
+#      their listed order. `tools/rotation_state.py --plan` prints this
+#      derivation mechanically.
 VERIFY_ORDER: tuple[str, ...] = (
-    # -- rule 1: code/oracle changed since the last driver row — q82's
-    # -- round-12 capped-nlist IVF (quantizer step + oracle twin both
-    # -- changed; the last fill entry q41 yielded its slot and fronts
-    # -- the post-boundary tail) --
-    "q82_ann_ivf",
-    # -- rule 2 ceiling: r9-row untouched queries — rows turn 3 rounds
-    # -- old this round, so ALL 30 take prefix slots (set derived from
+    # -- rule 1: (empty this round — no query code changed after its
+    # -- latest driver row when the rotation was written; NOTES_r13.md
+    # -- carries the in-round ledger) --
+    # -- rule 2 ceiling: r10-row untouched queries — rows turn 3 rounds
+    # -- old this round, so ALL 22 take prefix slots (set derived from
     # -- tools/rotation_state.json; asserted by test_contract.py) --
+    "q41_date_battery",
+    "q43_conditional_battery",
+    "q90_kmeans_train",
+    "q98_srp_lsh_pairs",
+    "q131_hard_negatives",
+    "q85_train_split",
+    "q115_dataset_mixture",
+    "q124_dataset_mixture_hash",
+    "q11_rollup",
+    "q12_cube",
+    "q66_time_rollup",
+    "q01_pricing_summary",
+    "q02_project_compute",
+    "q03_filter_battery",
+    "q04_sort_limit",
+    "q05_union_all",
+    "q06_intersect",
+    "q07_except",
+    "q08_distinct",
+    "q09_set_ops_all",
+    "q10_agg_global",
+    "q13_grouping_sets",
+    # -- rule 2 fill: oldest r11-row queries, least-recently-verified
+    # -- first (their r11 order) --
+    "q44_json_battery",
+    "q45_array_battery",
+    "q123_dq_report",
+    "q72_fingerprint",
+    "q97_corpus_build",
+    "q42_math_battery",
+    "q84_stratified_sample",
+    "q102_incremental_dedup",
+    "q40_string_battery",
+    "q46_hash_battery",
+    "q14_collect_pack",
+    "q15_pivot",
+    "q17_percentiles",
+    "q83_decontamination",
+    "q87_repetition",
+    "q110_pii_redaction",
+    "q112_cooccurrence_lift",
+    "q113_length_buckets",
+    "q106_user_similarity",
+    "q34_window_distribution",
+    "q35_window_range_frame",
+    "q60_dedup_exact",
+    "q101_event_funnel",
+    "q103_gaps_islands",
+    "q105_scalar_subquery",
+    "q107_event_paths",
+    "q109_retention_cohorts",
+    "q114_daily_anomalies",
+    # ---- 50-query prefix boundary (driver budget) ----
+    # -- rest of the r11-row block: ages to r14 under rule 2 (3-SF
+    # -- parity sweep green this round); fronts the r14 prefix --
+    "q117_scd2_intervals",
+    "q119_daily_trend",
+    "q120_volume_gini",
+    "q121_ab_test",
+    "q122_copurchase",
+    "q125_user_diversity",
+    "q127_audience_overlap",
+    "q128_gap_fill",
+    "q129_growth_curve",
+    "q81_cosine_neardup",
+    "q130_rag_chunker",
+    "q133_ppjoin",
+    "q134_scd2_resolve",
+    "q135_daily_mad",
+    "q136_interpolate",
+    "q139_conversion_latency",
+    "q31_window_analytic",
+    "q32_window_frames",
+    "q50_pandas_udf_tokenize",
+    "q51_apply_in_pandas_median",
+    "q52_udtf_bigrams",
+    # -- fresh round-12 rows, untouched since, in their r12 order --
+    "q82_ann_ivf",
     "q54_multimodal_decode",
     "q61_tumbling_window",
     "q62_sliding_window",
@@ -178,8 +256,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q94_range_join_binned",
     "q95_zorder_key",
     "q96_heavy_hitters_mg",
-    # -- rule 2 fill: oldest r10-row queries, least-recently-verified
-    # -- first (their r10 order) --
     "q118_fuzzy_match",
     "q89_dedup_components",
     "q53_python_udf_crc",
@@ -199,82 +275,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q27_join_theta",
     "q28_join_asof",
     "q29_exists_subquery",
-    # ---- 50-query prefix boundary (driver budget) ----
-    # -- q41: the fill entry displaced by q82's rule-1 promotion --
-    "q41_date_battery",
-    # -- rest of the r10-row block: ages to r13 under rule 2 (3-SF
-    # -- parity sweep green this round); fronts the r13 prefix --
-    "q43_conditional_battery",
-    "q90_kmeans_train",
-    "q98_srp_lsh_pairs",
-    "q131_hard_negatives",
-    "q85_train_split",
-    "q115_dataset_mixture",
-    "q124_dataset_mixture_hash",
-    "q11_rollup",
-    "q12_cube",
-    "q66_time_rollup",
-    "q01_pricing_summary",
-    "q02_project_compute",
-    "q03_filter_battery",
-    "q04_sort_limit",
-    "q05_union_all",
-    "q06_intersect",
-    "q07_except",
-    "q08_distinct",
-    "q09_set_ops_all",
-    "q10_agg_global",
-    "q13_grouping_sets",
-    # -- fresh round-11 rows, untouched since, in their r11 order --
-    "q44_json_battery",
-    "q45_array_battery",
-    "q123_dq_report",
-    "q72_fingerprint",
-    "q97_corpus_build",
-    "q42_math_battery",
-    "q84_stratified_sample",
-    "q102_incremental_dedup",
-    "q40_string_battery",
-    "q46_hash_battery",
-    "q14_collect_pack",
-    "q15_pivot",
-    "q17_percentiles",
-    "q83_decontamination",
-    "q87_repetition",
-    "q110_pii_redaction",
-    "q112_cooccurrence_lift",
-    "q113_length_buckets",
-    "q106_user_similarity",
-    "q34_window_distribution",
-    "q35_window_range_frame",
-    "q60_dedup_exact",
-    "q101_event_funnel",
-    "q103_gaps_islands",
-    "q105_scalar_subquery",
-    "q107_event_paths",
-    "q109_retention_cohorts",
-    "q114_daily_anomalies",
-    "q117_scd2_intervals",
-    "q119_daily_trend",
-    "q120_volume_gini",
-    "q121_ab_test",
-    "q122_copurchase",
-    "q125_user_diversity",
-    "q127_audience_overlap",
-    "q128_gap_fill",
-    "q129_growth_curve",
-    "q81_cosine_neardup",
-    "q130_rag_chunker",
-    "q133_ppjoin",
-    "q134_scd2_resolve",
-    "q135_daily_mad",
-    "q136_interpolate",
-    "q139_conversion_latency",
-    "q31_window_analytic",
-    "q32_window_frames",
-    "q50_pandas_udf_tokenize",
-    "q51_apply_in_pandas_median",
-    "q52_udtf_bigrams",
     # -- rule 3: rows-only by design — permanent tail, never a prefix
     # -- slot (accuracy gates live in tests/test_sketch_gates.py and
     # -- tests/test_llm_dedup.py) --
@@ -285,6 +285,7 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q141_sketch_table_rollup",
     "q142_sketch_incremental",
 )
+
 
 
 def all_queries() -> dict[str, Query]:

@@ -45,33 +45,31 @@ def test_verify_order_is_the_registry_iteration_order():
     assert len(set(VERIFY_ORDER)) == len(VERIFY_ORDER), "duplicates in VERIFY_ORDER"
     assert len(names) == 127
     prefix = [n.split("_")[0] for n in names[:50]]
-    # Rule 1: q82's round-12 capped-nlist IVF (quantizer step + oracle
-    # twin both changed after its r11 row) leads the prefix; the last
-    # fill entry (q41) yielded its slot.
-    assert prefix[:1] == ["q82"]
-    # Rule 2 ceiling: the 30 r9-row untouched queries — rows turn 3
-    # rounds old at r12, so ALL must take prefix slots. The set itself
+    # Rule 1: empty this round — no query code changed after its latest
+    # driver row when the rotation was written (NOTES_r13.md ledger).
+    # Rule 2 ceiling: the 22 r10-row untouched queries — rows turn 3
+    # rounds old at r13, so ALL must take prefix slots. The set itself
     # is asserted MECHANICALLY by test_rotation_ceiling_is_mechanical
     # below; here we pin the written order.
-    assert prefix[1:31] == [
-        "q54", "q61", "q62", "q70", "q73", "q74", "q91", "q92", "q93",
-        "q140", "q126", "q138", "q75", "q132", "q63", "q88", "q80",
-        "q111", "q18", "q19", "q30", "q33", "q64", "q65", "q71", "q79",
-        "q86", "q94", "q95", "q96",
-    ]
-    # Rule 2 fill: the 19 remaining slots refresh the oldest r10-row
-    # queries in their r10 order (q41 displaced post-boundary).
-    assert prefix[31:50] == [
-        "q118", "q89", "q53", "q99", "q100", "q104", "q108", "q77",
-        "q78", "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27",
-        "q28", "q29",
-    ]
-    # Post-boundary: the displaced fill entry, then the rest of the
-    # r10-row block that ages to r13 under rule 2 fronting the tail so
-    # it leads the r13 prefix (rule-2 ceiling there).
-    assert [n.split("_")[0] for n in names[50:60]] == [
+    assert prefix[:22] == [
         "q41", "q43", "q90", "q98", "q131", "q85", "q115", "q124",
-        "q11", "q12",
+        "q11", "q12", "q66", "q01", "q02", "q03", "q04", "q05", "q06",
+        "q07", "q08", "q09", "q10", "q13",
+    ]
+    # Rule 2 fill: the 28 remaining slots refresh the oldest r11-row
+    # queries in their r11 order.
+    assert prefix[22:50] == [
+        "q44", "q45", "q123", "q72", "q97", "q42", "q84", "q102",
+        "q40", "q46", "q14", "q15", "q17", "q83", "q87", "q110",
+        "q112", "q113", "q106", "q34", "q35", "q60", "q101", "q103",
+        "q105", "q107", "q109", "q114",
+    ]
+    # Post-boundary: the rest of the r11-row block ages to r14 under
+    # rule 2, fronting the tail so it leads the r14 prefix (the rule-2
+    # ceiling there).
+    assert [n.split("_")[0] for n in names[50:60]] == [
+        "q117", "q119", "q120", "q121", "q122", "q125", "q127", "q128",
+        "q129", "q81",
     ]
     # Rule 3: rows-only queries occupy the permanent tail — never a prefix
     # slot (their driver row can only say rows>0; the pytest accuracy

@@ -58,8 +58,59 @@ def compute_state() -> dict:
     }
 
 
+ROWS_ONLY = {
+    "q16_approx_distinct",
+    "q76_neardup_minhash_lsh",
+    "q116_approx_percentile",
+    "q137_hll_rollup",
+    "q141_sketch_table_rollup",
+    "q142_sketch_incremental",
+}
+
+
+def plan_prefix(state: dict, prefix_budget: int = 50) -> dict:
+    """Mechanical next-round 50-prefix from the ledger + current
+    VERIFY_ORDER (the r12 verdict's stretch: make the rotation commit a
+    one-liner forever).
+
+    Rule 1 (code changed after latest row) can't be derived from the
+    ledger — it's the in-round NOTES ledger's job — so this emits the
+    rule-2 portion: the ceiling (rows turning exactly 3 rounds old at
+    the executing round) in their current listed order, then fill slots
+    from the remaining oracled queries least-recently-verified first
+    (ties broken by current listed order). Rule-3 rows-only queries
+    never appear.
+    """
+    sys.path.insert(0, str(REPO))
+    from nsq2kinesis_spark.registry import VERIFY_ORDER
+
+    executing_round = state["as_of_round"] + 1
+    latest = state["latest_row"]
+    pos = {n: i for i, n in enumerate(VERIFY_ORDER)}
+    oracled = [n for n in VERIFY_ORDER if n not in ROWS_ONLY]
+    ceiling = [n for n in oracled if latest.get(n) == executing_round - 3]
+    rest = sorted(
+        (n for n in oracled if n not in ceiling),
+        key=lambda n: (latest.get(n, -1), pos[n]),
+    )
+    fill = rest[: max(0, prefix_budget - len(ceiling))]
+    return {
+        "executing_round": executing_round,
+        "ceiling": ceiling,
+        "fill": fill,
+        "prefix": ceiling + fill,
+    }
+
+
 def main(argv: list[str]) -> int:
     state = compute_state()
+    if "--plan" in argv:
+        p = plan_prefix(state)
+        print(f"# round {p['executing_round']} rule-2 prefix "
+              f"({len(p['ceiling'])} ceiling + {len(p['fill'])} fill):")
+        for n in p["prefix"]:
+            print(f'    "{n}",')
+        return 0
     text = json.dumps(state, indent=1) + "\n"
     if "--check" in argv:
         if not STATE_PATH.exists() or STATE_PATH.read_text() != text:
