@@ -67,6 +67,8 @@ from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_rounded
 from ..versioned_table import (
+    _data_files,
+    _footer_rows,
     append_staged,
     compact_parquet_table,
     new_staging_dir,
@@ -99,9 +101,14 @@ def _assigned_path(index_path: str) -> str:
     return os.path.join(index_path, ASSIGNED)
 
 
-def _write_ranged(df: DataFrame, table_path: str, n_files: int) -> int:
+def _write_ranged(df: DataFrame, table_path: str, n_files: int) -> tuple[int, int]:
     """Stage + commit `df` into `table_path` as disjoint-`cell`-range
-    files (the footer-prunable layout). Returns files appended."""
+    files (the footer-prunable layout). Returns (files, rows) appended,
+    with rows read from the STAGED parquet footers pre-commit — one
+    Spark job total, so callers never re-materialize the plan just to
+    learn the count (r12 ADVICE: append_vectors ran the full
+    crossJoin+argmax assignment twice, once for .count() and once for
+    the write)."""
     staging = new_staging_dir(table_path)
     (
         df.repartitionByRange(n_files, "cell")
@@ -109,7 +116,8 @@ def _write_ranged(df: DataFrame, table_path: str, n_files: int) -> int:
         .write.mode("overwrite")
         .parquet(staging)
     )
-    return append_staged(table_path, staging)
+    rows = sum(_footer_rows(f) for f in _data_files(staging))
+    return append_staged(table_path, staging), rows
 
 
 def build_index(spark: SparkSession, sf_dir: str, index_path: str) -> dict:
@@ -127,10 +135,12 @@ def build_index(spark: SparkSession, sf_dir: str, index_path: str) -> dict:
     stored_cents = read_table(spark, cpath)
 
     assigned = ivf_assign(e, stored_cents)  # ivf_assign broadcasts cents
-    files = _write_ranged(assigned, _assigned_path(index_path), N_ASSIGNED_FILES)
+    files, rows = _write_ranged(
+        assigned, _assigned_path(index_path), N_ASSIGNED_FILES
+    )
     return {
         "centroids": stored_cents.count(),
-        "assigned": read_table(spark, _assigned_path(index_path)).count(),
+        "assigned": rows,
         "files": files,
     }
 
@@ -144,13 +154,15 @@ def append_vectors(
     Returns rows appended. The quantizer is deliberately NOT re-derived:
     append-grown state must equal a from-scratch assignment of the grown
     corpus against the same centroids (tested), which only holds with
-    the centroids frozen at build time."""
+    the centroids frozen at build time.
+
+    The assignment runs ONCE (r12 ADVICE fix): the write stages the
+    plan's single materialization and the returned count comes from the
+    staged parquet footers, not a second job."""
     cents = read_table(spark, _centroids_path(index_path))
     assigned = ivf_assign(vectors, cents)
-    n = assigned.count()
-    if n:
-        _write_ranged(assigned, _assigned_path(index_path), 1)
-    return n
+    _, rows = _write_ranged(assigned, _assigned_path(index_path), 1)
+    return rows
 
 
 def probe_index(

@@ -9,6 +9,7 @@ spark-submit so the same code runs unchanged on a 1000-executor cluster.
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 import zipfile
 
@@ -112,12 +113,21 @@ def get_spark(
     # Optional comma-list of k=v session confs from the environment —
     # lets the bench/ladder harnesses A/B STATIC confs (e.g.
     # spark.io.compression.codec, which cannot be set after session
-    # build) without code edits. Empty/absent = no-op; never overrides
-    # an explicit extra_conf entry (applied after, so last-wins is the
-    # env — deliberate: the harness invoking the process owns the A/B).
+    # build) without code edits. Empty/absent = no-op. Applied LAST, so
+    # the env OVERRIDES an explicit extra_conf entry on conflict —
+    # deliberate: the harness invoking the process owns the A/B. Because
+    # the hook fires for every get_spark caller (tests, verification
+    # driver), each applied pair is logged to stderr so a stray
+    # SPARK_GRAFT_CONF left over from a bench A/B can't silently change
+    # engine confs under a parity run.
     for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(","):
         if kv.strip():
             k, _, v = kv.partition("=")
+            print(
+                f"[nsq2kinesis_spark] SPARK_GRAFT_CONF applied: "
+                f"{k.strip()}={v.strip()}",
+                file=sys.stderr,
+            )
             builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
