@@ -522,9 +522,36 @@ def q90_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Empty clusters drop out deterministically on both sides (no member
     rows → no group)."""
     e = emb_t(spark, sf_dir).select("vec_id", "embedding")
-    cents = ivf_centroids(spark, sf_dir, e)
+    last = kmeans_refine(e, ivf_centroids(spark, sf_dir, e), KMEANS_ITERS)
+    return last.select(
+        F.col("cent_id").alias("centroid_id"),
+        "n_members",
+        F.concat_ws(
+            ",",
+            *[
+                F.col("ce")[i].cast("decimal(12,6)").cast("string")
+                for i in range(DIM)
+            ],
+        ).alias("centroid"),
+    )
+
+
+def kmeans_refine(e: DataFrame, cents: DataFrame, iters: int) -> DataFrame:
+    """The shared Lloyd loop (q90's body, extracted round 13 so
+    ivf_index.build_index can take a TRAINED coarse quantizer): refine
+    ``cents`` (cent_id, ce) against corpus ``e`` (vec_id, embedding) for
+    ``iters`` iterations and return (cent_id, n_members, ce).
+
+    One lazy plan, no driver loop state: per iteration the assignment is
+    the q82 argmax shape (broadcast centroids into the scan, max_by
+    partial agg -- one shuffled row per vector) and the update is a
+    groupBy(cent_id) with DIM per-dimension avg aggregates. Means are
+    rounded to 6 dp every iteration so summation-order ulp noise cannot
+    compound; ties break on (rounded sim desc, cent_id asc) -- the q82
+    comparator. Empty clusters drop deterministically (no members -> no
+    group), so the returned nlist may be <= the seed's."""
     last = None
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         csim = cosine_rounded(F.col("embedding"), F.col("ce"))
         assigned = (
             e.crossJoin(F.broadcast(cents))
@@ -548,11 +575,9 @@ def q90_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cent_id", F.array(*[F.col(f"d{i}") for i in range(DIM)]).alias("ce")
         )
     return last.select(
-        F.col("cent_id").alias("centroid_id"),
+        "cent_id",
         "n_members",
-        F.concat_ws(
-            ",", *[F.col(f"d{i}").cast("decimal(12,6)").cast("string") for i in range(DIM)]
-        ).alias("centroid"),
+        F.array(*[F.col(f"d{i}") for i in range(DIM)]).alias("ce"),
     )
 
 
