@@ -121,3 +121,66 @@ def ivf_natural_corpus(tmp_path_factory):
     return sf_dir
 
 
+
+
+# -- round 13: skewed-cell geometry corpus (the r12 verdict's "What's
+# missing #3" — the natural corpus is pseudo-random-uniform; real
+# embedding corpora cluster, concentrating vectors into hot IVF cells) --
+
+IVF_SKEW_CLUSTERS = 3
+IVF_SKEW_FRAC = 0.8  # fraction of the corpus inside the clusters
+IVF_SKEW_SIGMA = 0.35  # cluster radius: cos(member, center) ~ 0.944
+
+
+@pytest.fixture(scope="session")
+def ivf_skew_corpus(tmp_path_factory):
+    """Clustered embeddings corpus: 80% of vectors in 3 Gaussian clusters
+    around random unit centers, 20% uniform; queries 0..7 live inside the
+    clusters (matching the mass), 8..9 in the uniform tail; planted near
+    neighbors at the same eps as the natural corpus, verified to remain
+    each query's exact top-3 (intra-cluster cosine ~0.89 < planted
+    ~0.98)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nsq2kinesis_spark.operators.similarity import DIM, N_QUERIES
+
+    rng = np.random.default_rng(20260816)
+    centers = rng.standard_normal((IVF_SKEW_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    vecs = np.empty((IVF_NAT_TOTAL, DIM))
+    for i in range(IVF_NAT_TOTAL):
+        if rng.random() < IVF_SKEW_FRAC:
+            v = centers[i % IVF_SKEW_CLUSTERS] + IVF_SKEW_SIGMA * rng.standard_normal(DIM)
+        else:
+            v = rng.standard_normal(DIM)
+        vecs[i] = v / np.linalg.norm(v)
+    for q in range(N_QUERIES):
+        if q < 8:
+            v = centers[q % IVF_SKEW_CLUSTERS] + IVF_SKEW_SIGMA * rng.standard_normal(DIM)
+        else:
+            v = rng.standard_normal(DIM)
+        qv = v / np.linalg.norm(v)
+        vecs[q] = qv
+        for i in range(IVF_NAT_PLANTED):
+            pid = N_QUERIES + IVF_NAT_PLANTED * q + i
+            g = rng.standard_normal(DIM)
+            g /= np.linalg.norm(g)
+            p = qv + IVF_NAT_EPS * g
+            vecs[pid] = p / np.linalg.norm(p)
+    emb = vecs.astype(np.float32)
+
+    sf_dir = str(tmp_path_factory.mktemp("ivf_skew"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(IVF_NAT_TOTAL), type=pa.int64()),
+                "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float32())),
+                "label": pa.array([0] * IVF_NAT_TOTAL, type=pa.int32()),
+            }
+        ),
+        f"{sf_dir}/embeddings.parquet",
+    )
+    return sf_dir
