@@ -79,6 +79,10 @@ HEAVY = [
     # shapes identical per universe, so the round count stays constant
     # and the expected growth is the pair volume's — linear)
     "q89_dedup_components",
+    # round 13: symmetric-delete fuzzy linkage (customer replicas carry
+    # repetition-code name suffixes so cross-replica pairs are
+    # impossible — see cust_replica)
+    "q118_fuzzy_match",
 ]
 POSTINGS_READERS = {"q75_neardup_jaccard"}
 
@@ -151,6 +155,33 @@ def build_rung(spark, out_dir: str, k: int) -> None:
 
     reduce(DataFrame.unionByName, [emb_replica(i) for i in range(k)]).write.parquet(
         os.path.join(out_dir, "embeddings.parquet")
+    )
+
+    cust = t(spark, SRC_SF, "customer")
+    c_max = cust.select((F.max("c_custkey") + 1).alias("c")).first().c
+
+    def cust_replica(i: int) -> DataFrame:
+        # Cross-replica pair disjointness for q118 (edit distance <= 1):
+        # replicas i>0 suffix every name with "~" + tens/units digits
+        # REPEATED (a repetition code: two distinct replica codes differ
+        # in >= 2 positions, so suffixed names sit at Levenshtein
+        # distance >= 2 across replicas; replica 0 keeps original names,
+        # >= 5 away from any suffixed one). A COMMON suffix preserves
+        # within-replica pair distances exactly, so the true pair set
+        # scales linearly by construction — any superlinear runtime is
+        # the engine's, not planted cross-replica matches.
+        name = F.col("c_name")
+        if i:
+            name = F.concat(name, F.lit(f"~{i // 10}{i % 10}{i // 10}{i % 10}"))
+        rest = [c for c in cust.columns if c not in ("c_custkey", "c_name")]
+        return cust.select(
+            (F.col("c_custkey") + F.lit(i * c_max)).alias("c_custkey"),
+            name.alias("c_name"),
+            *rest,
+        )
+
+    reduce(DataFrame.unionByName, [cust_replica(i) for i in range(k)]).write.parquet(
+        os.path.join(out_dir, "customer.parquet")
     )
 
 
