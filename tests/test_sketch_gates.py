@@ -3907,3 +3907,287 @@ def test_array_membership_null_semantics_split_pinned(spark):
         s = spark.sql(f"SELECT array_contains({arr_s}, {needle})").first()[0]
         d = con.execute(f"SELECT LIST_CONTAINS({arr_d}, {needle})").fetchone()[0]
         assert s == d == want
+
+
+# -- round 13 probe wave: timestamp-parse grammar, INTERVAL personalities,
+# MAP/STRUCT semantics (the r12 verdict's task #5) --------------------------
+
+
+def test_timestamp_parse_grammar_personality_pinned(spark):
+    """Round-13 probe: string->TIMESTAMP cast leniency — the one big cast
+    family not yet probed. Swept 32 grammar points under session TZ UTC
+    on both engines; NINE split points and a broad clean core.
+
+    SPLITS (each direction occurs — neither engine is uniformly
+    stricter):
+      * missing seconds ('12:34', with space or T): Spark fills :00,
+        DuckDB rejects;
+      * space BEFORE a zone offset ('... +02:00'): Spark accepts,
+        DuckDB rejects;
+      * hour 24: Spark rejects, DuckDB rolls to next day 00:00;
+      * named-zone suffix other than literal ' UTC' (' GMT', ' CET',
+        ' Europe/Paris'): Spark resolves the zone, DuckDB rejects;
+      * lowercase ' utc': DuckDB accepts, Spark rejects (Spark's
+        zone-id lookup is case-sensitive; DuckDB's special-cases UTC
+        case-insensitively);
+      * no space before 'UTC' ('...56UTC'): Spark accepts, DuckDB no;
+      * non-padded offset '+2:00': Spark accepts, DuckDB rejects;
+      * slash dates '2024/03/05': DuckDB accepts, Spark rejects;
+      * leading '+' year: Spark accepts, DuckDB rejects.
+
+    CLEAN core (pinned below as the DECLARED shared grammar for any
+    future oracle-twinned string->timestamp parse):
+      'YYYY-M-D[ |T]H:M:S[.f{1..9}][Z|+HH|±HH:MM|±HHMM| UTC]' plus
+      bare dates, surrounding whitespace, sub-second truncation (not
+      rounding) past 6 digits, and loud NULL on impossible dates.
+    No shipping oracled query parses strings to timestamps today
+    (events.ts is a parquet timestamp; every CAST(ts AS TIMESTAMP) in
+    an oracle retypes a timestamp column) — this pin is the fence for
+    when one does."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    con.execute("SET TimeZone='UTC'")
+
+    def s(lit):
+        return spark.sql(
+            f"SELECT CAST(TRY_CAST('{lit}' AS TIMESTAMP) AS STRING)"
+        ).first()[0]
+
+    def d(lit):
+        return con.execute(
+            f"SELECT CAST(TRY_CAST('{lit}' AS TIMESTAMP) AS VARCHAR)"
+        ).fetchone()[0]
+
+    # the nine split points, each asserted in its observed direction
+    assert s("2024-03-05 12:34") == "2024-03-05 12:34:00" and d("2024-03-05 12:34") is None
+    assert s("2024-03-05 12:34:56 +02:00") == "2024-03-05 10:34:56"
+    assert d("2024-03-05 12:34:56 +02:00") is None
+    assert s("2024-03-05 24:00:00") is None
+    assert d("2024-03-05 24:00:00") == "2024-03-06 00:00:00"
+    assert s("2024-03-05 12:34:56 CET") == "2024-03-05 11:34:56"
+    assert d("2024-03-05 12:34:56 CET") is None
+    assert s("2024-03-05 12:34:56 utc") is None
+    assert d("2024-03-05 12:34:56 utc") == "2024-03-05 12:34:56"
+    assert s("2024-03-05 12:34:56UTC") == "2024-03-05 12:34:56"
+    assert d("2024-03-05 12:34:56UTC") is None
+    assert s("2024-03-05 12:34:56+2:00") == "2024-03-05 10:34:56"
+    assert d("2024-03-05 12:34:56+2:00") is None
+    assert s("2024/03/05 12:34:56") is None
+    assert d("2024/03/05 12:34:56") == "2024-03-05 12:34:56"
+    assert s("+2024-03-05 12:34:56") == "2024-03-05 12:34:56"
+    assert d("+2024-03-05 12:34:56") is None
+
+    # the declared clean core agrees value-exactly
+    for lit, want in [
+        ("2024-03-05 12:34:56", "2024-03-05 12:34:56"),
+        ("2024-03-05T12:34:56", "2024-03-05 12:34:56"),
+        ("2024-03-05 12:34:56.123", "2024-03-05 12:34:56.123"),
+        ("2024-03-05 12:34:56.123456789", "2024-03-05 12:34:56.123456"),
+        ("2024-03-05", "2024-03-05 00:00:00"),
+        ("2024-3-5 1:2:3", "2024-03-05 01:02:03"),
+        ("2024-03-05 12:34:56Z", "2024-03-05 12:34:56"),
+        ("2024-03-05 12:34:56+02:00", "2024-03-05 10:34:56"),
+        ("2024-03-05T12:34:56+0200", "2024-03-05 10:34:56"),
+        ("2024-03-05 12:34:56+02", "2024-03-05 10:34:56"),
+        ("2024-03-05 12:34:56-02:30", "2024-03-05 15:04:56"),
+        (" 2024-03-05 12:34:56 ", "2024-03-05 12:34:56"),
+        ("2024-03-05 12:34:56 UTC", "2024-03-05 12:34:56"),
+        ("2024-02-30 00:00:00", None),
+        ("2024-03-05 12:34:60", None),
+        ("20240305", None),
+    ]:
+        assert s(lit) == d(lit) == want, (lit, s(lit), d(lit))
+
+
+def test_interval_arithmetic_personality_pinned(spark):
+    """Round-13 probe: INTERVAL personalities. Spark has TWO interval
+    classes (year-month, day-time) that never mix; DuckDB has ONE
+    normalized INTERVAL (1 month == 30 days). Splits, with the banned /
+    declared spelling for each:
+
+      * DATE + INTERVAL: Spark keeps DATE for year-month/day units and
+        widens to TIMESTAMP only for sub-day units; DuckDB ALWAYS
+        returns TIMESTAMP — type- and value-hash split. Spelling: cast
+        the date operand to TIMESTAMP on both twins before adding.
+      * mixed-class arithmetic (INTERVAL MONTH + INTERVAL DAY, the
+        '1 month 2 days' compound literal): Spark type-errors, DuckDB
+        normalizes. BANNED in twinned code — chain single-class adds
+        onto the timestamp instead (ts + INTERVAL month + INTERVAL day
+        parses on both).
+      * cross-class comparison (INTERVAL '1' MONTH = INTERVAL '30'
+        DAY): Spark type-errors; DuckDB says TRUE via the 30-day
+        normalization. BANNED.
+      * EXTRACT(EPOCH ...): DuckDB returns DOUBLE seconds, Spark has
+        no EPOCH field. Spelling: Spark unix_timestamp(ts) ==
+        DuckDB CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT).
+
+    CLEAN classes pinned: month-end clamping (Jan 31 + 1 MONTH -> Feb
+    29 on both), timestamp ± day-time intervals, interval * integer,
+    same-class comparison, ts - ts (both yield a day-time interval
+    value-equal across engines)."""
+    import duckdb as _duck
+    import pytest as _pt
+    from pyspark.errors.exceptions.captured import AnalysisException
+    from pyspark.errors.exceptions.base import PySparkException
+
+    con = _duck.connect()
+    con.execute("SET TimeZone='UTC'")
+
+    # DATE + INTERVAL type split
+    sdf = spark.sql("SELECT DATE '2024-01-31' + INTERVAL '1' MONTH AS v")
+    assert sdf.schema[0].dataType.simpleString() == "date"
+    assert str(sdf.first()[0]) == "2024-02-29"
+    dv, dt = con.execute(
+        "SELECT DATE '2024-01-31' + INTERVAL '1' MONTH AS v, typeof(v)"
+    ).fetchone()
+    assert dt == "TIMESTAMP" and str(dv) == "2024-02-29 00:00:00"
+    # the declared spelling agrees (cast to TIMESTAMP first)
+    fixed = "CAST(DATE '2024-01-31' AS TIMESTAMP) + INTERVAL '1' MONTH"
+    assert (
+        str(spark.sql(f"SELECT {fixed}").first()[0])
+        == str(con.execute(f"SELECT {fixed}").fetchone()[0])
+        == "2024-02-29 00:00:00"
+    )
+
+    # mixed-class arithmetic: Spark errors, DuckDB normalizes
+    with _pt.raises(PySparkException):
+        spark.sql("SELECT INTERVAL '1' MONTH + INTERVAL '1' DAY").collect()
+    assert (
+        str(con.execute("SELECT INTERVAL '1' MONTH + INTERVAL '1' DAY").fetchone()[0])
+        == "31 days, 0:00:00"
+    )
+    # the chained spelling parses and agrees on both
+    chain = "TIMESTAMP '2024-01-31 10:00:00' + INTERVAL '1' MONTH + INTERVAL '2' DAY"
+    assert (
+        str(spark.sql(f"SELECT {chain}").first()[0])
+        == str(con.execute(f"SELECT {chain}").fetchone()[0])
+        == "2024-03-02 10:00:00"
+    )
+
+    # cross-class comparison: Spark errors, DuckDB normalizes to TRUE
+    with _pt.raises(PySparkException):
+        spark.sql("SELECT INTERVAL '1' MONTH = INTERVAL '30' DAY").collect()
+    assert con.execute("SELECT INTERVAL '1' MONTH = INTERVAL '30' DAY").fetchone()[0] is True
+
+    # EXTRACT(EPOCH): duck-only; the aligned spelling
+    with _pt.raises((AnalysisException, PySparkException)):
+        spark.sql("SELECT EXTRACT(EPOCH FROM TIMESTAMP '2024-03-05 12:00:00')").collect()
+    s_epoch = spark.sql(
+        "SELECT unix_timestamp(TIMESTAMP '2024-03-05 12:00:00')"
+    ).first()[0]
+    d_epoch = con.execute(
+        "SELECT CAST(FLOOR(EXTRACT(EPOCH FROM TIMESTAMP '2024-03-05 12:00:00')) AS BIGINT)"
+    ).fetchone()[0]
+    assert s_epoch == d_epoch == 1709640000
+
+    # clean classes
+    clamp = "TIMESTAMP '2024-01-31 10:00:00' + INTERVAL '1' MONTH"
+    assert (
+        str(spark.sql(f"SELECT {clamp}").first()[0])
+        == str(con.execute(f"SELECT {clamp}").fetchone()[0])
+        == "2024-02-29 10:00:00"
+    )
+    diff = "TIMESTAMP '2024-03-05 12:00:00' - TIMESTAMP '2024-03-01 06:30:00'"
+    assert (
+        str(spark.sql(f"SELECT {diff}").first()[0])
+        == str(con.execute(f"SELECT {diff}").fetchone()[0])
+    )
+    cmp2 = "INTERVAL '2' DAY > INTERVAL '1' DAY"
+    assert spark.sql(f"SELECT {cmp2}").first()[0] is True
+    assert con.execute(f"SELECT {cmp2}").fetchone()[0] is True
+
+
+def test_map_struct_semantics_pinned(spark):
+    """Round-13 probe: MAP/STRUCT ordering + equality, now that struct
+    comparators are load-bearing in max_by tie-breaks. Splits:
+
+      * MAP ACCESS SHAPE: DuckDB 1.0's bracket/element_at returns a
+        LIST (empty on miss: typeof = INTEGER[]); Spark returns the
+        scalar or NULL. Declared spelling for twinned map access:
+        Spark `m['k']` == DuckDB `m['k'][1]` (1-indexed list access
+        NULLs on miss, matching Spark exactly — pinned below).
+      * MAP EQUALITY: DuckDB compares maps; Spark raises
+        INVALID_ORDERING_TYPE. BANNED in twinned code (compare
+        map_entries of canonically sorted keys instead).
+      * STRUCT COMPARISON WITH NULL FIELDS: Spark's struct comparator
+        is null-safe per field (struct(1, NULL) = struct(1, NULL) is
+        TRUE; NULL fields sort FIRST under ORDER BY); DuckDB
+        propagates SQL NULL out of the comparison and sorts NULL
+        fields LAST. Declared contract: fields inside twinned struct
+        comparators (max_by/min_by tie-break keys, sort keys) must be
+        NON-NULL — coalesce first. Every shipping comparator struct
+        already rides non-null columns (q90/q82's (csim, -cent_id),
+        q126's (ts, op_rank) after NOT-NULL CDC contract).
+      * complex->string rendering differs everywhere (Spark '{1, 9}'
+        vs DuckDB struct-literal syntax) — CAST(complex AS STRING)
+        stays banned in twinned result columns.
+
+    CLEAN classes pinned: map_keys/map_entries preserve insertion
+    order on both; struct comparison/ordering over NON-NULL fields is
+    field-lexicographic on both; duplicate map keys fail LOUDLY on
+    both (Spark DUPLICATED_MAP_KEY under ANSI, DuckDB Invalid Input
+    Error) — a dup-keyed map can never silently verify."""
+    import duckdb as _duck
+    import pytest as _pt
+    from pyspark.errors.exceptions.base import PySparkException
+
+    con = _duck.connect()
+
+    # map access shape + aligned spelling
+    assert con.execute("SELECT typeof((MAP {'a':1})['a'])").fetchone()[0] == "INTEGER[]"
+    assert spark.sql("SELECT map('a',1)['missing']").first()[0] is None
+    assert con.execute("SELECT (MAP {'a':1})['missing'][1]").fetchone()[0] is None
+    assert (
+        spark.sql("SELECT map('a',1)['a']").first()[0]
+        == con.execute("SELECT (MAP {'a':1})['a'][1]").fetchone()[0]
+        == 1
+    )
+
+    # map equality: banned (engine raises, oracle would normalize)
+    with _pt.raises(PySparkException):
+        spark.sql("SELECT map('a',1) = map('a',1)").collect()
+    assert con.execute("SELECT MAP {'a':1} = MAP {'a':1}").fetchone()[0] is True
+
+    # struct comparison with NULL fields: null-safe TRUE vs SQL NULL
+    assert spark.sql(
+        "SELECT named_struct('a',1,'b',CAST(NULL AS INT))"
+        " = named_struct('a',1,'b',CAST(NULL AS INT))"
+    ).first()[0] is True
+    assert con.execute(
+        "SELECT {'a':1,'b':NULL::INT} = {'a':1,'b':NULL::INT}"
+    ).fetchone()[0] is None
+    # ...and the ORDER BY placement inverts (NULL field first vs last)
+    s_order = [
+        r.s.a
+        for r in spark.sql(
+            "SELECT s FROM VALUES (named_struct('a',1)),"
+            " (named_struct('a',CAST(NULL AS INT))) t(s) ORDER BY s"
+        ).collect()
+    ]
+    d_order = [
+        r[0]["a"]
+        for r in con.execute(
+            "SELECT s FROM (VALUES ({'a':1}), ({'a':NULL::INT})) t(s) ORDER BY s"
+        ).fetchall()
+    ]
+    assert s_order == [None, 1] and d_order == [1, None]
+
+    # clean: insertion order, non-null struct comparison, loud dup keys
+    assert spark.sql("SELECT map_keys(map('b',1,'a',2))").first()[0] == ["b", "a"]
+    assert con.execute("SELECT map_keys(MAP {'b':1,'a':2})").fetchone()[0] == ["b", "a"]
+    for expr in (
+        "named_struct('a',1,'b',2) < named_struct('a',1,'b',3)",
+        "named_struct('a',1,'b',9) < named_struct('a',2,'b',1)",
+    ):
+        duck_expr = (
+            expr.replace("named_struct('a',", "{'a':")
+            .replace(",'b',", ",'b':")
+            .replace(")", "}")
+        )
+        assert spark.sql(f"SELECT {expr}").first()[0] is True
+        assert con.execute(f"SELECT {duck_expr}").fetchone()[0] is True
+    with _pt.raises(PySparkException):
+        spark.sql("SELECT map('a',1,'a',2)").collect()
+    with _pt.raises(_duck.InvalidInputException):
+        con.execute("SELECT MAP {'a':1,'a':2}").fetchall()
