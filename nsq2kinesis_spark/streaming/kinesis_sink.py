@@ -105,6 +105,35 @@ class SpoolingKinesisClient:
         return {"FailedRecordCount": 0, "Records": results}
 
 
+@dataclass
+class ThrottlingSpoolingClient(SpoolingKinesisClient):
+    """SpoolingKinesisClient under SUSTAINED shard pressure: EVERY
+    put_records call accepts at most ``capacity`` records (spooled) and
+    fails the tail with ProvisionedThroughputExceededException — the
+    capacity model of real Kinesis shard throttling, where a retry of
+    the failed slots fits under the freed capacity. Drives the
+    partial-failure soak: the reference's backoff was an open TODO
+    (reference TODO.md:7, kinesis_writer.go:101-104); this engine's
+    per-slot selective retry + two-regime backoff claims to absorb
+    sustained 30-50%% per-call throttling without batch replays, and the
+    soak measures it (tests/test_streaming.py)."""
+
+    capacity: int = MAX_RECORDS_PER_CALL
+
+    def put_records(self, StreamName: str, Records: list[dict[str, Any]]) -> dict[str, Any]:
+        ok = super().put_records(StreamName, Records[: self.capacity])
+        results = list(ok["Records"])
+        n_failed = max(0, len(Records) - self.capacity)
+        results.extend(
+            {
+                "ErrorCode": "ProvisionedThroughputExceededException",
+                "ErrorMessage": "sustained shard pressure",
+            }
+            for _ in range(n_failed)
+        )
+        return {"FailedRecordCount": n_failed, "Records": results}
+
+
 def read_spool(spool_dir: str) -> list[tuple[str, bytes]]:
     """Decode a SpoolingKinesisClient directory → (partition_key, data)."""
     import os
