@@ -4191,3 +4191,181 @@ def test_map_struct_semantics_pinned(spark):
         spark.sql("SELECT map('a',1,'a',2)").collect()
     with _pt.raises(_duck.InvalidInputException):
         con.execute("SELECT MAP {'a':1,'a':2}").fetchall()
+
+
+def test_percentile_nan_and_decimal_interpolation_splits_pinned(spark):
+    """Round-13 wave-2 probe: exact-percentile personalities across the
+    twins (q17/q108/q139 all twin Spark ``percentile`` with DuckDB
+    ``QUANTILE_CONT``). Splits:
+
+      * NAN PLACEMENT INVERTS: Spark's percentile sort places NaN
+        HIGHEST (Java comparator: percentile([nan,1,2], 0.5) = 2.0);
+        DuckDB's quantile_cont places NaN LOWEST (= 1.0). A NaN-bearing
+        column silently shifts every quantile in opposite directions.
+        Declared contract: percentile inputs must be NaN-free — every
+        shipping percentile rides integer cents or integer epoch-second
+        differences (q17/q108 cents, q139 unix_timestamp diffs), where
+        NaN is untypeable.
+      * DECIMAL INPUT ROUNDS THE INTERPOLANT: DuckDB's quantile_cont
+        over a DECIMAL column returns DECIMAL at the INPUT's scale —
+        quantile_cont(DECIMAL(10,1) [1..4], 0.25) = 1.7, the true 1.75
+        interpolant rounded to scale 1 — while Spark's percentile always
+        interpolates in DOUBLE (1.75). Declared spelling: never feed
+        QUANTILE_CONT a DECIMAL — cast to DOUBLE/BIGINT first (the cents
+        idiom already does; sweep at pin time found zero DECIMAL-typed
+        percentile args in shipping oracles — q17/q108's l_quantity and
+        cents columns are parquet DOUBLE/BIGINT).
+      * DEFAULT QUANTILE IS DISC, NOT CONT, ON DUCKDB: quantile(x, p) ==
+        quantile_disc(x, p) picks an order statistic (no interpolation);
+        Spark's percentile interpolates. Twinned spelling must say
+        QUANTILE_CONT explicitly (all three shipping oracles do).
+
+    CLEAN classes pinned: INT and DOUBLE inputs interpolate identically
+    in DOUBLE on both; NULLs are skipped (not counted) on both; +inf as
+    a data value occupies the top rank identically on both."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+
+    # NaN placement inverts
+    s = spark.sql(
+        "SELECT percentile(x, 0.5) FROM VALUES"
+        " (double('nan')),(CAST(1.0 AS DOUBLE)),(CAST(2.0 AS DOUBLE)) t(x)"
+    ).first()[0]
+    d = con.execute(
+        "SELECT quantile_cont(x, 0.5) FROM"
+        " (VALUES ('nan'::DOUBLE),(1.0::DOUBLE),(2.0::DOUBLE)) t(x)"
+    ).fetchone()[0]
+    assert (s, d) == (2.0, 1.0), "NaN quantile placement now agrees — revisit"
+
+    # DECIMAL input rounds the interpolant to input scale on DuckDB only
+    s = spark.sql(
+        "SELECT percentile(x, 0.25) FROM VALUES"
+        " (CAST(1 AS DECIMAL(10,1))),(CAST(2 AS DECIMAL(10,1)))"
+        ",(CAST(3 AS DECIMAL(10,1))),(CAST(4 AS DECIMAL(10,1))) t(x)"
+    ).first()[0]
+    d = con.execute(
+        "SELECT quantile_cont(x, 0.25) FROM (VALUES"
+        " (1::DECIMAL(10,1)),(2::DECIMAL(10,1)),(3::DECIMAL(10,1))"
+        ",(4::DECIMAL(10,1))) t(x)"
+    ).fetchone()[0]
+    assert s == 1.75 and str(d) == "1.7", "decimal interpolant scale — revisit"
+
+    # bare quantile() is the DISC order statistic, not the interpolation
+    assert (
+        con.execute(
+            "SELECT quantile(x, 0.5) FROM (VALUES (1::INT),(2),(3),(4)) t(x)"
+        ).fetchone()[0]
+        == 2
+    )
+
+    # clean: INT/DOUBLE interpolation, NULL skip, +inf top rank
+    for s_sql, d_sql, want in [
+        (
+            "SELECT percentile(x, 0.25) FROM VALUES (1),(2),(3),(4) t(x)",
+            "SELECT quantile_cont(x, 0.25) FROM (VALUES (1::INT),(2),(3),(4)) t(x)",
+            1.75,
+        ),
+        (
+            "SELECT percentile(x, 0.5) FROM VALUES"
+            " (CAST(1.0 AS DOUBLE)),(CAST(2.0 AS DOUBLE)),(NULL) t(x)",
+            "SELECT quantile_cont(x, 0.5) FROM"
+            " (VALUES (1.0::DOUBLE),(2.0::DOUBLE),(NULL)) t(x)",
+            1.5,
+        ),
+        (
+            "SELECT percentile(x, 0.5) FROM VALUES"
+            " (double('inf')),(CAST(1.0 AS DOUBLE)),(CAST(2.0 AS DOUBLE)) t(x)",
+            "SELECT quantile_cont(x, 0.5) FROM"
+            " (VALUES ('inf'::DOUBLE),(1.0::DOUBLE),(2.0::DOUBLE)) t(x)",
+            2.0,
+        ),
+    ]:
+        assert spark.sql(s_sql).first()[0] == con.execute(d_sql).fetchone()[0] == want
+
+
+def test_sequence_generate_series_boundary_splits_pinned(spark):
+    """Round-13 wave-2 probe: integer/date series construction across the
+    twins (Spark ``sequence`` vs DuckDB ``generate_series``). Splits:
+
+      * DESCENDING AUTO-STEP: Spark's 2-arg sequence(5,1) infers step -1
+        and returns [5,4,3,2,1]; DuckDB's generate_series(5,1) returns
+        EMPTY (step defaults to +1 regardless of bound order). An
+        inverted bound pair silently yields a full descending array on
+        one engine and nothing on the other. Declared contract: twinned
+        series must prove start <= stop (guard or constant) or spell the
+        step explicitly. Sweep at pin time: every shipping sequence site
+        is guarded — shingle/n-gram sites sit under CASE size(words) >=
+        N (llm_dedup/llm_pipeline), chunk counts are >= 1 by
+        construction (llm_dedup q111, llm_text q121), day spines run
+        min(ts)..max(ts) (streaming_twins), the rest are constants.
+      * ZERO STEP IS LOUD VS SILENT-EMPTY: sequence(1,5,0) raises on
+        Spark; generate_series(1,5,0) returns EMPTY on DuckDB 1.0 — a
+        degenerate step can never silently verify, but only Spark makes
+        it loud. Pinned as a personality (no shipping variable steps).
+      * DATE SERIES TYPING: Spark sequence(DATE, DATE, INTERVAL day)
+        returns ARRAY<DATE> (and has a 2-arg date form); DuckDB's
+        generate_series over dates requires the 3-arg INTERVAL form and
+        returns TIMESTAMP[] (and the 2-arg date form does not bind).
+        Twinned day spines must cast the DuckDB side back to DATE (the
+        shipping day-spine oracles do).
+
+    CLEAN classes pinned: inclusive bounds on both ([1,5] has 5
+    elements, [1,1] has 1); explicit negative step agrees; month
+    stepping over dates agrees (clamp-free anchors)."""
+    import duckdb as _duck
+    import pytest as _pt
+    from pyspark.errors.exceptions.base import PySparkException
+
+    con = _duck.connect()
+
+    # descending auto-step: full array vs empty
+    assert spark.sql("SELECT sequence(5,1)").first()[0] == [5, 4, 3, 2, 1]
+    assert con.execute("SELECT generate_series(5,1)").fetchone()[0] == []
+
+    # zero step: loud vs silent-empty
+    with _pt.raises(PySparkException):
+        spark.sql("SELECT sequence(1,5,0)").collect()
+    assert con.execute("SELECT generate_series(1,5,0)").fetchone()[0] == []
+
+    # date series typing: ARRAY<DATE> vs TIMESTAMP[] (+ 2-arg binding)
+    s_df = spark.sql(
+        "SELECT sequence(DATE'2024-01-01', DATE'2024-01-07', interval 3 day) AS s"
+    )
+    assert s_df.schema["s"].dataType.simpleString() == "array<date>"
+    assert con.execute(
+        "SELECT typeof(generate_series(DATE '2024-01-01', DATE '2024-01-07',"
+        " INTERVAL 3 DAY))"
+    ).fetchone()[0] == "TIMESTAMP[]"
+    assert spark.sql(
+        "SELECT size(sequence(DATE'2024-01-01', DATE'2024-01-03'))"
+    ).first()[0] == 3
+    with _pt.raises(_duck.BinderException):
+        con.execute(
+            "SELECT generate_series(DATE '2024-01-01', DATE '2024-01-03')"
+        ).fetchall()
+
+    # clean: inclusive bounds, explicit negative step, month stepping
+    assert (
+        spark.sql("SELECT sequence(1,5)").first()[0]
+        == con.execute("SELECT generate_series(1,5)").fetchone()[0]
+        == [1, 2, 3, 4, 5]
+    )
+    assert (
+        spark.sql("SELECT sequence(1,1)").first()[0]
+        == con.execute("SELECT generate_series(1,1)").fetchone()[0]
+        == [1]
+    )
+    assert (
+        spark.sql("SELECT sequence(5,1,-2)").first()[0]
+        == con.execute("SELECT generate_series(5,1,-2)").fetchone()[0]
+        == [5, 3, 1]
+    )
+    s_months = spark.sql(
+        "SELECT sequence(DATE'2024-01-01', DATE'2024-03-01', interval 1 month)"
+    ).first()[0]
+    d_months = con.execute(
+        "SELECT generate_series(DATE '2024-01-01', DATE '2024-03-01',"
+        " INTERVAL 1 MONTH)"
+    ).fetchone()[0]
+    assert [str(x) for x in s_months] == [str(x.date()) for x in d_months]
