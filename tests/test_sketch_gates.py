@@ -4369,3 +4369,125 @@ def test_sequence_generate_series_boundary_splits_pinned(spark):
         " INTERVAL 1 MONTH)"
     ).fetchone()[0]
     assert [str(x) for x in s_months] == [str(x.date()) for x in d_months]
+
+
+def test_log_mod_sign_week_personalities_pinned(spark):
+    """Round-13 wave-3 probe: math/date scalar personalities. Splits:
+
+      * 1-ARG LOG NAME COLLISION: Spark ``log(x)`` is the NATURAL log
+        (log(100) = 4.605...); DuckDB ``log(x)`` is BASE-10 (= 2.0) — a
+        silent ~2.3x factor on any twinned 1-arg LOG. Banned spelling;
+        write LN / LOG10 / LOG2 explicitly (the one shipping twinned
+        log, q42's price_ln, already spells F.log <-> LN). The 2-ARG
+        form is CLEAN: both engines read log(base, x) base-first.
+      * FMOD NAME TRAP: DuckDB ``fmod(-7.5, 2)`` = 0.5 is the FLOOR-mod
+        — it equals Spark's ``pmod``, NOT Spark's ``mod``/%. The
+        operator ``%`` itself agrees on doubles (dividend sign, -1.5
+        both) — twins must spell %, never the fmod/pmod names.
+      * SIGN: Spark returns DOUBLE preserving -0.0 and NaN (sign(-0.0)
+        = -0.0, sign(NaN) = NaN); DuckDB returns TINYINT 0 for both —
+        type AND value split on the IEEE edge cases. No shipping twin
+        uses sign; pinned as a banned-unless-guarded personality.
+      * CEIL/FLOOR RESULT TYPE: Spark returns BIGINT; DuckDB returns
+        the input's family (DOUBLE in, DOUBLE out). Values agree on
+        half-integers (ceil(-2.5) = -2, floor(-2.5) = -3 both); every
+        shipping twin casts the DuckDB side to BIGINT (scalars q41's
+        price_floor/price_ceil, the EPOCH() idiom).
+      * DATE_TRUNC('week') TYPE: both truncate to MONDAY (value-clean,
+        Sunday 2026-08-16 -> 08-10, Monday 08-17 fixed), but Spark
+        returns TIMESTAMP and DuckDB DATE — a twinned week-trunc must
+        cast (same nuance as month arithmetic, pinned clean there).
+
+    CLEAN classes pinned: 2-arg log base-first on both; ln/log10/log2;
+    weekofyear is ISO on both (2026-01-01 -> 1, 2027-01-01 -> 53);
+    Spark extract(YEAROFWEEK) == DuckDB isoyear (2027-01-01 -> 2026);
+    dayofyear; pow(0,0) = 1; exp/pow overflow to +inf SILENTLY on both
+    (contrast: the LN/SQRT domain class raises on DuckDB — §2b); atan2
+    is (y, x) on both."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+
+    # 1-arg log: ln vs log10
+    s = spark.sql("SELECT log(100.0D)").first()[0]
+    d = con.execute("SELECT log(100.0::DOUBLE)").fetchone()[0]
+    assert abs(s - 4.605170185988092) < 1e-12 and d == 2.0, "log collision — revisit"
+    # 2-arg log is base-first on both; named logs agree
+    for s_sql, d_sql, want in [
+        ("SELECT log(2, 8.0D)", "SELECT log(2, 8.0::DOUBLE)", 3.0),
+        ("SELECT ln(8.0D)", "SELECT ln(8.0::DOUBLE)", 2.0794415416798357),
+        ("SELECT log10(100.0D)", "SELECT log10(100.0::DOUBLE)", 2.0),
+        ("SELECT log2(8.0D)", "SELECT log2(8.0::DOUBLE)", 3.0),
+    ]:
+        assert spark.sql(s_sql).first()[0] == con.execute(d_sql).fetchone()[0] == want
+
+    # fmod name trap: duck fmod == spark pmod; % agrees
+    assert con.execute("SELECT fmod(-7.5::DOUBLE, 2.0::DOUBLE)").fetchone()[0] == 0.5
+    assert spark.sql("SELECT pmod(-7.5D, 2.0D)").first()[0] == 0.5
+    assert (
+        spark.sql("SELECT -7.5D % 2.0D").first()[0]
+        == con.execute("SELECT -7.5::DOUBLE % 2.0::DOUBLE").fetchone()[0]
+        == -1.5
+    )
+
+    # sign: double-preserving vs TINYINT-flattening
+    import math as _math
+
+    s = spark.sql("SELECT sign(double('nan')), sign(-0.0D)").first()
+    assert _math.isnan(s[0]) and _math.copysign(1.0, s[1]) == -1.0
+    d = con.execute(
+        "SELECT sign('nan'::DOUBLE), sign(-0.0::DOUBLE),"
+        " typeof(sign(-0.0::DOUBLE))"
+    ).fetchone()
+    assert d == (0, 0, "TINYINT")
+
+    # ceil/floor: values agree, types split (BIGINT vs input family)
+    s_df = spark.sql("SELECT ceil(-2.5D) AS c, floor(-2.5D) AS f")
+    assert tuple(s_df.first()) == (-2, -3)
+    assert [f.dataType.simpleString() for f in s_df.schema.fields] == [
+        "bigint",
+        "bigint",
+    ]
+    d = con.execute(
+        "SELECT ceil(-2.5::DOUBLE), floor(-2.5::DOUBLE),"
+        " typeof(ceil(-2.5::DOUBLE))"
+    ).fetchone()
+    assert d == (-2.0, -3.0, "DOUBLE")
+
+    # date_trunc('week'): Monday on both, TIMESTAMP vs DATE type
+    s_df = spark.sql("SELECT date_trunc('week', DATE '2026-08-16') AS w")
+    assert str(s_df.first()[0]) == "2026-08-10 00:00:00"
+    assert s_df.schema["w"].dataType.simpleString() == "timestamp"
+    d = con.execute(
+        "SELECT date_trunc('week', DATE '2026-08-16'),"
+        " typeof(date_trunc('week', DATE '2026-08-16'))"
+    ).fetchone()
+    assert str(d[0]) == "2026-08-10" and d[1] == "DATE"
+
+    # clean: ISO week fields, dayofyear, pow(0,0), silent inf overflow, atan2
+    for s_sql, d_sql, want in [
+        (
+            "SELECT weekofyear(DATE '2027-01-01')",
+            "SELECT weekofyear(DATE '2027-01-01')",
+            53,
+        ),
+        (
+            "SELECT extract(yearofweek FROM DATE '2027-01-01')",
+            "SELECT isoyear(DATE '2027-01-01')",
+            2026,
+        ),
+        (
+            "SELECT dayofyear(DATE '2026-03-01')",
+            "SELECT dayofyear(DATE '2026-03-01')",
+            60,
+        ),
+        ("SELECT pow(0.0D, 0.0D)", "SELECT pow(0.0::DOUBLE, 0.0::DOUBLE)", 1.0),
+        (
+            "SELECT atan2(0.0D, -1.0D)",
+            "SELECT atan2(0.0::DOUBLE, -1.0::DOUBLE)",
+            3.141592653589793,
+        ),
+    ]:
+        assert spark.sql(s_sql).first()[0] == con.execute(d_sql).fetchone()[0] == want
+    assert spark.sql("SELECT exp(710.0D)").first()[0] == float("inf")
+    assert con.execute("SELECT exp(710.0::DOUBLE)").fetchone()[0] == float("inf")
