@@ -4491,3 +4491,93 @@ def test_log_mod_sign_week_personalities_pinned(spark):
         assert spark.sql(s_sql).first()[0] == con.execute(d_sql).fetchone()[0] == want
     assert spark.sql("SELECT exp(710.0D)").first()[0] == float("inf")
     assert con.execute("SELECT exp(710.0::DOUBLE)").fetchone()[0] == float("inf")
+
+
+def test_bitwise_shift_and_caret_personalities_pinned(spark):
+    """Round-13 wave-4 probe: bitwise personalities under the SimHash /
+    packed-pair-key machinery (llm_dedup twins shiftleft/shiftright/&/
+    bit_count with DuckDB <</>>/&/BIT_COUNT and Spark ^ with DuckDB
+    XOR()). Splits:
+
+      * THE CARET OPERATOR COLLIDES: ``5 ^ 3`` is bitwise XOR on Spark
+        (6, BIGINT) and EXPONENTIATION on DuckDB (125.0, DOUBLE) — a
+        silent value-and-type split on any shared-SQL caret. Banned in
+        twinned spellings: Spark side may use ^ / bitwiseXOR, the
+        DuckDB side must spell XOR(a, b) (llm_dedup's hamming oracle
+        already does).
+      * LEFT-SHIFT EDGES ARE SILENT-WRAP VS LOUD: Spark shiftleft
+        wraps the count mod 64 (1L<<64 = 1, 1L<<65 = 2, count -1 ==
+        count 63) and overflows into/past the sign bit silently
+        (1L<<63 = 2L<<62 = Long.MIN_VALUE); DuckDB raises Out of Range
+        on count >= 64, on negative counts, AND on sign-bit overflow
+        (1::BIGINT << 63 errors). Declared domain for twinned shifts:
+        count a constant in [0, 62] and the shifted value provably
+        clear of the sign bit — the shipping uses are SIM_BITS-1 = 59
+        band shifts and 32-bit id packing (max bit 62), swept.
+      * BIT_COUNT WIDTH SENSITIVITY: over a NEGATIVE 32-bit INT, Spark
+        widens to BIGINT first (bit_count(-1 INT) = 64) while DuckDB
+        counts at the input width (= 32). Agrees on nonnegative values
+        of any width (high bits zero) — the shipping bit_count rides
+        XOR of two nonnegative 60-bit signatures, always nonnegative.
+
+    CLEAN classes pinned: >> is the ARITHMETIC shift on both (-8 >> 1
+    = -4, -1 >> 63 = -1 — why packed pair keys must stay nonnegative,
+    llm_dedup.py's shiftrightunsigned note; shiftrightunsigned itself
+    is Spark-only, no DuckDB twin); & and unary ~ agree; XOR spelled
+    as Spark ^ == DuckDB XOR() on BIGINT."""
+    import duckdb as _duck
+    import pytest as _pt
+    from pyspark.errors.exceptions.base import PySparkException  # noqa: F401
+
+    con = _duck.connect()
+
+    # caret collision: XOR vs POWER
+    s_df = spark.sql("SELECT 5L ^ 3L AS x")
+    assert s_df.first()[0] == 6
+    assert s_df.schema["x"].dataType.simpleString() == "bigint"
+    d = con.execute("SELECT 5::BIGINT ^ 3::BIGINT, typeof(5 ^ 3)").fetchone()
+    assert d == (125.0, "DOUBLE"), "caret semantics changed — revisit"
+
+    # left-shift edges: silent wrap vs loud out-of-range
+    assert spark.sql("SELECT shiftleft(1L, 64)").first()[0] == 1
+    assert spark.sql("SELECT shiftleft(1L, 65)").first()[0] == 2
+    assert spark.sql("SELECT shiftleft(1L, -1)").first()[0] == -(2**63)
+    assert spark.sql("SELECT shiftleft(1L, 63)").first()[0] == -(2**63)
+    assert spark.sql("SELECT shiftleft(2L, 62)").first()[0] == -(2**63)
+    for bad in ["1::BIGINT << 64", "1::BIGINT << -1", "1::BIGINT << 63"]:
+        with _pt.raises(_duck.OutOfRangeException):
+            con.execute(f"SELECT {bad}").fetchall()
+    # in-domain agreement at the shipping maximum (bit 62)
+    assert (
+        spark.sql("SELECT shiftleft(1L, 62)").first()[0]
+        == con.execute("SELECT 1::BIGINT << 62").fetchone()[0]
+        == 2**62
+    )
+
+    # bit_count width: negative INT widens on Spark, not on DuckDB
+    assert spark.sql("SELECT bit_count(CAST(-1 AS INT))").first()[0] == 64
+    assert con.execute("SELECT bit_count((-1)::INT)").fetchone()[0] == 32
+    # ...and agrees on nonnegative values and on BIGINT
+    assert (
+        spark.sql("SELECT bit_count(-1L)").first()[0]
+        == con.execute("SELECT bit_count(-1::BIGINT)").fetchone()[0]
+        == 64
+    )
+    assert (
+        spark.sql("SELECT bit_count(CAST(1048575 AS INT))").first()[0]
+        == con.execute("SELECT bit_count(1048575::INT)").fetchone()[0]
+        == 20
+    )
+
+    # clean: arithmetic >>, &, ~, XOR under the twinned spelling
+    for s_sql, d_sql, want in [
+        ("SELECT shiftright(-8L, 1)", "SELECT -8::BIGINT >> 1", -4),
+        ("SELECT shiftright(-1L, 63)", "SELECT (-1)::BIGINT >> 63", -1),
+        ("SELECT 5L & -1L", "SELECT 5::BIGINT & -1::BIGINT", 5),
+        ("SELECT ~5L", "SELECT ~5::BIGINT", -6),
+        ("SELECT 5L ^ 3L", "SELECT xor(5::BIGINT, 3::BIGINT)", 6),
+    ]:
+        assert spark.sql(s_sql).first()[0] == con.execute(d_sql).fetchone()[0] == want
+    # shiftrightunsigned exists only on Spark (logical shift); the packed
+    # pair key stays nonnegative by construction so >> twins suffice
+    assert spark.sql("SELECT shiftrightunsigned(-8L, 1)").first()[0] == 2**63 - 4
