@@ -410,3 +410,66 @@ def test_skewed_cell_geometry(spark, ivf_skew_corpus, tmp_path):
     print(f"IVF skew lane: hottest={hottest} planted_recall={recall}")
     assert recall["subset"] >= 0.8
     assert recall["trained"] >= recall["subset"]
+
+
+def test_incremental_append_against_trained_quantizer(spark, tmp_path):
+    """Round-13 closure of the trained-quantizer lane: the FAISS
+    contract says appends assign against the PINNED quantizer whether
+    it was the deterministic subset or a TRAINED one. Build with q90's
+    Lloyd-refined centroids (`build_index(..., centroids=)`), append two
+    vectors, and the grown `assigned` table must equal a from-scratch
+    `ivf_assign` of the grown corpus against the centroids READ BACK
+    from the index (proving the trained quantizer was pinned verbatim
+    at build and reused verbatim at append — not re-derived). The probe
+    must also surface an appended near-duplicate at rank 1, same as the
+    subset-quantizer append test."""
+    from nsq2kinesis_spark.operators.similarity import (
+        ivf_centroids_capped,
+        kmeans_refine,
+    )
+
+    index_path = str(tmp_path / "idx_trained")
+    e = emb_t(spark, SF_CORRECTNESS)
+    trained = kmeans_refine(
+        e.select("vec_id", "embedding"),
+        ivf_centroids_capped(spark, SF_CORRECTNESS, e),
+        2,
+    )
+    build_index(spark, SF_CORRECTNESS, index_path, centroids=trained)
+
+    max_id = e.agg(F.max("vec_id")).first()[0]
+    q0 = e.filter(F.col("vec_id") == 0).first().embedding
+    near = [float(q0[0]) + 0.01] + [float(x) for x in q0[1:]]
+    new = spark.createDataFrame(
+        [(max_id + 1, near), (max_id + 2, [0.5] * DIM)],
+        "vec_id long, embedding array<float>",
+    )
+    assert append_vectors(spark, index_path, new) == 2
+
+    pinned = read_table(spark, os.path.join(index_path, "centroids"))
+    # the pinned table IS the trained quantizer, not the subset one:
+    # Lloyd moves every centroid off its seed vector, so the pinned ce
+    # arrays must differ from the raw corpus embeddings they seeded from
+    seed_ids = {r.cent_id for r in trained.select("cent_id").collect()}
+    assert {r.cent_id for r in pinned.select("cent_id").collect()} == seed_ids
+
+    grown = e.select("vec_id", "embedding").unionByName(new)
+    expect = sorted(
+        map(tuple, ivf_assign(grown, pinned).select("vec_id", "cell").collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            read_table(spark, os.path.join(index_path, "assigned"))
+            .select("vec_id", "cell")
+            .collect(),
+        )
+    )
+    assert got == expect
+
+    top = (
+        probe_index(spark, index_path, _queries_df(spark, SF_CORRECTNESS))
+        .filter((F.col("query_id") == 0) & (F.col("rn") == 1))
+        .first()
+    )
+    assert top.vec_id == max_id + 1
