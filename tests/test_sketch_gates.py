@@ -4581,3 +4581,94 @@ def test_bitwise_shift_and_caret_personalities_pinned(spark):
     # shiftrightunsigned exists only on Spark (logical shift); the packed
     # pair key stays nonnegative by construction so >> twins suffice
     assert spark.sql("SELECT shiftrightunsigned(-8L, 1)").first()[0] == 2**63 - 4
+
+
+def test_implicit_coercion_personalities_pinned(spark):
+    """Round-13 wave-5 probe: implicit type-coercion personalities —
+    the family an oracle author hits by OMITTING a cast. Splits:
+
+      * STRING-vs-INT EQUALITY COERCES IN DIFFERENT FAMILIES: DuckDB
+        resolves '5.0' = 5 through the numeric family (TRUE); Spark-ANSI
+        casts the string to the integer side's type and RAISES
+        CAST_INVALID_INPUT on '5.0' (not a BIGINT literal). A fractional
+        string against an integer column is loud on one engine and
+        silently TRUE on the other. Declared contract: never compare
+        strings to numbers in twinned code — cast explicitly (the
+        strict-digit TRANSLATE guard is the worked idiom).
+      * UNION BRANCH COERCION INVERTS DIRECTION: int UNION ALL string
+        resolves to VARCHAR on DuckDB ('1','2' — lexicographic order,
+        '10' < '2') but BIGINT on Spark (1, 2 — numeric order). A
+        heterogeneous UNION silently flips both values' types and sort
+        order. Banned: every twinned UNION branch must project
+        identically-typed columns (the oracle type-fidelity sweep in
+        test_oracle_parity.py enforces the OUTPUT types; this pin covers
+        the intermediate-CTE hazard).
+      * GREATEST/LEAST MIXED TYPES: DuckDB coerces (greatest(1,'2') =
+        2); Spark raises DATATYPE_MISMATCH — loud-vs-silent again.
+
+    CLEAN classes pinned: integer-grammar strings compare numerically on
+    both ('5' = 5, '05' = 5, ' 5 ' = 5 — trimmed, zero-tolerant); 5 <
+    '10' is numeric on both (never lexicographic); date-vs-string
+    comparison parses the literal on both; non-numeric strings against
+    numbers RAISE on both ('abc' = 5, '' = 0 — empty string is NOT 0);
+    concat('a', 5) stringifies on both; 'true' = true parses on both."""
+    import duckdb as _duck
+    import pytest as _pt
+    from pyspark.errors.exceptions.base import PySparkException
+
+    con = _duck.connect()
+
+    # '5.0' = 5: silent TRUE vs loud ANSI cast failure
+    assert con.execute("SELECT '5.0' = 5").fetchone()[0] is True
+    with _pt.raises(PySparkException):
+        spark.sql("SELECT '5.0' = 5").collect()
+
+    # UNION coercion direction: VARCHAR vs BIGINT
+    assert (
+        con.execute(
+            "SELECT typeof(x) FROM (SELECT 1 AS x UNION ALL SELECT '2') t LIMIT 1"
+        ).fetchone()[0]
+        == "VARCHAR"
+    )
+    s_df = spark.sql("SELECT x FROM (SELECT 1 AS x UNION ALL SELECT '2') t")
+    assert s_df.schema["x"].dataType.simpleString() == "bigint"
+    # ...and the silent order inversion that follows ('10' vs 2)
+    d_order = [
+        r[0]
+        for r in con.execute(
+            "SELECT x FROM (SELECT 10 AS x UNION ALL SELECT '2') t ORDER BY x"
+        ).fetchall()
+    ]
+    s_order = [
+        r[0]
+        for r in spark.sql(
+            "SELECT x FROM (SELECT 10 AS x UNION ALL SELECT '2') t ORDER BY x"
+        ).collect()
+    ]
+    assert d_order == ["10", "2"] and s_order == [2, 10]
+
+    # greatest over mixed types: silent coercion vs loud mismatch
+    assert con.execute("SELECT greatest(1, '2')").fetchone()[0] == 2
+    with _pt.raises(Exception):
+        spark.sql("SELECT greatest(1, '2')").collect()
+
+    # clean classes
+    for s_sql, d_sql, want in [
+        ("SELECT '5' = 5", "SELECT '5' = 5", True),
+        ("SELECT '05' = 5", "SELECT '05' = 5", True),
+        ("SELECT ' 5 ' = 5", "SELECT ' 5 ' = 5", True),
+        ("SELECT 5 < '10'", "SELECT 5 < '10'", True),
+        (
+            "SELECT DATE '2024-01-02' < '2024-01-03'",
+            "SELECT DATE '2024-01-02' < '2024-01-03'",
+            True,
+        ),
+        ("SELECT concat('a', 5)", "SELECT concat('a', 5)", "a5"),
+        ("SELECT 'true' = true", "SELECT 'true' = true", True),
+    ]:
+        assert spark.sql(s_sql).first()[0] == con.execute(d_sql).fetchone()[0] == want
+    for bad in ["'abc' = 5", "'' = 0"]:
+        with _pt.raises(PySparkException):
+            spark.sql(f"SELECT {bad}").collect()
+        with _pt.raises(_duck.ConversionException):
+            con.execute(f"SELECT {bad}").fetchall()
