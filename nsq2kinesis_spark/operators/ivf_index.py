@@ -59,6 +59,7 @@ maintain-beside-the-stream ops loop (reference main.go:110-120).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -117,6 +118,13 @@ def _write_ranged(df: DataFrame, table_path: str, n_files: int) -> tuple[int, in
         .parquet(staging)
     )
     rows = sum(_footer_rows(f) for f in _data_files(staging))
+    if rows == 0:
+        # Empty plan (e.g. an empty append batch): Spark still wrote a
+        # schema-only zero-row part file; committing it would accumulate
+        # junk files in the versioned table until compaction (r13
+        # ADVICE). Drop the staging dir and commit nothing.
+        shutil.rmtree(staging, ignore_errors=True)
+        return 0, 0
     return append_staged(table_path, staging), rows
 
 

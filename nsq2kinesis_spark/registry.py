@@ -103,106 +103,52 @@ def load_all_modules() -> None:
 # set: the r10 verdict caught the written r11 plan silently dropping
 # q14/q15/q17 from the ceiling, exactly the drift a prose list invites.
 #
-# ROUND-13 ORDER (this round — executes the r12 plan mechanically; ceiling
+# ROUND-14 ORDER (this round — executes the r13 plan mechanically; ceiling
 # derived from tools/rotation_state.json regenerated after
-# CORRECTNESS_r12.json landed, as_of_round=12):
-#   1. rule 1 ledger opened EMPTY (every r12 change — q82's capped
-#      quantizer — sat inside the r12 prefix and got its fresh row).
-#      Ledger maintained in NOTES_r13.md; any query whose code/oracle
+# CORRECTNESS_r13.json landed, as_of_round=13):
+#   1. rule 1 ledger opened EMPTY (every r13 change — q90's kmeans_refine
+#      extraction — sat inside the r13 prefix and got its fresh row).
+#      Ledger maintained in NOTES_r14.md; any query whose code/oracle
 #      changes this round after its latest driver row gets promoted to
 #      the head, displacing the last fill entry post-boundary.
-#   2. rule 2 ceiling — MECHANICAL, 22 queries whose latest green rows
-#      date to r10 (rotation_state.json: latest_row == 10): q41, q43,
-#      q90, q98, q131, q85, q115, q124, q11, q12, q66, q01-q10, q13.
-#      All 22 take prefix slots in their r12 post-boundary order; their
-#      rows turn 3 rounds old this round. (The r12 plan's prose said
-#      "21" — the mechanical derivation says 22; the ledger wins, which
-#      is the whole point of deriving instead of transcribing.)
-#   3. the remaining 28 slots refresh the oldest r11-row queries in
-#      their r11 order: q44, q45, q123, q72, q97, q42, q84, q102, q40,
-#      q46, q14, q15, q17, q83, q87, q110, q112, q113, q106, q34, q35,
-#      q60, q101, q103, q105, q107, q109, q114 — 22 + 28 = 50 exactly.
+#   2. rule 2 ceiling — MECHANICAL, 21 queries whose latest green rows
+#      date to r11 (rotation_state.json: latest_row == 11):
+#      q117, q119, q120, q121, q122, q125, q127, q128, q129, q81,
+#      q130, q133, q134, q135, q136, q139, q31, q32, q50, q51,
+#      q52
+#      All 21 take prefix slots; their rows turn 3 rounds old this round.
+#   3. the remaining 29 slots refresh the oldest r12-row queries in
+#      their r12 order:
+#      q82, q54, q61, q62, q70, q73, q74, q91, q92, q93,
+#      q140, q126, q138, q75, q132, q63, q88, q80, q111, q18,
+#      q19, q30, q33, q64, q65, q71, q79, q86, q94
+#      — 21 + 29 = 50 exactly.
 #   ---- 50-query prefix boundary ----
-#   4. the rest of the r11-row block (q117, q119, q120, q121, q122,
-#      q125, q127, q128, q129, q81, q130, q133, q134, q135, q136,
-#      q139, q31, q32, q50, q51, q52) ages to r14 under rule 2, backed
-#      by this round's green 3-SF parity sweep; it leads the
-#      post-boundary tail so it fronts the r14 prefix (the rule-2
-#      ceiling there);
-#   5. the queries with fresh r12 rows, in their r12 order;
+#   4. the rest of the r12-row block ages to r15 under rule 2, backed by
+#      the local 3-SF parity sweep; it leads the post-boundary tail so
+#      it fronts the r15 prefix (the rule-2 ceiling there):
+#      q95, q96, q118, q89, q53, q99, q100, q104, q108, q77,
+#      q78, q20, q21, q22, q23, q24, q25, q26, q27, q28,
+#      q29
+#   5. the queries with fresh r13 rows, in their r13 order;
 #   6. permanent tail (rule 3): q16, q76, q116, q137, q141, q142.
 #
-# ROUND-14 ROTATION PLAN (derive, don't transcribe):
-#   a. any query whose code/oracle changes in round 13 AFTER its latest
-#      driver row leads (rule 1) — ledger maintained in NOTES_r13.md;
+# ROUND-15 ROTATION PLAN (derive, don't transcribe):
+#   a. any query whose code/oracle changes in round 14 AFTER its latest
+#      driver row leads (rule 1) — ledger maintained in NOTES_r14.md;
 #   b. the rule-2 ceiling is whatever `tools/rotation_state.py` reports
-#      as latest_row == 11 after the r13 CORRECTNESS file lands
-#      (expected: the 21 post-boundary r11-row queries of item 4 above);
-#   c. the remaining ~29 slots refresh the oldest r12-row queries in
+#      as latest_row <= 12 after the r14 CORRECTNESS file lands
+#      (expected: the 21 post-boundary r12-row queries of item 4 above);
+#   c. the remaining ~29 slots refresh the oldest r13-row queries in
 #      their listed order. `tools/rotation_state.py --plan` prints this
 #      derivation mechanically.
 VERIFY_ORDER: tuple[str, ...] = (
     # -- rule 1: (empty this round — no query code changed after its
-    # -- latest driver row when the rotation was written; NOTES_r13.md
+    # -- latest driver row when the rotation was written; NOTES_r14.md
     # -- carries the in-round ledger) --
-    # -- rule 2 ceiling: r10-row untouched queries — rows turn 3 rounds
-    # -- old this round, so ALL 22 take prefix slots (set derived from
+    # -- rule 2 ceiling: r11-row untouched queries — rows turn 3 rounds
+    # -- old this round, so ALL 21 take prefix slots (set derived from
     # -- tools/rotation_state.json; asserted by test_contract.py) --
-    "q41_date_battery",
-    "q43_conditional_battery",
-    "q90_kmeans_train",
-    "q98_srp_lsh_pairs",
-    "q131_hard_negatives",
-    "q85_train_split",
-    "q115_dataset_mixture",
-    "q124_dataset_mixture_hash",
-    "q11_rollup",
-    "q12_cube",
-    "q66_time_rollup",
-    "q01_pricing_summary",
-    "q02_project_compute",
-    "q03_filter_battery",
-    "q04_sort_limit",
-    "q05_union_all",
-    "q06_intersect",
-    "q07_except",
-    "q08_distinct",
-    "q09_set_ops_all",
-    "q10_agg_global",
-    "q13_grouping_sets",
-    # -- rule 2 fill: oldest r11-row queries, least-recently-verified
-    # -- first (their r11 order) --
-    "q44_json_battery",
-    "q45_array_battery",
-    "q123_dq_report",
-    "q72_fingerprint",
-    "q97_corpus_build",
-    "q42_math_battery",
-    "q84_stratified_sample",
-    "q102_incremental_dedup",
-    "q40_string_battery",
-    "q46_hash_battery",
-    "q14_collect_pack",
-    "q15_pivot",
-    "q17_percentiles",
-    "q83_decontamination",
-    "q87_repetition",
-    "q110_pii_redaction",
-    "q112_cooccurrence_lift",
-    "q113_length_buckets",
-    "q106_user_similarity",
-    "q34_window_distribution",
-    "q35_window_range_frame",
-    "q60_dedup_exact",
-    "q101_event_funnel",
-    "q103_gaps_islands",
-    "q105_scalar_subquery",
-    "q107_event_paths",
-    "q109_retention_cohorts",
-    "q114_daily_anomalies",
-    # ---- 50-query prefix boundary (driver budget) ----
-    # -- rest of the r11-row block: ages to r14 under rule 2 (3-SF
-    # -- parity sweep green this round); fronts the r14 prefix --
     "q117_scd2_intervals",
     "q119_daily_trend",
     "q120_volume_gini",
@@ -224,7 +170,8 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q50_pandas_udf_tokenize",
     "q51_apply_in_pandas_median",
     "q52_udtf_bigrams",
-    # -- fresh round-12 rows, untouched since, in their r12 order --
+    # -- rule 2 fill: oldest r12-row queries, least-recently-verified
+    # -- first (their r12 order) --
     "q82_ann_ivf",
     "q54_multimodal_decode",
     "q61_tumbling_window",
@@ -254,6 +201,9 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q79_vocab_topk",
     "q86_sequence_packing",
     "q94_range_join_binned",
+    # ---- 50-query prefix boundary (driver budget) ----
+    # -- rest of the r12-row block: ages to r15 under rule 2 (3-SF
+    # -- parity sweep green); fronts the r15 prefix --
     "q95_zorder_key",
     "q96_heavy_hitters_mg",
     "q118_fuzzy_match",
@@ -275,6 +225,57 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q27_join_theta",
     "q28_join_asof",
     "q29_exists_subquery",
+    # -- fresh round-13 rows, untouched since, in their r13 order --
+    "q41_date_battery",
+    "q43_conditional_battery",
+    "q90_kmeans_train",
+    "q98_srp_lsh_pairs",
+    "q131_hard_negatives",
+    "q85_train_split",
+    "q115_dataset_mixture",
+    "q124_dataset_mixture_hash",
+    "q11_rollup",
+    "q12_cube",
+    "q66_time_rollup",
+    "q01_pricing_summary",
+    "q02_project_compute",
+    "q03_filter_battery",
+    "q04_sort_limit",
+    "q05_union_all",
+    "q06_intersect",
+    "q07_except",
+    "q08_distinct",
+    "q09_set_ops_all",
+    "q10_agg_global",
+    "q13_grouping_sets",
+    "q44_json_battery",
+    "q45_array_battery",
+    "q123_dq_report",
+    "q72_fingerprint",
+    "q97_corpus_build",
+    "q42_math_battery",
+    "q84_stratified_sample",
+    "q102_incremental_dedup",
+    "q40_string_battery",
+    "q46_hash_battery",
+    "q14_collect_pack",
+    "q15_pivot",
+    "q17_percentiles",
+    "q83_decontamination",
+    "q87_repetition",
+    "q110_pii_redaction",
+    "q112_cooccurrence_lift",
+    "q113_length_buckets",
+    "q106_user_similarity",
+    "q34_window_distribution",
+    "q35_window_range_frame",
+    "q60_dedup_exact",
+    "q101_event_funnel",
+    "q103_gaps_islands",
+    "q105_scalar_subquery",
+    "q107_event_paths",
+    "q109_retention_cohorts",
+    "q114_daily_anomalies",
     # -- rule 3: rows-only by design — permanent tail, never a prefix
     # -- slot (accuracy gates live in tests/test_sketch_gates.py and
     # -- tests/test_llm_dedup.py) --

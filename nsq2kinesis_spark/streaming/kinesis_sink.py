@@ -115,7 +115,7 @@ class ThrottlingSpoolingClient(SpoolingKinesisClient):
     partial-failure soak: the reference's backoff was an open TODO
     (reference TODO.md:7, kinesis_writer.go:101-104); this engine's
     per-slot selective retry + two-regime backoff claims to absorb
-    sustained 30-50%% per-call throttling without batch replays, and the
+    sustained 30-50% per-call throttling without batch replays, and the
     soak measures it (tests/test_streaming.py)."""
 
     capacity: int = MAX_RECORDS_PER_CALL

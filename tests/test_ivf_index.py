@@ -473,3 +473,37 @@ def test_incremental_append_against_trained_quantizer(spark, tmp_path):
         .first()
     )
     assert top.vec_id == max_id + 1
+
+
+def test_empty_append_commits_nothing(spark, tmp_path):
+    """r13 ADVICE: an EMPTY vectors DataFrame must be a no-op — Spark
+    writes a schema-only zero-row part file for an empty plan, and
+    committing it would accumulate junk part files in the versioned
+    `assigned` table on every empty micro-batch until compaction."""
+    index_path = str(tmp_path / "idx")
+    build_index(spark, SF_CORRECTNESS, index_path)
+    apath = os.path.join(index_path, "assigned")
+
+    def data_files():
+        from nsq2kinesis_spark.versioned_table import (
+            _data_files,
+            resolve_data_dir,
+        )
+
+        return sorted(_data_files(resolve_data_dir(apath)))
+
+    import glob as _glob
+
+    def staging_dirs():
+        return sorted(_glob.glob(os.path.join(apath, "_staging-*")))
+
+    before_files = data_files()
+    before_rows = read_table(spark, apath).count()
+    before_staging = staging_dirs()  # build's own (emptied) scratch dirs
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    for _ in range(3):  # repeated empty appends must stay a no-op
+        assert append_vectors(spark, index_path, empty) == 0
+    assert data_files() == before_files
+    assert read_table(spark, apath).count() == before_rows
+    # and the empty appends' staging dirs were removed, not leaked
+    assert staging_dirs() == before_staging, "empty-append staging leaked"

@@ -2124,8 +2124,10 @@ def test_sustained_partial_failure_soak(spark, tmp_path):
     * retry amplification stays at the throttle floor: failed-slot
       fraction in [0.30, 0.50] per the soak design, total slot-sends
       < 1.6x entries;
-    * latency does not GROW across the soak (no backlog accumulation):
-      max steady-state batch latency <= 3x the median."""
+    * no backlog accumulation: per-batch PutRecords call count is
+      CONSTANT across the soak (deterministic sink metric — the r13
+      ADVICE replaced the original 3x-median wall-clock assertion,
+      which a single GC/scheduler stall on a loaded host could flake)."""
     from nsq2kinesis_spark.streaming.kinesis_sink import ThrottlingSpoolingClient
 
     spool = tmp_path / "soak_spool"
@@ -2136,7 +2138,6 @@ def test_sustained_partial_failure_soak(spark, tmp_path):
     )
     n_batches, n_bodies, body_len = 20, 600, 5000
     expect: set[bytes] = set()
-    latency = []
     for epoch in range(n_batches):
         rows = []
         for i in range(n_bodies):
@@ -2144,9 +2145,7 @@ def test_sustained_partial_failure_soak(spark, tmp_path):
             rows.append((b,))
             expect.add(b)
         df = spark.createDataFrame(rows, "body binary").repartition(1)
-        t0 = time.perf_counter()
         sink(df, epoch)
-        latency.append(time.perf_counter() - t0)
 
     got: set[bytes] = set()
     for _pk, data in read_spool(str(spool)):
@@ -2163,10 +2162,13 @@ def test_sustained_partial_failure_soak(spark, tmp_path):
     assert all(m.n_retried > 0 for m in sink.metrics), "throttle never bit"
     assert 0.30 <= frac <= 0.50, frac
     assert amp < 1.6, amp
-    lat_sorted = sorted(latency)
-    median = lat_sorted[len(latency) // 2]
-    assert max(latency[5:]) <= 3 * median, (latency, median)
+    # Steady state, measured deterministically: identical batches against
+    # a capacity-model shard take an identical number of PutRecords calls
+    # — any backlog or retry-storm growth would inflate later batches'
+    # call counts.
+    calls = [m.n_calls for m in sink.metrics]
+    assert len(set(calls)) == 1, calls
     print(
         f"soak: {n_batches} batches x {n_bodies} bodies, failed-slot "
-        f"frac={frac:.2f}, amplification={amp:.2f}, median latency={median:.2f}s"
+        f"frac={frac:.2f}, amplification={amp:.2f}, calls/batch={calls[0]}"
     )

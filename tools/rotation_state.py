@@ -25,12 +25,17 @@ REPO = Path(__file__).resolve().parent.parent
 STATE_PATH = REPO / "tools" / "rotation_state.json"
 
 
-def compute_state() -> dict:
+def compute_state(max_round: int | None = None) -> dict:
     """latest driver-row round per query, from CORRECTNESS_r*.json.
 
     A row counts only if it verified green (rows/schema/hash all true for
     oracled queries; rows_match for rows-only ones) — a red or errored row
     is not evidence and must not reset the query's age.
+
+    `max_round` ignores driver files newer than that round — used by the
+    judging-time tripwire to check that a committed ledger was correct
+    as of its own as_of_round when exactly one newer round of driver
+    evidence has landed since the builder's last commit.
     """
     latest: dict[str, int] = {}
     rounds: list[int] = []
@@ -39,6 +44,8 @@ def compute_state() -> dict:
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         rounds.append(rnd)
         data = json.loads(p.read_text())
         for name, row in data.items():
@@ -88,7 +95,14 @@ def plan_prefix(state: dict, prefix_budget: int = 50) -> dict:
     latest = state["latest_row"]
     pos = {n: i for i, n in enumerate(VERIFY_ORDER)}
     oracled = [n for n in VERIFY_ORDER if n not in ROWS_ONLY]
-    ceiling = [n for n in oracled if latest.get(n) == executing_round - 3]
+    # Mandatory set: rows AT or PAST the 3-round ceiling, plus queries
+    # with no green row at all (r13 ADVICE: `== executing_round - 3`
+    # silently demoted an already-overage or never-verified query to
+    # truncatable fill — the exact invariant this tool exists to protect).
+    ceiling = [
+        n for n in oracled
+        if latest.get(n) is None or latest[n] <= executing_round - 3
+    ]
     rest = sorted(
         (n for n in oracled if n not in ceiling),
         key=lambda n: (latest.get(n, -1), pos[n]),
