@@ -778,6 +778,43 @@ Q106_DAY_BUCKETS = 8
 Q106_ENVELOPE = "widen"
 
 
+def user_day_profile(e: DataFrame) -> tuple[DataFrame, bool]:
+    """The (user_id, day, cents) sparse daily-activity index shared by the
+    exact operator (q106) and the ANN lane (ann_user_similarity): exact
+    integer cents per active day, with the envelope contract applied at
+    construction. Returns (uv, widen) — extracted verbatim from the q106
+    body in round 14 so both lanes consume the identical profile contract
+    (rounding, envelope guard) by construction, never by parallel copies
+    drifting."""
+    widen = Q106_ENVELOPE != "strict"
+    raw_cents = F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+    if widen:
+        cents = raw_cents
+    else:
+        cents = F.when(
+            F.abs(raw_cents) < F.lit(100_000_000), raw_cents
+        ).otherwise(
+            F.raise_error(
+                F.lit("q106 cents magnitude exceeds the int64-exactness envelope")
+            ).cast("long")
+        )
+    uv = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        cents.alias("cents")
+    )
+    return uv, widen
+
+
+def profile_norms(uv: DataFrame, widen: bool) -> DataFrame:
+    """Per-user squared norm of the daily profile, zero-norm users
+    EXCLUDED (the round-8 contract: a user whose every active day rounds
+    to 0 cents has no activity direction; cosine is undefined). Shared by
+    the exact and ANN lanes."""
+    nc = F.col("cents").cast("decimal(19,0)") if widen else F.col("cents")
+    return uv.groupBy("user_id").agg(F.sum(nc * nc).alias("nrm")).filter(
+        F.col("nrm") > 0
+    )
+
+
 def salted_day_dots(uv: DataFrame, widen: bool) -> DataFrame:
     """The (user, day, cents) inverted-index self-join, salted for hot days.
 
@@ -907,31 +944,11 @@ def q106_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
       oracle is untouched because the result set is provably identical;
     - top-k per user via the rank-filter idiom (WindowGroupLimit)."""
     e = t(spark, sf_dir, "events")
-    widen = Q106_ENVELOPE != "strict"
-    raw_cents = F.sum(F.round(F.col("value") * 100, 0).cast("long"))
-    if widen:
-        cents = raw_cents
-    else:
-        cents = F.when(
-            F.abs(raw_cents) < F.lit(100_000_000), raw_cents
-        ).otherwise(
-            F.raise_error(
-                F.lit("q106 cents magnitude exceeds the int64-exactness envelope")
-            ).cast("long")
-        )
-    uv = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        cents.alias("cents")
-    )
-    nc = F.col("cents").cast("decimal(19,0)") if widen else F.col("cents")
-    # zero-norm contract (round-8 -0.0 probe, the behavioral twin of the
-    # r7 valid-vector rule): a user whose every active day rounds to 0
-    # cents — e.g. all-(-0.0) or sub-cent values — has a zero activity
-    # direction, cosine is undefined (0/0 raised DIVIDE_BY_ZERO under
-    # ANSI), so zero-norm users are excluded from the similarity
-    # universe on BOTH twins (oracle norms CTE carries WHERE nrm > 0)
-    norms = uv.groupBy("user_id").agg(F.sum(nc * nc).alias("nrm")).filter(
-        F.col("nrm") > 0
-    )
+    # profile construction + zero-norm exclusion live in user_day_profile /
+    # profile_norms (round-14 extraction), shared verbatim with the ANN
+    # lane so both consume one profile contract
+    uv, widen = user_day_profile(e)
+    norms = profile_norms(uv, widen)
     dots = salted_day_dots(uv, widen)
     na = norms.select(F.col("user_id").alias("ua"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("user_id").alias("ub"), F.col("nrm").alias("nb"))
@@ -950,6 +967,186 @@ def q106_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sims.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= SIM_TOP_K)
+    )
+
+
+# -- q106 ANN lane: SRP-LSH candidate generation over the sparse profiles ------
+
+# The r13 verdict's "What's missing #1": exact q106 is the one heavy
+# operator with a measured single-box scale ceiling — its distinct-pair
+# aggregation state (~0.8-0.9 GB/replica) aborted the 128x ladder rung.
+# This lane is the relief valve: SRP-LSH banding (the q98 machinery,
+# re-derived for SPARSE day profiles) generates candidate pairs whose
+# volume is bucket-cap-bounded, then verifies each candidate EXACTLY with
+# the same integer-cents arithmetic as q106 — so every returned sim is
+# bit-identical to the exact operator's, and only RECALL is approximate.
+#
+# Contract (the standard ANN contract, FAISS-style): this is a
+# THRESHOLD-similarity lane — it recovers HIGH-cosine partners with
+# probability 1-(1-(1-acos(s)/pi)^BITS)^BANDS (s=0.95 -> 0.99,
+# s=0.9 -> 0.93, s=0.5 -> 0.14 at 8x8). It is NOT a drop-in for exact
+# top-k over a near-orthogonal corpus, where the "top" pairs are
+# low-cosine and LSH is blind by design; deployments whose top-k matters
+# at low similarity keep the exact operator (and its salting). Recall is
+# gated on a planted-similar-user corpus in tests/test_skew.py.
+Q106_ANN_SALT = "q106-srp-v1:"  # versioned: bump -> fresh hyperplane family
+Q106_ANN_PLANES = 64
+Q106_ANN_BANDS = 8
+Q106_ANN_BAND_BITS = Q106_ANN_PLANES // Q106_ANN_BANDS
+# Same bounded-blocking move as q98/q75: a band bucket larger than this is
+# skipped before the self-join, hard-bounding candidate volume at
+# bands * (n/1) * cap pairs regardless of corpus size. A saturated 8-bit
+# band value means that band carries no signal there; a genuinely similar
+# pair collides in ~bands * p^bits bands in expectation, so losing one
+# saturated band rarely loses the pair.
+Q106_ANN_BUCKET_CAP = 64
+
+
+def profile_srp_bands(uv: DataFrame) -> DataFrame:
+    """(user_id, band_idx, band_val) SRP-LSH signature bands over the
+    SPARSE (user, day, cents) profile.
+
+    q98's dense form precomputes a DIM x PLANES sign matrix as plan
+    literals; a daily profile's dimensionality is the (unbounded,
+    data-dependent) day domain, so the Rademacher component is derived at
+    runtime instead: sign_p(day) = parity of xxhash64(salt_p, day) — a
+    deterministic +-1 per (plane, day), identical wherever the day
+    appears. Each plane's signed dot is then one exact integer aggregate
+    sum(cents * sign_p(day)) per user, all PLANES computed in a SINGLE
+    groupBy pass over the profile (64 map-side-combined long sums — no
+    replication of the index, unlike the exact lane's xB salting). Sign
+    ties (dot == 0) break to the + side on every row, so signatures are
+    engine-deterministic."""
+
+    def sgn(p: int):
+        return (
+            F.when(
+                F.pmod(
+                    F.xxhash64(F.lit(f"{Q106_ANN_SALT}{p}"), F.col("day")),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+        )
+
+    dps = uv.groupBy("user_id").agg(
+        *[
+            F.sum(F.col("cents") * sgn(p)).alias(f"dp{p}")
+            for p in range(Q106_ANN_PLANES)
+        ]
+    )
+    band_structs = []
+    for b in range(Q106_ANN_BANDS):
+        val = None
+        for j in range(Q106_ANN_BAND_BITS):
+            term = F.when(
+                F.col(f"dp{b * Q106_ANN_BAND_BITS + j}") >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            val = term if val is None else val + term
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), val.cast("int").alias("band_val"))
+        )
+    return dps.select(
+        "user_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("user_id", "band.band_idx", "band.band_val")
+
+
+def ann_user_similarity(
+    spark: SparkSession, sf_dir: str, top_k: int = SIM_TOP_K
+) -> DataFrame:
+    """ANN top-k behaviorally similar users — q106's output contract
+    (user_id, other_id, sim, rk) served through LSH candidates + exact
+    verification, the shape that LANDS at the scale where the exact
+    all-coincident-pairs aggregation aborts:
+
+    1. candidates: banded SRP signatures over the sparse profiles
+       (profile_srp_bands), hot buckets (> Q106_ANN_BUCKET_CAP) dropped
+       via a broadcast anti-join, then an equi self-join on
+       (band_idx, band_val) — candidate volume <= bands * n * cap, LINEAR
+       in users, vs the exact lane's sum over days of (users active that
+       day)^2 pair-aggregation state;
+    2. verification: candidates join the (user, day, cents) inverted
+       index twice (hash joins on user and (user, day)) and coincident
+       products sum in the SAME widened exact-integer arithmetic as
+       q106 — dots, norms (profile_norms: zero-norm users excluded), and
+       the 6-dp rounded cosine are bit-identical to exact q106 for every
+       pair the candidates retain;
+    3. top-k: each unordered pair fans to both directions, then the
+       rank-filter idiom (WindowGroupLimit) per user.
+
+    Recall is the lane's only approximation, gated on a planted
+    similar-user corpus (tests/test_skew.py); the 128x ladder evidence
+    lives in NOTES_r14.md. Reference parity: this generalizes the
+    reference's dedup mandate (deduper.go:25-47 exact-hash identity) to
+    approximate behavioral identity, same as q76/q98 do for documents."""
+    e = t(spark, sf_dir, "events")
+    uv, widen = user_day_profile(e)
+    bands = profile_srp_bands(uv).persist()
+    hot = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n_bucket"))
+        .filter(F.col("n_bucket") > Q106_ANN_BUCKET_CAP)
+        .select("band_idx", "band_val")
+    )
+    kept = bands.join(F.broadcast(hot), ["band_idx", "band_val"], "left_anti")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .distinct()
+    )
+    ca, cb = F.col("ca"), F.col("cb")
+    if widen:
+        ca = ca.cast("decimal(19,0)")
+        cb = cb.cast("decimal(19,0)")
+    uva = uv.select(
+        F.col("user_id").alias("ua"), "day", F.col("cents").alias("ca")
+    )
+    uvb = uv.select(
+        F.col("user_id").alias("ub"), "day", F.col("cents").alias("cb")
+    )
+    dots = (
+        cand.join(uva, "ua")
+        .join(uvb, ["ub", "day"])
+        .groupBy("ua", "ub")
+        .agg(F.sum(ca * cb).alias("dot"))
+    )
+    norms = profile_norms(uv, widen)
+    na = norms.select(F.col("user_id").alias("ua"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("user_id").alias("ub"), F.col("nrm").alias("nb"))
+    sims = (
+        dots.join(na, "ua")
+        .join(nb, "ub")
+        .select(
+            "ua",
+            "ub",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+            ).alias("sim"),
+        )
+    )
+    both = sims.select(
+        F.col("ua").alias("user_id"), F.col("ub").alias("other_id"), "sim"
+    ).unionByName(
+        sims.select(
+            F.col("ub").alias("user_id"), F.col("ua").alias("other_id"), "sim"
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("sim").desc(), "other_id")
+    return (
+        both.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top_k)
     )
 
 

@@ -143,9 +143,11 @@ def load_all_modules() -> None:
 #      their listed order. `tools/rotation_state.py --plan` prints this
 #      derivation mechanically.
 VERIFY_ORDER: tuple[str, ...] = (
-    # -- rule 1: (empty this round — no query code changed after its
-    # -- latest driver row when the rotation was written; NOTES_r14.md
-    # -- carries the in-round ledger) --
+    # -- rule 1: q106's code changed in round 14 AFTER its r13 driver row
+    # -- (user_day_profile/profile_norms extraction shared with the new
+    # -- ANN lane — NOTES_r14.md ledger), so it leads; the displaced last
+    # -- fill entry (q94) rejoins the post-boundary r12 block --
+    "q106_user_similarity",
     # -- rule 2 ceiling: r11-row untouched queries — rows turn 3 rounds
     # -- old this round, so ALL 21 take prefix slots (set derived from
     # -- tools/rotation_state.json; asserted by test_contract.py) --
@@ -200,10 +202,11 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q71_lang_id",
     "q79_vocab_topk",
     "q86_sequence_packing",
-    "q94_range_join_binned",
     # ---- 50-query prefix boundary (driver budget) ----
     # -- rest of the r12-row block: ages to r15 under rule 2 (3-SF
-    # -- parity sweep green); fronts the r15 prefix --
+    # -- parity sweep green); fronts the r15 prefix (q94: displaced from
+    # -- the fill by the rule-1 q106 promotion, rejoins in r12 order) --
+    "q94_range_join_binned",
     "q95_zorder_key",
     "q96_heavy_hitters_mg",
     "q118_fuzzy_match",
@@ -266,7 +269,6 @@ VERIFY_ORDER: tuple[str, ...] = (
     "q110_pii_redaction",
     "q112_cooccurrence_lift",
     "q113_length_buckets",
-    "q106_user_similarity",
     "q34_window_distribution",
     "q35_window_range_frame",
     "q60_dedup_exact",

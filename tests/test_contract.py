@@ -45,31 +45,34 @@ def test_verify_order_is_the_registry_iteration_order():
     assert len(set(VERIFY_ORDER)) == len(VERIFY_ORDER), "duplicates in VERIFY_ORDER"
     assert len(names) == 127
     prefix = [n.split("_")[0] for n in names[:50]]
-    # Rule 1: empty this round — no query code changed after its latest
-    # driver row when the rotation was written (NOTES_r14.md ledger).
+    # Rule 1: q106's code changed in round 14 after its r13 driver row
+    # (user_day_profile/profile_norms extraction, shared with the new ANN
+    # lane — NOTES_r14.md ledger), so it leads the prefix.
     # Rule 2 ceiling: the 21 r11-row untouched queries — rows turn 3
     # rounds old at r14, so ALL must take prefix slots. The set itself
     # is asserted MECHANICALLY by test_rotation_ceiling_is_mechanical
     # below; here we pin the written order.
-    assert prefix[:21] == [
+    assert prefix[:22] == [
+        "q106",
         "q117", "q119", "q120", "q121", "q122", "q125", "q127", "q128",
         "q129", "q81", "q130", "q133", "q134", "q135", "q136", "q139",
         "q31", "q32", "q50", "q51", "q52",
     ]
-    # Rule 2 fill: the 29 remaining slots refresh the oldest r12-row
-    # queries in their r12 order.
-    assert prefix[21:50] == [
+    # Rule 2 fill: the remaining slots refresh the oldest r12-row
+    # queries in their r12 order (q94, the original last fill entry,
+    # was displaced post-boundary by the rule-1 promotion).
+    assert prefix[22:50] == [
         "q82", "q54", "q61", "q62", "q70", "q73", "q74", "q91", "q92",
         "q93", "q140", "q126", "q138", "q75", "q132", "q63", "q88",
         "q80", "q111", "q18", "q19", "q30", "q33", "q64", "q65", "q71",
-        "q79", "q86", "q94",
+        "q79", "q86",
     ]
     # Post-boundary: the rest of the r12-row block ages to r15 under
     # rule 2, fronting the tail so it leads the r15 prefix (the rule-2
-    # ceiling there).
+    # ceiling there); q94 rejoins it in r12 order.
     assert [n.split("_")[0] for n in names[50:60]] == [
-        "q95", "q96", "q118", "q89", "q53", "q99", "q100", "q104",
-        "q108", "q77",
+        "q94", "q95", "q96", "q118", "q89", "q53", "q99", "q100", "q104",
+        "q108",
     ]
     # Rule 3: rows-only queries occupy the permanent tail — never a prefix
     # slot (their driver row can only say rows>0; the pytest accuracy

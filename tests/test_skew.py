@@ -201,3 +201,151 @@ def test_q106_salted_dots_exact_on_random_corpus(spark):
             for r in salted_day_dots(uv, widen=widen).collect()
         )
         assert got == plain, f"widen={widen}"
+
+
+# -- round 14: the q106 ANN lane (SRP-LSH over sparse daily profiles) ----------
+
+
+def _planted_similar_users(spark, tmp_path, n_pairs=40, n_background=150,
+                           n_days=30, seed=20260817):
+    """Synthetic events corpus with PLANTED behaviorally-identical user
+    pairs — the ivf_natural_corpus pattern transplanted to q106's domain.
+    Each planted partner's daily profile is its twin's plus ~1% relative
+    noise (cosine ~ 0.9999); background users draw independent zero-mean
+    profiles, whose pairwise cosines concentrate near 0 (sd ~ 1/sqrt(30)),
+    so every planted user's exact top-1 is its partner by a wide margin."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    eid = 0
+
+    def emit(user, profile):
+        nonlocal eid
+        for d in range(n_days):
+            c = int(profile[d])
+            if c == 0:
+                continue
+            rows.append(
+                (eid, f"2024-03-{d + 1:02d} 12:00:00", user, "purchase",
+                 c / 100.0, "{}")
+            )
+            eid += 1
+
+    for p in range(n_pairs):
+        base = rng.integers(-10_000, 10_000, size=n_days)
+        noise = np.rint(base * rng.normal(0, 0.01, size=n_days)).astype(int)
+        emit(2 * p, base)
+        emit(2 * p + 1, base + noise)
+    for u in range(n_background):
+        emit(10_000 + u, rng.integers(-10_000, 10_000, size=n_days))
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    return sf_dir, n_pairs
+
+
+def test_ann_lane_planted_partner_recall(spark, tmp_path):
+    """The lane's recall gate (r13 verdict task #2): on a corpus with real
+    near-identical behavioral twins, the SRP-LSH candidates + exact
+    verification must recover each planted user's partner at rank 1 —
+    >= 90% gated (theory: >= 1-of-8-bands collision at cos ~ 0.9999 is
+    ~1-3e-12, so the gate's slack covers only profile-noise tail cases).
+    And every (user, other, sim) the lane returns must carry the sim the
+    EXACT operator computes — verification is exact by construction."""
+    from nsq2kinesis_spark.operators.similarity import (
+        ann_user_similarity,
+        q106_user_similarity,
+    )
+
+    sf_dir, n_pairs = _planted_similar_users(spark, tmp_path)
+    ann = ann_user_similarity(spark, sf_dir)
+    top1 = {
+        r.user_id: r.other_id for r in ann.filter(F.col("rk") == 1).collect()
+    }
+    planted = [(2 * p, 2 * p + 1) for p in range(n_pairs)]
+    hits = sum(
+        1
+        for a, b in planted
+        if top1.get(a) == b and top1.get(b) == a
+    )
+    recall = hits / n_pairs
+    assert recall >= 0.90, f"planted-partner recall {recall:.2f}"
+
+    exact = {
+        (r.user_id, r.other_id): r.sim
+        for r in q106_user_similarity(spark, sf_dir).collect()
+    }
+    got = {(r.user_id, r.other_id): r.sim for r in ann.collect()}
+    shared = set(got) & set(exact)
+    assert shared, "ANN and exact top-k share no pairs?"
+    mism = [k for k in shared if got[k] != exact[k]]
+    assert not mism, f"ANN sims drifted from exact on {mism[:5]}"
+
+
+def test_ann_lane_candidate_volume_is_cap_bounded(spark):
+    """The blocking lemma, measured: post-cap candidate pairs never exceed
+    bands * n_users * cap (each kept signature row meets <= cap partners
+    in its bucket) — the bound that makes the lane LINEAR in users where
+    the exact lane's pair state grows with sum(day_activity^2). Checked on
+    the shipped sf0.01 corpus."""
+    from nsq2kinesis_spark.operators.similarity import (
+        Q106_ANN_BANDS,
+        Q106_ANN_BUCKET_CAP,
+        profile_srp_bands,
+        user_day_profile,
+    )
+    from nsq2kinesis_spark.tables import table as t
+
+    uv, _ = user_day_profile(t(spark, "/root/testdata/sf0.01", "events"))
+    n_users = uv.select("user_id").distinct().count()
+    bands = profile_srp_bands(uv)
+    hot = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > Q106_ANN_BUCKET_CAP)
+    )
+    kept = bands.join(
+        F.broadcast(hot.select("band_idx", "band_val")),
+        ["band_idx", "band_val"],
+        "left_anti",
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    n_cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select("a.user_id", "b.user_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand <= Q106_ANN_BANDS * n_users * Q106_ANN_BUCKET_CAP
+    # and far below all-pairs on this corpus
+    assert n_cand < n_users * (n_users - 1) / 2
+
+
+def test_ann_lane_output_contract_matches_q106(spark):
+    """Schema + shape parity with the exact operator on the shipped
+    corpus: same columns, same per-user row budget, rk dense from 1."""
+    from nsq2kinesis_spark.operators.similarity import (
+        SIM_TOP_K,
+        ann_user_similarity,
+    )
+
+    out = ann_user_similarity(spark, "/root/testdata/sf0.01")
+    assert out.columns == ["user_id", "other_id", "sim", "rk"]
+    per_user = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rk").alias("mx"), F.min("rk").alias("mn")
+    )
+    bad = per_user.filter(
+        (F.col("n") > SIM_TOP_K) | (F.col("mx") != F.col("n")) | (F.col("mn") != 1)
+    )
+    assert bad.count() == 0

@@ -83,12 +83,34 @@ HEAVY = [
     # repetition-code name suffixes so cross-replica pairs are
     # impossible — see cust_replica)
     "q118_fuzzy_match",
+    # round 14: the q106 ANN relief valve (SRP-LSH candidates + exact
+    # verification over the sparse day profiles) — a library lane, not a
+    # registered query; run via the same noop-write harness. The ladder's
+    # day-shifted replicas give each replica a disjoint day domain, so
+    # cross-replica signature collisions carry zero coincident days and
+    # the exact-verification join drops them — no planted pair explosion.
+    "q106_ann_lane",
 ]
 POSTINGS_READERS = {"q75_neardup_jaccard"}
 
 
-def build_rung(spark, out_dir: str, k: int) -> None:
-    """Write a k-replica id-shifted union of sf0.1 events+documents."""
+def build_rung(spark, out_dir: str, k: int, tables: set[str] | None = None) -> None:
+    """Write a k-replica id-shifted union of sf0.1 events+documents
+    (+embeddings, customer). `tables` restricts the build — an
+    events-only rung skips the expensive documents regexp pass when only
+    the events-family operators are being laddered."""
+    want = tables or {"events", "documents", "embeddings", "customer"}
+    if "events" in want:
+        _build_events(spark, out_dir, k)
+    if "documents" in want:
+        _build_documents(spark, out_dir, k)
+    if "embeddings" in want:
+        _build_embeddings(spark, out_dir, k)
+    if "customer" in want:
+        _build_customer(spark, out_dir, k)
+
+
+def _build_events(spark, out_dir: str, k: int) -> None:
     ev = t(spark, SRC_SF, "events")
     bounds = ev.select(
         (F.max("event_id") + 1).alias("e"),
@@ -114,6 +136,8 @@ def build_rung(spark, out_dir: str, k: int) -> None:
         os.path.join(out_dir, "events.parquet")
     )
 
+
+def _build_documents(spark, out_dir: str, k: int) -> None:
     docs = t(spark, SRC_SF, "documents")
     d_max = docs.select((F.max("doc_id") + 1).alias("d")).first().d
 
@@ -135,6 +159,8 @@ def build_rung(spark, out_dir: str, k: int) -> None:
         os.path.join(out_dir, "documents.parquet")
     )
 
+
+def _build_embeddings(spark, out_dir: str, k: int) -> None:
     emb = t(spark, SRC_SF, "embeddings")
     v_max = emb.select((F.max("vec_id") + 1).alias("v")).first().v
 
@@ -157,6 +183,8 @@ def build_rung(spark, out_dir: str, k: int) -> None:
         os.path.join(out_dir, "embeddings.parquet")
     )
 
+
+def _build_customer(spark, out_dir: str, k: int) -> None:
     cust = t(spark, SRC_SF, "customer")
     c_max = cust.select((F.max("c_custkey") + 1).alias("c")).first().c
 
@@ -217,6 +245,7 @@ def main() -> None:
     spark = get_spark(app_name="nsq2kinesis_spark_scale_ladder")
     queries = all_queries()
     from nsq2kinesis_spark.operators.llm_dedup import shared_postings
+    from nsq2kinesis_spark.operators.similarity import ann_user_similarity
 
     def run(name: str, sf_dir: str) -> None:
         if name == "shared_shingle_postings":
@@ -224,16 +253,46 @@ def main() -> None:
             df.persist()
             df.count()
             return
+        if name == "q106_ann_lane":
+            ann_user_similarity(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return
         queries[name].builder(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+
+    # rung tables actually consumed by the selected operators — an
+    # events-only bisect (q106 / q106_ann_lane / q126 / q111) skips the
+    # expensive documents regexp pass entirely
+    TABLE_NEEDS = {
+        "q126_cdc_apply": {"events"},
+        "q106_user_similarity": {"events"},
+        "q106_ann_lane": {"events"},
+        "q111_chunk_dedup": {"documents"},
+        "shared_shingle_postings": {"documents"},
+        "q75_neardup_jaccard": {"documents"},
+        "q133_ppjoin": {"documents"},
+        "q89_dedup_components": {"documents"},
+        "q80_cosine_topk": {"embeddings"},
+        "q82_ann_ivf": {"embeddings"},
+        "q118_fuzzy_match": {"customer"},
+    }
+
+    def needed_tables() -> set[str]:
+        out: set[str] = set()
+        for q in HEAVY:
+            out |= TABLE_NEEDS.get(
+                q, {"events", "documents", "embeddings", "customer"}
+            )
+        return out
 
     results: dict[str, list[tuple[int, float]]] = {q: [] for q in HEAVY}
     try:
         for k in rungs:
             rung_dir = os.path.join(SCRATCH, f"x{k}")
             if not os.path.isdir(rung_dir):
-                build_rung(spark, rung_dir, k)
+                build_rung(spark, rung_dir, k, tables=needed_tables())
             for name in HEAVY:  # untimed warmup
                 run(name, rung_dir)
             timings: dict[str, float] = {}
