@@ -4672,3 +4672,191 @@ def test_implicit_coercion_personalities_pinned(spark):
             spark.sql(f"SELECT {bad}").collect()
         with _pt.raises(_duck.ConversionException):
             con.execute(f"SELECT {bad}").fetchall()
+
+
+# -- round 14 probe wave: window-function personalities (the r13 verdict's
+# task #6 — the one oracled family without a dedicated wave) ----------------
+
+
+def test_window_null_ordering_personality_pinned(spark):
+    """Round-14 probe, SPLIT CLASS 1 — default NULL placement in a window
+    ORDER BY: Spark ASC defaults NULLS FIRST, DuckDB defaults NULLS LAST
+    (every direction combination swept). The split cascades: it flips
+    rank()/dense_rank() of NULL-key rows AND the default RANGE frame's
+    peer content (Spark's only-NULL peer group sums to NULL where DuckDB's
+    trailing-NULL rows see the whole partition). DESC agrees by
+    coincidence (Spark flips to NULLS LAST on DESC; DuckDB stays NULLS
+    LAST regardless). Both engines converge under EXPLICIT NULLS
+    FIRST/LAST — the declared twinned spelling: any window ORDER BY over
+    a NULLABLE key must spell the placement on both twins. The shipping
+    exposure sweep is test_window_order_key_exposure_swept below."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    basen = "(VALUES (1,10),(2,NULL),(3,20),(4,NULL)) AS t(id,k)"
+    q = f"SELECT id, RANK() OVER (ORDER BY k) r FROM {basen} ORDER BY id"
+    assert [tuple(r) for r in spark.sql(q).collect()] == [
+        (1, 3), (2, 1), (3, 4), (4, 1)  # NULLS FIRST
+    ]
+    assert con.execute(q).fetchall() == [
+        (1, 1), (2, 3), (3, 2), (4, 3)  # NULLS LAST
+    ]
+    qs = f"SELECT id, SUM(k) OVER (ORDER BY k) s FROM {basen} ORDER BY id"
+    assert [tuple(r) for r in spark.sql(qs).collect()] == [
+        (1, 10), (2, None), (3, 30), (4, None)
+    ]
+    assert con.execute(qs).fetchall() == [(1, 10), (2, 30), (3, 30), (4, 30)]
+    # convergence under the declared spelling, both placements
+    for place, expect_rank in (
+        ("NULLS LAST", [(1, 1), (2, 3), (3, 2), (4, 3)]),
+        ("NULLS FIRST", [(1, 3), (2, 1), (3, 4), (4, 1)]),
+    ):
+        qe = (f"SELECT id, RANK() OVER (ORDER BY k {place}) r FROM {basen} "
+              "ORDER BY id")
+        assert [tuple(r) for r in spark.sql(qe).collect()] == expect_rank
+        assert con.execute(qe).fetchall() == expect_rank
+    # DESC coincidental agreement
+    qd = f"SELECT id, SUM(k) OVER (ORDER BY k DESC) s FROM {basen} ORDER BY id"
+    assert [tuple(r) for r in spark.sql(qd).collect()] == con.execute(qd).fetchall()
+
+
+def test_window_banned_constructs_pinned(spark):
+    """Round-14 probe, SPLIT CLASSES 2-4 — three window constructs with NO
+    twinned spelling, hereby BANNED from oracled SQL:
+
+    * IGNORE/RESPECT NULLS: the grammars are DISJOINT — Spark parses only
+      the postfix form `fn(v) IGNORE NULLS OVER ...`, DuckDB only the
+      inner form `fn(v IGNORE NULLS) OVER ...`; each rejects the other's.
+      Twinned code wanting skip-null window navigation expresses it
+      differently (e.g. a conditional + max_by, or last_value over a
+      filtered frame).
+    * frame EXCLUDE (EXCLUDE CURRENT ROW / TIES / GROUP): DuckDB
+      implements it, Spark has no grammar for it.
+    * inverted frames (lower bound > upper bound, e.g. ROWS BETWEEN 2
+      FOLLOWING AND 1 FOLLOWING): Spark rejects at analysis
+      (SPECIFIED_WINDOW_FRAME_WRONG_COMPARISON), DuckDB evaluates the
+      EMPTY frame and returns NULL — a loud-vs-silent split.
+    Clean neighbors pinned: GROUPS frame mode fails LOUDLY on both
+    (Spark parse error / DuckDB not-implemented), ntile(0) raises on
+    both — no silent class there."""
+    import duckdb as _duck
+
+    import pytest as _pytest
+
+    con = _duck.connect()
+    basev = "(VALUES (1,NULL),(2,5),(3,NULL),(4,7)) AS t(id,v)"
+    # postfix IGNORE NULLS: Spark yes, DuckDB no
+    post = (f"SELECT id, FIRST_VALUE(v) IGNORE NULLS OVER (ORDER BY id) f "
+            f"FROM {basev} ORDER BY id")
+    assert [r.f for r in spark.sql(post).collect()] == [None, 5, 5, 5]
+    with _pytest.raises(Exception, match="syntax error"):
+        con.execute(post)
+    # inner IGNORE NULLS: DuckDB yes, Spark no
+    inner = (f"SELECT id, FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY id) f "
+             f"FROM {basev} ORDER BY id")
+    assert [r[1] for r in con.execute(inner).fetchall()] == [None, 5, 5, 5]
+    with _pytest.raises(Exception, match="PARSE_SYNTAX_ERROR"):
+        spark.sql(inner).collect()
+    # EXCLUDE: DuckDB-only
+    base = "(VALUES (1,10),(2,10),(3,20)) AS t(id,k)"
+    excl = (f"SELECT id, SUM(k) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED "
+            f"PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) s FROM {base} "
+            "ORDER BY id")
+    assert [r[1] for r in con.execute(excl).fetchall()] == [10, 10, 20]
+    with _pytest.raises(Exception, match="PARSE_SYNTAX_ERROR"):
+        spark.sql(excl).collect()
+    # inverted frame: loud vs silent-empty
+    inv = (f"SELECT id, SUM(k) OVER (ORDER BY k ROWS BETWEEN 2 FOLLOWING "
+           f"AND 1 FOLLOWING) s FROM {base} ORDER BY id")
+    assert [r[1] for r in con.execute(inv).fetchall()] == [None, None, None]
+    with _pytest.raises(Exception, match="WRONG_COMPARISON"):
+        spark.sql(inv).collect()
+    # clean: GROUPS loud on both; ntile(0) loud on both
+    grp = ("SELECT SUM(k) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND "
+           "CURRENT ROW) FROM (VALUES (1,1)) AS t(id,k)")
+    with _pytest.raises(Exception):
+        spark.sql(grp).collect()
+    with _pytest.raises(Exception):
+        con.execute(grp)
+    with _pytest.raises(Exception, match="ntile"):
+        spark.sql("SELECT NTILE(0) OVER (ORDER BY id) FROM (VALUES (1)) AS t(id)").collect()
+    with _pytest.raises(Exception, match="ntile"):
+        con.execute("SELECT NTILE(0) OVER (ORDER BY id) FROM (VALUES (1)) AS t(id)")
+
+
+def test_window_clean_core_pinned(spark):
+    """Round-14 probe — the CLEAN core, pinned so a future engine bump
+    that breaks any of it fails here first. Verified identical on both
+    engines across the sweep:
+
+    * default-frame (RANGE UNBOUNDED..CURRENT ROW) peer semantics with
+      duplicate order keys — peers share the frame on both;
+    * ROWS frames with duplicate keys (deterministic here because every
+      shipping ROWS window carries a total-order tiebreak — the round-4
+      q32 find);
+    * RANGE offset frames: numeric bounds, DESC direction, INTERVAL
+      bounds over timestamps, and NULL-key rows (NULL frame -> NULL on
+      both, any placement);
+    * ntile remainder distribution (first tiles get the extra row) and
+      fewer-rows-than-tiles (ranks 1..n);
+    * percent_rank/cume_dist denominators incl. ties and the single-row
+      partition (percent_rank 0);
+    * lead/lag with explicit defaults and NEGATIVE offsets (lead(-1) ==
+      lag(1)); nth_value under the default frame."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    base = "(VALUES (1,10),(2,10),(3,20),(4,20),(5,30)) AS t(id, k)"
+    basev = "(VALUES (1,NULL),(2,5),(3,NULL),(4,7)) AS t(id,v)"
+    checks = [
+        f"SELECT id, SUM(k) OVER (ORDER BY k) s FROM {base} ORDER BY id",
+        f"SELECT id, SUM(k) OVER (ORDER BY k, id ROWS UNBOUNDED PRECEDING) s FROM {base} ORDER BY id",
+        f"SELECT id, SUM(k) OVER (ORDER BY k RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) s FROM {base} ORDER BY id",
+        f"SELECT id, SUM(k) OVER (ORDER BY k DESC RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) s FROM {base} ORDER BY id",
+        "SELECT id, SUM(x) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW) s"
+        " FROM (VALUES (1, TIMESTAMP '2024-01-01 00:00:00', 1), (2, TIMESTAMP '2024-01-02 00:00:00', 2),"
+        " (3, TIMESTAMP '2024-01-03 12:00:00', 4)) AS t(id, ts, x) ORDER BY id",
+        "SELECT id, NTILE(3) OVER (ORDER BY id) n FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) AS t(id) ORDER BY id",
+        "SELECT id, NTILE(5) OVER (ORDER BY id) n FROM (VALUES (1),(2),(3)) AS t(id) ORDER BY id",
+        f"SELECT id, PERCENT_RANK() OVER (ORDER BY k) p, CUME_DIST() OVER (ORDER BY k) c FROM {base} ORDER BY id",
+        "SELECT PERCENT_RANK() OVER (ORDER BY id) p FROM (VALUES (1)) AS t(id)",
+        f"SELECT id, LAG(v, 1, -1) OVER (ORDER BY id) l FROM {basev} ORDER BY id",
+        f"SELECT id, LEAD(v, -1) OVER (ORDER BY id) l FROM {basev} ORDER BY id",
+        f"SELECT id, NTH_VALUE(v, 2) OVER (ORDER BY id) f FROM {basev} ORDER BY id",
+    ]
+    for q in checks:
+        s = [tuple(r) for r in spark.sql(q).collect()]
+        d = con.execute(q).fetchall()
+        assert s == d, f"clean-core drift on: {q}\n spark={s}\n duck={d}"
+
+
+def test_window_order_key_exposure_swept(spark):
+    """Exposure sweep for split class 1 over the shipping window queries
+    (q30-q35, q101-q114 event families, q108/q120/q140): a plain-ASC
+    window ORDER BY is only safe when its key is non-NULL. Audit result,
+    asserted against the data:
+
+    * every event-time ordering already spells F.asc_nulls_last (ts,
+      event_id, day, valid_from) — matching DuckDB's default, written
+      back in the rounds that built them;
+    * the remaining plain-ASC keys are TPC-H keys/attributes
+      (p_partkey, c_custkey, o_orderkey, l_orderkey, path/n aggregates)
+      — aggregates are non-NULL by construction; the raw columns are
+      asserted NULL-free here at sf0.01 so a future data regeneration
+      that introduces NULLs trips this sweep instead of silently
+      flipping rank order between the twins."""
+    from nsq2kinesis_spark.tables import table as t
+
+    sf = "/root/testdata/sf0.01"
+    for tbl, cols in (
+        ("part", ["p_partkey", "p_retailprice", "p_brand"]),
+        ("customer", ["c_custkey", "c_acctbal", "c_nationkey"]),
+        ("orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "o_orderpriority"]),
+        ("lineitem", ["l_orderkey", "l_suppkey"]),
+        ("events", ["event_id", "ts", "user_id", "event_type"]),
+    ):
+        df = t(spark, sf, tbl)
+        nulls = df.select(
+            [F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in cols]
+        ).first()
+        assert all(v == 0 for v in nulls), f"{tbl} has NULL order keys: {nulls}"

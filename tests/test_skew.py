@@ -349,3 +349,38 @@ def test_ann_lane_output_contract_matches_q106(spark):
         (F.col("n") > SIM_TOP_K) | (F.col("mx") != F.col("n")) | (F.col("mn") != 1)
     )
     assert bad.count() == 0
+
+
+def test_ann_lane_adaptive_band_bits(spark, tmp_path):
+    """The scale-adaptive geometry (round-14 fix after the first 128x
+    ladder attempt degenerated): band bits grow as ~log2(n_users)-3 so
+    expected bucket size stays ~8 at every corpus size — with FIXED 8-bit
+    bands, 192k users put ~750 in every bucket and the cap discarded the
+    whole corpus. Gate: on a corpus big enough that bits EXCEED the
+    floor, planted behavioral twins are still recovered at rank 1."""
+    from nsq2kinesis_spark.operators.similarity import (
+        Q106_ANN_BAND_BITS_FLOOR,
+        _ann_band_bits,
+        ann_user_similarity,
+    )
+
+    # the sizing curve itself
+    assert _ann_band_bits(150) == Q106_ANN_BAND_BITS_FLOOR
+    assert _ann_band_bits(1_500) == Q106_ANN_BAND_BITS_FLOOR
+    assert _ann_band_bits(3_080) == 9
+    assert _ann_band_bits(192_000) == 15
+
+    sf_dir, n_pairs = _planted_similar_users(
+        spark, tmp_path, n_pairs=25, n_background=3_030
+    )
+    # 25*2 + 3030 = 3080 users -> 9-bit bands on this corpus
+    ann = ann_user_similarity(spark, sf_dir)
+    top1 = {
+        r.user_id: r.other_id for r in ann.filter(F.col("rk") == 1).collect()
+    }
+    hits = sum(
+        1
+        for a, b in ((2 * p, 2 * p + 1) for p in range(n_pairs))
+        if top1.get(a) == b and top1.get(b) == a
+    )
+    assert hits / n_pairs >= 0.90, f"adaptive-bits recall {hits / n_pairs:.2f}"
