@@ -4860,3 +4860,105 @@ def test_window_order_key_exposure_swept(spark):
             [F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in cols]
         ).first()
         assert all(v == 0 for v in nulls), f"{tbl} has NULL order keys: {nulls}"
+
+
+# -- round 14 probe wave 2: multi-row aggregate ordering + grouping-set
+# personalities (beyond the ordered window wave — q11-q15/q111 neighbors) --
+
+
+def test_agg_ordering_grammar_personality_pinned(spark):
+    """Round-14 wave-2 probe, SPLIT: ordered string/array aggregation has
+    NO spelling both engines parse — Spark (4.x) accepts ONLY the
+    ordered-set form `STRING_AGG(x, sep) WITHIN GROUP (ORDER BY k)` (and
+    LISTAGG alias) and REJECTS DuckDB's inline `STRING_AGG(x, sep ORDER
+    BY k)`; DuckDB is the exact inverse (inline accepted, WITHIN GROUP
+    'Unknown ordered aggregate'). ARRAY_AGG: same inversion. BANNED as a
+    shared spelling; oracles (DuckDB-side SQL) keep inline ORDER BY,
+    Spark-side plans express ordering via sort_array/window ordering —
+    which every shipping query already does (q14 sort_array struct pack,
+    q111 per-pos window), so exposure is zero by construction.
+
+    Second SPLIT pinned: bare ARRAY_AGG NULL retention — Spark's
+    array_agg/collect_list DROPS NULL elements, DuckDB KEEPS them
+    (['c', NULL]); the shipping rule (TWIN_CONTRACTS §2b) of NULL-free
+    array construction stands."""
+    import duckdb as _duck
+
+    import pytest as _pytest
+
+    con = _duck.connect()
+    base = "(VALUES (1,'a',10),(1,'b',20),(2,'c',5),(2,NULL,7)) AS t(g,s,v)"
+    wg = (f"SELECT g, STRING_AGG(s, ',') WITHIN GROUP (ORDER BY v DESC) x "
+          f"FROM {base} GROUP BY g")
+    assert sorted((r.g, r.x) for r in spark.sql(wg).collect()) == [
+        (1, "b,a"), (2, "c")
+    ]
+    with _pytest.raises(Exception, match="ordered aggregate"):
+        con.execute(wg)
+    inline = f"SELECT g, STRING_AGG(s, ',' ORDER BY v DESC) x FROM {base} GROUP BY g"
+    assert sorted(con.execute(inline).fetchall()) == [(1, "b,a"), (2, "c")]
+    with _pytest.raises(Exception, match="PARSE_SYNTAX_ERROR"):
+        spark.sql(inline).collect()
+    # ARRAY_AGG inversion + NULL retention split
+    bare = f"SELECT g, ARRAY_AGG(s) x FROM {base} GROUP BY g"
+    srows = {r.g: r.x for r in spark.sql(bare).collect()}
+    drows = dict(con.execute(bare).fetchall())
+    assert srows[2] == ["c"]          # Spark drops the NULL element
+    assert drows[2] == ["c", None]    # DuckDB keeps it
+    assert srows[1] == drows[1] == ["a", "b"]
+
+
+def test_grouping_sets_clean_core_pinned(spark):
+    """Round-14 wave-2 probe — the q11/q12/q13 neighborhood is CLEAN and
+    hereby pinned:
+
+    * ROLLUP/CUBE/GROUPING SETS over keys containing REAL NULLs:
+      disambiguation via GROUPING() is identical (a data NULL keeps
+      GROUPING()=0, a subtotal NULL gets 1) — the classic trap twinned
+      correctly on both engines;
+    * GROUPING_ID(a, b) exists on BOTH with identical bit order (a is
+      the high bit), as does the explicit GROUPING(a)*2+GROUPING(b)
+      composition — either is a safe twin for Spark's 1-arg-only
+      GROUPING() (multi-arg GROUPING(a,b) is DuckDB-only: the one split
+      here, with two clean twins);
+    * bool_and/bool_or skip NULLs identically; COUNT(DISTINCT) of
+      NULL-only input is 0 on both; SUM(DISTINCT) agrees; MEDIAN
+      even-count interpolation, MODE, sample-default STDDEV/VARIANCE,
+      COVAR_SAMP/CORR, and MIN/MAX over strings-with-NULLs all agree."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+
+    def norm(rows):
+        return sorted(tuple(str(x) for x in r) for r in rows)
+
+    rb = "(VALUES ('x',NULL,1),('x','b',2),(NULL,'b',4)) AS t(a, b, v)"
+    checks = [
+        f"SELECT a, b, GROUPING(a) ga, GROUPING(b) gb, SUM(v) s FROM {rb} "
+        "GROUP BY ROLLUP(a, b)",
+        f"SELECT a, GROUPING(a) ga, SUM(v) s FROM {rb} GROUP BY CUBE(a)",
+        f"SELECT a, b, SUM(v) s FROM {rb} GROUP BY GROUPING SETS ((a), (b), ())",
+        f"SELECT a, b, GROUPING_ID(a, b) gid, SUM(v) s FROM {rb} GROUP BY ROLLUP(a, b)",
+        f"SELECT a, b, GROUPING(a)*2+GROUPING(b) gid, SUM(v) s FROM {rb} GROUP BY ROLLUP(a, b)",
+        "SELECT BOOL_AND(x) a, BOOL_OR(x) o FROM (VALUES (true),(false),(NULL)) AS t(x)",
+        "SELECT COUNT(DISTINCT x) c FROM (VALUES (NULL),(NULL)) AS t(x)",
+        "SELECT SUM(DISTINCT x) s FROM (VALUES (1),(1),(2)) AS t(x)",
+        "SELECT MEDIAN(x) m FROM (VALUES (1),(2),(3),(4)) AS t(x)",
+        "SELECT MODE(x) m FROM (VALUES (1),(2),(2),(3)) AS t(x)",
+        "SELECT ROUND(STDDEV(x),6) sd, ROUND(VARIANCE(x),6) v "
+        "FROM (VALUES (1.0),(2.0),(4.0)) AS t(x)",
+        "SELECT ROUND(COVAR_SAMP(x,y),6) c, ROUND(CORR(x,y),6) r "
+        "FROM (VALUES (1.0,2.0),(2.0,4.0),(3.0,5.0)) AS t(x,y)",
+        "SELECT MIN(x) mn, MAX(x) mx FROM (VALUES ('b'),(NULL),('a')) AS t(x)",
+    ]
+    for q in checks:
+        s = norm(spark.sql(q).collect())
+        d = norm(con.execute(q).fetchall())
+        assert s == d, f"clean-core drift on: {q}\n spark={s}\n duck={d}"
+    # the one split: multi-arg GROUPING() is DuckDB-only
+    import pytest as _pytest
+
+    multi = f"SELECT GROUPING(a, b) g FROM {rb} GROUP BY ROLLUP(a, b)"
+    con.execute(multi)
+    with _pytest.raises(Exception, match="WRONG_NUM_ARGS"):
+        spark.sql(multi).collect()
