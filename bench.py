@@ -137,6 +137,7 @@ EXTENDED = [
     "q106_user_similarity",  # triangle-salted day self-join
     "q118_fuzzy_match",  # symmetric-delete blocked edit-distance join
     "q111_chunk_dedup",  # chunk-level near-dup keeper
+    "q106_ann_lane",  # round 14: SRP-LSH candidates + exact verify (library lane)
 ]
 
 
@@ -157,6 +158,17 @@ def main() -> None:
             df = shared_postings(spark, sf_dir)
             df.persist()
             df.count()
+            return
+        if name == "q106_ann_lane":
+            # library lane (not a registered query): the q106 ANN relief
+            # valve, benched so its round-over-round trend is mechanical
+            from nsq2kinesis_spark.operators.similarity import (
+                ann_user_similarity,
+            )
+
+            ann_user_similarity(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             return
         queries[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
