@@ -1170,3 +1170,38 @@ def test_no_query_plans_a_cartesian_product(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders[name] = "undeclared BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_ann_lane_plan_shape(spark):
+    """Round-14 ANN lane (ann_user_similarity) — the plan properties that
+    make it the exact lane's scale relief valve:
+
+    * NO cartesian product anywhere (candidates come from an equi
+      self-join on (band_idx, band_val); verification is two hash joins
+      against the day index);
+    * the hot-bucket exclusion is a BROADCAST anti-join (the hot list is
+      tiny by construction — bounded by distinct saturated bucket values);
+    * signature generation is ONE aggregate pass over the profile (the
+      plane dots are sum aggregates in a single keys=[user_id]
+      HashAggregate carrying the salted xxhash64 Rademacher expression —
+      never per-plane shuffles);
+    * top-k uses the rank-filter idiom (WindowGroupLimit at runtime)."""
+    from nsq2kinesis_spark.operators.similarity import (
+        Q106_ANN_SALT,
+        ann_user_similarity,
+    )
+
+    df = ann_user_similarity(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan  # the anti-join
+    assert "WindowGroupLimit" in plan, plan
+    # signature pass: plane-0's salted Rademacher sum rides a
+    # keys=[user_id] HashAggregate (explain truncates the function list,
+    # so assert the aggregate's identity, not all 64 columns)
+    sig_aggs = [
+        ln for ln in plan.splitlines()
+        if "HashAggregate(keys=[user_id#" in ln and f"{Q106_ANN_SALT}0" in ln
+    ]
+    assert sig_aggs, f"signature aggregate not found:\n{plan[:4000]}"
