@@ -4962,3 +4962,75 @@ def test_grouping_sets_clean_core_pinned(spark):
     con.execute(multi)
     with _pytest.raises(Exception, match="WRONG_NUM_ARGS"):
         spark.sql(multi).collect()
+
+
+def test_string_formatting_personality_pinned(spark):
+    """Round-14 probe wave 3 — string formatting/slicing personalities.
+
+    SPLITS (each asserted in its observed direction):
+      * PRINTF arg typing: Spark's printf REJECTS a DECIMAL for %f
+        (loud 'f != Decimal' runtime error) where DuckDB coerces —
+        declared spelling: CAST printf args explicitly (DOUBLE for %f,
+        BIGINT for %d), under which both agree byte-for-byte;
+      * SUBSTRING with start 0 SILENTLY SPLITS: Spark treats 0 like 1
+        (3 chars for len 3), DuckDB consumes one count reaching position
+        1 (2 chars) — 1-based positive starts only in twinned SQL
+        (every shipping SUBSTR is; negative starts agree and stay legal);
+      * LEFT/RIGHT with negative n SILENTLY SPLITS: Spark returns '',
+        DuckDB returns all-but-|n|-from-the-other-end — non-negative
+        args only;
+      * engine-only functions, never twinned: FORMAT('{}') is
+        DuckDB-only; FORMAT_NUMBER / INITCAP / OVERLAY are Spark-only;
+        TO_CHAR numeric masks are Spark-only (and hash-fill '####.##'
+        on mask overflow — loud-ish, but nothing to twin against).
+
+    CLEAN core pinned below: LPAD/RPAD multichar pads + truncation +
+    negative length, REPEAT 0/negative, SPLIT_PART negative index,
+    TRANSLATE with a shorter to-set, SUBSTRING 1-based/negative-start/
+    no-length, and printf under the explicit-cast spelling."""
+    import duckdb as _duck
+
+    import pytest as _pytest
+
+    con = _duck.connect()
+    # printf typing split
+    dec = "SELECT PRINTF('%05.2f', 3.14159) v"
+    assert con.execute(dec).fetchone()[0] == "03.14"
+    with _pytest.raises(Exception, match="Decimal"):
+        spark.sql(dec).collect()
+    # substring start-0 silent split
+    z = "SELECT SUBSTRING('hello', 0, 3) v"
+    assert spark.sql(z).first()[0] == "hel"
+    assert con.execute(z).fetchone()[0] == "he"
+    # left/right negative silent split
+    neg = "SELECT LEFT('hello', -2) v, RIGHT('hello', -2) w"
+    assert tuple(spark.sql(neg).first()) == ("", "")
+    assert con.execute(neg).fetchone() == ("hel", "llo")
+    # engine-only functions fail loudly on the other engine
+    with _pytest.raises(Exception, match="UNRESOLVED_ROUTINE"):
+        spark.sql("SELECT FORMAT('{}', 1)").collect()
+    assert con.execute("SELECT FORMAT('{}|{}', 1, 'a')").fetchone()[0] == "1|a"
+    for duck_missing in (
+        "SELECT FORMAT_NUMBER(1234567.891, 2)",
+        "SELECT INITCAP('ab cd')",
+        "SELECT OVERLAY('hello' PLACING 'XX' FROM 2)",
+        "SELECT TO_CHAR(1234.567, '9999.99')",
+    ):
+        spark.sql(duck_missing).collect()
+        with _pytest.raises(Exception, match="does not exist"):
+            con.execute(duck_missing)
+    # clean core under the declared spellings
+    checks = [
+        "SELECT PRINTF('%05.2f|%d|%s', CAST(3.14159 AS DOUBLE), CAST(42 AS BIGINT), 'x') v",
+        "SELECT LPAD('ab', 5, 'xy') v, RPAD('ab', 5, 'xy') w",
+        "SELECT LPAD('abcdef', 3, 'x') v, LPAD('ab', -1, 'x') w",
+        "SELECT REPEAT('ab', 3) v, REPEAT('ab', 0) w, REPEAT('ab', -1) z",
+        "SELECT SPLIT_PART('a,b,c', ',', -1) v",
+        "SELECT TRANSLATE('abcba', 'ab', 'x') v",
+        "SELECT SUBSTRING('hello', 2, 3) v, SUBSTRING('hello', -3, 2) w, SUBSTRING('hello', 3) z",
+        "SELECT LEFT('hello', 2) v, RIGHT('hello', 2) w, LEFT('hello', 0) z",
+    ]
+    for q in checks:
+        s = [tuple(r) for r in spark.sql(q).collect()]
+        d = con.execute(q).fetchall()
+        assert s == d, f"clean-core drift on: {q}\n spark={s}\n duck={d}"

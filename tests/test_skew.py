@@ -384,3 +384,34 @@ def test_ann_lane_adaptive_band_bits(spark, tmp_path):
         if top1.get(a) == b and top1.get(b) == a
     )
     assert hits / n_pairs >= 0.90, f"adaptive-bits recall {hits / n_pairs:.2f}"
+
+
+def test_ann_lane_degenerate_inputs(spark, tmp_path):
+    """Degenerate-corpus contract: empty events, a single user (no pairs),
+    and an all-zero-norm corpus (every user excluded by the shared
+    profile_norms contract) each yield an EMPTY result — never an error,
+    never a zero-norm user ranked."""
+    from nsq2kinesis_spark.operators.similarity import ann_user_similarity
+
+    schema = ("event_id long, ts string, user_id long, event_type string, "
+              "value double, props string")
+
+    def write(rows, name):
+        d = str(tmp_path / name)
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        return d
+
+    empty = write([], "empty")
+    single = write([(1, "2024-03-01 00:00:00", 7, "p", 1.0, "{}")], "single")
+    # 0.001 dollars rounds to 0 cents: all-zero profiles, all excluded
+    zero = write(
+        [(i, "2024-03-01 00:00:00", i % 3, "p", 0.001, "{}") for i in range(9)],
+        "zero",
+    )
+    for d in (empty, single, zero):
+        out = ann_user_similarity(spark, d)
+        assert out.columns == ["user_id", "other_id", "sim", "rk"]
+        assert out.count() == 0
