@@ -3269,6 +3269,78 @@ def test_group_by_negative_zero_key_split_pinned(spark):
     # either way a raw-double group key stays banned in oracled queries.
 
 
+def test_nan_comparison_total_order_clean_class_pinned(spark):
+    """CLEAN class pinned (round-14 probe, the follow-up the -0.0
+    grouping pin suggested): NaN COMPARISON semantics agree across
+    engines because BOTH abandon IEEE-754 for a total order — NaN = NaN
+    is TRUE (not IEEE's false), NaN > Infinity, NaN > any finite, MAX
+    picks NaN over finite values, equi-joins MATCH NaN keys (one row),
+    null-safe equality (Spark <=> / DuckDB IS NOT DISTINCT FROM) is
+    true, IN-lists hit, and ORDER BY ASC places NaN after +inf. An
+    IEEE-trained reader would expect NaN = NaN to be false on at least
+    one engine; it isn't on either, and a filter or join written under
+    the IEEE assumption silently keeps NaN rows on BOTH twins the same
+    way — so the class is clean, not hazardous, but only because the
+    two engines deviate from the standard IDENTICALLY. NaN = NULL is
+    NULL on both (three-valued logic outranks the total order). ±0.0
+    equality and < agree too (IEEE, one match — distinct from the
+    GROUPING-representative split pinned above). Pinned so an engine
+    upgrade restoring IEEE comparison on one side fails here, not in a
+    silent filter-cardinality drift."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    probes = [
+        # (spark SQL, duckdb SQL, expected)
+        ("cast('nan' as double) = cast('nan' as double)",
+         "'nan'::DOUBLE = 'nan'::DOUBLE", True),
+        ("cast('nan' as double) > cast('inf' as double)",
+         "'nan'::DOUBLE > 'inf'::DOUBLE", True),
+        ("cast('nan' as double) > 1.0d", "'nan'::DOUBLE > 1.0", True),
+        ("cast('nan' as double) <=> cast('nan' as double)",
+         "'nan'::DOUBLE IS NOT DISTINCT FROM 'nan'::DOUBLE", True),
+        ("cast('nan' as double) IN (cast('nan' as double), 1.0d)",
+         "'nan'::DOUBLE IN ('nan'::DOUBLE, 1.0)", True),
+        ("cast('nan' as double) = cast(NULL as double)",
+         "'nan'::DOUBLE = NULL", None),
+        ("cast('-0.0' as double) < 0.0d", "'-0.0'::DOUBLE < 0.0", False),
+        ("cast('-0.0' as double) = 0.0d", "'-0.0'::DOUBLE = 0.0", True),
+    ]
+    for s_sql, d_sql, want in probes:
+        s = spark.sql(f"SELECT {s_sql}").first()[0]
+        d = con.execute(f"SELECT {d_sql}").fetchone()[0]
+        assert s == d == want or (want is None and s is None and d is None), (
+            s_sql, s, d, want)
+    # MAX picks NaN over finite values; MIN ignores it — on both.
+    s = spark.sql(
+        "SELECT MIN(x), MAX(x) FROM VALUES (1.0d),"
+        " (cast('nan' as double)), (2.0d) t(x)").first()
+    d = con.execute(
+        "SELECT MIN(x), MAX(x) FROM (VALUES (1.0),"
+        " ('nan'::DOUBLE), (2.0)) t(x)").fetchone()
+    import math
+    assert s[0] == d[0] == 1.0 and math.isnan(s[1]) and math.isnan(d[1])
+    # Equi-join MATCHES NaN keys on both engines (IEEE would match zero).
+    s = spark.sql(
+        "SELECT count(*) FROM (VALUES (cast('nan' as double))) a(x)"
+        " JOIN (VALUES (cast('nan' as double))) b(y) ON a.x = b.y"
+    ).first()[0]
+    d = con.execute(
+        "SELECT count(*) FROM (VALUES ('nan'::DOUBLE)) a(x)"
+        " JOIN (VALUES ('nan'::DOUBLE)) b(y) ON a.x = b.y").fetchone()[0]
+    assert s == d == 1
+    # ORDER BY ASC: NaN lands after +inf on both (before NULLS LAST tail).
+    s = [r[0] for r in spark.sql(
+        "SELECT x FROM VALUES (1.0d), (cast('nan' as double)),"
+        " (cast('inf' as double)) t(x) ORDER BY x").collect()]
+    d = [r[0] for r in con.execute(
+        "SELECT x FROM (VALUES (1.0), ('nan'::DOUBLE),"
+        " ('inf'::DOUBLE)) t(x) ORDER BY x").fetchall()]
+    assert s[0] == d[0] == 1.0
+    assert s[1] == d[1] == float("inf")
+    assert math.isnan(s[2]) and math.isnan(d[2])
+
+
 def test_strict_digit_guard_cross_engine_equivalence(spark):
     """Permanent fuzz form of the strict-digit-grammar pin: the shared
     strict_digit_int_sql expression must return the IDENTICAL value on
