@@ -3341,6 +3341,72 @@ def test_nan_comparison_total_order_clean_class_pinned(spark):
     assert math.isnan(s[2]) and math.isnan(d[2])
 
 
+def test_explode_unnest_edge_semantics_pinned(spark):
+    """Pinned (round-14 probe, wave 4): the explode/UNNEST pairing that
+    25+ oracle sites lean on (shingles, SimHash bits, band keys, chunk
+    grids, token streams) agrees on every edge — empty array -> zero
+    rows, NULL array -> zero rows, a CASE with no ELSE (NULL branch) ->
+    zero rows (the llm_dedup `UNNEST(CASE WHEN len>=3 THEN ... ELSE []
+    END)` guard is therefore belt-and-braces, not load-bearing), NULL
+    ELEMENTS are kept as NULL rows on both, and unnesting an
+    array<array> goes exactly ONE level on both (DuckDB's recursive
+    flatten needs an explicit flag). The one SPLIT in the family is
+    ordinality base: Spark posexplode's pos is 0-BASED while DuckDB's
+    generate_subscripts is 1-BASED — a posexplode/generate_subscripts
+    twin is an off-by-one on every row. Required spelling (q111, the
+    only shipping posexplode): pair posexplode with 0-based RANGE(n) /
+    GENERATE_SERIES(0, n-1) on the oracle side. Element access is
+    1-based on BOTH (element_at / [] and array_position /
+    list_position agree) — the 0-base is posexplode's alone."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    # Edge cardinalities agree: [1,2] -> 2 rows, [] -> 0, NULL -> 0.
+    s = spark.sql(
+        "SELECT count(*) FROM (SELECT explode(a) FROM VALUES"
+        " (array(1,2)), (array()), (cast(NULL as array<int>)) t(a))"
+    ).first()[0]
+    d = con.execute(
+        "SELECT count(*) FROM (SELECT UNNEST(a) FROM (VALUES"
+        " ([1,2]), ([]::INT[]), (NULL::INT[])) t(a))").fetchone()[0]
+    assert s == d == 2
+    # CASE with no ELSE -> NULL array -> zero rows on both.
+    assert spark.sql(
+        "SELECT explode(CASE WHEN 1=2 THEN array(1) END)").count() == 0
+    assert con.execute(
+        "SELECT count(*) FROM (SELECT UNNEST(CASE WHEN 1=2 THEN [1] END))"
+    ).fetchone()[0] == 0
+    # NULL elements survive as rows on both.
+    s = [r[0] for r in spark.sql(
+        "SELECT explode(array(1, NULL, 2))").collect()]
+    d = [r[0] for r in con.execute(
+        "SELECT UNNEST([1, NULL, 2])").fetchall()]
+    assert s == d == [1, None, 2]
+    # One-level unnest of nested arrays on both.
+    s = [r[0] for r in spark.sql(
+        "SELECT explode(array(array(1,2), array(3)))").collect()]
+    d = [r[0] for r in con.execute(
+        "SELECT UNNEST([[1,2],[3]])").fetchall()]
+    assert s == d == [[1, 2], [3]]
+    # THE SPLIT: ordinality bases differ by one.
+    s_pos = [r[0] for r in spark.sql(
+        "SELECT posexplode(array('a','b'))").collect()]
+    d_sub = [r[0] for r in con.execute(
+        "SELECT generate_subscripts(['a','b'], 1)").fetchall()]
+    assert s_pos == [0, 1] and d_sub == [1, 2]
+    # q111's actual pairing is 0-based on both sides.
+    d_rng = [r[0] for r in con.execute(
+        "SELECT UNNEST(RANGE(2))").fetchall()]
+    assert d_rng == [0, 1] == s_pos
+    # Element access stays 1-based on BOTH (the 0-base is posexplode's).
+    assert spark.sql("SELECT element_at(array(7,8,9), 1)").first()[0] == 7
+    assert con.execute("SELECT ([7,8,9])[1]").fetchone()[0] == 7
+    assert spark.sql(
+        "SELECT array_position(array(7,8,9), 8)").first()[0] == 2
+    assert con.execute(
+        "SELECT list_position([7,8,9], 8)").fetchone()[0] == 2
+
+
 def test_strict_digit_guard_cross_engine_equivalence(spark):
     """Permanent fuzz form of the strict-digit-grammar pin: the shared
     strict_digit_int_sql expression must return the IDENTICAL value on
