@@ -3407,6 +3407,71 @@ def test_explode_unnest_edge_semantics_pinned(spark):
         "SELECT list_position([7,8,9], 8)").fetchone()[0] == 2
 
 
+def test_higher_order_lambda_personalities_pinned(spark):
+    """Pinned (round-14 probe, wave 4): the higher-order-function family
+    the text/vector oracles twin (transform/LIST_TRANSFORM,
+    filter/LIST_FILTER, aggregate-vs-UNNEST+SUM). CLEAN core — NULL
+    ELEMENTS flow through transform lambdas with ordinary NULL
+    arithmetic ([2,NULL,4] both), filter DROPS elements whose predicate
+    is NULL (three-valued WHERE semantics inside the lambda — the
+    q70-family LIST_FILTER oracles lean on this), transform/filter ON a
+    NULL array return NULL (not zero rows, not an error), and
+    zip_with/LIST_ZIP pad the shorter side with NULLs. Two SPLITS: (a)
+    the TWO-ARG lambda index is 0-BASED on Spark (`transform(a, (x,i)
+    -> i)` -> [0,1]) and 1-BASED on DuckDB (-> [1,2]) — same trap as
+    posexplode/generate_subscripts; never twin an index lambda
+    directly (zero shipping exposure: the one two-arg lambda,
+    llm_dedup._PAIR_PACKED, is Spark-side only and its slice(ds, i+2)
+    strictly-upper-triangle arithmetic DEPENDS on the 0-base pinned
+    here). (b) reduce grammars differ structurally: Spark's reduce
+    REQUIRES an init value and returns it on an empty array; DuckDB's
+    LIST_REDUCE is a fold1 with NO init that RAISES on empty input — a
+    reduce/list_reduce twin over possibly-empty arrays raises on
+    exactly one side. Spelling: oracles twin F.aggregate with
+    UNNEST+SUM (NULL-skipping, empty-safe), never LIST_REDUCE (zero
+    shipping uses, swept at pin time)."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    # Clean core: NULL element through the lambda.
+    s = spark.sql(
+        "SELECT transform(array(1, NULL, 3), x -> x + 1)").first()[0]
+    d = con.execute(
+        "SELECT LIST_TRANSFORM([1, NULL, 3], x -> x + 1)").fetchone()[0]
+    assert s == d == [2, None, 3 + 1]
+    # filter drops NULL-predicate elements on both.
+    s = spark.sql(
+        "SELECT filter(array(1, NULL, 3), x -> x > 1)").first()[0]
+    d = con.execute(
+        "SELECT LIST_FILTER([1, NULL, 3], x -> x > 1)").fetchone()[0]
+    assert s == d == [3]
+    # NULL array in -> NULL out (not zero rows) on both.
+    assert spark.sql(
+        "SELECT filter(cast(NULL as array<int>), x -> x > 1)"
+    ).first()[0] is None
+    assert con.execute(
+        "SELECT LIST_FILTER(NULL::INT[], x -> x > 1)").fetchone()[0] is None
+    # zip pads the short side with NULL on both.
+    s = spark.sql(
+        "SELECT zip_with(array(1,2,3), array(10,20), (a,b) -> b)"
+    ).first()[0]
+    d = [t[1] for t in con.execute(
+        "SELECT LIST_ZIP([1,2,3], [10,20])").fetchone()[0]]
+    assert s == d == [10, 20, None]
+    # SPLIT (a): two-arg lambda index base.
+    s = spark.sql("SELECT transform(array(10,20), (x, i) -> i)").first()[0]
+    d = con.execute(
+        "SELECT LIST_TRANSFORM([10,20], (x, i) -> i)").fetchone()[0]
+    assert s == [0, 1] and d == [1, 2], (s, d)
+    # SPLIT (b): empty-array reduce — Spark returns the init, DuckDB raises.
+    assert spark.sql(
+        "SELECT reduce(array(), 0, (a, b) -> a + b)").first()[0] == 0
+    import pytest as _pt
+
+    with _pt.raises(_duck.Error):
+        con.execute("SELECT LIST_REDUCE([]::INT[], (a, b) -> a + b)")
+
+
 def test_strict_digit_guard_cross_engine_equivalence(spark):
     """Permanent fuzz form of the strict-digit-grammar pin: the shared
     strict_digit_int_sql expression must return the IDENTICAL value on
