@@ -3472,6 +3472,55 @@ def test_higher_order_lambda_personalities_pinned(spark):
         con.execute("SELECT LIST_REDUCE([]::INT[], (a, b) -> a + b)")
 
 
+def test_regexp_replace_scope_and_backref_splits_pinned(spark):
+    """KNOWN-SPLIT class pinned (round-14 probe, wave 4): REGEXP_REPLACE
+    twins carry two per-engine personalities the §3 pattern-grammar
+    contract didn't cover because they live in the REPLACEMENT side of
+    the call. (a) Default SCOPE: Spark replaces ALL matches always;
+    DuckDB replaces the FIRST match only unless the 'g' option is
+    passed — a bare twin silently diverges on any multi-hit string.
+    Required spelling: every DuckDB-side REGEXP_REPLACE must pass 'g'
+    (swept at pin time: all shipping oracle sites — the dotted-I
+    casefold leg, the PII redaction battery — already do; this pin
+    makes the implicit discipline a contract). (b) BACKREFERENCE
+    spelling INVERTS: Spark/Java wants '$2$1' (and a '\\2' replacement
+    is an ESCAPED LITERAL '2'); DuckDB/RE2 wants '\\2\\1' (and '$2$1'
+    passes through as literal text) — each engine's spelling is
+    silently wrong on the other, so replacement strings must NEVER be
+    shared between twins (q110's IP redaction keeps separate
+    per-engine replacement strings for exactly this reason). Clean:
+    zero-width-match global replacement agrees ('x*' over 'ab' ->
+    '-a-b-' on both)."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    # (a) default scope splits; 'g' restores agreement.
+    assert spark.sql(
+        "SELECT regexp_replace('aaa', 'a', 'b')").first()[0] == "bbb"
+    assert con.execute(
+        "SELECT REGEXP_REPLACE('aaa', 'a', 'b')").fetchone()[0] == "baa"
+    assert con.execute(
+        "SELECT REGEXP_REPLACE('aaa', 'a', 'b', 'g')").fetchone()[0] == "bbb"
+    # (b) backref spellings invert; each is literal-or-wrong on the other.
+    pat = "([a-z])([0-9])"
+    assert spark.sql(
+        f"SELECT regexp_replace('a1', '{pat}', '$2$1')").first()[0] == "1a"
+    assert spark.sql(
+        rf"SELECT regexp_replace('a1', '{pat}', '\\2\\1')"
+    ).first()[0] == "21"  # Java: escaped literals, NOT backrefs
+    assert con.execute(
+        f"SELECT REGEXP_REPLACE('a1', '{pat}', '\\2\\1', 'g')"
+    ).fetchone()[0] == "1a"
+    assert con.execute(
+        f"SELECT REGEXP_REPLACE('a1', '{pat}', '$2$1', 'g')"
+    ).fetchone()[0] == "$2$1"  # RE2: literal passthrough
+    # Clean: zero-width global replacement agrees.
+    assert spark.sql(
+        "SELECT regexp_replace('ab', 'x*', '-')").first()[0] == "-a-b-"
+    assert con.execute(
+        "SELECT REGEXP_REPLACE('ab', 'x*', '-', 'g')").fetchone()[0] == "-a-b-"
+
+
 def test_strict_digit_guard_cross_engine_equivalence(spark):
     """Permanent fuzz form of the strict-digit-grammar pin: the shared
     strict_digit_int_sql expression must return the IDENTICAL value on
