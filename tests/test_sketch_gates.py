@@ -5286,3 +5286,124 @@ def test_string_formatting_personality_pinned(spark):
         s = [tuple(r) for r in spark.sql(q).collect()]
         d = con.execute(q).fetchall()
         assert s == d, f"clean-core drift on: {q}\n spark={s}\n duck={d}"
+
+
+def test_array_construction_personalities_pinned(spark):
+    """Round-14 probe wave 5 — array construction / set-op personalities.
+
+    The array_join(array_sort(array_distinct(split(...)))) idiom and the
+    size(array_intersect(...)) Jaccard core carry a dozen oracled
+    queries; this wave probes the family's NULL/order/grammar edges.
+
+    SPLITS (each asserted in its observed direction):
+      * DISTINCT: Spark array_distinct keeps FIRST-OCCURRENCE order and
+        keeps one NULL; DuckDB LIST_DISTINCT DROPS NULLs and its order
+        is unspecified (observed sorted). Corollary: size(array_distinct)
+        vs LEN(LIST_DISTINCT) disagree BY COUNT on NULL-bearing arrays —
+        and DuckDB's LIST_UNIQUE is a COUNT (NULL-excluded), not a list,
+        a spelling trap beside the list-returning Spark name. Declared
+        discipline: distinct is twinned only over provably NULL-free
+        elements (all shipping sites are split()/json_keys outputs) and
+        only order-neutralized (under size()/LEN() or inside a sort).
+      * INTERSECT: Spark array_intersect keeps the NULL when both sides
+        hold one and preserves first-array order; DuckDB LIST_INTERSECT
+        drops NULLs and reorders. Same discipline: NULL-free elements,
+        order-neutralized (shipping sites are size(...) Jaccard cores
+        over xxhash64 shingle sets — NULL-free by construction).
+      * OVERLAP is 3VL vs 2VL: arrays_overlap returns NULL when there is
+        no positive match and either side holds a NULL; LIST_HAS_ANY
+        returns FALSE there — a silent filter-cardinality split. NULL-free
+        inputs agree (asserted); only those may twin.
+      * CONCAT function vs operator (the string CONCAT story, again):
+        Spark concat(NULL, arr) → NULL but DuckDB LIST_CONCAT treats NULL
+        as empty → arr; the || operator null-propagates IDENTICALLY on
+        both. Declared spelling: || across twins, never the function name
+        with possibly-NULL array args.
+      * FLATTEN: a NULL inner array nulls the whole result on Spark but
+        is silently dropped by DuckDB. NULL-free inners agree (asserted);
+        the one shipping flatten (pair enumeration, llm_dedup.py:181)
+        rides transform() output — never NULL.
+      * SLICE third-arg grammar: Spark slice(arr, start, LENGTH) vs
+        DuckDB list_slice / bracket-slice (arr, start, END-INDEX-
+        INCLUSIVE). The same literal third argument silently returns
+        different windows; every shipping twin spells the DuckDB side as
+        an inclusive end-index bracket slice with end = start + len - 1
+        (the chunk oracles' words[i*S+1 : i*S+C] against Spark
+        slice(words, i*S+1, C) — llm_dedup.py:182,884,998;
+        llm_text.py:876,825 — re-swept at pin time, all green under
+        value-hash parity).
+      * Engine-only names stay loud: array_union / array_except /
+        array_compact / array_remove have NO DuckDB spelling (Catalog
+        error, never a silent drift) — the NULL-semantics differences
+        probed above therefore can't leak through those four names.
+
+    CLEAN core pinned: array_position (found index / not-found 0 / NULL
+    needle → NULL / position after a NULL prefix), element_at(arr,-1) ==
+    DuckDB arr[-1] from-end indexing (bracket indexing itself stays
+    banned per the OOB pin), NULL-free has_any/overlap, NULL-free ||,
+    NULL-free flatten."""
+    import duckdb as _duck
+
+    import pytest as _pytest
+
+    con = _duck.connect()
+    # distinct: order + NULL personality
+    sd = spark.sql("SELECT array_distinct(array('b','a','b',NULL,'a',NULL))").first()[0]
+    assert sd == ["b", "a", None], "Spark array_distinct order/NULL changed — re-probe"
+    dd = con.execute("SELECT LIST_DISTINCT(['b','a','b',NULL,'a',NULL])").fetchone()[0]
+    assert sorted(dd) == ["a", "b"], "DuckDB LIST_DISTINCT stopped dropping NULLs"
+    assert con.execute("SELECT LIST_UNIQUE(['b','a','b',NULL,'a',NULL])").fetchone()[0] == 2
+    assert spark.sql("SELECT size(array_distinct(array('b','a',NULL)))").first()[0] == 3
+    # intersect: NULL membership + order
+    si = spark.sql(
+        "SELECT array_intersect(array('x','b',NULL,'a'), array('a','b',NULL))"
+    ).first()[0]
+    assert si == ["b", None, "a"], "Spark array_intersect order/NULL changed"
+    di = con.execute("SELECT LIST_INTERSECT(['x','b',NULL,'a'], ['a','b',NULL])").fetchone()[0]
+    assert sorted(di) == ["a", "b"]
+    # overlap 3VL vs 2VL
+    assert spark.sql("SELECT arrays_overlap(array('a',NULL), array('b'))").first()[0] is None
+    assert con.execute("SELECT LIST_HAS_ANY(['a',NULL], ['b'])").fetchone()[0] is False
+    # concat function-vs-operator
+    assert spark.sql(
+        "SELECT concat(CAST(NULL AS array<string>), array('b'))"
+    ).first()[0] is None
+    assert con.execute("SELECT LIST_CONCAT(NULL, ['b'])").fetchone()[0] == ["b"]
+    assert spark.sql("SELECT CAST(NULL AS array<string>) || array('b')").first()[0] is None
+    assert con.execute("SELECT NULL || ['b']").fetchone()[0] is None
+    # flatten NULL-inner
+    assert spark.sql("SELECT flatten(array(array('a'), NULL, array('b')))").first()[0] is None
+    assert con.execute("SELECT FLATTEN([['a'], NULL, ['b']])").fetchone()[0] == ["a", "b"]
+    # slice grammar: same third literal, different window
+    assert list(spark.sql("SELECT slice(array('a','b','c','d'), 2, 3)").first()[0]) == [
+        "b", "c", "d"]
+    assert con.execute("SELECT LIST_SLICE(['a','b','c','d'], 2, 3)").fetchone()[0] == ["b", "c"]
+    # engine-only names are loud on DuckDB
+    for spark_only in (
+        "SELECT array_union(['a','b'], ['b','c'])",
+        "SELECT array_except(['a','b'], ['b'])",
+        "SELECT array_compact(['a', NULL, 'b'])",
+        "SELECT array_remove(['a','b'], 'a')",
+    ):
+        with _pytest.raises(Exception, match="does not exist"):
+            con.execute(spark_only)
+    # clean core under the declared spellings
+    pos = "SELECT array_position(array('a','b'),'b') v, array_position(array('a','b'),'z') w"
+    assert tuple(spark.sql(pos).first()) == (2, 0)
+    dpos = con.execute(
+        "SELECT LIST_POSITION(['a','b'],'b') v, LIST_POSITION(['a','b'],'z') w"
+    ).fetchone()
+    assert tuple(dpos) == (2, 0)
+    assert spark.sql("SELECT array_position(array('a',NULL), NULL)").first()[0] is None
+    assert con.execute("SELECT LIST_POSITION(['a',NULL], NULL)").fetchone()[0] is None
+    assert spark.sql("SELECT array_position(array(NULL,'a'), 'a')").first()[0] == 2
+    assert con.execute("SELECT LIST_POSITION([NULL,'a'], 'a')").fetchone()[0] == 2
+    assert spark.sql("SELECT element_at(array('a','b','c'), -1)").first()[0] == "c"
+    assert con.execute("SELECT (['a','b','c'])[-1]").fetchone()[0] == "c"
+    assert spark.sql("SELECT arrays_overlap(array('a','b'), array('b'))").first()[0] is True
+    assert con.execute("SELECT LIST_HAS_ANY(['a','b'], ['b'])").fetchone()[0] is True
+    assert list(spark.sql("SELECT array('a') || array('b','a')").first()[0]) == ["a", "b", "a"]
+    assert con.execute("SELECT ['a'] || ['b','a']").fetchone()[0] == ["a", "b", "a"]
+    assert list(spark.sql("SELECT flatten(array(array('a'), array('b')))").first()[0]) == [
+        "a", "b"]
+    assert con.execute("SELECT FLATTEN([['a'], ['b']])").fetchone()[0] == ["a", "b"]
