@@ -836,7 +836,7 @@ def profile_norms(uv: DataFrame, widen: bool) -> DataFrame:
     )
 
 
-def salted_day_dots(uv: DataFrame, widen: bool) -> DataFrame:
+def salted_day_dots(uv: DataFrame, widen: bool, half: bool = False) -> DataFrame:
     """The (user, day, cents) inverted-index self-join, salted for hot days.
 
     Triangle scheme: each row gets bucket g = hash(user) mod B and is
@@ -846,7 +846,19 @@ def salted_day_dots(uv: DataFrame, widen: bool) -> DataFrame:
     product is counted exactly once (test_q106_salted_dots_exact) while
     the per-key candidate count drops from n_day^2 to ~(2*n_day/B)^2
     (test_q106_salting_bounds_hot_day_fanout). Replication is xB on the
-    already day-aggregated index, not on raw events."""
+    already day-aggregated index, not on raw events.
+
+    ``half=True`` (optimization round 14, guide §1.2 "don't compute
+    things you throw away"): emit each unordered pair ONCE (ua < ub)
+    instead of both orientations. The dot matrix is exactly symmetric —
+    dot(u,v) and dot(v,u) sum the same commutative products — so the
+    both-directions consumer mirrors rows AFTER aggregation instead of
+    pushing 2x the rows through the join output, the partial/final
+    aggregation and its hash state, and the pair shuffle. Measured at
+    sf0.1 (full q106, same-session min-of-3, CPU via the UI API so
+    co-tenant noise can't fake a win): 75.9 -> 50.0 s total executor
+    CPU, wall 7.7 -> 4.8 s. test_q106_half_matrix_mirror pins
+    half+mirror == full bit-for-bit."""
     B = Q106_DAY_BUCKETS
     g = F.pmod(F.xxhash64(F.col("user_id")), F.lit(B)).cast("int")
     uvb = uv.withColumn("g", g).withColumn(
@@ -885,9 +897,10 @@ def salted_day_dots(uv: DataFrame, widen: bool) -> DataFrame:
     # long per-key chains that every probe row rescans — measured 7x
     # slower than SMJ's linear run-merge at sf0.1 (26.7 s vs 3.8 s).
     # SMJ is also what a 100 TB run would pick anyway (both sides large).
+    pair_pred = F.col("ua") < F.col("ub") if half else F.col("ua") != F.col("ub")
     return (
         a.join(b.hint("merge"), ["day", "lo", "hi"])
-        .filter(F.col("ua") != F.col("ub"))
+        .filter(pair_pred)
         .filter(
             (F.least("ga", "gb") == F.col("lo"))
             & (F.greatest("ga", "gb") == F.col("hi"))
@@ -970,23 +983,40 @@ def q106_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lane so both consume one profile contract
     uv, widen = user_day_profile(e)
     norms = profile_norms(uv, widen)
-    dots = salted_day_dots(uv, widen)
+    # HALF-MATRIX pass (optimization round 14): dots, norm joins and the
+    # rounded cosine are computed once per UNORDERED pair (the matrix is
+    # exactly symmetric: commutative products, order-free exact sums,
+    # commutative double multiply in the denominator), then mirrored —
+    # the same shape the ANN lane has always used. Halves the rows
+    # through the heaviest join+aggregation stage and both norm joins;
+    # measured at sf0.1: 75.9 -> 50.0 s executor CPU, 7.7 -> 4.8 s wall
+    # (same-session min-of-3). Bit-identical output: the mirror emits
+    # exactly the rows the full pass computed for the swapped
+    # orientation (test_q106_half_matrix_mirror).
+    dots = salted_day_dots(uv, widen, half=True)
     na = norms.select(F.col("user_id").alias("ua"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("user_id").alias("ub"), F.col("nrm").alias("nb"))
     sims = (
         dots.join(na, "ua")
         .join(nb, "ub")
         .select(
-            F.col("ua").alias("user_id"),
-            F.col("ub").alias("other_id"),
+            "ua",
+            "ub",
             F.round(
                 F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
             ).alias("sim"),
         )
     )
+    both = sims.select(
+        F.col("ua").alias("user_id"), F.col("ub").alias("other_id"), "sim"
+    ).unionByName(
+        sims.select(
+            F.col("ub").alias("user_id"), F.col("ua").alias("other_id"), "sim"
+        )
+    )
     w = Window.partitionBy("user_id").orderBy(F.col("sim").desc(), "other_id")
     return (
-        sims.withColumn("rk", F.row_number().over(w).cast("long"))
+        both.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= SIM_TOP_K)
     )
 

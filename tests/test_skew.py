@@ -106,6 +106,29 @@ def test_q106_salting_bounds_hot_day_fanout(spark):
     assert salted_day_dots(uv, widen=True).count() == n * (n - 1)
 
 
+def test_q106_half_matrix_mirror(spark):
+    """The round-14 half-matrix optimization: salted_day_dots(half=True)
+    emits each unordered pair exactly once (ua < ub), and mirroring it
+    reproduces the full both-directions matrix bit-for-bit — the
+    equivalence q106 relies on to push half the rows through its
+    heaviest join+aggregation stage."""
+    from nsq2kinesis_spark.operators.similarity import salted_day_dots
+
+    uv = _planted_hot_day(spark)
+    for widen in (False, True):
+        full = sorted(
+            (r.ua, r.ub, int(r.dot))
+            for r in salted_day_dots(uv, widen=widen).collect()
+        )
+        half_rows = salted_day_dots(uv, widen=widen, half=True).collect()
+        assert all(r.ua < r.ub for r in half_rows), f"widen={widen}"
+        mirrored = sorted(
+            [(r.ua, r.ub, int(r.dot)) for r in half_rows]
+            + [(r.ub, r.ua, int(r.dot)) for r in half_rows]
+        )
+        assert mirrored == full, f"widen={widen}"
+
+
 def test_q106_envelope_modes(spark, tmp_path, monkeypatch):
     """Out-of-envelope data (> $1M/day of per-user cents): strict mode must
     raise loudly; the default widen mode must return the exact decimal
