@@ -93,6 +93,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE coalesce the exchanges INSIDE persisted plans too
+        # (default false in Spark 4 only to keep cached output
+        # partitioning stable for consumers that depend on it — none
+        # here do). Without it every .persist() materializes at the full
+        # static shuffle-partition count and every downstream stage over
+        # the cache pays that task count regardless of size: the q106
+        # ANN lane (one persisted profile + one persisted signature
+        # table, ~15 consumers) measured 15.2 s -> 4.5 s at sf0.1 with
+        # this on (same-session interleaved A/B, min-of-3); q133/q78,
+        # which read persisted postings/signatures, -4.5% each; nothing
+        # regressed (optimization round 14). Scale-adaptive by
+        # construction: AQE sizes by bytes, so production-sized caches
+        # keep their parallelism.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
