@@ -269,6 +269,19 @@ def _pair_overlaps(
     (``broadcast_sizes`` — see SIZES_BROADCAST_MAX_DOCS above).
     """
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    if broadcast_sizes:
+        # Optimization round 14: the two enrichment joins (n_a, n_b) each
+        # build their own broadcast of this aggregate, and AQE's runtime
+        # stage dedup does not fire across the two build sides — so the
+        # postings scan + count-agg ran twice per execution. Persisting
+        # the AGGREGATED table (provably dimension-sized here — the same
+        # guard as the broadcast hint) computes it once; min-of-5
+        # same-session A/B at sf0.1: q75 4.09 -> 2.78 s. Guarded by
+        # broadcast_sizes because caching a corpus-sized aggregate at
+        # 100 TB is a real memory commitment the recompute doesn't have
+        # (the unguarded postings-persist experiment measured cache cost
+        # exceeding recompute cost — see OPTIMIZATION_r14.md).
+        sizes = sizes.persist()
     pairs = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
