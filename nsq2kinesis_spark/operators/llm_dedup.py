@@ -401,6 +401,13 @@ def q76_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docsets = sh.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("sset"), F.count("*").cast("long").alias("n")
     )
+    if _corpus_is_dimension_sized(spark, sf_dir):
+        # same round-14 move as q75's sizes table (same guard): the two
+        # verification joins otherwise each build the collect_set
+        # aggregate from scratch — persisting the dimension-sized docsets
+        # computes it once (2.15 -> 1.89 s at sf0.1, min-of-5). Unguarded
+        # this would cache a corpus-sized array table at 100 TB.
+        docsets = docsets.persist()
     da = docsets.alias("da")
     db = docsets.alias("db")
     inter = F.size(F.array_intersect(F.col("da.sset"), F.col("db.sset"))).cast("long")
