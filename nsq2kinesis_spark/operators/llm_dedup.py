@@ -23,6 +23,7 @@ accuracy is graded by recall against q75's exact pairs, not value equality.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -200,6 +201,15 @@ def _unpack_pairs(pairs: DataFrame) -> DataFrame:
 # strategy from actual runtime sizes.
 SIZES_BROADCAST_MAX_DOCS = 2_000_000
 
+# Storage policy for the two dimension-sized enrichment persists adopted in
+# optimization round 14 (q75/q132 sizes, q76 docsets). None disables the
+# persist entirely; a StorageLevel selects it. Round-15 A/B seam
+# (VERDICT r14 item 1): the driver's cold-JVM protocol measured the q75
+# persist as a LOSS while the builder's same-session CPU A/B measured a
+# win — tools/ab_dedup.py flips this per fresh-JVM variant on the driver's
+# own protocol, and the shipped default is that measured winner.
+ENRICH_PERSIST_LEVEL: StorageLevel | None = StorageLevel.MEMORY_AND_DISK_DESER
+
 
 # Memoized per sf_dir: the probe must never add a Spark job inside a
 # caller's timed region (bench.py times builder+execute; an eager count
@@ -273,15 +283,30 @@ def _pair_overlaps(
         # Optimization round 14: the two enrichment joins (n_a, n_b) each
         # build their own broadcast of this aggregate, and AQE's runtime
         # stage dedup does not fire across the two build sides — so the
-        # postings scan + count-agg ran twice per execution. Persisting
-        # the AGGREGATED table (provably dimension-sized here — the same
-        # guard as the broadcast hint) computes it once; min-of-5
-        # same-session A/B at sf0.1: q75 4.09 -> 2.78 s. Guarded by
+        # postings scan + count-agg ran twice per execution (round-15
+        # event-log confirmation: q75 without the persist runs 144 tasks /
+        # ~44 s task run; with it 114 tasks / ~31 s — the no-persist plan
+        # really does execute the aggregate twice). Persisting the
+        # AGGREGATED table (provably dimension-sized here — the same
+        # guard as the broadcast hint) computes it once. Guarded by
         # broadcast_sizes because caching a corpus-sized aggregate at
         # 100 TB is a real memory commitment the recompute doesn't have
         # (the unguarded postings-persist experiment measured cache cost
         # exceeding recompute cost — see OPTIMIZATION_r14.md).
-        sizes = sizes.persist()
+        #
+        # Round 15 (ADVICE r14): memoized ON the postings DataFrame —
+        # whose own memo is per (applicationId, sf_dir) — so q75/q132/q89
+        # register ONE cached sizes table per postings artifact instead of
+        # accumulating an entry per builder invocation; the storageLevel
+        # check re-arms the persist after a catalog clearCache without
+        # spamming "already cached" warnings when it is still live.
+        if ENRICH_PERSIST_LEVEL is not None:
+            cached = getattr(sh, "_nsq2k_sizes", None)
+            if cached is not None:
+                sizes = cached
+            if sizes.storageLevel == StorageLevel.NONE:
+                sizes = sizes.persist(ENRICH_PERSIST_LEVEL)
+            sh._nsq2k_sizes = sizes
     pairs = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -405,9 +430,18 @@ def q76_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same round-14 move as q75's sizes table (same guard): the two
         # verification joins otherwise each build the collect_set
         # aggregate from scratch — persisting the dimension-sized docsets
-        # computes it once (2.15 -> 1.89 s at sf0.1, min-of-5). Unguarded
-        # this would cache a corpus-sized array table at 100 TB.
-        docsets = docsets.persist()
+        # computes it once (2.15 -> 1.89 s at sf0.1, min-of-5; round-15
+        # event-log confirmation: q76 without it runs 103 tasks / ~52 s
+        # task run vs 75 / ~28 s with it). Unguarded this would cache a
+        # corpus-sized array table at 100 TB. Memoized on the postings
+        # DataFrame + re-armed after clearCache, like q75's sizes.
+        if ENRICH_PERSIST_LEVEL is not None:
+            cached = getattr(sh, "_nsq2k_docsets", None)
+            if cached is not None:
+                docsets = cached
+            if docsets.storageLevel == StorageLevel.NONE:
+                docsets = docsets.persist(ENRICH_PERSIST_LEVEL)
+            sh._nsq2k_docsets = docsets
     da = docsets.alias("da")
     db = docsets.alias("db")
     inter = F.size(F.array_intersect(F.col("da.sset"), F.col("db.sset"))).cast("long")

@@ -57,27 +57,37 @@ def q50_pandas_udf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Python per batch, two output columns.
 
     NULL contract (q73's, pinned round 6): NULL text propagates NULL
-    outputs — ``na_action="ignore"`` is the pandas-UDF idiom (a bare
-    ``map`` hands None to the lambda and the whole Arrow batch dies on
-    the TypeError: one NULL row must never kill a 10k-row batch)."""
+    outputs — the explicit None branch below is the struct-UDF spelling
+    of ``na_action="ignore"`` (one NULL row must never kill a 10k-row
+    batch).
+
+    Optimization round 15 (guide §4, VERDICT r14 item 5): the two
+    original scalar pandas UDFs each ran ``bpe.findall`` per row — the
+    fingerprint UDF re-tokenized every document. ONE struct-returning
+    pandas UDF tokenizes once and emits both columns: half the Python
+    regex work, one ArrowEvalPython node, one text column across the
+    boundary instead of two. Output bit-identical (same oracle)."""
     bpe = re.compile(BPE_PATTERN)
 
-    @pandas_udf("int")
-    def n_tokens(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda s: len(bpe.findall(s)), na_action="ignore")
-
-    @pandas_udf("string")
-    def tokens_fp(texts: pd.Series) -> pd.Series:
-        return texts.map(
-            lambda s: hashlib.md5("|".join(bpe.findall(s)).encode()).hexdigest(),
-            na_action="ignore",
-        )
+    @pandas_udf("n_bpe_tokens int, tokens_fp string")
+    def tokenize(texts: pd.Series) -> pd.DataFrame:
+        ns: list[int | None] = []
+        fps: list[str | None] = []
+        for s in texts:
+            if s is None:
+                ns.append(None)
+                fps.append(None)
+            else:
+                toks = bpe.findall(s)
+                ns.append(len(toks))
+                fps.append(hashlib.md5("|".join(toks).encode()).hexdigest())
+        return pd.DataFrame({"n_bpe_tokens": ns, "tokens_fp": fps})
 
     d = t(spark, sf_dir, "documents")
-    return d.select(
+    return d.select("doc_id", tokenize("text").alias("tk")).select(
         "doc_id",
-        n_tokens("text").alias("n_bpe_tokens"),
-        tokens_fp("text").alias("tokens_fp"),
+        F.col("tk.n_bpe_tokens").alias("n_bpe_tokens"),
+        F.col("tk.tokens_fp").alias("tokens_fp"),
     )
 
 
