@@ -1025,13 +1025,23 @@ def q132_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 PP_T_NUM, PP_T_DEN = 1, 2
 
 
-def pp_candidates(sh: DataFrame) -> DataFrame:
-    """q133's candidate generator, shared with its pruning test so the
-    test always measures the SHIPPED pipeline: rarest-first prefix per
-    doc (length n - ceil(t*n) + 1, exact integer arithmetic), packed-pair
-    emission per prefix token, DISTINCT pairs."""
+def pp_ordered(sh: DataFrame) -> DataFrame:
+    """Per-doc rarest-first ordered token array — (doc_id, toks sorted by
+    (df, shingle), n) — the SHARED aggregate of the PPJoin pipeline.
+
+    Optimization round 15 (guide §1.2/§2.4): q133's verification docsets
+    used to be a SEPARATE collect_set aggregate over the raw postings —
+    a third full shingling scan plus its own doc-keyed shuffle, 10.3 s of
+    task run / 1.4 s of q133's 4.9 s wall at sf0.1 (event-log profile).
+    But ``toks`` already holds every doc's full distinct-token array
+    (postings are distinct per doc; the df join is inner and total, so no
+    row is lost) — the docsets are a PROJECTION of this aggregate. All
+    PPJoin consumers (prefix slice, both verification sides) now meet on
+    this one aggregate, whose partial-agg exchange AQE stage-reuse
+    executes once; the separate corpus scan is gone. At 100 TB that is
+    one fewer full corpus pass and one fewer corpus-wide shuffle."""
     dfreq = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
-    ordered = (
+    return (
         sh.join(dfreq, "shingle")
         .groupBy("doc_id")
         .agg(
@@ -1041,6 +1051,17 @@ def pp_candidates(sh: DataFrame) -> DataFrame:
             F.count("*").cast("long").alias("n"),
         )
     )
+
+
+def pp_candidates(sh: DataFrame) -> DataFrame:
+    """q133's candidate generator, shared with its pruning test so the
+    test always measures the SHIPPED pipeline: rarest-first prefix per
+    doc (length n - ceil(t*n) + 1, exact integer arithmetic), packed-pair
+    emission per prefix token, DISTINCT pairs."""
+    return _pp_prefix_pairs(pp_ordered(sh))
+
+
+def _pp_prefix_pairs(ordered: DataFrame) -> DataFrame:
     # ceil(n*NUM/DEN) = (n*NUM + DEN - 1) DIV DEN
     p = (
         F.col("n")
@@ -1120,10 +1141,25 @@ def q133_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_q133_prefix_pruning_bites shows is a fraction of the all-pairs
     candidate set."""
     sh = raw_postings(spark, sf_dir)
-    candidates = pp_candidates(sh)
-    docsets = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sset"),
-        F.count("*").cast("long").alias("n"),
+    ordered = pp_ordered(sh)
+    # NO candidate repartition before the verify join, deliberately
+    # (round 15, tested and rejected): AQE byte-coalesces the distinct
+    # candidates to ~3 tasks and the verify join runs ~4.8 s of task CPU
+    # there (1.6 s wall) — but widening it with repartition(32[, doc_a])
+    # made the verify stage cost ~1 s of CPU PER TASK (30-37 s total,
+    # wall no better), a fixed per-task overhead tied to the unpersisted
+    # docsets build sides; with both inputs persisted the same widening
+    # measured 1.38 -> 0.41 s, so the idiom itself is sound but not on
+    # this plan. See OPTIMIZATION_r15.md (q133).
+    candidates = _pp_prefix_pairs(ordered)
+    # verification docsets = a projection of the shared pp_ordered
+    # aggregate (see its docstring): postings are distinct per doc, so
+    # transform(toks, shingle) IS the doc's shingle set and n its size —
+    # the former separate collect_set scan is gone.
+    docsets = ordered.select(
+        "doc_id",
+        F.expr("transform(toks, t -> t.shingle)").alias("sset"),
+        "n",
     )
     da, db = docsets.alias("da"), docsets.alias("db")
     inter = F.size(F.array_intersect(F.col("da.sset"), F.col("db.sset"))).cast(

@@ -358,6 +358,42 @@ def test_q133_prefix_pruning_bites(spark):
     assert cands > 0
 
 
+def test_q133_docsets_are_a_projection_of_pp_ordered(spark):
+    """Round-15 restructure pin: q133's verification docsets are derived
+    from the shared pp_ordered aggregate (transform(toks, t -> t.shingle),
+    n) instead of a separate collect_set scan — so the corpus is shingled
+    once for the whole PPJoin pipeline. This holds only while postings are
+    DISTINCT per doc and the df join drops no rows; pin both by comparing
+    the projection against an independent collect_set build per doc."""
+    from pyspark.sql import functions as F
+
+    from nsq2kinesis_spark.operators.llm_dedup import pp_ordered, raw_postings
+
+    sh = raw_postings(spark, SF_CORRECTNESS)
+    via_ordered = {
+        r.doc_id: (frozenset(r.sset), r.n)
+        for r in pp_ordered(sh)
+        .select(
+            "doc_id",
+            F.expr("transform(toks, t -> t.shingle)").alias("sset"),
+            "n",
+        )
+        .collect()
+    }
+    via_collect_set = {
+        r.doc_id: (frozenset(r.sset), r.n)
+        for r in sh.groupBy("doc_id")
+        .agg(
+            F.collect_set("shingle").alias("sset"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .collect()
+    }
+    assert via_ordered == via_collect_set
+    # and n really is the set size (distinctness of postings per doc)
+    assert all(len(s) == n for s, n in via_ordered.values())
+
+
 def test_corpus_size_probe_reads_directory_footers(spark, tmp_path):
     """The sizes-broadcast guard must learn the corpus row count from
     parquet FOOTERS for both layouts the engine serves — the driver's
