@@ -910,6 +910,50 @@ def salted_day_dots(uv: DataFrame, widen: bool, half: bool = False) -> DataFrame
     )
 
 
+def _mirror_topk(sims: DataFrame, top_k: int) -> DataFrame:
+    """Fan each unordered scored pair (ua < ub, sim) to both directions
+    and rank-filter top-k per user.
+
+    Optimization round 15: the mirror is an ``inline(array(struct, struct))``
+    row-doubling GENERATE above the scored subtree — NOT a union of the
+    subtree with itself. The round-14 union shape printed the scored
+    subtree twice and relied on AQE runtime stage reuse to execute the
+    pair-aggregation exchange once; that reuse is real on a clean session
+    (the r14 CPU halving) but SILENTLY FAILS when the profile is cached
+    (e.g. the ANN lane ran earlier in the session and its persisted
+    user_day_profile substitutes an InMemoryRelation into both branches:
+    measured on Spark 4.1, the final plan then materializes TWO separate
+    pair-agg ShuffleQueryStages — the heaviest stage executes twice).
+    The explode shape makes single execution STRUCTURAL: the final
+    aggregate, both norm joins and the cosine projection appear once in
+    the plan, conf- and cache-independent — strictly less work even when
+    reuse fires (the union shape ran the norm joins and final-agg read
+    once per branch). Row multiset is identical, and the row_number
+    window orders totally (sim DESC, other_id), so output is
+    bit-identical (test_q106_half_matrix_mirror)."""
+    both = sims.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.col("ua").alias("user_id"),
+                    F.col("ub").alias("other_id"),
+                    F.col("sim"),
+                ),
+                F.struct(
+                    F.col("ub").alias("user_id"),
+                    F.col("ua").alias("other_id"),
+                    F.col("sim"),
+                ),
+            )
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("sim").desc(), "other_id")
+    return (
+        both.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top_k)
+    )
+
+
 @query(
     "q106_user_similarity",
     oracle=f"""
@@ -992,7 +1036,9 @@ def q106_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured at sf0.1: 75.9 -> 50.0 s executor CPU, 7.7 -> 4.8 s wall
     # (same-session min-of-3). Bit-identical output: the mirror emits
     # exactly the rows the full pass computed for the swapped
-    # orientation (test_q106_half_matrix_mirror).
+    # orientation (test_q106_half_matrix_mirror). The mirror itself is
+    # the round-15 explode shape (_mirror_topk) — single execution of
+    # the scored subtree is structural, not an AQE stage-reuse bet.
     dots = salted_day_dots(uv, widen, half=True)
     na = norms.select(F.col("user_id").alias("ua"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("user_id").alias("ub"), F.col("nrm").alias("nb"))
@@ -1007,18 +1053,7 @@ def q106_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
-    both = sims.select(
-        F.col("ua").alias("user_id"), F.col("ub").alias("other_id"), "sim"
-    ).unionByName(
-        sims.select(
-            F.col("ub").alias("user_id"), F.col("ua").alias("other_id"), "sim"
-        )
-    )
-    w = Window.partitionBy("user_id").orderBy(F.col("sim").desc(), "other_id")
-    return (
-        both.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= SIM_TOP_K)
-    )
+    return _mirror_topk(sims, SIM_TOP_K)
 
 
 # -- q106 ANN lane: SRP-LSH candidate generation over the sparse profiles ------
@@ -1216,18 +1251,7 @@ def ann_user_similarity(
             ).alias("sim"),
         )
     )
-    both = sims.select(
-        F.col("ua").alias("user_id"), F.col("ub").alias("other_id"), "sim"
-    ).unionByName(
-        sims.select(
-            F.col("ub").alias("user_id"), F.col("ua").alias("other_id"), "sim"
-        )
-    )
-    w = Window.partitionBy("user_id").orderBy(F.col("sim").desc(), "other_id")
-    return (
-        both.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= top_k)
-    )
+    return _mirror_topk(sims, top_k)
 
 
 # -- q131: hard-negative mining ------------------------------------------------

@@ -106,47 +106,52 @@ def test_q106_salting_bounds_hot_day_fanout(spark):
     assert salted_day_dots(uv, widen=True).count() == n * (n - 1)
 
 
-def test_q106_mirror_reuses_the_dots_exchange(spark):
-    """Round-15 pin (VERDICT r14 item 3): q106's half-matrix correctness
-    is cheap only while runtime exchange reuse executes the salted-join +
-    pair-aggregation subtree ONCE under the mirror Union — the printed
-    plan shows the dots subtree twice, and only the CPU halving proved
-    reuse fired in round 14. This pins the guarantee mechanically on the
-    EXECUTED plan: the pair-agg exchange (hashpartitioning on (ua, ub)
-    over the dot partial-sum state) must materialize once, with the
-    second consumer reading a ReusedExchange of it. If a conf or Spark
-    upgrade ever silences stage reuse, this goes red instead of q106
-    silently doubling its heaviest stage.
+def test_q106_mirror_single_dots_execution(spark):
+    """Round-15 pin (VERDICT r14 item 3): q106's half-matrix is cheap
+    only while the salted-join + pair-aggregation subtree executes ONCE
+    under the mirror. The round-14 union mirror relied on AQE runtime
+    stage reuse for that — and a first version of this pin found the
+    reuse SILENTLY FAILS when the profile is cached (the ANN lane's
+    persisted user_day_profile substitutes an InMemoryRelation into both
+    union branches; Spark 4.1 then materializes TWO separate pair-agg
+    ShuffleQueryStages — the heaviest stage ran twice, with no test red).
+    The mirror is now an inline(array(..)) row-doubling Generate
+    (_mirror_topk), so single execution is STRUCTURAL; this pins it on
+    the EXECUTED plan in BOTH session states that used to differ:
 
-    Counted two-sided so the detection cannot be vacuous: the dots
-    exchange (hashpartitioning on ua carrying the dot partial-sum state)
-    must appear exactly twice in the final plan — once MATERIALIZED, once
-    as a ReusedExchange — i.e. both union branches reference it and only
-    one executes. If reuse is silenced, the reused occurrence becomes a
-    second materialized one and both assertions flip. (A conf-flip
-    negative control is impossible here: pin_session_conf re-arms AQE
-    inside every builder, and AQE stage reuse in Spark 4.1 ignores
-    spark.sql.exchangeReuseEnabled — probed while writing this test.)"""
+    - clean cache (the bench/driver state), and
+    - after the ANN lane has persisted the profile (the state that broke
+      stage reuse under the union shape).
+
+    In each, the dots exchange (hashpartitioning on (ua, ub) carrying
+    the dot partial-sum state) must appear exactly once in the final
+    adaptive plan — materialized, never duplicated, no ReusedExchange
+    needed."""
     import re
 
+    from nsq2kinesis_spark.operators.similarity import ann_user_similarity
     from nsq2kinesis_spark.registry import all_queries
 
-    df = all_queries()["q106_user_similarity"].builder(
-        spark, "/root/testdata/sf0.001"
-    )
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    # the executed string prints "== Final Plan ==" then "== Initial Plan
-    # ==" (which legitimately shows the exchange twice, un-reused) — only
-    # the final section states what actually ran
-    final = plan.split("== Initial Plan ==")[0]
-    dots_exchange = r"Exchange hashpartitioning\(ua#\d+L?, ub#\d+"
-    reused = len(
-        re.findall(r"ReusedExchange \[[^\]]*sum#\d+[^\]]*\], " + dots_exchange, final)
-    )
-    total = len(re.findall(dots_exchange, final))
-    assert reused == 1, plan
-    assert total - reused == 1, plan  # exactly one materialized dots exchange
+    def dots_exchange_count() -> int:
+        df = all_queries()["q106_user_similarity"].builder(
+            spark, "/root/testdata/sf0.001"
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the executed string prints "== Final Plan ==" then "== Initial
+        # Plan ==" — only the final section states what actually ran
+        final = plan.split("== Initial Plan ==")[0]
+        return len(re.findall(r"Exchange hashpartitioning\(ua#\d+L?, ub#\d+", final))
+
+    spark.catalog.clearCache()
+    assert dots_exchange_count() == 1
+    # arm the cached-profile state (what an earlier ANN-lane build leaves
+    # behind in a shared session), then re-check
+    ann_user_similarity(spark, "/root/testdata/sf0.001")
+    try:
+        assert dots_exchange_count() == 1
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_q106_half_matrix_mirror(spark):
