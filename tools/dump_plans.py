@@ -4,8 +4,12 @@ Usage: python tools/dump_plans.py <tag-dir-suffix> [query ...]
 
 Writes plans/<tag>/<query>_<suffix>.txt where <tag-dir-suffix> is e.g.
 ``r14 before`` → plans/r14/q01_pricing_summary_before.txt. With no query
-list, dumps the full HEADLINE + EXTENDED bench set. Explain-only — no query
-is executed, so this is cheap enough to run beside other work.
+list, dumps the full HEADLINE + EXTENDED bench set. Mostly explain-only:
+no query's FULL plan is executed, but BUILDING some is not free — the
+q106_ann_lane builder runs a sizing count() for its adaptive band width,
+and q75/q76/q132's dimension-size probe can fall back to a full documents
+count() on non-parquet layouts — so dumping plans can trigger small real
+jobs (r14 ADVICE).
 """
 
 from __future__ import annotations

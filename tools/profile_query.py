@@ -86,7 +86,12 @@ def main() -> None:
             for f in sorted(os.listdir(d))
             if f.startswith("events_")
         ]
-        path = cands[0] if len(cands) == 1 else d
+        # report the files actually parsed, not just the directory
+        # (r14 ADVICE: with multiple rolling files the dir name alone
+        # under-describes what the numbers came from)
+        path = cands[0] if len(cands) == 1 else f"{d} ({len(cands)} files: " + ", ".join(
+            os.path.basename(c) for c in cands
+        ) + ")"
         lines = []
         for c in cands:
             lines.extend(read_any(c))
@@ -126,9 +131,14 @@ def main() -> None:
                 )
             elif e == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
+                # failed/killed attempts would inflate run/cpu/shuffle
+                # sums for stages with retries (r14 ADVICE)
+                ti = ev.get("Task Info", {})
+                if ti.get("Failed") or ti.get("Killed"):
+                    continue
                 accs = {
                     a["Name"]: a.get("Update", 0)
-                    for a in ev.get("Task Info", {}).get("Accumulables", [])
+                    for a in ti.get("Accumulables", [])
                     if a.get("Internal")
                 }
                 g = lambda n: accs.get(f"internal.metrics.{n}", 0)  # noqa: E731
